@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle compare (driver-side
+tooling only — the engine itself never depends on this).
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, runs each SQL against DuckDB views over
+<sfDir>/*.parquet, reads the Spark result parquet from <verifyOutDir>/<name>/,
+and compares: column names (sorted), row count, and exact cell values after
+sorting rows by all columns. Exit 0 iff every query matches.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = repr(v)  # exact bits
+            elif isinstance(v, list):
+                v = tuple(v)
+            vals.append((str(type(v).__name__), str(v)))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = Path(out_dir) / name
+        try:
+            d = con.execute(sql)
+            drows, dcols = d.fetchall(), [c[0] for c in d.description]
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        try:
+            s = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+            srows, scols = s.fetchall(), [c[0] for c in s.description]
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            n_fail += 1
+            continue
+        if sorted(dcols) != sorted(scols):
+            print(f"FAIL {name}: columns differ: duckdb={sorted(dcols)} spark={sorted(scols)}")
+            n_fail += 1
+            continue
+        if len(drows) != len(srows):
+            print(f"FAIL {name}: rowcount duckdb={len(drows)} spark={len(srows)}")
+            n_fail += 1
+            continue
+        cd, cs = canon(drows, dcols), canon(srows, scols)
+        if cd != cs:
+            bad = next(i for i, (a, b) in enumerate(zip(cd, cs)) if a != b)
+            print(f"FAIL {name}: first differing canonical row #{bad}:")
+            print(f"  duckdb: {cd[bad]}")
+            print(f"  spark : {cs[bad]}")
+            n_fail += 1
+            continue
+        print(f"OK   {name}: {len(srows)} rows")
+    print(f"{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'} / {len(oracle)} queries")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

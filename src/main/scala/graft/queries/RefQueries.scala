@@ -1,0 +1,309 @@
+package graft.queries
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.WeekBins
+import graft.functions.Base26
+
+/** Reference-operator queries over the driver's synthetic tables
+  * (TESTDATA.md), each paired with DuckDB-runnable oracle SQL in
+  * [[RefQueries.oracle]]. Every aggregate column is aliased identically in
+  * both forms (the driver's compare sorts columns by name), and every
+  * floating-point output is computed through exact DECIMAL arithmetic before
+  * a final cast to DOUBLE so Spark and DuckDB produce bit-identical values
+  * regardless of row order.
+  *
+  * Operator coverage (SURVEY.md §2): O10 (date parse), O14 (class join),
+  * O15 (pair metric), O16 (weekly histogram w/ empty bins), O17 (letter
+  * labels), O18 (placeholder alignment), O19 (frequency map), O21/O22
+  * (sort/limit), O23 (first match), plus TPC-H-shaped join/agg headliners
+  * exercising the physical paths that matter at scale (broadcast joins,
+  * shuffle joins, partial aggregation, top-k).
+  */
+object RefQueries {
+
+  /** Thursday-anchored bin range covering the `events` table (Jan 2024) with
+    * trailing empty bins: 2023-12-28 + 10 weeks. */
+  private val Edge: LocalDate = LocalDate.parse("2023-12-28")
+  private val NBins = 10
+  private val EdgeSql = "DATE '2023-12-28'"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * cannot represent (µs timestamps) and by default refuses to read. Read it
+    * EXACTLY as int64 nanos (legacy nanosAsLong flag) and expose:
+    *   - `ts_ns`  BIGINT — exact epoch nanoseconds (DuckDB: epoch_ns(ts));
+    *   - `d`      DATE   — the event day (ns→µs via integer `div`, so no
+    *                       double-precision loss at 1.7e18 magnitudes).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("d", to_date(timestamp_micros(expr("ts_ns div 1000"))))
+  }
+
+  /** Exact decimal product of a money double and (1 - discount double):
+    * cast each operand to DECIMAL first so the multiply is exact and
+    * engine-order-independent. */
+  private def discPrice(price: org.apache.spark.sql.Column, disc: org.apache.spark.sql.Column) =
+    price.cast("decimal(18,2)") * (lit(1.0) - disc).cast("decimal(5,2)")
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O16 — weekly histogram, empty bins retained
+    "q01_week_histogram" -> ((s, dir) => {
+      WeekBins.histogram(events(s, dir).select(col("d")), "d", Edge, NBins)
+        .orderBy("bin")
+    }),
+
+    // O17 — letter labels over the bin dimension (counter skips empty bins)
+    "q02_week_labels" -> ((s, dir) => {
+      val hist = WeekBins.histogram(events(s, dir).select(col("d")), "d", Edge, NBins)
+      val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+      hist
+        .withColumn("r", sum(when(col("cnt") > 0, 1L).otherwise(0L)).over(w))
+        .withColumn("class", when(col("cnt") > 0, Base26.base26(col("r"))).otherwise(lit("0")))
+        .select("bin", "cnt", "class")
+        .orderBy("bin")
+    }),
+
+    // O17/O18 — per-row class assignment (labels broadcast back onto rows)
+    "q03_event_classes" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val e = ev
+        .select(col("event_id"), WeekBins.weekIndex(col("d"), Edge, NBins).as("bin"))
+        .where(col("bin").isNotNull)
+      val hist = WeekBins.histogram(ev.select(col("d")), "d", Edge, NBins)
+      val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+      val labeled = hist
+        .withColumn("r", sum(when(col("cnt") > 0, 1L).otherwise(0L)).over(w))
+        .where(col("cnt") > 0)
+        .select(col("bin"), Base26.base26(col("r")).as("class"))
+      e.join(broadcast(labeled), Seq("bin")).select("event_id", "class").orderBy("event_id")
+    }),
+
+    // O14 — class equi-join + grouped collect (orders per customer)
+    "q04_class_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey"))
+        .agg(
+          count(o("o_orderkey")).as("n_orders"),
+          array_join(
+            transform(sort_array(collect_list(o("o_orderkey"))), _.cast("string")),
+            ",").as("order_keys"))
+        .orderBy("c_custkey")
+    }),
+
+    // O15 — faithful pairs metric: Σ_w P_w² · V_w (purchase×view by week)
+    "q05_pairs_metric" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(WeekBins.weekIndex(col("d"), Edge, NBins).as("bin"), col("event_type"))
+        .where(col("bin").isNotNull)
+      val p = e.where(col("event_type") === "purchase").groupBy("bin")
+        .agg(count(lit(1)).as("pc"))
+      val v = e.where(col("event_type") === "view").groupBy("bin")
+        .agg(count(lit(1)).as("vc"))
+      p.join(v, Seq("bin"))
+        .agg(sum(col("pc") * col("pc") * col("vc")).as("pairs"))
+    }),
+
+    // O19 — frequency map
+    "q06_freq_map" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")),
+
+    // O21/O22 — deterministic sort + limit
+    "q07_sort_limit" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .limit(50)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate").cast("date").as("ship_date"))),
+
+    // O23 — first match per group
+    "q08_first_match" -> ((s, dir) =>
+      // µs-truncated (ts_ns div 1000): DuckDB 1.x reads ns-parquet as µs
+      // TIMESTAMP, and the fixed datasets have no same-µs collisions per
+      // user, so min/min_by agree exactly across engines.
+      events(s, dir).groupBy("user_id")
+        .agg(min(expr("ts_ns div 1000")).as("first_ts_us"),
+          min_by(col("event_type"), col("ts_ns")).as("first_type"))
+        .orderBy("user_id")),
+
+    // O10 — S2-format date parse (name synthesized from ts, then parsed back)
+    "q09_date_parse_s2" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          concat(date_format(col("d"), "yyyyMMdd"), lit("T000000_X_T46RCT")).as("name"))
+        .select(col("event_id"), graft.catalog.DateParse.s2AcqDate(col("name")).as("acq_date"))
+        .orderBy("event_id")),
+
+    // O10 — HLS-format date parse (year + ordinal day-of-year)
+    "q10_date_parse_hls" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          concat(lit("HLS.L30.T46RCT."), date_format(col("d"), "yyyyDDD"),
+            lit("T000000.v2.0")).as("name"))
+        .select(col("event_id"), graft.catalog.DateParse.hlsAcqDate(col("name")).as("acq_date"))
+        .orderBy("event_id")),
+
+    // headline agg — TPC-H Q1 shape (partial agg + tiny shuffle)
+    "q11_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // headline join — revenue top-10 (shuffle join + top-k)
+    "q12_revenue_topk" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.groupBy("l_orderkey")
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderkey"), col("revenue"), col("o_orderdate").cast("date").as("order_date"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // headline broadcast — customer ⋈ nation ⋈ region rollup
+    "q13_region_rollup" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name"), n("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_acctbal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // analytic window — top-3 orders per customer (rank + tiebreak)
+    "q14_window_topn" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("total_price"))
+        .orderBy("o_custkey", "rn")
+    }))
+
+  // ----------------------------------------------------------------- oracle
+
+  /** DuckDB letter expression for rank r (1-based, bijective base-26, two
+    * letters suffice below rank 703). */
+  private val LetterSql =
+    "CASE WHEN r <= 26 THEN chr(96 + CAST(r AS INT)) " +
+      "ELSE chr(97 + CAST(floor((r - 27) / 26) AS INT)) || chr(97 + CAST((r - 27) % 26 AS INT)) END"
+
+  private val HistCte =
+    s"""bins AS (SELECT CAST(i AS INT) AS bin, $EdgeSql + CAST(i*7 AS INT) AS bin_start FROM range(0, $NBins) t(i)),
+       |counts AS (
+       |  SELECT CAST(floor(datediff('day', $EdgeSql, CAST(ts AS DATE)) / 7.0) AS INT) AS bin, count(*) AS cnt
+       |  FROM events
+       |  WHERE datediff('day', $EdgeSql, CAST(ts AS DATE)) BETWEEN 0 AND ${NBins * 7 - 1}
+       |  GROUP BY 1),
+       |hist AS (SELECT b.bin, b.bin_start, coalesce(c.cnt, 0) AS cnt FROM bins b LEFT JOIN counts c USING (bin))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q01_week_histogram" ->
+      s"WITH $HistCte SELECT bin, bin_start, cnt FROM hist ORDER BY bin",
+
+    "q02_week_labels" ->
+      s"""WITH $HistCte,
+         |ranked AS (SELECT bin, cnt, sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) OVER (ORDER BY bin) AS r FROM hist)
+         |SELECT bin, cnt, CASE WHEN cnt > 0 THEN $LetterSql ELSE '0' END AS class FROM ranked ORDER BY bin""".stripMargin,
+
+    "q03_event_classes" ->
+      s"""WITH $HistCte,
+         |ranked AS (SELECT bin, cnt, sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) OVER (ORDER BY bin) AS r FROM hist),
+         |labeled AS (SELECT bin, $LetterSql AS class FROM ranked WHERE cnt > 0)
+         |SELECT e.event_id, l.class
+         |FROM (SELECT event_id, CAST(floor(datediff('day', $EdgeSql, CAST(ts AS DATE)) / 7.0) AS INT) AS bin
+         |      FROM events
+         |      WHERE datediff('day', $EdgeSql, CAST(ts AS DATE)) BETWEEN 0 AND ${NBins * 7 - 1}) e
+         |JOIN labeled l USING (bin) ORDER BY e.event_id""".stripMargin,
+
+    "q04_class_join" ->
+      """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+        |  coalesce(array_to_string(list_sort(list(o.o_orderkey) FILTER (o.o_orderkey IS NOT NULL)), ','), '') AS order_keys
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+
+    "q05_pairs_metric" ->
+      s"""WITH e AS (
+         |  SELECT CAST(floor(datediff('day', $EdgeSql, CAST(ts AS DATE)) / 7.0) AS INT) AS bin, event_type
+         |  FROM events
+         |  WHERE datediff('day', $EdgeSql, CAST(ts AS DATE)) BETWEEN 0 AND ${NBins * 7 - 1}),
+         |p AS (SELECT bin, count(*) AS pc FROM e WHERE event_type = 'purchase' GROUP BY bin),
+         |v AS (SELECT bin, count(*) AS vc FROM e WHERE event_type = 'view' GROUP BY bin)
+         |SELECT sum(p.pc * p.pc * v.vc) AS pairs FROM p JOIN v USING (bin)""".stripMargin,
+
+    "q06_freq_map" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+
+    "q07_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 50""".stripMargin,
+
+    "q08_first_match" ->
+      """SELECT user_id, min(epoch_us(ts)) AS first_ts_us, min_by(event_type, ts) AS first_type
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q09_date_parse_s2" ->
+      """SELECT event_id,
+        |  CAST(strptime(substr(strftime(ts, '%Y%m%d') || 'T000000_X_T46RCT', 1, 8), '%Y%m%d') AS DATE) AS acq_date
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q10_date_parse_hls" ->
+      """SELECT event_id,
+        |  CAST(make_date(CAST(substr(f, 1, 4) AS INT), 1, 1) + (CAST(substr(f, 5, 3) AS INT) - 1) AS DATE) AS acq_date
+        |FROM (SELECT event_id, split_part('HLS.L30.T46RCT.' || strftime(ts, '%Y%j') || 'T000000.v2.0', '.', 4) AS f
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "q11_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(5,2))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q12_revenue_topk" ->
+      """SELECT o.o_orderkey, r.revenue, CAST(o.o_orderdate AS DATE) AS order_date
+        |FROM (SELECT l_orderkey,
+        |        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue
+        |      FROM lineitem GROUP BY l_orderkey) r
+        |JOIN orders o ON r.l_orderkey = o.o_orderkey
+        |ORDER BY r.revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
+
+    "q13_region_rollup" ->
+      """SELECT r.r_name, n.n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin,
+
+    "q14_window_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)
+}
