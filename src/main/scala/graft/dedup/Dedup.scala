@@ -1,0 +1,172 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication operators (north-star extension beyond the
+  * reference's surface; builder brief). All are pure DataFrame pipelines
+  * designed for the 100 TB shape:
+  *
+  *   - exact dedup: one shuffle on a 128-bit content hash (never on the
+  *     full text);
+  *   - MinHash+LSH: per-row signature (narrow), explode to (band, bucket)
+  *     keys, shuffle on the SMALL bucket key space, pair only within
+  *     buckets — the classic way to avoid the O(n²) cross join;
+  *   - SimHash: 64-bit fingerprint per row (native expression), near-dup
+  *     banding on 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ one of 4 chunks
+  *     equal);
+  *   - n-gram Jaccard: exact verification, only ever within a blocking key
+  *     or an LSH candidate set;
+  *   - embedding cosine: exact dot products within blocks/buckets.
+  */
+object Dedup {
+
+  // --------------------------------------------------------------- exact
+
+  /** Exact dedup groups: (content_hash, keep_id, n_copies), keeping the
+    * smallest id per identical content. Shuffles 16-byte hashes + ids only.
+    */
+  def exactGroups(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    df.groupBy(md5(textCol.cast("string")).as("content_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Normalized variant: lowercase + whitespace-collapse before hashing. */
+  def normalized(textCol: Column): Column =
+    regexp_replace(trim(lower(textCol)), "\\s+", " ")
+
+  /** Surviving rows after exact dedup (the min-id row of each group). */
+  def exactDedup(df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val w = Window.partitionBy(md5(textCol.cast("string"))).orderBy(idCol)
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Whitespace tokens. */
+  def tokens(textCol: Column): Column = split(textCol, " ")
+
+  /** Distinct word n-gram shingles (empty array when fewer than n tokens —
+    * callers filter on size > 0). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val w = tokens(textCol)
+    val count = size(w) - (n - 1)
+    when(count > 0,
+      array_distinct(transform(sequence(lit(1), count),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash signature: for seed j in [0, m), min over shingles of
+    * xxhash64(shingle, j). One narrow projection, fully codegen'd. */
+  def minhashSignature(shinglesCol: Column, m: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)),
+      j => array_min(transform(shinglesCol, s => xxhash64(s, j))))
+
+  /** Banded LSH buckets: rows (id, band, bucket) where bucket is the hash of
+    * the band's signature slice. bands*rowsPerBand must equal the signature
+    * length. */
+  def lshBuckets(df: DataFrame, idCol: Column, sigCol: Column,
+                 bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(idCol.as("id"), sigCol.as("sig"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  /** Candidate pairs from banded LSH (distinct, a < b). The self-join keys
+    * on (band, bucket): only rows sharing a bucket ever meet. */
+  def lshCandidatePairs(buckets: DataFrame): DataFrame = {
+    val l = buckets.select(col("band"), col("bucket"), col("id").as("a"))
+    val r = buckets.select(col("band"), col("bucket"), col("id").as("b"))
+    l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Estimated Jaccard from two signatures: fraction of equal components. */
+  def signatureSimilarity(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") /
+      size(sigA).cast("double")
+
+  // -------------------------------------------------------------- jaccard
+
+  /** Exact shingle-set Jaccard via set sizes (|∩| / (|A|+|B|-|∩|)) — the
+    * same integer arithmetic on both engines, so thresholds compare
+    * bit-identically. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs within a blocking key.
+    * Output: (a_id, b_id, jacc). */
+  def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
+                        blockCol: Column, n: Int, threshold: Double): DataFrame = {
+    val base = df.select(blockCol.as("block"), idCol.as("id"),
+        shingles(textCol, n).as("sh"))
+      .where(size(col("sh")) > 0)
+    val l = base.select(col("block"), col("id").as("a_id"), col("sh").as("sha"))
+    val r = base.select(col("block"), col("id").as("b_id"), col("sh").as("shb"))
+    l.join(r, Seq("block")).where(col("a_id") < col("b_id"))
+      .withColumn("jacc", jaccard(col("sha"), col("shb")))
+      .where(col("jacc") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jacc"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash fingerprint of a token array (native expression —
+    * graft.functions.SimHash64). */
+  def simhash(tokensCol: Column): Column =
+    graft.functions.SimHash.simhash64(tokensCol)
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within hamming ≤ maxHamming, banded on 16-bit
+    * chunks (pigeonhole: maxHamming ≤ 3 guarantees one equal chunk; larger
+    * maxHamming trades recall, documented). Output (a_id, b_id, hamming). */
+  def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
+                   maxHamming: Int): DataFrame = {
+    val base = df.select(idCol.as("id"), simhash(tokens(textCol)).as("sh"))
+    val chunks = base.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => call_function("shiftrightunsigned", col("sh"), i * 16)
+          .bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+    val l = chunks.select(col("chunk"), col("ckey"), col("id").as("a_id"), col("sh").as("sha"))
+    val r = chunks.select(col("chunk"), col("ckey"), col("id").as("b_id"), col("sh").as("shb"))
+    l.join(r, Seq("chunk", "ckey")).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), hamming64(col("sha"), col("shb")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // ----------------------------------------------------------- embeddings
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def d(c: Column) = transform(c, x => x.cast("double"))
+    val da = d(a); val db = d(b)
+    val dot = aggregate(zip_with(da, db, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(da, lit(0.0), (acc, x) => acc + x * x)
+    val nb = aggregate(db, lit(0.0), (acc, x) => acc + x * x)
+    dot / sqrt(na * nb)
+  }
+
+  /** Exact embedding near-dup pairs above a cosine threshold. Brute-force
+    * self-join — callers at scale pass a blocking column (e.g. an LSH sign
+    * bucket from graft.similarity); `blockCol == lit(0)` means all-pairs. */
+  def cosinePairs(df: DataFrame, idCol: Column, vecCol: Column,
+                  blockCol: Column, threshold: Double): DataFrame = {
+    val base = df.select(blockCol.as("block"), idCol.as("id"), vecCol.as("v"))
+    val l = base.select(col("block"), col("id").as("a_id"), col("v").as("va"))
+    val r = base.select(col("block"), col("id").as("b_id"), col("v").as("vb"))
+    l.join(r, Seq("block")).where(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+}

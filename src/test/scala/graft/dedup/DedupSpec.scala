@@ -1,0 +1,111 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away", "s1"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far home", "s1"), // near-dup of 1
+    (3L, "completely different content with no overlap whatsoever here at all", "s1"),
+    (4L, "the quick brown fox jumps over the lazy dog and runs far away", "s2"), // exact dup of 1
+    (5L, "short text", "s2"))
+    .toDF("doc_id", "text", "source")
+
+  test("exact dedup: identical texts collapse to min id") {
+    val groups = Dedup.exactGroups(docs, col("text"), col("doc_id")).collect()
+    assert(groups.length == 4) // 1&4 share a hash
+    val dup = groups.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // keep_id = min
+    val survivors = Dedup.exactDedup(docs, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("shingles: distinct word n-grams; short text → empty") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(5L).isEmpty)
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(1L).distinct.size == sh(1L).size)
+  }
+
+  test("minhash LSH: near-dup and exact-dup pairs surface as candidates") {
+    val base = docs
+      .select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), 32))
+    val cands = Dedup.lshCandidatePairs(
+        Dedup.lshBuckets(base, col("doc_id"), col("sig"), 8, 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 4L))) // identical → all bands collide
+    assert(cands.contains((1L, 2L))) // 12/13 shared shingles
+    assert(!cands.contains((3L, 4L)) || cands.size < 6) // unrelated docs shouldn't flood
+    val sims = base.select(col("doc_id"), col("sig"))
+    val est = Dedup.lshCandidatePairs(Dedup.lshBuckets(base, col("doc_id"), col("sig"), 8, 4))
+      .join(sims.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
+      .join(sims.select(col("doc_id").as("b"), col("sig").as("sigb")), Seq("b"))
+      .withColumn("est", Dedup.signatureSimilarity(col("siga"), col("sigb")))
+      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(r.fieldIndex("est"))).toMap
+    assert(est((1L, 4L)) == 1.0)
+    assert(est((1L, 2L)) > 0.5)
+  }
+
+  test("jaccard pairs: exact near-dup detection within block") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        col("source"), 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // 13 words → 11 trigrams each; the last-word edit changes 1 → |∩|=10,
+    // |∪|=12
+    assert(math.abs(pairs.head._3 - 10.0 / 12.0) < 1e-12)
+  }
+
+  test("simhash: identical fingerprints for dup, close for near-dup, banded pairs found") {
+    val fp = docs.select(col("doc_id"), Dedup.simhash(Dedup.tokens(col("text"))).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L))
+    // a 1-word edit flips ~7 bits in expectation but variance is high with
+    // 13 tokens; the robust claim is relative: near-dup ≪ unrelated
+    val nearDist = java.lang.Long.bitCount(fp(1L) ^ fp(2L))
+    val farDist = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    assert(nearDist < farDist)
+    // banding pigeonhole only GUARANTEES recall for hamming ≤ 3; the exact
+    // dup always collides on every chunk
+    val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("cosine pairs: exact self-similarity and orthogonality") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosinePairs(vecs, col("vec_id"), col("embedding"), lit(0), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // float32 inputs (0.9f ≠ 0.9 exactly) → ~1e-8 tolerance
+    assert(math.abs(pairs.head._3 - 0.9 / math.sqrt(0.82)) < 1e-6)
+  }
+
+  test("planted near-dups in testdata are recovered by minhash candidates") {
+    val d = spark.read.parquet(sf("documents"))
+    // ground truth: trigram jaccard >= 0.5 within source (planted dups)
+    val truth = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+        col("source"), 3, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "testdata should contain planted near-dups")
+    val base = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), 32))
+    val cands = Dedup.lshCandidatePairs(
+        Dedup.lshBuckets(base, col("doc_id"), col("sig"), 8, 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(cands.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} planted pairs")
+  }
+}
