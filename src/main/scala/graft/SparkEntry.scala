@@ -14,11 +14,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RefQueries.queries ++
-      graft.queries.DedupQueries.queries
+      graft.queries.DedupQueries.queries ++
+      graft.queries.TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.RefQueries.oracle ++
-      graft.queries.DedupQueries.oracle
+      graft.queries.DedupQueries.oracle ++
+      graft.queries.TextQueries.oracle
 }

@@ -60,10 +60,19 @@ object Dedup {
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature: for seed j in [0, m), min over shingles of
-    * xxhash64(shingle, j). One narrow projection, fully codegen'd. */
+    * xxhash64(shingle, j). Pure higher-order functions — correct, but
+    * Spark interprets HOF lambdas per element (no codegen): prefer
+    * [[minhashSignatureNative]] on anything bigger than a sample. */
   def minhashSignature(shinglesCol: Column, m: Int): Column =
     transform(sequence(lit(0), lit(m - 1)),
       j => array_min(transform(shinglesCol, s => xxhash64(s, j))))
+
+  /** Native one-pass MinHash over word n-grams of a token array
+    * (graft.functions.MinHashNgrams) — the scale path (~100× the HOF form).
+    * Rows with fewer than n tokens yield an all-MaxValue signature; filter
+    * them out before banding. */
+  def minhashSignatureNative(tokensCol: Column, n: Int, m: Int): Column =
+    graft.functions.MinHash.minhashNgrams(tokensCol, n, m)
 
   /** Banded LSH buckets: rows (id, band, bucket) where bucket is the hash of
     * the band's signature slice. bands*rowsPerBand must equal the signature
@@ -101,16 +110,19 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard near-dup pairs within a blocking key.
-    * Output: (a_id, b_id, jacc). */
+    * Output: (a_id, b_id, jacc). Shingle sets travel as sorted distinct
+    * hash arrays (native NgramHashes) and each pair costs one linear merge
+    * (native SortedJaccard) — same |∩|/|∪| integers as the string-set
+    * formulation barring 64-bit hash collisions. */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
                         blockCol: Column, n: Int, threshold: Double): DataFrame = {
     val base = df.select(blockCol.as("block"), idCol.as("id"),
-        shingles(textCol, n).as("sh"))
-      .where(size(col("sh")) > 0)
-    val l = base.select(col("block"), col("id").as("a_id"), col("sh").as("sha"))
-    val r = base.select(col("block"), col("id").as("b_id"), col("sh").as("shb"))
+        graft.functions.NgramHashes.ngramHashes(tokens(textCol), n).as("hs"))
+      .where(size(col("hs")) > 0)
+    val l = base.select(col("block"), col("id").as("a_id"), col("hs").as("hsa"))
+    val r = base.select(col("block"), col("id").as("b_id"), col("hs").as("hsb"))
     l.join(r, Seq("block")).where(col("a_id") < col("b_id"))
-      .withColumn("jacc", jaccard(col("sha"), col("shb")))
+      .withColumn("jacc", graft.functions.SortedJaccard.sortedJaccard(col("hsa"), col("hsb")))
       .where(col("jacc") >= threshold)
       .select(col("a_id"), col("b_id"), col("jacc"))
   }
@@ -146,15 +158,11 @@ object Dedup {
 
   // ----------------------------------------------------------- embeddings
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def d(c: Column) = transform(c, x => x.cast("double"))
-    val da = d(a); val db = d(b)
-    val dot = aggregate(zip_with(da, db, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(da, lit(0.0), (acc, x) => acc + x * x)
-    val nb = aggregate(db, lit(0.0), (acc, x) => acc + x * x)
-    dot / sqrt(na * nb)
-  }
+  /** Cosine similarity of two float-array columns, computed in double —
+    * native expression (one JVM call per row; the HOF zip_with/aggregate
+    * formulation is interpreted per element and ~10× slower, same bits). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosineSim(a, b)
 
   /** Exact embedding near-dup pairs above a cosine threshold. Brute-force
     * self-join — callers at scale pass a blocking column (e.g. an LSH sign

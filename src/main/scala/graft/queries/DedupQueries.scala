@@ -32,13 +32,18 @@ object DedupQueries {
     // MinHash 32-component signature, 8×4 banded LSH candidates with
     // estimated similarity (no oracle: xxhash64-specific)
     "q22_minhash_lsh" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
-        .where(size(col("sh")) > 0)
-        .withColumn("sig", Dedup.minhashSignature(col("sh"), 32))
+      // Native one-pass MinHash expression (the HOF formulation is
+      // interpreted per element by Spark — measured 97 s for the signature
+      // projection alone at sf0.1 vs <1 s native), cached because FOUR plan
+      // branches consume it (bucket self-join left/right + two sig joins).
+      val sigs = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          Dedup.minhashSignatureNative(col("toks"), n = 3, m = 32).as("sig"))
+        .cache()
       val cands = Dedup.lshCandidatePairs(
-        Dedup.lshBuckets(docs, col("doc_id"), col("sig"), bands = 8, rowsPerBand = 4))
-      val sigs = docs.select(col("doc_id"), col("sig"))
+        Dedup.lshBuckets(sigs, col("doc_id"), col("sig"), bands = 8, rowsPerBand = 4))
       cands
         .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
         .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb")), Seq("b"))

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis._
+
+/** Text-analysis queries over `documents`. Token stats and quality scores
+  * are pure integer-count arithmetic → DuckDB oracles compare bit-exactly;
+  * langid and fingerprints are deterministic but hash/profile-specific
+  * (rows-only checks, pinned in TextSpec instead).
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        tokenCountWs(col("text")).as("ws_tokens"),
+        tokenCountBpe(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")),
+
+    "q31_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        punctRatio(col("text")).as("punct_ratio"),
+        digitRatio(col("text")).as("digit_ratio"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
+        meanWordLen(col("text")).as("mean_word_len"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "q32_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "q33_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        contentFingerprint(col("text")).as("content_fp"),
+        size(winnowingFingerprints(col("text"), k = 8, w = 4)).as("n_winnowed"))
+        .orderBy("doc_id")))
+
+  private val StopwordsSql =
+    graft.text.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  val oracle: Map[String, String] = Map(
+    "q30_token_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_text_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, length(text) AS n,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rawtoks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / n END AS punct_ratio,
+         |    CASE WHEN n = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / n END AS digit_ratio,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_filter(toks, x -> list_contains($StopwordsSql, x)))::DOUBLE / len(toks) END AS stopword_ratio,
+         |    CASE WHEN len(rawtoks) = 0 THEN 0.0
+         |         ELSE list_aggregate(list_transform(rawtoks, x -> length(x)), 'sum')::DOUBLE / len(rawtoks) END AS mean_word_len
+         |  FROM base)
+         |SELECT doc_id, punct_ratio, digit_ratio, stopword_ratio, mean_word_len,
+         |  least(stopword_ratio * 4.0, 1.0) * 0.3
+         |    + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.25
+         |    + greatest(1.0 - digit_ratio * 5.0, 0.0) * 0.25
+         |    + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 8.0 THEN 1.0
+         |            WHEN mean_word_len > 0.0 THEN 0.5 ELSE 0.0 END) * 0.2 AS quality
+         |FROM m ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,144 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star
+  * extension): token counting, quality scoring, language identification,
+  * document fingerprinting. Everything is a narrow per-row projection —
+  * embarrassingly parallel, whole-stage codegen'd, no shuffle — which is
+  * exactly what a 100 TB text sweep needs.
+  *
+  * Determinism notes: quality ratios are integer-count divisions (identical
+  * doubles on any engine); langId and fingerprints depend on fixed built-in
+  * tables/hashes (xxhash64) and are deterministic but engine-specific.
+  */
+object TextAnalysis {
+
+  // ------------------------------------------------------------- tokens
+
+  /** Whitespace token count (0 for blank). */
+  def tokenCountWs(text: Column): Column =
+    when(trim(text) === "", 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: letter runs, digit runs, and single punctuation
+    * marks — the standard pre-tokenizer shape, portable across regex
+    * engines. */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCountBpe(text: Column): Column = regexp_count(text, lit(BpeTokenPattern))
+
+  /** Whitespace tokens as an array. */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  // ------------------------------------------------------------ quality
+
+  /** English stopword core used by the quality heuristic. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that", "be")
+
+  /** Punctuation-character ratio (count of non-alnum-non-space chars /
+    * total chars; 0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, 0.0).otherwise(
+      regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / n.cast("double"))
+  }
+
+  /** Digit-character ratio. */
+  def digitRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, 0.0).otherwise(
+      regexp_count(text, lit("[0-9]")).cast("double") / n.cast("double"))
+  }
+
+  /** Fraction of whitespace tokens that are stopwords (lowercased). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    val n = size(toks)
+    when(n === 0, 0.0).otherwise(
+      size(filter(toks, t => array_contains(lit(Stopwords.toArray), t))).cast("double") /
+        n.cast("double"))
+  }
+
+  /** Mean whitespace-token length. */
+  def meanWordLen(text: Column): Column = {
+    val toks = wsTokens(text)
+    val n = size(toks)
+    when(n === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        n.cast("double"))
+  }
+
+  /** Composite quality score in [0,1] — a document looks like prose when it
+    * has some stopwords, moderate punctuation, few digits, and word lengths
+    * near natural-language norms. Pure rational arithmetic (no exp/log) so
+    * engines agree bit-for-bit. */
+  def qualityScore(text: Column): Column = {
+    val sw = stopwordRatio(text)   // prose has some
+    val pr = punctRatio(text)      // too much punctuation → boilerplate/code
+    val dr = digitRatio(text)      // digit-heavy → tables/logs
+    val mw = meanWordLen(text)     // 3..8 is natural
+    val swScore = least(sw * 4.0, lit(1.0))
+    val prScore = greatest(lit(1.0) - pr * 5.0, lit(0.0))
+    val drScore = greatest(lit(1.0) - dr * 5.0, lit(0.0))
+    val mwScore = when(mw >= 3.0 && mw <= 8.0, 1.0)
+      .when(mw > 0.0, 0.5).otherwise(0.0)
+    swScore * 0.3 + prScore * 0.25 + drScore * 0.25 + mwScore * 0.2
+  }
+
+  // -------------------------------------------------------------- langid
+
+  /** Tiny built-in stopword profiles for the n-gram/stopword language
+    * heuristic. Coverage: the five labels the synthetic corpus uses. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "du"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "nicht"),
+    "zh" -> Seq.empty) // detected by script, below
+
+  /** Language-id heuristic: CJK character presence → zh; otherwise the
+    * profile with the highest stopword hit-count (ties → lexicographically
+    * first language, deterministic). Unknown → "und". */
+  def langId(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    val scored = LangProfiles.filter(_._2.nonEmpty).map { case (lang, sw) =>
+      struct(
+        size(filter(toks, t => array_contains(lit(sw.toArray), t))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // struct max orders by (score, lang): ties pick the lexicographically
+    // greatest language — deterministic, documented.
+    val best = array_max(array(scored: _*))
+    when(regexp_count(text, lit("[\\x{4E00}-\\x{9FFF}]")) > 0, "zh")
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise("und")
+  }
+
+  // -------------------------------------------------------- fingerprints
+
+  /** 64-bit polynomial rolling hash of the whole (normalized) document —
+    * a cheap whole-content fingerprint: h = Σ h*31 + c over UTF-8 bytes,
+    * wrapping. */
+  def contentFingerprint(text: Column): Column =
+    graft.functions.RollingHash.rollingHash64(text)
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): xxhash64 over
+    * character k-grams, then the minimum of each sliding window of w
+    * hashes, distinct. Robust to local edits; the standard document
+    * fingerprint for near-dup/plagiarism sweeps. Pure higher-order
+    * functions — no UDF. */
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
+    val n = length(text) - (k - 1)
+    val kgrams = when(n > 0,
+      transform(sequence(lit(1), n), i => xxhash64(text.substr(i, lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+    val m = size(kgrams) - (w - 1)
+    when(m > 0,
+      array_distinct(transform(sequence(lit(1), m),
+        j => array_min(slice(kgrams, j, lit(w))))))
+      .otherwise(array_distinct(kgrams))
+  }
+}

@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Profiling/debugging entry point: run ONE registered query by name.
+  *
+  * Usage: RunOne <queryName> [sfDir] [--explain]
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(s"usage: RunOne <queryName> [sfDir] [--explain]\n" +
+        s"queries: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
+    val name = args(0)
+    val sfDir = args.lift(1).filterNot(_.startsWith("--"))
+      .getOrElse("/root/testdata/sf0.1")
+    val explain = args.contains("--explain")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName(s"graft-$name")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries.getOrElse(name,
+      { System.err.println(s"unknown query $name"); sys.exit(2); throw new Exception })
+    val df = fn(spark, sfDir)
+    if (explain) df.explain("formatted")
+    val t0 = System.nanoTime()
+    val n = df.count()
+    println(f"query=$name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    spark.stop()
+  }
+}

@@ -1,0 +1,61 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.text.TextAnalysis._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("v")).collect()(0).getAs[T]("v")
+
+  private def oneSeq(c: org.apache.spark.sql.Column, text: String): Seq[Long] =
+    Seq(text).toDF("t").select(c.as("v")).collect()(0).getSeq[Long](0).toSeq
+
+  test("token counts: ws vs bpe-ish") {
+    assert(one[Int](tokenCountWs(col("t")), "hello world  foo") == 3)
+    assert(one[Int](tokenCountWs(col("t")), "   ") == 0)
+    assert(one[Int](tokenCountWs(col("t")), "") == 0)
+    // "don't stop, 42 times!" → don|'|t|stop|,|42|times|! = 8
+    assert(one[Int](tokenCountBpe(col("t")), "don't stop, 42 times!") == 8)
+  }
+
+  test("quality ratios: exact rational arithmetic") {
+    assert(one[Double](punctRatio(col("t")), "ab,.") == 2.0 / 4.0)
+    assert(one[Double](digitRatio(col("t")), "a1b2") == 2.0 / 4.0)
+    assert(one[Double](stopwordRatio(col("t")), "The cat and dog") == 2.0 / 4.0)
+    assert(one[Double](meanWordLen(col("t")), "ab abcd") == 3.0)
+    val q = one[Double](qualityScore(col("t")),
+      "the quick brown fox is on the mat and it runs")
+    assert(q > 0.8 && q <= 1.0)
+    val junk = one[Double](qualityScore(col("t")), "@@@@ #### $$$$ 1234 5678")
+    assert(junk < 0.5)
+  }
+
+  test("langid: stopword profiles + CJK detection") {
+    assert(one[String](langId(col("t")), "the cat and the dog is in that house") == "en")
+    assert(one[String](langId(col("t")), "el perro y la casa de los gatos") == "es")
+    assert(one[String](langId(col("t")), "le chat et les maisons des chiens") == "fr")
+    assert(one[String](langId(col("t")), "der Hund und die Katze ist nicht zu Hause") == "de")
+    assert(one[String](langId(col("t")), "这是 一个 中文 文档") == "zh")
+    assert(one[String](langId(col("t")), "xyzzy plugh qwerty") == "und")
+  }
+
+  test("fingerprints: content hash deterministic and edit-sensitive; winnowing robust") {
+    val a = one[Long](contentFingerprint(col("t")), "hello world")
+    val a2 = one[Long](contentFingerprint(col("t")), "hello world")
+    val b = one[Long](contentFingerprint(col("t")), "hello world!")
+    assert(a == a2 && a != b)
+    // winnowing: a local edit preserves most fingerprints
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "the quick brown fox leaps over the lazy dog again and again"
+    val f1 = oneSeq(winnowingFingerprints(col("t"), 8, 4), t1).toSet
+    val f2 = oneSeq(winnowingFingerprints(col("t"), 8, 4), t2).toSet
+    val overlap = (f1 & f2).size.toDouble / math.max(f1.size, f2.size)
+    assert(overlap > 0.5, s"winnowing overlap $overlap")
+    // short text below k still yields the k-gram set (possibly empty)
+    assert(oneSeq(winnowingFingerprints(col("t"), 8, 4), "short").isEmpty)
+  }
+}
