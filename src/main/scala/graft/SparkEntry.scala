@@ -15,12 +15,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RefQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.RefQueries.oracle ++
       graft.queries.DedupQueries.oracle ++
-      graft.queries.TextQueries.oracle
+      graft.queries.TextQueries.oracle ++
+      graft.queries.SimilarityQueries.oracle ++
+      graft.queries.StreamingQueries.oracle
 }

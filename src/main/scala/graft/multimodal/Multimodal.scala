@@ -1,0 +1,159 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines (north-star extension):
+  * image/audio/video payloads as opaque BINARY columns with typed metadata,
+  * processed batch-wise inside executors.
+  *
+  * Container note: no image/audio codec libraries ship in this environment,
+  * so the CODEC step (JPEG/PNG/FLAC decode) is STUBBED behind
+  * [[FakeCodec]] — a deterministic toy container — while everything
+  * Spark-side is real and tested: binaryFile ingestion, schema, partition
+  * batching (mapPartitions — the JVM analogue of mapInPandas batch shape),
+  * pixel-array math (resize, normalize, channel stats) and frame sampling
+  * operate on the decoded arrays for real.
+  */
+object Multimodal {
+
+  /** Asset row model: D3-style with modality metadata. */
+  val AssetSchema = "asset_id STRING, kind STRING, media_type STRING, " +
+    "width INT, height INT, channels INT, n_frames INT, content BINARY"
+
+  // ------------------------------------------------------------ fake codec
+
+  /** Deterministic toy container standing in for a real image/video codec:
+    * magic "GRFT" | kind(1B: 0=image,1=video) | channels | height | width |
+    * nFrames | payload bytes (frame-major, channel-major, row-major, one
+    * byte per sample). A REAL codec drops in by replacing encode/decode
+    * only — the pipeline around it does not change. */
+  object FakeCodec {
+    val Magic = 0x47524654 // "GRFT"
+
+    def encode(kind: Int, channels: Int, h: Int, w: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(24 + frames.map(_.length).sum)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(Magic).putInt(kind).putInt(channels).putInt(h).putInt(w)
+        .putInt(frames.length)
+      frames.foreach(bb.put)
+      bb.array()
+    }
+
+    /** None when the header is not ours (a real pipeline would dispatch on
+      * media_type). */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Array[Array[Byte]])] = {
+      if (bytes.length < 24) return None
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      if (bb.getInt() != Magic) return None
+      val kind = bb.getInt(); val c = bb.getInt(); val h = bb.getInt(); val w = bb.getInt()
+      val n = bb.getInt()
+      val frameLen = c * h * w
+      if (bytes.length < 24 + n * frameLen) return None
+      val frames = Array.tabulate(n) { i =>
+        val a = new Array[Byte](frameLen)
+        System.arraycopy(bytes, 24 + i * frameLen, a, 0, frameLen)
+        a
+      }
+      Some((kind, c, h, w, frames))
+    }
+  }
+
+  /** Decoded frame row. */
+  final case class DecodedFrame(
+      asset_id: String, frame_idx: Int, channels: Int, height: Int, width: Int,
+      pixels: Array[Float])
+
+  /** Decode assets to per-frame float pixel rows, batch-wise per partition
+    * (one decoder instantiation per partition, like a Pandas-UDF batch).
+    * Assets that fail to decode are dropped (counted upstream if needed) —
+    * a poison byte string must never kill a 100 TB sweep. */
+  def decodeFrames(assets: DataFrame): Dataset[DecodedFrame] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("content")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder state would go here (real codecs are costly
+        // to init — amortize across the batch)
+        it.flatMap { case (id, bytes) =>
+          FakeCodec.decode(bytes).toSeq.flatMap { case (_, c, h, w, frames) =>
+            frames.iterator.zipWithIndex.map { case (f, i) =>
+              DecodedFrame(id, i, c, h, w, f.map(b => (b & 0xFF).toFloat / 255.0f))
+            }
+          }
+        }
+      }
+  }
+
+  /** Nearest-neighbor resize of a channel-major pixel array — real math,
+    * runs distributed on the decoded rows. */
+  def resizeNearest(pixels: Array[Float], c: Int, h: Int, w: Int,
+                    oh: Int, ow: Int): Array[Float] = {
+    val out = new Array[Float](c * oh * ow)
+    var ch = 0
+    while (ch < c) {
+      var r = 0
+      while (r < oh) {
+        val sr = (r.toLong * h / oh).toInt
+        var cc = 0
+        while (cc < ow) {
+          val sc = (cc.toLong * w / ow).toInt
+          out(ch * oh * ow + r * ow + cc) = pixels(ch * h * w + sr * w + sc)
+          cc += 1
+        }
+        r += 1
+      }
+      ch += 1
+    }
+    out
+  }
+
+  final case class FrameFeatures(
+      asset_id: String, frame_idx: Int,
+      mean: Array[Float], std: Array[Float], thumb: Array[Float])
+
+  /** Feature extraction over decoded frames: per-channel mean/std + an 8×8
+    * nearest-neighbor thumbnail (the embedding stand-in). */
+  def extractFeatures(frames: Dataset[DecodedFrame], thumb: Int = 8): Dataset[FrameFeatures] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.map { f =>
+      val hw = f.height * f.width
+      val mean = new Array[Float](f.channels)
+      val std = new Array[Float](f.channels)
+      var ch = 0
+      while (ch < f.channels) {
+        var s = 0.0; var s2 = 0.0
+        var i = 0
+        while (i < hw) {
+          val v = f.pixels(ch * hw + i); s += v; s2 += v * v; i += 1
+        }
+        val m = s / hw
+        mean(ch) = m.toFloat
+        std(ch) = math.sqrt(math.max(0.0, s2 / hw - m * m)).toFloat
+        ch += 1
+      }
+      FrameFeatures(f.asset_id, f.frame_idx, mean, std,
+        resizeNearest(f.pixels, f.channels, f.height, f.width, thumb, thumb))
+    }
+  }
+
+  /** Uniform frame sampling for video assets: keep every row whose
+    * frame_idx lands on the stride grid — a pure filter, no decode rework. */
+  def sampleFrames(frames: Dataset[DecodedFrame], stride: Int): Dataset[DecodedFrame] =
+    frames.filter(f => f.frame_idx % stride == 0)
+
+  /** binaryFile ingestion: directory of asset files → asset rows. Pushdown:
+    * pathGlobFilter prunes at the listing, so only matching files are ever
+    * opened. */
+  def readAssetDir(spark: SparkSession, dir: String, glob: String = "*.grft"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)\\.[^.]+$", 1).as("asset_id"),
+        col("length"),
+        col("content"))
+}

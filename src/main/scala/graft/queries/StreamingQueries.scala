@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sessionization and stream-shaped aggregations over `events`, in their
+  * batch form (the driver's Verify is batch; StreamsSpec covers the
+  * streaming execution of the same logic). All arithmetic is exact integer
+  * microseconds → bit-identical oracles.
+  */
+object StreamingQueries {
+
+  /** Exact µs event time (events.ts is TIMESTAMP(NANOS) — see
+    * RefQueries.events). */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+  }
+
+  private val GapUs = 30L * 60 * 1000 * 1000 // 30-minute session gap
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // gap-based sessionization (batch form of Streams.sessionize)
+    "q50_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+      eventsUs(s, dir)
+        .select(col("user_id"), col("ts_us"))
+        .withColumn("_prev", lag(col("ts_us"), 1).over(w))
+        .withColumn("_break",
+          when(col("_prev").isNull || col("ts_us") - col("_prev") > GapUs, 1L)
+            .otherwise(0L))
+        .withColumn("_sid", sum(col("_break"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "_sid")
+        .agg(min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .orderBy("user_id", "session_start_us")
+    }),
+
+    // epoch-anchored (Thursday) weekly windows per event type — the batch
+    // twin of Streams.weeklyHistogram; pins window(ts,'7 days')'s anchor
+    "q51_weekly_windows" -> ((s, dir) =>
+      eventsUs(s, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .groupBy(window(col("ts"), "7 days").as("wk"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("wk.start").cast("date").as("week_start"), col("event_type"), col("cnt"))
+        .orderBy("week_start", "event_type")))
+
+  val oracle: Map[String, String] = Map(
+    "q50_sessionize" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         |l AS (SELECT user_id, ts_us,
+         |        lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+         |      FROM e),
+         |b AS (SELECT user_id, ts_us,
+         |        CASE WHEN prev IS NULL OR ts_us - prev > $GapUs THEN 1 ELSE 0 END AS brk
+         |      FROM l),
+         |sid AS (SELECT user_id, ts_us,
+         |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |      FROM b)
+         |SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+         |  count(*) AS n_events
+         |FROM sid GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q51_weekly_windows" ->
+      """SELECT DATE '1970-01-01'
+        |    + CAST(floor(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7.0) * 7 AS INT) AS week_start,
+        |  event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY week_start, event_type""".stripMargin)
+}

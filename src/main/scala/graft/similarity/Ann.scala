@@ -1,0 +1,93 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSim
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (north-star extension). Two tiers:
+  *
+  *   - [[bruteForceTopK]] — exact cosine top-k: |Q| × |C| native-expression
+  *     dot products + a per-query top-k window. The baseline, and fine
+  *     whenever |Q| is small or the corpus side is broadcastable.
+  *   - [[ivfTopK]] — IVF-style coarse quantization: deterministic sample
+  *     centroids, vectors assigned to their nearest centroid cell
+  *     (broadcast join — no shuffle of the corpus), queries probe the
+  *     nProbe nearest cells only. At 100 TB this turns the cross join into
+  *     |Q| × (nProbe/|cells|) of the corpus, partitioned by cell id.
+  *
+  * Signature-LSH (sign of random-hyperplane projections) is available as
+  * [[hyperplaneSignature]] for bucket-style blocking (shares the banding
+  * machinery with graft.dedup).
+  */
+object Ann {
+
+  /** Exact cosine top-k: for each query row, the k nearest corpus rows
+    * (excluding itself when ids collide). Deterministic ordering:
+    * (similarity DESC, neighbor id ASC). Output (query_id, rank, neighbor_id).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", CosineSim.cosineSim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Deterministic centroid sample: the nCentroids corpus rows with the
+    * smallest xxhash64(id) — stable across runs and engines, no RNG. */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int): DataFrame =
+    corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        xxhash64(col(idCol)).as("_h"))
+      .orderBy("_h").limit(nCentroids)
+      .select(monotonically_increasing_id().as("centroid_id"), col("cvec"))
+
+  /** Assign every row to its nearest centroid (max cosine; ties → lowest
+    * centroid id). Broadcast join: the corpus never shuffles. */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame, n: Int = 1): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("centroid_id"))
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", CosineSim.cosineSim(col(vecCol), col("cvec")))
+      .withColumn("crank", row_number().over(w))
+      .where(col("crank") <= n)
+      .select(col(idCol), col(vecCol), col("centroid_id"), col("crank"))
+  }
+
+  /** IVF top-k: queries probe their nProbe nearest cells; exact cosine
+    * within the probed cells. Same output shape as [[bruteForceTopK]] —
+    * recall < 1 by construction (cells not probed are unseen). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCentroids: Int, nProbe: Int): DataFrame = {
+    val centroids = sampleCentroids(corpus, idCol, vecCol, nCentroids)
+    val corpusCells = assignCells(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
+    val queryCells = assignCells(queries, idCol, vecCol, centroids, n = nProbe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("centroid_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    queryCells.join(corpusCells, Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", CosineSim.cosineSim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Random-hyperplane signature: bit j = sign of dot(v, plane_j) where the
+    * plane components are pseudorandom (hash-derived) — an LSH family for
+    * cosine. Returns a BIGINT of nBits (≤ 64) sign bits. */
+  def hyperplaneSignature(vec: Column, nBits: Int, seed: Long): Column =
+    graft.functions.Hyperplane.signature(vec, nBits, seed)
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (north-star extension — the reference is
+  * batch-only, SURVEY.md §1): the weekly-class histogram as a streaming
+  * aggregation, and stateful sessionization over the events stream.
+  *
+  * Spark's `window(ts, "7 days")` is epoch-anchored exactly like the
+  * engine's Thursday-anchored weekly bins (1970-01-01 was a Thursday —
+  * SURVEY.md §0.2), so the streaming histogram and the batch histogram
+  * agree bin-for-bin.
+  */
+object Streams {
+
+  /** Streaming weekly histogram with a watermark: append-mode-safe windowed
+    * counts per event_type. Works identically on a batch DataFrame (unit
+    * tests) and a readStream source. */
+  def weeklyHistogram(events: DataFrame, tsCol: String, watermark: String = "1 day"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    withWm
+      .groupBy(window(col(tsCol), "7 days").as("week"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("week.start").cast("date").as("week_start"), col("event_type"), col("cnt"))
+  }
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class UserSession(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Int)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * when a user is silent for `gapMs`. Event-time ordering within a group
+    * is not guaranteed by the engine — state tracks min/max so out-of-order
+    * arrivals fold in correctly. */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
+          // fold the batch into gap-separated sessions (sorted by ts)
+          val evs = it.toVector.sortBy(_.ts.getTime)
+          var sessions = state.getOption.getOrElse(Nil)
+          evs.foreach { e =>
+            val t = e.ts.getTime
+            sessions match {
+              case head :: tail if t - head.last <= gapMs =>
+                sessions = head.copy(
+                  start = math.min(head.start, t),
+                  last = math.max(head.last, t),
+                  n = head.n + 1) :: tail
+              case _ =>
+                sessions = SessionState(t, t, 1) :: sessions
+            }
+          }
+          // emit all but the newest (still-open) session
+          val (open, closed) = sessions match {
+            case head :: tail => (List(head), tail)
+            case Nil => (Nil, Nil)
+          }
+          state.update(open)
+          closed.reverseIterator.map(s =>
+            UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+      }
+  }
+
+  /** Batch-mode sessionization with the same gap semantics, as a pure
+    * window pipeline — the cross-check for the stateful version and the
+    * shape used for backfills: session id = running count of gap breaks. */
+  def sessionizeBatch(events: DataFrame, userCol: String, tsCol: String, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(tsCol)
+    events
+      .withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("_break",
+        when(col("_prev").isNull ||
+          (col(tsCol).cast("long") - col("_prev").cast("long")) * 1000 > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("_sid", sum(col("_break")).over(
+        Window.partitionBy(userCol).orderBy(tsCol)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("_sid"))
+      .agg(min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("_sid")
+  }
+}

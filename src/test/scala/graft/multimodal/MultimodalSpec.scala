@@ -1,0 +1,59 @@
+package graft.multimodal
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal._
+
+class MultimodalSpec extends SparkSpec {
+
+  private def gradientFrame(c: Int, h: Int, w: Int, offset: Int): Array[Byte] =
+    Array.tabulate(c * h * w)(i => ((i + offset) % 256).toByte)
+
+  test("fake codec round-trips and rejects foreign bytes") {
+    val frames = Array(gradientFrame(3, 4, 5, 0), gradientFrame(3, 4, 5, 7))
+    val bytes = FakeCodec.encode(1, 3, 4, 5, frames)
+    val Some((kind, c, h, w, back)) = FakeCodec.decode(bytes)
+    assert((kind, c, h, w) == (1, 3, 4, 5))
+    assert(back.length == 2 && back(0).toSeq == frames(0).toSeq)
+    assert(FakeCodec.decode("not an asset".getBytes).isEmpty)
+    assert(FakeCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("binaryFile ingestion + batch decode + features, poison bytes dropped") {
+    val dir = Files.createTempDirectory("assets")
+    // two valid assets + one poison file
+    Files.write(dir.resolve("img1.grft"),
+      FakeCodec.encode(0, 3, 8, 8, Array(gradientFrame(3, 8, 8, 0))))
+    Files.write(dir.resolve("vid1.grft"),
+      FakeCodec.encode(1, 1, 4, 4, Array.tabulate(6)(i => gradientFrame(1, 4, 4, i * 3))))
+    Files.write(dir.resolve("bad.grft"), "garbage".getBytes)
+
+    val assets = readAssetDir(spark, dir.toString)
+    assert(assets.count() == 3) // listing sees all three
+    val frames = decodeFrames(assets)
+    val byAsset = frames.collect().groupBy(_.asset_id)
+    assert(byAsset.keySet == Set("img1", "vid1")) // poison dropped, not fatal
+    assert(byAsset("img1").length == 1 && byAsset("vid1").length == 6)
+    assert(byAsset("img1").head.pixels.length == 3 * 8 * 8)
+    assert(byAsset("img1").head.pixels.forall(p => p >= 0f && p <= 1f))
+
+    val feats = extractFeatures(frames).collect()
+    assert(feats.length == 7)
+    val f0 = feats.find(f => f.asset_id == "img1").get
+    assert(f0.mean.length == 3 && f0.thumb.length == 3 * 8 * 8)
+    assert(f0.std.forall(_ > 0f)) // gradient has spread
+
+    val sampled = sampleFrames(decodeFrames(assets), stride = 2).collect()
+    assert(sampled.count(_.asset_id == "vid1") == 3) // frames 0,2,4
+  }
+
+  test("nearest resize: exact corner semantics") {
+    // 1 channel, 4x4 gradient → 2x2 picks rows/cols 0,2
+    val px = Array.tabulate(16)(_.toFloat)
+    val out = resizeNearest(px, 1, 4, 4, 2, 2)
+    assert(out.toSeq == Seq(0f, 2f, 8f, 10f))
+    // identity resize
+    assert(resizeNearest(px, 1, 4, 4, 4, 4).toSeq == px.toSeq)
+  }
+}

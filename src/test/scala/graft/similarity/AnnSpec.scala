@@ -1,0 +1,60 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(sf("embeddings")).cache()
+  private lazy val queries = emb.where(col("vec_id") < 20)
+
+  test("brute-force top-k: known geometry") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(vecs.where($"vec_id" === 1), vecs,
+        "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.toSeq == Seq((1, 2L), (2, 3L), (3, 4L)))
+  }
+
+  test("IVF recall vs brute force (16 cells, 4 probes)") {
+    val bf = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Ann.ivfTopK(queries, emb, "vec_id", "embedding", 10, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    // random 64-dim embeddings are a worst case for coarse quantization;
+    // probing 4/16 cells must still beat the 25%-of-corpus floor clearly
+    assert(recall >= 0.35, s"IVF recall $recall")
+    assert(ivf.size == bf.size) // k neighbors for every query
+  }
+
+  test("IVF with all cells probed == brute force exactly") {
+    val bf = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivfAll = Ann.ivfTopK(queries, emb, "vec_id", "embedding", 10, 16, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivfAll == bf)
+  }
+
+  test("hyperplane signatures: deterministic; close vectors agree on more bits") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.2f, -0.3f, 0.5f)),
+      (2L, Array(1.0f, 0.21f, -0.29f, 0.52f)), // near-dup of 1
+      (3L, Array(-0.8f, 0.9f, 0.7f, -0.1f))).toDF("vec_id", "embedding")
+    val sig = vecs.select(col("vec_id"),
+        Ann.hyperplaneSignature(col("embedding"), 64, 42L).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val near = java.lang.Long.bitCount(sig(1L) ^ sig(2L))
+    val far = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    assert(near < far, s"near=$near far=$far")
+    val sig2 = vecs.select(Ann.hyperplaneSignature(col("embedding"), 64, 42L))
+      .collect().map(_.getLong(0))
+    assert(sig2.toSeq == vecs.collect().map(r => sig(r.getLong(0))).toSeq)
+  }
+}

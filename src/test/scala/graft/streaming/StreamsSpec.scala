@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.Streams._
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming weekly histogram == batch weekly histogram (epoch-Thursday anchor)") {
+    val rows = Seq(
+      ("a", ts("2024-01-01 10:00:00")), // week starting Thu 2023-12-28
+      ("a", ts("2024-01-03 10:00:00")),
+      ("b", ts("2024-01-04 00:00:00")), // Thu → next week
+      ("a", ts("2024-01-10 10:00:00")))
+    val batch = rows.toDF("event_type", "ts")
+    val expected = weeklyHistogram(batch, "ts").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(expected == Set(
+      ("2023-12-28", "a", 2L), ("2024-01-04", "b", 1L), ("2024-01-04", "a", 1L)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val sq = weeklyHistogram(mem.toDF().toDF("event_type", "ts"), "ts")
+      .writeStream.outputMode("complete").format("memory").queryName("wh").start()
+    mem.addData(rows.take(2): _*)
+    sq.processAllAvailable()
+    mem.addData(rows.drop(2): _*)
+    sq.processAllAvailable()
+    val got = spark.table("wh").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSet
+    sq.stop()
+    assert(got == expected)
+  }
+
+  test("stateful sessionization across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val sq = sessionize(mem.toDS(), gapMs = 60000L) // 1-minute gap
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    // batch 1: two events 30s apart (same session, stays open)
+    mem.addData(
+      SessionEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+      SessionEvent(1L, ts("2024-01-01 10:00:30"), "click"))
+    sq.processAllAvailable()
+    assert(spark.table("sess").count() == 0) // nothing closed yet
+    // batch 2: an event far later → closes the first session
+    mem.addData(SessionEvent(1L, ts("2024-01-01 11:00:00"), "purchase"))
+    sq.processAllAvailable()
+    val sessions = spark.table("sess").as[UserSession].collect()
+    sq.stop()
+    assert(sessions.length == 1)
+    val s = sessions.head
+    assert(s.user_id == 1L && s.n_events == 2)
+    assert(s.session_start == ts("2024-01-01 10:00:00"))
+    assert(s.session_end == ts("2024-01-01 10:00:30"))
+  }
+
+  test("batch sessionization: gap splits, out-of-order safe") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:02:00")), // arrives out of order
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:01:00")),
+      (1L, ts("2024-01-01 12:00:00")),
+      (2L, ts("2024-01-01 09:00:00"))).toDF("user_id", "ts")
+    val out = sessionizeBatch(df, "user_id", "ts", gapMs = 10 * 60 * 1000)
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:02:00"), 3L),
+      (1L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L),
+      (2L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:00"), 1L)))
+  }
+}
