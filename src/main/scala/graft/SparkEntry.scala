@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
-      graft.queries.StreamingQueries.queries
+      graft.queries.StreamingQueries.queries ++
+      graft.queries.TilingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
