@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Driver-side fixture generator: hand-rolled baseline TIFF writer (no PIL/
+rasterio in this container) producing uncompressed strip-organized
+single-band files in several layouts, for the TiffDecoder spec.
+
+Usage: make_tiff_fixtures.py <outdir>
+"""
+import struct
+import sys
+from pathlib import Path
+
+
+def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=None):
+    """pixels: list of ints/floats, row-major, len w*h."""
+    bo = "<" if little else ">"
+    bpp = bits // 8
+    rps = rows_per_strip or h
+    strips = []
+    r = 0
+    while r < h:
+        rows = min(rps, h - r)
+        data = b""
+        for rr in range(r, r + rows):
+            for cc in range(w):
+                v = pixels[rr * w + cc]
+                if bits == 8:
+                    data += struct.pack(bo + ("b" if fmt == 2 else "B"), v)
+                elif bits == 16:
+                    data += struct.pack(bo + ("h" if fmt == 2 else "H"), v)
+                elif bits == 32 and fmt == 3:
+                    data += struct.pack(bo + "f", v)
+                else:
+                    data += struct.pack(bo + ("i" if fmt == 2 else "I"), v)
+        strips.append(data)
+        r += rows
+
+    # layout: header(8) | strip data | IFD | out-of-line values
+    header = struct.pack(bo + "2sHI", b"II" if little else b"MM", 42, 0)  # patch IFD off
+    strip_offsets = []
+    off = 8
+    body = b""
+    for sdata in strips:
+        strip_offsets.append(off)
+        body += sdata
+        off += len(sdata)
+    ifd_off = off
+
+    def entry(tag, typ, cnt, value_bytes, extra):
+        # value_bytes must be <= 4 bytes (padded) or an offset into extra area
+        if len(value_bytes) <= 4:
+            return struct.pack(bo + "HHI", tag, typ, cnt) + value_bytes.ljust(4, b"\0"), extra
+        eo = ifd_off + 2 + n_entries * 12 + 4 + len(extra)
+        return struct.pack(bo + "HHI", tag, typ, cnt) + struct.pack(bo + "I", eo), extra + value_bytes
+
+    entries = []
+    extra = b""
+    def short(v): return struct.pack(bo + "H", v)
+    def long_(v): return struct.pack(bo + "I", v)
+    tags = [
+        (256, 3, 1, short(w)),
+        (257, 3, 1, short(h)),
+        (258, 3, 1, short(bits)),
+        (259, 3, 1, short(1)),
+        (262, 3, 1, short(1)),
+        (277, 3, 1, short(1)),
+        (278, 3, 1, short(rps)),
+        (339, 3, 1, short(fmt)),
+    ]
+    so = b"".join(long_(o) for o in strip_offsets)
+    sc = b"".join(long_(len(s)) for s in strips)
+    tags.append((273, 4, len(strips), so))
+    tags.append((279, 4, len(strips), sc))
+    tags.sort()
+    n_entries = len(tags)
+    for tag, typ, cnt, vb in tags:
+        e, extra = entry(tag, typ, cnt, vb, extra)
+        entries.append(e)
+    ifd = struct.pack(bo + "H", n_entries) + b"".join(entries) + struct.pack(bo + "I", 0)
+    header = struct.pack(bo + "2sHI", b"II" if little else b"MM", 42, ifd_off)
+    Path(path).write_bytes(header + body + ifd + extra)
+
+
+def main():
+    out = Path(sys.argv[1])
+    out.mkdir(parents=True, exist_ok=True)
+    grad = [(r * 7 + c * 3) % 251 for r in range(6) for c in range(5)]
+    write_tiff(out / "scene_B02.le8.tif", 5, 6, grad, bits=8, little=True)
+    write_tiff(out / "scene_B03.be16.tif", 5, 6, [v * 100 for v in grad], bits=16, little=False)
+    write_tiff(out / "scene_B04.f32.tif", 5, 6, [v / 4.0 for v in grad], bits=32, fmt=3)
+    write_tiff(out / "scene_B05.strips.tif", 5, 6, grad, bits=8, rows_per_strip=2)
+    write_tiff(out / "scene_B07.ignored.tif", 5, 6, grad, bits=8)  # band not requested
+    (out / "scene_B02.xmlish.xml").write_bytes(b"<not a tiff/>")
+    print("tiff fixtures written to", out)
+
+
+if __name__ == "__main__":
+    main()

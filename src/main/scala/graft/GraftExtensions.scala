@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions wiring: exposes the engine's native expressions
+  * to SQL. Activate with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * SQL surface: base26(n), simhash64(tokens), rolling_hash64(s),
+  * minhash_ngrams(tokens, n, m), cosine_sim(a, b), ngram_hashes(tokens, n),
+  * sorted_jaccard(a, b), hyperplane_sig(vec, nBits, seed).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def longLit(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private[graft] val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("base26", "base26(n) - bijective base-26 letters of rank n (1 -> a)",
+      es => BijectiveBase26(es.head)),
+    ("simhash64", "simhash64(tokens) - 64-bit SimHash of ARRAY<STRING>",
+      es => SimHash64(es.head)),
+    ("rolling_hash64", "rolling_hash64(s) - polynomial content hash",
+      es => RollingHash64(es.head)),
+    ("minhash_ngrams", "minhash_ngrams(tokens, n, m) - m-slot MinHash over word n-grams",
+      es => MinHashNgrams(es(0), intLit(es(1), "n"), intLit(es(2), "m"))),
+    ("cosine_sim", "cosine_sim(a, b) - double cosine of two float/double arrays",
+      es => CosineSimExpr(es(0), es(1))),
+    ("ngram_hashes", "ngram_hashes(tokens, n) - sorted distinct n-gram hash set",
+      es => NgramHashesExpr(es(0), intLit(es(1), "n"))),
+    ("sorted_jaccard", "sorted_jaccard(a, b) - exact Jaccard of sorted BIGINT sets",
+      es => SortedJaccardExpr(es(0), es(1))),
+    ("hyperplane_sig", "hyperplane_sig(vec, nBits, seed) - cosine-LSH sign signature",
+      es => HyperplaneSig(es(0), intLit(es(1), "nBits"), longLit(es(2), "seed"))))
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+        (es: Seq[Expression]) => builder(es)))
+    }
+}
+
+object GraftExtensions {
+  /** Register the same functions on an ALREADY-RUNNING session (temp
+    * functions) — for notebooks/sessions built without withExtensions. */
+  def registerTemp(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val ext = new GraftExtensions
+    ext.fns.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, es => builder(es), "scala_udf")
+    }
+  }
+}

@@ -1,0 +1,147 @@
+package graft.raster
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Minimal pure-JVM GeoTIFF decoder for the band files the reference reads
+  * with rasterio (`raster.read(1)` — O2, fct_data_extraction.py:22–26):
+  * baseline TIFF, uncompressed (Compression=1), strip-organized, single
+  * sample per pixel, 8/16/32-bit unsigned/signed integer or 32-bit float,
+  * either byte order. Geo* tags are ignored (the reference only consumes
+  * the pixel grid; georeferencing travels as metadata elsewhere).
+  *
+  * Anything outside that envelope (LZW/deflate, tiles, multi-band) returns
+  * Left(reason) — callers drop or route the file, a poison blob must never
+  * kill a sweep.
+  */
+object TiffDecoder {
+
+  final case class Tiff(h: Int, w: Int, pixels: Array[Float])
+
+  def decode(bytes: Array[Byte]): Either[String, Tiff] = {
+    if (bytes.length < 8) return Left("too short")
+    val order = (bytes(0), bytes(1)) match {
+      case (0x49, 0x49) => ByteOrder.LITTLE_ENDIAN
+      case (0x4D, 0x4D) => ByteOrder.BIG_ENDIAN
+      case _ => return Left("not a TIFF (bad byte-order mark)")
+    }
+    val bb = ByteBuffer.wrap(bytes).order(order)
+    if (bb.getShort(2) != 42) return Left("not a TIFF (magic != 42)")
+    val ifdOff = bb.getInt(4)
+    if (ifdOff < 8 || ifdOff + 2 > bytes.length) return Left("bad IFD offset")
+
+    val nEntries = bb.getShort(ifdOff) & 0xFFFF
+    var width = -1; var height = -1
+    var bits = 1; var compression = 1; var samples = 1; var sampleFormat = 1
+    var rowsPerStrip = Int.MaxValue
+    var stripOffsets: Array[Long] = null
+    var stripCounts: Array[Long] = null
+
+    def entryValues(entryOff: Int): Array[Long] = {
+      val typ = bb.getShort(entryOff + 2) & 0xFFFF
+      val cnt = bb.getInt(entryOff + 4)
+      val sizeOf = typ match {
+        case 1 | 2 | 6 | 7 => 1 // BYTE/ASCII/SBYTE/UNDEF
+        case 3 | 8 => 2 // SHORT/SSHORT
+        case 4 | 9 | 11 => 4 // LONG/SLONG/FLOAT
+        case _ => return Array.empty
+      }
+      val total = sizeOf * cnt
+      val valOff = if (total <= 4) entryOff + 8 else bb.getInt(entryOff + 8)
+      if (valOff < 0 || valOff + total > bytes.length) return Array.empty
+      Array.tabulate(cnt) { i =>
+        sizeOf match {
+          case 1 => (bytes(valOff + i) & 0xFF).toLong
+          case 2 => (bb.getShort(valOff + i * 2) & 0xFFFF).toLong
+          case 4 => bb.getInt(valOff + i * 4).toLong & 0xFFFFFFFFL
+        }
+      }
+    }
+
+    var e = 0
+    while (e < nEntries) {
+      val off = ifdOff + 2 + e * 12
+      if (off + 12 > bytes.length) return Left("truncated IFD")
+      val tag = bb.getShort(off) & 0xFFFF
+      lazy val vs = entryValues(off)
+      tag match {
+        case 256 => width = vs.headOption.getOrElse(-1L).toInt
+        case 257 => height = vs.headOption.getOrElse(-1L).toInt
+        case 258 => bits = vs.headOption.getOrElse(1L).toInt
+        case 259 => compression = vs.headOption.getOrElse(1L).toInt
+        case 273 => stripOffsets = vs
+        case 277 => samples = vs.headOption.getOrElse(1L).toInt
+        case 278 => rowsPerStrip = vs.headOption.getOrElse(Long.MaxValue).min(Int.MaxValue).toInt
+        case 279 => stripCounts = vs
+        case 339 => sampleFormat = vs.headOption.getOrElse(1L).toInt
+        case _ => ()
+      }
+      e += 1
+    }
+
+    if (width <= 0 || height <= 0) return Left("missing dimensions")
+    if (compression != 1) return Left(s"unsupported compression $compression")
+    if (samples != 1) return Left(s"unsupported samples/pixel $samples")
+    if (stripOffsets == null) return Left("missing strip offsets")
+    if (!Set(8, 16, 32).contains(bits)) return Left(s"unsupported bits/sample $bits")
+    if (bits == 32 && sampleFormat != 3 && sampleFormat != 1 && sampleFormat != 2)
+      return Left(s"unsupported sample format $sampleFormat")
+
+    val out = new Array[Float](width * height)
+    val bytesPerPx = bits / 8
+    var px = 0
+    var s = 0
+    while (s < stripOffsets.length && px < out.length) {
+      val sOff = stripOffsets(s).toInt
+      val sLen =
+        if (stripCounts != null && s < stripCounts.length) stripCounts(s).toInt
+        else math.min(bytes.length - sOff, (out.length - px) * bytesPerPx)
+      if (sOff < 0 || sOff + sLen > bytes.length) return Left("strip out of range")
+      var i = 0
+      while (i + bytesPerPx <= sLen && px < out.length) {
+        out(px) = bits match {
+          case 8 =>
+            if (sampleFormat == 2) bytes(sOff + i).toFloat
+            else (bytes(sOff + i) & 0xFF).toFloat
+          case 16 =>
+            if (sampleFormat == 2) bb.getShort(sOff + i).toFloat
+            else (bb.getShort(sOff + i) & 0xFFFF).toFloat
+          case 32 =>
+            if (sampleFormat == 3) bb.getFloat(sOff + i)
+            else bb.getInt(sOff + i).toFloat
+        }
+        px += 1
+        i += bytesPerPx
+      }
+      s += 1
+    }
+    if (px != out.length) return Left(s"pixel data incomplete ($px of ${out.length})")
+    Right(Tiff(height, width, out))
+  }
+
+  final case class BandFile(path: String, band: String, h: Int, w: Int, pixels: Array[Float])
+
+  /** Directory of band TIFFs → D3 rows, decoded executor-side via the
+    * binaryFile source (pathGlobFilter pushdown prunes the listing).
+    * Undecodable files are dropped. */
+  def readTiffDir(spark: SparkSession, dir: String, bands: Seq[String],
+                  glob: String = "*.tif"): Dataset[BandFile] = {
+    import spark.implicits._
+    val bandList = bands
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (path, content) =>
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          val band = bandList.find(b => name.matches(s".*[._]${java.util.regex.Pattern.quote(b)}[._].*"))
+          (band, TiffDecoder.decode(content)) match {
+            case (Some(b), Right(t)) => Some(BandFile(path, b, t.h, t.w, t.pixels))
+            case _ => None
+          }
+        }
+      }
+  }
+}

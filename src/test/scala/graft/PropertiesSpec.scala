@@ -1,0 +1,167 @@
+package graft
+
+import java.time.LocalDate
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.WeekBins
+import graft.functions.{Base26, MinHash, NgramHashes, SortedJaccard}
+import graft.tiling.TileKernel
+
+/** Property suites (SURVEY.md §5.2) over the pure kernels — scalacheck
+  * drives the generators; Spark-level behavior of the same operators is
+  * covered by the golden/oracle specs.
+  */
+class PropertiesSpec extends AnyFunSuite {
+
+  private def check(p: Prop, n: Int = 100): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  // -- letters ---------------------------------------------------------
+
+  private def lettersToLong(s: String): Long =
+    s.foldLeft(0L)((acc, c) => acc * 26 + (c - 'a' + 1))
+
+  test("base26 is bijective and lowercase over [1, 10^6]") {
+    check(Prop.forAll(Gen.chooseNum(1L, 1000000L)) { n =>
+      val s = Base26.letters(n).toString
+      s.nonEmpty && s.forall(c => c >= 'a' && c <= 'z') && lettersToLong(s) == n
+    })
+  }
+
+  test("base26 ordering matches numeric ordering (same length) and length grows") {
+    check(Prop.forAll(Gen.chooseNum(1L, 500000L), Gen.chooseNum(1L, 500000L)) { (a, b) =>
+      val (sa, sb) = (Base26.letters(a).toString, Base26.letters(b).toString)
+      if (sa.length == sb.length) (sa.compareTo(sb) < 0) == (a < b) || a == b
+      else (sa.length < sb.length) == (a < b)
+    })
+  }
+
+  // -- weeks -----------------------------------------------------------
+
+  private val genDate: Gen[LocalDate] =
+    Gen.chooseNum(-30000L, 30000L).map(LocalDate.ofEpochDay)
+
+  test("thursdayFloor lands on a Thursday, within (d-6, d]") {
+    check(Prop.forAll(genDate) { d =>
+      val f = WeekBins.thursdayFloor(d)
+      f.getDayOfWeek == java.time.DayOfWeek.THURSDAY &&
+        !f.isAfter(d) && f.isAfter(d.minusDays(7))
+    })
+  }
+
+  test("numpyWeekRange: every in-range date bins to the week containing it") {
+    check(Prop.forAll(genDate, Gen.chooseNum(30L, 400L)) { (start, span) =>
+      val stop = start.plusDays(span)
+      val (edge, n) = WeekBins.numpyWeekRange(start, stop)
+      n >= 1 && {
+        val probe = start.plusDays(span / 2)
+        val days = probe.toEpochDay - edge.toEpochDay
+        days < 0 || days >= n * 7 || {
+          val bin = (days / 7).toInt
+          bin >= 0 && bin < n
+        }
+      }
+    })
+  }
+
+  // -- tiling kernels --------------------------------------------------
+
+  private val genImage: Gen[(Int, Int, Array[Float])] = for {
+    h <- Gen.chooseNum(6, 20)
+    w <- Gen.chooseNum(6, 20)
+    px <- Gen.listOfN(h * w, Gen.chooseNum(1, 1000).map(_.toFloat))
+  } yield (h, w, px.toArray)
+
+  test("crop equals direct indexing for in-bounds windows") {
+    check(Prop.forAll(genImage, Gen.chooseNum(0, 3), Gen.chooseNum(0, 3)) {
+      case ((h, w, px), dr, dc) =>
+        val r1 = dr; val c1 = dc
+        val r2 = math.min(h, r1 + 4); val c2 = math.min(w, c1 + 4)
+        val out = TileKernel.crop(px, 1, h, w, r1, r2, c1, c2)
+        (r1 until r2).forall(r => (c1 until c2).forall(c =>
+          out((r - r1) * (c2 - c1) + (c - c1)) == px(r * w + c)))
+    }, n = 50)
+  }
+
+  test("intended border filter keeps exactly the in-bounds crops") {
+    check(Prop.forAll(Gen.chooseNum(8, 40), Gen.chooseNum(8, 40),
+      Gen.listOf(Gen.zip(Gen.chooseNum(0, 45), Gen.chooseNum(0, 45)))) { (h, w, pts) =>
+      val cand = TileKernel.Candidates(pts.map(_._1).toArray, pts.map(_._2).toArray)
+      val batch = 6; val half = 3
+      val kept = TileKernel.borderFilter(cand, batch, h, w, faithful = false)
+      kept.rs.indices.forall { i =>
+        val r = kept.rs(i); val c = kept.cs(i)
+        r - half >= 0 && r + half <= h && c - half >= 0 && c + half <= w
+      } && kept.size == pts.count { case (r, c) =>
+        r >= half && r + half <= h && c >= half && c + half <= w
+      }
+    }, n = 50)
+  }
+
+  test("gridSnap: at most one candidate per stride cell, first-come kept") {
+    check(Prop.forAll(
+      Gen.listOf(Gen.zip(Gen.chooseNum(0, 50), Gen.chooseNum(0, 50))),
+      Gen.chooseNum(2, 10)) { (pts, stride) =>
+      val cand = TileKernel.Candidates(pts.map(_._1).toArray, pts.map(_._2).toArray)
+      val out = TileKernel.gridSnap(cand, stride)
+      val cells = out.rs.indices.map(i => (out.rs(i) / stride, out.cs(i) / stride))
+      cells.distinct.size == cells.size &&
+        cells.toSet == pts.map { case (r, c) => (r / stride, c / stride) }.toSet
+    }, n = 50)
+  }
+
+  test("cropPairHv LR window is the floor-divided HR window") {
+    // all-ones images, no overlap suppression → every candidate accepted,
+    // and each LR tile must equal the direct floor-div slice
+    check(Prop.forAll(Gen.chooseNum(1, 5)) { nCand =>
+      val scale = 3; val batch = 6; val half = 3
+      val hrH = 30; val lrH = 10
+      val hr = Array.fill(4 * hrH * hrH)(1.0f)
+      val lr = Array.tabulate(4 * lrH * lrH)(_.toFloat + 1)
+      val rs = Array.tabulate(nCand)(i => 4 + (i * 5) % 22)
+      val cs = Array.tabulate(nCand)(i => 4 + (i * 7) % 22)
+      val tiles = TileKernel.cropPairHv(hr, hrH, hrH, lr, lrH, lrH, 4,
+        TileKernel.Candidates(rs, cs), batch, scale, overlap = false, 1.0)
+      tiles.length == nCand && tiles.forall { t =>
+        val expect = TileKernel.crop(lr, 4, lrH, lrH,
+          Math.floorDiv(t.r - half, scale), Math.floorDiv(t.r + half, scale),
+          Math.floorDiv(t.c - half, scale), Math.floorDiv(t.c + half, scale))
+        t.lr.toSeq == expect.toSeq
+      }
+    }, n = 30)
+  }
+
+  // -- hashes ----------------------------------------------------------
+
+  test("sorted_jaccard merge equals naive set jaccard") {
+    check(Prop.forAll(
+      Gen.listOf(Gen.chooseNum(0L, 50L)), Gen.listOf(Gen.chooseNum(0L, 50L))) { (a, b) =>
+      val sa = a.distinct.sorted.toArray
+      val sb = b.distinct.sorted.toArray
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val got = SortedJaccard.compute(new GenericArrayData(sa), new GenericArrayData(sb))
+      if (sa.isEmpty && sb.isEmpty) got == null
+      else {
+        val inter = sa.toSet.intersect(sb.toSet).size
+        val expect = inter.toDouble / (sa.length + sb.length - inter)
+        got.asInstanceOf[Double] == expect
+      }
+    })
+  }
+
+  test("minhash signature: deterministic, length m, permutation-sensitive min") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty))) { toks =>
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val s1 = MinHash.signature(arr, 1, 16)
+      val s2 = MinHash.signature(arr, 1, 16)
+      s1.numElements() == 16 &&
+        (0 until 16).forall(i => s1.getLong(i) == s2.getLong(i))
+    }, n = 50)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.raster
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+/** TiffDecoder against hand-rolled baseline TIFF fixtures
+  * (scripts/make_tiff_fixtures.py): both byte orders, 8/16-bit integer and
+  * 32-bit float samples, multi-strip organization. The expected pixel grid
+  * is the generator's formula: v(r,c) = (7r + 3c) mod 251 on 5×6.
+  */
+class TiffDecoderSpec extends SparkSpec {
+
+  private val res = "src/test/resources/tiff"
+  private val grad: Array[Float] =
+    Array.tabulate(6 * 5)(i => ((i / 5 * 7 + i % 5 * 3) % 251).toFloat)
+
+  private def decodeFile(f: String) =
+    TiffDecoder.decode(Files.readAllBytes(Paths.get(res, f)))
+
+  test("little-endian 8-bit") {
+    val Right(t) = decodeFile("scene_B02.le8.tif")
+    assert((t.h, t.w) == (6, 5))
+    assert(t.pixels.toSeq == grad.toSeq)
+  }
+
+  test("big-endian 16-bit") {
+    val Right(t) = decodeFile("scene_B03.be16.tif")
+    assert(t.pixels.toSeq == grad.map(_ * 100).toSeq)
+  }
+
+  test("32-bit float samples") {
+    val Right(t) = decodeFile("scene_B04.f32.tif")
+    assert(t.pixels.toSeq == grad.map(_ / 4.0f).toSeq)
+  }
+
+  test("multi-strip organization") {
+    val Right(t) = decodeFile("scene_B05.strips.tif")
+    assert(t.pixels.toSeq == grad.toSeq)
+  }
+
+  test("rejects non-TIFF bytes with a reason") {
+    assert(TiffDecoder.decode("garbage bytes".getBytes).isLeft)
+    assert(TiffDecoder.decode(Array[Byte](0x49, 0x49)).isLeft)
+  }
+
+  test("readTiffDir: binaryFile ingestion + band matching + poison tolerance") {
+    val rows = TiffDecoder.readTiffDir(spark, res, Bands.LandsatBands, glob = "*")
+      .collect().map(b => b.band -> b).toMap
+    // B07 not in the requested band list; the .xml is not a TIFF → both dropped
+    assert(rows.keySet == Set("B02", "B03", "B04", "B05"))
+    assert(rows("B02").pixels.toSeq == grad.toSeq)
+    assert(rows.values.forall(b => b.h == 6 && b.w == 5))
+  }
+}
