@@ -192,6 +192,26 @@ object RefQueries {
         .orderBy("r_name", "n_name")
     }),
 
+    // grouping sets — ROLLUP over the pricing summary (partial-agg reuse)
+    "q15_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // semi/anti joins — customers with vs without orders
+    "q16_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("status"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("status"))
+      semi.unionByName(anti).orderBy("c_custkey", "status")
+    }),
+
     // analytic window — top-3 orders per customer (rank + tiebreak)
     "q14_window_topn" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -299,6 +319,21 @@ object RefQueries {
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin,
+
+    "q15_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q16_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS status FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS status FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey, status""".stripMargin,
 
     "q14_window_topn" ->
       """SELECT o_custkey, rn, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
