@@ -27,7 +27,9 @@ object DateParse {
     * never see non-digit input). */
   def hlsAcqDate(name: Column): Column = {
     val f = split(name, "\\.").getItem(3)
-    val valid = f.rlike("^\\d{4}(00[1-9]|0[1-9]\\d|[12]\\d\\d|3[0-6]\\d)")
+    // ordinal day 001–366 only (366 on a non-leap year rolls into Jan 1 of
+    // the next year via date_add — no such name exists in real archives)
+    val valid = f.rlike("^\\d{4}(00[1-9]|0[1-9]\\d|[12]\\d\\d|3[0-5]\\d|36[0-6])")
     when(valid,
       date_add(
         make_date(substring(f, 1, 4).cast("int"), lit(1), lit(1)),

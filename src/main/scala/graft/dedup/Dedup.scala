@@ -74,13 +74,15 @@ object Dedup {
   def minhashSignatureNative(tokensCol: Column, n: Int, m: Int): Column =
     graft.functions.MinHash.minhashNgrams(tokensCol, n, m)
 
-  /** Banded LSH buckets: rows (id, band, bucket) where bucket is the hash of
-    * the band's signature slice. bands*rowsPerBand must equal the signature
-    * length. */
+  /** Banded LSH buckets: rows (id, sig, band, bucket) where bucket is the
+    * hash of the band's signature slice. The signature column rides along
+    * so downstream similarity checks never need a second join back (which
+    * would re-evaluate the signature subtree). bands*rowsPerBand must equal
+    * the signature length. */
   def lshBuckets(df: DataFrame, idCol: Column, sigCol: Column,
                  bands: Int, rowsPerBand: Int): DataFrame =
     df.select(idCol.as("id"), sigCol.as("sig"))
-      .select(col("id"),
+      .select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")

@@ -50,11 +50,14 @@ object Multimodal {
       if (bb.getInt() != Magic) return None
       val kind = bb.getInt(); val c = bb.getInt(); val h = bb.getInt(); val w = bb.getInt()
       val n = bb.getInt()
-      val frameLen = c * h * w
-      if (bytes.length < 24 + n * frameLen) return None
+      if (c <= 0 || h <= 0 || w <= 0 || n <= 0) return None
+      // Long arithmetic: hostile headers must not wrap the bounds check
+      val frameLen = c.toLong * h * w
+      if (frameLen > Int.MaxValue || 24L + n * frameLen > bytes.length) return None
+      val fl = frameLen.toInt
       val frames = Array.tabulate(n) { i =>
-        val a = new Array[Byte](frameLen)
-        System.arraycopy(bytes, 24 + i * frameLen, a, 0, frameLen)
+        val a = new Array[Byte](fl)
+        System.arraycopy(bytes, 24 + i * fl, a, 0, fl)
         a
       }
       Some((kind, c, h, w, frames))

@@ -34,19 +34,21 @@ object DedupQueries {
     "q22_minhash_lsh" -> ((s, dir) => {
       // Native one-pass MinHash expression (the HOF formulation is
       // interpreted per element by Spark — measured 97 s for the signature
-      // projection alone at sf0.1 vs <1 s native), cached because FOUR plan
-      // branches consume it (bucket self-join left/right + two sig joins).
+      // projection alone at sf0.1 vs <1 s native). Signatures travel
+      // THROUGH the bucket self-join (siga/sigb carried on each side), so
+      // the signature subtree is evaluated twice instead of four times and
+      // nothing needs a session-lifetime cache.
       val sigs = t(s, dir, "documents")
         .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
         .where(size(col("toks")) >= 3)
         .select(col("doc_id"),
           Dedup.minhashSignatureNative(col("toks"), n = 3, m = 32).as("sig"))
-        .cache()
-      val cands = Dedup.lshCandidatePairs(
-        Dedup.lshBuckets(sigs, col("doc_id"), col("sig"), bands = 8, rowsPerBand = 4))
-      cands
-        .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
-        .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb")), Seq("b"))
+      val buckets = Dedup.lshBuckets(sigs, col("doc_id"), col("sig"), bands = 8, rowsPerBand = 4)
+      val l = buckets.select(col("band"), col("bucket"), col("id").as("a"), col("sig").as("siga"))
+      val r = buckets.select(col("band"), col("bucket"), col("id").as("b"), col("sig").as("sigb"))
+      l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(first(col("siga")).as("siga"), first(col("sigb")).as("sigb"))
         .withColumn("est_sim", Dedup.signatureSimilarity(col("siga"), col("sigb")))
         .where(col("est_sim") >= 0.3)
         .select(col("a").as("a_id"), col("b").as("b_id"), col("est_sim"))

@@ -192,6 +192,15 @@ object RefQueries {
         .orderBy("r_name", "n_name")
     }),
 
+    // distinct aggregation — exact distinct users/days per event type
+    "q17_distinct_agg" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("d")).as("n_days"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
     // grouping sets — ROLLUP over the pricing summary (partial-agg reuse)
     "q15_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -319,6 +328,11 @@ object RefQueries {
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin,
+
+    "q17_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q15_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -20,7 +20,15 @@ object TiffDecoder {
 
   final case class Tiff(h: Int, w: Int, pixels: Array[Float])
 
-  def decode(bytes: Array[Byte]): Either[String, Tiff] = {
+  /** Total decode entry — any internal exception from corrupt structure
+    * (overflowed counts, hostile offsets) is converted to Left. */
+  def decode(bytes: Array[Byte]): Either[String, Tiff] =
+    try decodeUnsafe(bytes)
+    catch { case e: Exception => Left(s"corrupt TIFF: ${e.getClass.getSimpleName}") }
+
+  private val MaxPixels = 1 << 28 // 256M px ≈ 1 GiB of floats — sanity bound
+
+  private def decodeUnsafe(bytes: Array[Byte]): Either[String, Tiff] = {
     if (bytes.length < 8) return Left("too short")
     val order = (bytes(0), bytes(1)) match {
       case (0x49, 0x49) => ByteOrder.LITTLE_ENDIAN
@@ -35,7 +43,6 @@ object TiffDecoder {
     val nEntries = bb.getShort(ifdOff) & 0xFFFF
     var width = -1; var height = -1
     var bits = 1; var compression = 1; var samples = 1; var sampleFormat = 1
-    var rowsPerStrip = Int.MaxValue
     var stripOffsets: Array[Long] = null
     var stripCounts: Array[Long] = null
 
@@ -48,9 +55,11 @@ object TiffDecoder {
         case 4 | 9 | 11 => 4 // LONG/SLONG/FLOAT
         case _ => return Array.empty
       }
-      val total = sizeOf * cnt
+      if (cnt < 0) return Array.empty
+      val total = sizeOf.toLong * cnt // Long: a hostile cnt must not wrap
+      if (total > bytes.length) return Array.empty
       val valOff = if (total <= 4) entryOff + 8 else bb.getInt(entryOff + 8)
-      if (valOff < 0 || valOff + total > bytes.length) return Array.empty
+      if (valOff < 0 || valOff.toLong + total > bytes.length) return Array.empty
       Array.tabulate(cnt) { i =>
         sizeOf match {
           case 1 => (bytes(valOff + i) & 0xFF).toLong
@@ -73,7 +82,7 @@ object TiffDecoder {
         case 259 => compression = vs.headOption.getOrElse(1L).toInt
         case 273 => stripOffsets = vs
         case 277 => samples = vs.headOption.getOrElse(1L).toInt
-        case 278 => rowsPerStrip = vs.headOption.getOrElse(Long.MaxValue).min(Int.MaxValue).toInt
+        // 278 RowsPerStrip is ignored: strips are consumed by byte counts
         case 279 => stripCounts = vs
         case 339 => sampleFormat = vs.headOption.getOrElse(1L).toInt
         case _ => ()
@@ -88,6 +97,8 @@ object TiffDecoder {
     if (!Set(8, 16, 32).contains(bits)) return Left(s"unsupported bits/sample $bits")
     if (bits == 32 && sampleFormat != 3 && sampleFormat != 1 && sampleFormat != 2)
       return Left(s"unsupported sample format $sampleFormat")
+    if (width.toLong * height > MaxPixels)
+      return Left(s"implausible dimensions ${width}x$height")
 
     val out = new Array[Float](width * height)
     val bytesPerPx = bits / 8

@@ -52,7 +52,12 @@ object Streams {
           evs.foreach { e =>
             val t = e.ts.getTime
             sessions match {
-              case head :: tail if t - head.last <= gapMs =>
+              // merge only when t lands within gap of the open session's
+              // INTERVAL — an arbitrarily old late event must not fold in
+              // (it opens its own session; without a watermark that is the
+              // best gap semantics can do)
+              case head :: tail
+                  if t >= head.start - gapMs && t <= head.last + gapMs =>
                 sessions = head.copy(
                   start = math.min(head.start, t),
                   last = math.max(head.last, t),
@@ -81,8 +86,10 @@ object Streams {
     events
       .withColumn("_prev", lag(col(tsCol), 1).over(w))
       .withColumn("_break",
+        // unix_micros keeps full precision (cast("long") truncates to whole
+        // seconds and diverges from the ms-precise streaming twin)
         when(col("_prev").isNull ||
-          (col(tsCol).cast("long") - col("_prev").cast("long")) * 1000 > gapMs, 1L)
+          (unix_micros(col(tsCol)) - unix_micros(col("_prev"))) > gapMs * 1000L, 1L)
           .otherwise(0L))
       .withColumn("_sid", sum(col("_break")).over(
         Window.partitionBy(userCol).orderBy(tsCol)

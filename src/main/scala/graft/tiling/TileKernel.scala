@@ -232,8 +232,12 @@ object TileKernel {
             if (!used.contains(index)) {
               used += index
               index = rng.nextInt(rs.length)
-            } else {
+            } else if ((0 until rs.length).exists(j => !used.contains(j))) {
               while (used.contains(index)) index = rng.nextInt(rs.length)
+            } else {
+              // port safety: every remaining index already used — the
+              // unseeded reference would spin forever here
+              continue = false
             }
           }
         } else {

@@ -62,6 +62,36 @@ class StreamsSpec extends SparkSpec {
     assert(s.session_end == ts("2024-01-01 10:00:30"))
   }
 
+  test("stateful sessionization: a very-late event opens its own session, not a merge") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val sq = sessionize(mem.toDS(), gapMs = 60000L)
+      .writeStream.outputMode("append").format("memory").queryName("sess_late").start()
+    mem.addData(SessionEvent(7L, ts("2024-01-01 10:00:00"), "view"))
+    sq.processAllAvailable()
+    // late event a full hour BEFORE the open session — must not fold in
+    mem.addData(SessionEvent(7L, ts("2024-01-01 09:00:00"), "view"))
+    sq.processAllAvailable()
+    // a much newer event closes everything older
+    mem.addData(SessionEvent(7L, ts("2024-01-01 12:00:00"), "view"))
+    sq.processAllAvailable()
+    val sessions = spark.table("sess_late").as[UserSession].collect()
+      .sortBy(_.session_start.getTime)
+    sq.stop()
+    assert(sessions.map(_.n_events).toSeq == Seq(1, 1))
+    assert(sessions(0).session_start == ts("2024-01-01 09:00:00"))
+    assert(sessions(1).session_start == ts("2024-01-01 10:00:00"))
+  }
+
+  test("batch sessionization: sub-second gap precision (µs, not whole seconds)") {
+    val df = Seq(
+      (1L, new Timestamp(1704103200000L)),        // 10:00:00.000
+      (1L, new Timestamp(1704103200800L))).toDF("user_id", "ts") // +800 ms
+    val out = sessionizeBatch(df, "user_id", "ts", gapMs = 500)
+      .collect()
+    assert(out.length == 2, "800ms gap with 500ms threshold must split")
+  }
+
   test("batch sessionization: gap splits, out-of-order safe") {
     val df = Seq(
       (1L, ts("2024-01-01 10:02:00")), // arrives out of order
