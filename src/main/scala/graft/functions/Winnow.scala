@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03) as
+  * ONE native pass: xxhash64 (seed 42 — the SQL `xxhash64` default) over
+  * every character k-gram, then the minimum of each sliding window of w
+  * hashes via a monotonic deque (O(n) total), distinct preserving first
+  * occurrence. Bit-identical to the composed higher-order-function form
+  *
+  * {{{
+  *   transform(sequence(1, n), i -> xxhash64(substr(text, i, k)))   // k-grams
+  *   transform(sequence(1, m), j -> array_min(slice(kgrams, j, w))) // windows
+  *   array_distinct(...)
+  * }}}
+  *
+  * which Spark interprets per element (each window re-scans w hashes —
+  * O(n·w) with per-element interpretation overhead; the same anti-pattern
+  * measured at ~100× on the MinHash path, BASELINE.md). Fewer k-grams than
+  * one window (m ≤ 0) degrades to distinct k-gram hashes, exactly like the
+  * HOF form. Null text → null (standard expression semantics).
+  */
+object Winnow {
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
+    toColumn(WinnowFingerprints(toExpr(text), k, w))
+
+  def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val n = s.numChars() - (k - 1)
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      // substr(text, i+1, k): 1-based SQL positions = [i, i+k) code points
+      hashes(i) = XxHash64Function.hash(s.substring(i, i + k), StringType, 42L)
+      i += 1
+    }
+    val m = n - (w - 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m <= 0) {
+      i = 0
+      while (i < n) { seen.add(hashes(i)); i += 1 }
+    } else {
+      // monotonic (increasing-value) deque of candidate indices
+      val deque = new Array[Int](n)
+      var head = 0; var tail = 0 // [head, tail)
+      i = 0
+      while (i < n) {
+        while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+        deque(tail) = i; tail += 1
+        val winStart = i - (w - 1)
+        if (winStart >= 0) {
+          while (deque(head) < winStart) head += 1
+          seen.add(hashes(deque(head)))
+        }
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, "winnow requires k >= 1 and w >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints requires STRING, got ${child.dataType.catalogString}")
+  override def nullSafeEval(v: Any): Any =
+    Winnow.compute(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Winnow.compute($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprints"
+}

@@ -30,18 +30,32 @@ object Pairing {
   /** Pair table (data_1 STRING, data_2 ARRAY<STRING>) in L-row order.
     * `includePlaceholders=false` filters `class != "0"` first (sane mode,
     * quirk Q2). */
+  /** Materialized 0-based row index in the DataFrame's CURRENT row order —
+    * `rdd.zipWithIndex` pins (partition-ordinal, intra-partition position)
+    * at materialization time, so the index survives any later plan
+    * rewrites (AQE re-partitioning, join reordering) that would make
+    * `monotonically_increasing_id`-after-`orderBy` fragile. The RDD hop is
+    * deliberate and cheap here: pathsPair inputs are catalog-sized. */
+  private[pairing] def withRowIndex(df: DataFrame, name: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        name, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   def pathsPair(l: DataFrame, s: DataFrame, includePlaceholders: Boolean = true): DataFrame = {
     val filt: DataFrame => DataFrame =
       df => if (includePlaceholders) df else df.where(col("class") =!= "0")
-    // Row index to reproduce dict insertion order. The catalogs arrive sorted
-    // (bin, data); monotonically_increasing_id is order-preserving on an
-    // ordered parent because partition index occupies the high bits.
+    // Row index to reproduce dict insertion order (materialized — see
+    // withRowIndex).
     // Dict assignment semantics for duplicate L paths (the placeholder rows):
     // the key sits at its FIRST-occurrence position but holds the matches of
     // its LAST assignment — so dedupe to one row per key before the join
     // (min(_idx) for order, max_by(class, _idx) for the winning class).
-    val lp = filt(l)
-      .withColumn("_idx", monotonically_increasing_id())
+    val lp = withRowIndex(filt(l), "_idx")
       .select(col("class"), joined(col("path"), col("data")).as("data_1"), col("_idx"))
       .groupBy("data_1")
       .agg(min("_idx").as("_ord"), max_by(col("class"), col("_idx")).as("class"))

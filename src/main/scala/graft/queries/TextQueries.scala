@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.text.TextAnalysis._
 
-/** Text-analysis queries over `documents`. Token stats and quality scores
-  * are pure integer-count arithmetic → DuckDB oracles compare bit-exactly;
-  * langid and fingerprints are deterministic but hash/profile-specific
-  * (rows-only checks, pinned in TextSpec instead).
+/** Text-analysis queries over `documents`. Token stats, quality scores and
+  * language-id are pure integer-count arithmetic over fixed built-in tables
+  * → DuckDB oracles compare bit-exactly; fingerprints are deterministic but
+  * xxhash64-specific (rows-only check, pinned in TextSpec instead).
   */
 object TextQueries {
 
@@ -50,6 +50,16 @@ object TextQueries {
   private val StopwordsSql =
     graft.text.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** The langid candidate-struct list, mirroring TextAnalysis.langId: one
+    * struct (score, lang) per non-empty profile, argmax via struct max —
+    * DuckDB and Spark both order structs field-wise, so ties break to the
+    * lexicographically greatest language in both engines. */
+  private val LangCandsSql =
+    graft.text.TextAnalysis.LangProfiles.filter(_._2.nonEmpty).map { case (lang, sw) =>
+      val swList = sw.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"{'score': len(list_filter(toks, x -> list_contains($swList, x))), 'lang': '$lang'}"
+    }.mkString("[", ", ", "]")
+
   val oracle: Map[String, String] = Map(
     "q30_token_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
@@ -81,5 +91,20 @@ object TextQueries {
          |    + greatest(1.0 - digit_ratio * 5.0, 0.0) * 0.25
          |    + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 8.0 THEN 1.0
          |            WHEN mean_word_len > 0.0 THEN 0.5 ELSE 0.0 END) * 0.2 AS quality
-         |FROM m ORDER BY doc_id""".stripMargin)
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // stopword-profile scoring + CJK script check — pure portable counting
+    "q32_langid" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, text, list_aggregate($LangCandsSql, 'max') AS best
+         |  FROM base)
+         |SELECT doc_id,
+         |  CASE WHEN len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) > 0 THEN 'zh'
+         |       WHEN best.score > 0 THEN best.lang
+         |       ELSE 'und' END AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin)
 }

@@ -54,7 +54,81 @@ object TilingQueries {
       TileJobs.tilePairs(syntheticPairs(s, 64),
           TileJobs.Config(batch = 6, scale = 3, mode = TileJobs.GridSnap))
         .groupBy("pair_id").agg(count(lit(1)).as("n_tiles"))
-        .orderBy("pair_id")))
+        .orderBy("pair_id")),
 
-  val oracle: Map[String, String] = Map.empty
+    // O12 — border-validity filter (intended bounds) through the REAL
+    // borderFilterDF join, candidates/mask dims derived arithmetically from
+    // `part` so a DuckDB oracle mirrors them exactly
+    "q26_border_filter" -> ((s, dir) => {
+      val masks = s.range(8).select(
+        col("id").as("mask_id"),
+        (lit(100) + pmod(col("id"), lit(3)) * 10).cast("int").as("h"),
+        (lit(90) + pmod(col("id"), lit(4)) * 5).cast("int").as("w"))
+      val cands = s.read.parquet(s"$dir/part.parquet").select(
+        pmod(col("p_partkey"), lit(8)).as("mask_id"),
+        col("p_partkey"),
+        pmod(col("p_partkey"), lit(131)).as("r"),
+        pmod(col("p_partkey") * 13, lit(127)).as("c"))
+      TileJobs.borderFilterDF(cands, masks, batch = 40)
+        .orderBy("p_partkey")
+    }),
+
+    // O13 — tile-quality counts + acceptance over synthesized HR/LR arrays
+    // (zeros / nodata / inf injected arithmetically; 64- and 16-element
+    // arrays so the percentage divisions are exact powers of two)
+    "q27_quality_filter" -> ((s, dir) => {
+      val hrArr = transform(sequence(lit(0), lit(63)), i =>
+        when(pmod(col("p_partkey"), lit(13)) === 0 && i < 2, 0.0)
+          .when(pmod(col("p_partkey"), lit(29)) === 0 && i === 3, Double.PositiveInfinity)
+          .otherwise((pmod(pmod(col("p_partkey") * 7 + i.cast("bigint") * 13, lit(997)), lit(50)) + 1).cast("double")))
+      val lrArr = transform(sequence(lit(0), lit(15)), j =>
+        when(pmod(col("p_partkey"), lit(11)) === 0 && j === 0, -9999.0)
+          .otherwise((pmod(pmod(col("p_partkey") * 11 + j.cast("bigint") * 17, lit(997)), lit(50)) + 1).cast("double")))
+      val base = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), hrArr.as("hr"), lrArr.as("lr"))
+      val counted = base.select(
+        (col("p_partkey") +: TileJobs.qualityCounts(col("hr"), col("lr"))): _*)
+      counted
+        .withColumn("ok", TileJobs.qualityOkDF(
+          col("hr_nz"), col("lr_nz"), col("lr_nodata"), col("hr_inf"), hrN = 64, lrN = 16))
+        .orderBy("p_partkey")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q26_border_filter" ->
+      """WITH masks AS (
+        |  SELECT CAST(i AS BIGINT) AS mask_id, 100 + (i % 3) * 10 AS h, 90 + (i % 4) * 5 AS w
+        |  FROM range(0, 8) t(i)),
+        |cd AS (
+        |  SELECT p_partkey % 8 AS mask_id, p_partkey, p_partkey % 131 AS r,
+        |    (p_partkey * 13) % 127 AS c
+        |  FROM part)
+        |SELECT cd.mask_id, cd.p_partkey, cd.r, cd.c
+        |FROM cd JOIN masks m USING (mask_id)
+        |WHERE cd.r >= 20 AND cd.r + 20 <= m.h AND cd.c >= 20 AND cd.c + 20 <= m.w
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q27_quality_filter" ->
+      """WITH base AS (
+        |  SELECT p_partkey,
+        |    list_transform(range(0, 64), i ->
+        |      CASE WHEN p_partkey % 13 = 0 AND i < 2 THEN 0.0
+        |           WHEN p_partkey % 29 = 0 AND i = 3 THEN 'infinity'::DOUBLE
+        |           ELSE CAST(((p_partkey * 7 + i * 13) % 997) % 50 + 1 AS DOUBLE) END) AS hr,
+        |    list_transform(range(0, 16), j ->
+        |      CASE WHEN p_partkey % 11 = 0 AND j = 0 THEN -9999.0
+        |           ELSE CAST(((p_partkey * 11 + j * 17) % 997) % 50 + 1 AS DOUBLE) END) AS lr
+        |  FROM part),
+        |m AS (
+        |  SELECT p_partkey,
+        |    len(list_filter(hr, v -> v <> 0)) AS hr_nz,
+        |    len(list_filter(lr, v -> v <> 0)) AS lr_nz,
+        |    len(list_filter(lr, v -> v = -9999.0)) AS lr_nodata,
+        |    len(list_filter(hr, v -> isinf(v))) AS hr_inf
+        |  FROM base)
+        |SELECT p_partkey, CAST(hr_nz AS INT) AS hr_nz, CAST(lr_nz AS INT) AS lr_nz,
+        |  CAST(lr_nodata AS INT) AS lr_nodata, CAST(hr_inf AS INT) AS hr_inf,
+        |  (hr_nz * 100.0 / 64 >= 99) AND (lr_nz * 100.0 / 16 >= 99)
+        |    AND (lr_nodata * 100.0 / 16 <= 1) AND (hr_inf * 100.0 / 64 <= 1) AS ok
+        |FROM m ORDER BY p_partkey""".stripMargin)
 }

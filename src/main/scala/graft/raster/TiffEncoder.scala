@@ -1,0 +1,74 @@
+package graft.raster
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.Dataset
+
+/** O3 — `array2raster` (reference: data_pair/fct_data_extraction.py:15–20):
+  * write a float32 pixel grid back out as a GeoTIFF. The reference delegates
+  * to rasterio with the source file's profile; this encoder emits the exact
+  * envelope [[TiffDecoder]] reads — baseline TIFF, little-endian,
+  * uncompressed, one 32-bit float sample per pixel, single strip — so
+  * read→transform→write round-trips pixel-exactly without GDAL.
+  *
+  * (The reference pipeline never actually calls array2raster; this closes
+  * the one capability gap for API completeness. Georeferencing tags are
+  * metadata the engine carries in columns, not in the payload.)
+  */
+object TiffEncoder {
+
+  /** Encode a row-major float32 grid as a minimal baseline TIFF. */
+  def encode(h: Int, w: Int, pixels: Array[Float]): Array[Byte] = {
+    require(h > 0 && w > 0, s"bad dimensions ${w}x$h")
+    require(pixels.length == h * w, s"pixels ${pixels.length} != $h*$w")
+    // entries sorted by tag id (TIFF requirement):
+    // 256 width, 257 height, 258 bits, 259 compression, 262 photometric,
+    // 273 strip offset, 277 samples/px, 278 rows/strip, 279 strip bytes,
+    // 339 sample format
+    val nEntries = 10
+    val ifdOff = 8
+    val ifdSize = 2 + nEntries * 12 + 4
+    val dataOff = ifdOff + ifdSize
+    val dataLen = pixels.length * 4
+    val bb = ByteBuffer.allocate(dataOff + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x49.toByte).put(0x49.toByte).putShort(42).putInt(ifdOff)
+    bb.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      typ match {
+        case 3 => bb.putShort(value.toShort).putShort(0.toShort) // SHORT, padded
+        case 4 => bb.putInt(value.toInt) // LONG
+        case other => throw new IllegalArgumentException(s"unsupported entry type $other")
+      }
+    }
+    entry(256, 4, 1, w.toLong)
+    entry(257, 4, 1, h.toLong)
+    entry(258, 3, 1, 32L) // bits per sample
+    entry(259, 3, 1, 1L) // no compression
+    entry(262, 3, 1, 1L) // BlackIsZero
+    entry(273, 4, 1, dataOff.toLong) // strip offset
+    entry(277, 3, 1, 1L) // samples per pixel
+    entry(278, 4, 1, h.toLong) // rows per strip (single strip)
+    entry(279, 4, 1, dataLen.toLong) // strip byte count
+    entry(339, 3, 1, 3L) // sample format: IEEE float
+    bb.putInt(0) // no next IFD
+    var i = 0
+    while (i < pixels.length) { bb.putFloat(pixels(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Executor-side TIFF sink: one file `<outDir>/<band>/<leaf(path)>` per D3
+    * row — the dataflow counterpart of the reference's per-file
+    * rasterio write loop. `outDir` must be a filesystem path reachable from
+    * every executor (local-mode tests: any local dir; a cluster: shared FS).
+    */
+  def writeTiffDir(rows: Dataset[TiffDecoder.BandFile], outDir: String): Unit =
+    rows.foreachPartition { (it: Iterator[TiffDecoder.BandFile]) =>
+      it.foreach { r =>
+        val leaf = r.path.substring(r.path.lastIndexOf('/') + 1)
+        val dir = java.nio.file.Paths.get(outDir, r.band)
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(dir.resolve(leaf), encode(r.h, r.w, r.pixels))
+      }
+    }
+}

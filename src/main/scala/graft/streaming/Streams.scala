@@ -36,8 +36,14 @@ object Streams {
 
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * when a user is silent for `gapMs`. Event-time ordering within a group
-    * is not guaranteed by the engine — state tracks min/max so out-of-order
-    * arrivals fold in correctly. */
+    * is not guaranteed by the engine, so every event is tested against
+    * EVERY open session (merging any sessions it bridges), and the session
+    * kept open across batches is the one with the maximum event-time `last`
+    * — never a late-arrival that merely arrived most recently. Sessions
+    * older in event time than the open one are emitted at end-of-batch:
+    * without a watermark that is the closing policy gap semantics can
+    * honestly offer (an even-later straggler for an emitted session starts
+    * a fresh session rather than mutating history). */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -46,33 +52,33 @@ object Streams {
       .flatMapGroupsWithState[List[SessionState], UserSession](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, it: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
-          // fold the batch into gap-separated sessions (sorted by ts)
           val evs = it.toVector.sortBy(_.ts.getTime)
           var sessions = state.getOption.getOrElse(Nil)
           evs.foreach { e =>
             val t = e.ts.getTime
-            sessions match {
-              // merge only when t lands within gap of the open session's
-              // INTERVAL — an arbitrarily old late event must not fold in
-              // (it opens its own session; without a watermark that is the
-              // best gap semantics can do)
-              case head :: tail
-                  if t >= head.start - gapMs && t <= head.last + gapMs =>
-                sessions = head.copy(
-                  start = math.min(head.start, t),
-                  last = math.max(head.last, t),
-                  n = head.n + 1) :: tail
-              case _ =>
-                sessions = SessionState(t, t, 1) :: sessions
+            // absorb into every session whose gap-extended interval covers t
+            // (t can bridge at most two; partition handles the general case).
+            // Open sessions stay pairwise >gap apart, so the merged interval
+            // never swallows a non-touched session.
+            val (touch, rest) = sessions.partition(s =>
+              t >= s.start - gapMs && t <= s.last + gapMs)
+            val merged =
+              if (touch.isEmpty) SessionState(t, t, 1)
+              else SessionState(
+                math.min(t, touch.map(_.start).min),
+                math.max(t, touch.map(_.last).max),
+                touch.map(_.n).sum + 1)
+            sessions = merged :: rest
+          }
+          // keep open the newest session IN EVENT TIME; close the rest
+          val (open, closed) =
+            if (sessions.isEmpty) (Nil, Nil)
+            else {
+              val newest = sessions.maxBy(s => (s.last, s.start))
+              (List(newest), sessions.filter(_ != newest))
             }
-          }
-          // emit all but the newest (still-open) session
-          val (open, closed) = sessions match {
-            case head :: tail => (List(head), tail)
-            case Nil => (Nil, Nil)
-          }
           state.update(open)
-          closed.reverseIterator.map(s =>
+          closed.sortBy(_.start).iterator.map(s =>
             UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
       }
   }

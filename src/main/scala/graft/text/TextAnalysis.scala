@@ -128,9 +128,16 @@ object TextAnalysis {
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): xxhash64 over
     * character k-grams, then the minimum of each sliding window of w
     * hashes, distinct. Robust to local edits; the standard document
-    * fingerprint for near-dup/plagiarism sweeps. Pure higher-order
-    * functions — no UDF. */
-  def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
+    * fingerprint for near-dup/plagiarism sweeps. Native one-pass Catalyst
+    * expression ([[graft.functions.Winnow]]) — the HOF composition below is
+    * interpreted per element and re-scans each window (O(n·w)). */
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
+    graft.functions.Winnow.winnowingFingerprints(text, k, w)
+
+  /** The original higher-order-function formulation — kept solely as the
+    * independent semantic cross-check for [[winnowingFingerprints]]
+    * (TextSpec pins native ≡ HOF bit-for-bit on non-null inputs). */
+  def winnowingFingerprintsHof(text: Column, k: Int, w: Int): Column = {
     val n = length(text) - (k - 1)
     val kgrams = when(n > 0,
       transform(sequence(lit(1), n), i => xxhash64(text.substr(i, lit(k)))))

@@ -108,6 +108,27 @@ object TileJobs {
       .select(cands.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** O13 at scale, intended-denominator form: the tile-quality metrics over
+    * HR/LR pixel-array columns — (hr_nz, lr_nz, lr_nodata, hr_inf) counts.
+    * Higher-order functions are fine here: the arrays are tile-sized (b²·n
+    * elements) and the counts collapse each array to four ints. */
+  def qualityCounts(hr: org.apache.spark.sql.Column, lr: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = Seq(
+    size(filter(hr, v => v =!= 0.0)).as("hr_nz"),
+    size(filter(lr, v => v =!= 0.0)).as("lr_nz"),
+    size(filter(lr, v => v === -9999.0)).as("lr_nodata"),
+    size(filter(hr, v =>
+      v === Double.PositiveInfinity || v === Double.NegativeInfinity)).as("hr_inf"))
+
+  /** O13 acceptance predicate over the [[qualityCounts]] columns
+    * (fct_data_extraction.py:129–134, intended denominators): ≥99% non-zero
+    * in both crops, ≤1% nodata in LR, ≤1% inf in HR. */
+  def qualityOkDF(hrNz: org.apache.spark.sql.Column, lrNz: org.apache.spark.sql.Column,
+                  lrNodata: org.apache.spark.sql.Column, hrInf: org.apache.spark.sql.Column,
+                  hrN: Int, lrN: Int): org.apache.spark.sql.Column =
+    (hrNz * 100.0 / hrN >= 99) && (lrNz * 100.0 / lrN >= 99) &&
+      (lrNodata * 100.0 / lrN <= 1) && (hrInf * 100.0 / hrN <= 1)
+
   /** Scalable overlap suppression: first candidate (row-major) per
     * stride-grid cell, as a pure window function — the 100 TB path for O26
     * when faithful sequential semantics aren't required. */

@@ -83,6 +83,52 @@ class StreamsSpec extends SparkSpec {
     assert(sessions(1).session_start == ts("2024-01-01 10:00:00"))
   }
 
+  test("stateful sessionization: late event keeps the newest-in-EVENT-TIME session open") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val sq = sessionize(mem.toDS(), gapMs = 60000L)
+      .writeStream.outputMode("append").format("memory").queryName("sess_evtime").start()
+    mem.addData(SessionEvent(9L, ts("2024-01-01 10:00:00"), "view"))
+    sq.processAllAvailable()
+    // a late event an hour BEFORE: the 10:00 session must STAY OPEN (it is
+    // newest in event time) — a 10:00:30 follow-up must still merge into it
+    mem.addData(SessionEvent(9L, ts("2024-01-01 09:00:00"), "view"))
+    sq.processAllAvailable()
+    mem.addData(SessionEvent(9L, ts("2024-01-01 10:00:30"), "view"))
+    sq.processAllAvailable()
+    mem.addData(SessionEvent(9L, ts("2024-01-01 12:00:00"), "view")) // close all
+    sq.processAllAvailable()
+    val sessions = spark.table("sess_evtime").as[UserSession].collect()
+      .sortBy(_.session_start.getTime)
+    sq.stop()
+    assert(sessions.map(s => (s.session_start, s.session_end, s.n_events)).toSeq == Seq(
+      (ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:00"), 1),
+      (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:30"), 2)))
+  }
+
+  test("stateful sessionization: one event bridges two open sessions (merge)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val sq = sessionize(mem.toDS(), gapMs = 60000L)
+      .writeStream.outputMode("append").format("memory").queryName("sess_bridge").start()
+    // open session at 10:00; a late batch delivers 09:58 (opens an older
+    // session) and 09:59 — which is within gap of BOTH (09:58 + 60s and
+    // 10:00 − 60s) → the bridge event must merge all three into one
+    mem.addData(SessionEvent(3L, ts("2024-01-01 10:00:00"), "view"))
+    sq.processAllAvailable()
+    mem.addData(
+      SessionEvent(3L, ts("2024-01-01 09:58:00"), "view"),
+      SessionEvent(3L, ts("2024-01-01 09:59:00"), "view"))
+    sq.processAllAvailable()
+    mem.addData(SessionEvent(3L, ts("2024-01-01 12:00:00"), "view"))
+    sq.processAllAvailable()
+    val sessions = spark.table("sess_bridge").as[UserSession].collect()
+      .sortBy(_.session_start.getTime)
+    sq.stop()
+    assert(sessions.map(s => (s.session_start, s.session_end, s.n_events)).toSeq == Seq(
+      (ts("2024-01-01 09:58:00"), ts("2024-01-01 10:00:00"), 3)))
+  }
+
   test("batch sessionization: sub-second gap precision (µs, not whole seconds)") {
     val df = Seq(
       (1L, new Timestamp(1704103200000L)),        // 10:00:00.000

@@ -58,4 +58,25 @@ class TextSpec extends SparkSpec {
     // short text below k still yields the k-gram set (possibly empty)
     assert(oneSeq(winnowingFingerprints(col("t"), 8, 4), "short").isEmpty)
   }
+
+  test("winnowing: native expression ≡ HOF formulation bit-for-bit") {
+    // deterministic pseudo-random corpus spanning the edge regimes:
+    // empty, < k, = k, between k and k+w (m ≤ 0), and long texts with
+    // repeated substrings (duplicate hashes exercise distinct-order)
+    val rnd = new scala.util.Random(20260812L)
+    val alphabet = "abcdef "
+    val texts = Seq("", "ab", "abcdefgh", "abcdefghij", "aaaaaaaaaaaaaaaa") ++
+      (1 to 60).map(_ => (0 until (rnd.nextInt(80) + 1))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    for ((k, w) <- Seq((8, 4), (3, 5), (1, 1), (5, 2))) {
+      val df = texts.toDF("t")
+      val rows = df.select(
+        winnowingFingerprints(col("t"), k, w).as("native"),
+        winnowingFingerprintsHof(col("t"), k, w).as("hof")).collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"k=$k w=$w text='$t'")
+      }
+    }
+  }
 }
