@@ -129,6 +129,79 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jacc"))
   }
 
+  /** Exact n-gram Jaccard verified ONLY within MinHash-LSH candidate
+    * buckets — the registered scale path (no all-pairs join anywhere).
+    * Signature banding: m-component native MinHash split into `bands`
+    * bands of m/bands rows; n-gram hash sets ride the bucket join and the
+    * exact merge-verify runs inside each band match (sets co-located, no
+    * pair-dedupe shuffle of the payloads), survivors deduped after the
+    * threshold filter. A pair at jaccard j is a candidate w.p.
+    * 1 − (1 − j^(m/bands))^bands. */
+  def ngramJaccardPairsLsh(df: DataFrame, idCol: Column, textCol: Column,
+                           n: Int, m: Int, bands: Int, threshold: Double): DataFrame = {
+    val rows = m / bands
+    require(rows * bands == m, s"bands $bands must divide signature length $m")
+    val base = df.select(idCol.as("id"), tokens(textCol).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("id"),
+        graft.functions.NgramHashes.ngramHashes(col("toks"), n).as("hs"),
+        minhashSignatureNative(col("toks"), n, m).as("sig"))
+    val buckets = base.select(col("id"), col("hs"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = buckets.select(col("band"), col("bucket"), col("id").as("a_id"), col("hs").as("hsa"))
+    val r = buckets.select(col("band"), col("bucket"), col("id").as("b_id"), col("hs").as("hsb"))
+    l.join(r, Seq("band", "bucket")).where(col("a_id") < col("b_id"))
+      .withColumn("jacc",
+        graft.functions.SortedJaccard.sortedJaccard(col("hsa"), col("hsb")))
+      .where(col("jacc") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jacc"))
+      .distinct()
+  }
+
+  // ------------------------------------------------- connected components
+
+  /** Connected components over an undirected edge list — the keep-list step
+    * a dedup pipeline needs after pair detection (transitive near-dup
+    * groups). Iterative min-label propagation:
+    * label(x) ← min(label(x), min over neighbors label(n)) until fixpoint
+    * (≤ graph-diameter iterations — near-dup clusters are shallow, so 2–3
+    * rounds in practice; `maxIter` bounds adversarial chains). Each
+    * iteration is one shuffle join on node ids; `localCheckpoint` truncates
+    * the growing lineage. The fixpoint is unique, so the result is
+    * deterministic under any execution order. At extreme diameters swap in
+    * alternating large-star/small-star — same API, same output.
+    *
+    * @return (id, component) for every node, component = min reachable id.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: Column,
+                          edges: DataFrame, aCol: Column, bCol: Column,
+                          maxIter: Int = 20): DataFrame = {
+    val und = edges.select(aCol.as("x"), bCol.as("n"))
+      .unionByName(edges.select(bCol.as("x"), aCol.as("n")))
+      .distinct()
+    var labels = nodes.select(idCol.as("x"), idCol.as("component")).localCheckpoint()
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val nbrMin = und
+        .join(labels.select(col("x").as("n"), col("component").as("nc")), Seq("n"))
+        .groupBy("x").agg(min("nc").as("nbr"))
+      val updated = labels.join(nbrMin, Seq("x"), "left")
+        .select(col("x"),
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+        .localCheckpoint()
+      converged = updated
+        .join(labels.withColumnRenamed("component", "old"), Seq("x"))
+        .where(col("component") =!= col("old"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.withColumnRenamed("x", "id")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash fingerprint of a token array (native expression —

@@ -31,28 +31,24 @@ object DedupQueries {
     // LSH candidate set provably contains every ≥ 0.5 pair of this corpus
     // (verified at sf0.001/0.01/0.1) and the exact-verify output equals the
     // all-pairs result.
-    "q21_ngram_jaccard" -> ((s, dir) => {
-      val base = t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= 3)
-        .select(col("doc_id"),
-          graft.functions.NgramHashes.ngramHashes(col("toks"), 3).as("hs"),
-          Dedup.minhashSignatureNative(col("toks"), n = 3, m = 32).as("sig"))
-      // n-gram hash sets ride through the bucket join (no join-back)
-      val buckets = base.select(col("doc_id"), col("hs"),
-        posexplode(transform(sequence(lit(0), lit(15)),
-          b => xxhash64(slice(col("sig"), b * 2 + 1, lit(2)), b))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val l = buckets.select(col("band"), col("bucket"), col("doc_id").as("a_id"), col("hs").as("hsa"))
-      val r = buckets.select(col("band"), col("bucket"), col("doc_id").as("b_id"), col("hs").as("hsb"))
-      l.join(r, Seq("band", "bucket")).where(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(first(col("hsa")).as("hsa"), first(col("hsb")).as("hsb"))
-        .withColumn("jacc",
-          graft.functions.SortedJaccard.sortedJaccard(col("hsa"), col("hsb")))
-        .where(col("jacc") >= 0.5)
-        .select(col("a_id"), col("b_id"), col("jacc"))
-        .orderBy("a_id", "b_id")
+    "q21_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsLsh(t(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 3, m = 32, bands = 16, threshold = 0.5)
+        .orderBy("a_id", "b_id")),
+
+    // near-dup KEEP LIST: connected components over the LSH-verified pair
+    // graph — every doc labeled with the min doc_id of its transitive
+    // near-dup group (singletons label themselves). The oracle is a
+    // recursive-CTE transitive closure over the naive all-pairs edge set.
+    "q28_dedup_groups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.ngramJaccardPairsLsh(docs,
+        col("doc_id"), col("text"), n = 3, m = 32, bands = 16, threshold = 0.5)
+      Dedup.connectedComponents(
+          docs.select(col("doc_id")), col("doc_id"),
+          edges, col("a_id"), col("b_id"))
+        .select(col("id").as("doc_id"), col("component").as("keep_id"))
+        .orderBy("doc_id")
     }),
 
     // MinHash 32-component signature, 8×4 banded LSH candidates with
@@ -119,6 +115,26 @@ object DedupQueries {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // transitive closure of the same all-pairs ≥ 0.5 edge set; UNION (not
+    // UNION ALL) bounds the recursion
+    "q28_dedup_groups" ->
+      """WITH RECURSIVE sh_docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh_docs a JOIN sh_docs b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |und AS (SELECT a AS x, b AS n FROM pairs UNION ALL SELECT b AS x, a AS n FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS x, doc_id AS n FROM documents
+        |  UNION
+        |  SELECT r.x, u.n FROM reach r JOIN und u ON r.n = u.x)
+        |SELECT x AS doc_id, min(n) AS keep_id FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
 
     // ids only: cosine magnitudes differ in the last ulp between engines,
     // but the 0.4 threshold has ≥1e-5 margin to every pair at all SFs.

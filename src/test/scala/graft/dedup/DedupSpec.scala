@@ -108,4 +108,37 @@ class DedupSpec extends SparkSpec {
     val recall = truth.count(cands.contains).toDouble / truth.size
     assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} planted pairs")
   }
+
+  test("LSH-scoped jaccard pairs equal the all-pairs result on this corpus") {
+    val d = spark.read.parquet(sf("documents"))
+    val allPairs = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+        lit(0), 3, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.ngramJaccardPairsLsh(d, col("doc_id"), col("text"),
+        n = 3, m = 32, bands = 16, threshold = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == allPairs,
+      s"LSH path must reproduce all-pairs at 0.5 here: missing ${allPairs -- lsh}, extra ${lsh -- allPairs}")
+  }
+
+  test("connected components match a union-find reference on a random graph") {
+    val rnd = new scala.util.Random(42L)
+    val n = 60
+    val edges = (1 to 70).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val edgeDf = edges.toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, col("id"), edgeDf, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find min-root and min-reachable-id agree when unions keep mins
+    assert(got == expected)
+  }
 }

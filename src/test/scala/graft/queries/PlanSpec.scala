@@ -48,4 +48,30 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toList
     assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.toString)
   }
+
+  test("similarity joins key on LSH buckets — never a cartesian/global self-join") {
+    // (q28 reuses q21's edge pipeline but materializes through checkpoints,
+    // so its final plan is a checkpoint scan — the join shape is guarded
+    // via q21 here.)
+    for (q <- Seq("q21_ngram_jaccard", "q24_embedding_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+      assert(p.contains("band") && p.contains("bucket"),
+        s"$q join should key on (band, bucket)")
+    }
+  }
+
+  test("codegen/projection queries prune the part scan to p_partkey only") {
+    for (q <- Seq("q18_gdalwarp_codegen", "q19_band_files", "q27_quality_filter")) {
+      val schema = "ReadSchema:.*".r.findFirstIn(plan(q)).getOrElse("")
+      assert(schema.contains("p_partkey") && !schema.contains("p_name") &&
+        !schema.contains("p_retailprice"), s"$q scan not pruned: $schema")
+    }
+  }
+
+  test("ANN brute force is the documented exception: explicit cross join, top-k via window") {
+    val p = plan("q40_ann_topk")
+    assert(p.contains("Window") || p.contains("RunningWindowFunction"), p.take(300))
+  }
 }
