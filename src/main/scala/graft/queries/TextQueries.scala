@@ -24,14 +24,21 @@ object TextQueries {
         tokenCountBpe(col("text")).as("bpe_tokens"))
         .orderBy("doc_id")),
 
+    // textStats evaluated ONCE per row in its own projection (non-cheap
+    // expression → CollapseProject keeps it), ratios derived from the struct
     "q31_text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
+        textStats(col("text")).as("st"),
         punctRatio(col("text")).as("punct_ratio"),
-        digitRatio(col("text")).as("digit_ratio"),
-        stopwordRatio(col("text")).as("stopword_ratio"),
-        meanWordLen(col("text")).as("mean_word_len"),
-        qualityScore(col("text")).as("quality"))
+        digitRatio(col("text")).as("digit_ratio"))
+        .select(
+          col("doc_id"),
+          col("punct_ratio"),
+          col("digit_ratio"),
+          stopwordRatioFrom(col("st")).as("stopword_ratio"),
+          meanWordLenFrom(col("st")).as("mean_word_len"),
+          qualityScoreFrom(col("st"), col("punct_ratio"), col("digit_ratio")).as("quality"))
         .orderBy("doc_id")),
 
     "q32_langid" -> ((s, dir) =>

@@ -53,8 +53,37 @@ object TextAnalysis {
       regexp_count(text, lit("[0-9]")).cast("double") / n.cast("double"))
   }
 
+  /** One-pass token statistics struct (ws_tokens, stop_hits, len_sum) —
+    * native expression ([[graft.functions.TextStats]]); the HOF ratio forms
+    * below are interpreted per token and re-tokenize per metric. */
+  def textStats(text: Column): Column =
+    graft.functions.TextStats.textStats(text, Stopwords)
+
   /** Fraction of whitespace tokens that are stopwords (lowercased). */
-  def stopwordRatio(text: Column): Column = {
+  def stopwordRatio(text: Column): Column =
+    stopwordRatioFrom(textStats(text))
+
+  /** [[stopwordRatio]] from an already-computed [[textStats]] struct. */
+  def stopwordRatioFrom(st: Column): Column = {
+    val n = st.getField("ws_tokens")
+    when(n === 0, 0.0).otherwise(
+      st.getField("stop_hits").cast("double") / n.cast("double"))
+  }
+
+  /** Mean whitespace-token length. */
+  def meanWordLen(text: Column): Column =
+    meanWordLenFrom(textStats(text))
+
+  /** [[meanWordLen]] from an already-computed [[textStats]] struct. */
+  def meanWordLenFrom(st: Column): Column = {
+    val n = st.getField("ws_tokens")
+    when(n === 0, 0.0).otherwise(
+      st.getField("len_sum").cast("double") / n.cast("double"))
+  }
+
+  /** HOF twins, kept solely as independent semantic cross-checks for the
+    * native [[textStats]] (TextSpec pins ≡). */
+  def stopwordRatioHof(text: Column): Column = {
     val toks = wsTokens(lower(text))
     val n = size(toks)
     when(n === 0, 0.0).otherwise(
@@ -62,8 +91,7 @@ object TextAnalysis {
         n.cast("double"))
   }
 
-  /** Mean whitespace-token length. */
-  def meanWordLen(text: Column): Column = {
+  def meanWordLenHof(text: Column): Column = {
     val toks = wsTokens(text)
     val n = size(toks)
     when(n === 0, 0.0).otherwise(
@@ -75,14 +103,19 @@ object TextAnalysis {
     * has some stopwords, moderate punctuation, few digits, and word lengths
     * near natural-language norms. Pure rational arithmetic (no exp/log) so
     * engines agree bit-for-bit. */
-  def qualityScore(text: Column): Column = {
-    val sw = stopwordRatio(text)   // prose has some
-    val pr = punctRatio(text)      // too much punctuation → boilerplate/code
-    val dr = digitRatio(text)      // digit-heavy → tables/logs
-    val mw = meanWordLen(text)     // 3..8 is natural
+  def qualityScore(text: Column): Column =
+    qualityScoreFrom(textStats(text), punctRatio(text), digitRatio(text))
+
+  /** [[qualityScore]] from pre-computed stats/ratios — lets a query
+    * evaluate the one-pass [[textStats]] ONCE per row (a separate
+    * projection stops CollapseProject from duplicating the non-cheap
+    * expression into every consumer). */
+  def qualityScoreFrom(st: Column, pr: Column, dr: Column): Column = {
+    val sw = stopwordRatioFrom(st) // prose has some stopwords
+    val mw = meanWordLenFrom(st)   // 3..8 is natural
     val swScore = least(sw * 4.0, lit(1.0))
-    val prScore = greatest(lit(1.0) - pr * 5.0, lit(0.0))
-    val drScore = greatest(lit(1.0) - dr * 5.0, lit(0.0))
+    val prScore = greatest(lit(1.0) - pr * 5.0, lit(0.0)) // punct-heavy → boilerplate
+    val drScore = greatest(lit(1.0) - dr * 5.0, lit(0.0)) // digit-heavy → tables/logs
     val mwScore = when(mw >= 3.0 && mw <= 8.0, 1.0)
       .when(mw > 0.0, 0.5).otherwise(0.0)
     swScore * 0.3 + prScore * 0.25 + drScore * 0.25 + mwScore * 0.2

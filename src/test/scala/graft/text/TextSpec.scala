@@ -59,6 +59,26 @@ class TextSpec extends SparkSpec {
     assert(oneSeq(winnowingFingerprints(col("t"), 8, 4), "short").isEmpty)
   }
 
+  test("text stats: native one-pass expression ≡ HOF ratios bit-for-bit") {
+    val rnd = new scala.util.Random(77L)
+    val alphabet = "the and of cat DOG 42 !? \t\n\r  aaa The OF "
+    val texts = Seq("", " ", "\t\n", "the", " the ", "The Cat AND the dog") ++
+      (1 to 80).map(_ => (0 until (rnd.nextInt(60) + 1))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val rows = texts.toDF("t").select(
+      stopwordRatio(col("t")).as("swN"), stopwordRatioHof(col("t")).as("swH"),
+      meanWordLen(col("t")).as("mwN"), meanWordLenHof(col("t")).as("mwH"),
+      // NB not tokenCountWs: its trim()-based zero-guard only strips SPACES
+      // (quirk mirrored by the q30 oracle); ws_tokens counts real tokens
+      size(wsTokens(col("t"))).as("tcW"),
+      textStats(col("t")).getField("ws_tokens").as("tcN")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getDouble(0) == r.getDouble(1), s"stopwordRatio '$t'")
+      assert(r.getDouble(2) == r.getDouble(3), s"meanWordLen '$t'")
+      assert(r.getInt(4) == r.getInt(5), s"tokenCount '$t'")
+    }
+  }
+
   test("winnowing: native expression ≡ HOF formulation bit-for-bit") {
     // deterministic pseudo-random corpus spanning the edge regimes:
     // empty, < k, = k, between k and k+w (m ≤ 0), and long texts with
