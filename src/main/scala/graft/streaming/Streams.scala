@@ -52,24 +52,7 @@ object Streams {
       .flatMapGroupsWithState[List[SessionState], UserSession](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, it: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
-          val evs = it.toVector.sortBy(_.ts.getTime)
-          var sessions = state.getOption.getOrElse(Nil)
-          evs.foreach { e =>
-            val t = e.ts.getTime
-            // absorb into every session whose gap-extended interval covers t
-            // (t can bridge at most two; partition handles the general case).
-            // Open sessions stay pairwise >gap apart, so the merged interval
-            // never swallows a non-touched session.
-            val (touch, rest) = sessions.partition(s =>
-              t >= s.start - gapMs && t <= s.last + gapMs)
-            val merged =
-              if (touch.isEmpty) SessionState(t, t, 1)
-              else SessionState(
-                math.min(t, touch.map(_.start).min),
-                math.max(t, touch.map(_.last).max),
-                touch.map(_.n).sum + 1)
-            sessions = merged :: rest
-          }
+          val sessions = foldEvents(state.getOption.getOrElse(Nil), it.toSeq, gapMs)
           // keep open the newest session IN EVENT TIME; close the rest
           val (open, closed) =
             if (sessions.isEmpty) (Nil, Nil)
@@ -78,6 +61,62 @@ object Streams {
               (List(newest), sessions.filter(_ != newest))
             }
           state.update(open)
+          closed.sortBy(_.start).iterator.map(s =>
+            UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+      }
+  }
+
+  /** Fold a batch of events (any arrival order) into gap-separated
+    * sessions: each event merges every session whose gap-extended interval
+    * covers it (bridging sessions collapse into one). Open sessions remain
+    * pairwise >gap apart. */
+  private def foldEvents(open: List[SessionState], evs: Seq[SessionEvent],
+                         gapMs: Long): List[SessionState] = {
+    var sessions = open
+    evs.sortBy(_.ts.getTime).foreach { e =>
+      val t = e.ts.getTime
+      val (touch, rest) = sessions.partition(s =>
+        t >= s.start - gapMs && t <= s.last + gapMs)
+      val merged =
+        if (touch.isEmpty) SessionState(t, t, 1)
+        else SessionState(
+          math.min(t, touch.map(_.start).min),
+          math.max(t, touch.map(_.last).max),
+          touch.map(_.n).sum + 1)
+      sessions = merged :: rest
+    }
+    sessions
+  }
+
+  /** Production-shape streaming sessionization: watermark + EVENT-TIME
+    * timeout. A session is emitted only when the watermark passes
+    * `last + gap` — at that point the engine has discarded every event that
+    * could still extend it, so emitted sessions are FINAL (the guarantee
+    * the [[sessionize]] NoTimeout variant cannot give). All still-viable
+    * sessions stay open (bounded by the watermark, so state cannot grow
+    * unboundedly), and the state timeout is set to the earliest possible
+    * close so idle users still emit. */
+  def sessionizeWithWatermark(events: Dataset[SessionEvent], gapMs: Long,
+                              watermarkDelay: String): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val sessions = foldEvents(state.getOption.getOrElse(Nil), it.toSeq, gapMs)
+          // final = nothing below the watermark can arrive to extend it
+          val (closed, open) = sessions.partition(_.last + gapMs < wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // earliest instant any open session becomes final
+            val next = open.map(_.last + gapMs).min + 1
+            state.setTimeoutTimestamp(math.max(next, wm + 1))
+          }
           closed.sortBy(_.start).iterator.map(s =>
             UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
       }

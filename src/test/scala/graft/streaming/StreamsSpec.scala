@@ -129,6 +129,33 @@ class StreamsSpec extends SparkSpec {
       (ts("2024-01-01 09:58:00"), ts("2024-01-01 10:00:00"), 3)))
   }
 
+  test("watermarked sessionization closes via event-time timeout, late data dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val sq = sessionizeWithWatermark(mem.toDS(), gapMs = 60000L, watermarkDelay = "10 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sess_wm").start()
+    // session of two events, still open (watermark at 0)
+    mem.addData(
+      SessionEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+      SessionEvent(1L, ts("2024-01-01 10:00:30"), "click"))
+    sq.processAllAvailable()
+    assert(spark.table("sess_wm").count() == 0)
+    // a much later event advances the watermark to 10:04:50 (next batch)
+    mem.addData(SessionEvent(1L, ts("2024-01-01 10:05:00"), "view"))
+    sq.processAllAvailable()
+    // any batch after the watermark update triggers the event-time timeout
+    // for the 10:00 session (final at 10:01:30 < 10:04:50)
+    mem.addData(SessionEvent(2L, ts("2024-01-01 10:05:01"), "view"))
+    sq.processAllAvailable()
+    val sessions = spark.table("sess_wm").as[UserSession].collect()
+    sq.stop()
+    assert(sessions.length == 1)
+    val s = sessions.head
+    assert(s.user_id == 1L && s.n_events == 2)
+    assert(s.session_start == ts("2024-01-01 10:00:00"))
+    assert(s.session_end == ts("2024-01-01 10:00:30"))
+  }
+
   test("batch sessionization: sub-second gap precision (µs, not whole seconds)") {
     val df = Seq(
       (1L, new Timestamp(1704103200000L)),        // 10:00:00.000
