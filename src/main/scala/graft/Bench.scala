@@ -34,6 +34,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM/codegen warmup
+    // initialize the parquet datasource path (reader classloading, footer
+    // codecs) on the 5-row region table so one-time init isn't charged to
+    // whichever query happens to scan parquet first — data stays cold
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Exception => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -188,15 +188,15 @@ object Dedup {
       val nbrMin = und
         .join(labels.select(col("x").as("n"), col("component").as("nc")), Seq("n"))
         .groupBy("x").agg(min("nc").as("nbr"))
+      // carry the previous label through the update so convergence is a
+      // cheap filter over the checkpointed result, not another join
       val updated = labels.join(nbrMin, Seq("x"), "left")
         .select(col("x"),
-          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"),
+          col("component").as("_old"))
         .localCheckpoint()
-      converged = updated
-        .join(labels.withColumnRenamed("component", "old"), Seq("x"))
-        .where(col("component") =!= col("old"))
-        .isEmpty
-      labels = updated
+      converged = updated.where(col("component") =!= col("_old")).isEmpty
+      labels = updated.drop("_old")
       i += 1
     }
     labels.withColumnRenamed("x", "id")

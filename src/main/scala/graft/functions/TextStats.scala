@@ -51,6 +51,66 @@ object TextStats {
   }
 }
 
+/** Per-profile stopword hit counts in ONE tokenization pass: for each of
+  * `profiles` (ordered), how many whitespace tokens of the text (lowercased
+  * per token — same as `lower()`) belong to that profile's word set.
+  * Returns ARRAY<INT> in profile order — the language-id scoring loop
+  * without re-tokenizing per profile. Token semantics identical to
+  * [[TextStatsExpr]]. */
+object StopwordProfileHits {
+  def profileHits(text: Column, profiles: Seq[Seq[String]]): Column =
+    toColumn(StopwordProfileHitsExpr(toExpr(text), profiles))
+
+  def compute(s: UTF8String, sets: Array[java.util.HashSet[UTF8String]]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val hits = new Array[Int](sets.length)
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val isWs = i == n || {
+        val b = bytes(i)
+        b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+      }
+      if (isWs) {
+        if (start >= 0) {
+          val low = UTF8String.fromBytes(bytes, start, i - start).toLowerCase
+          var p = 0
+          while (p < sets.length) {
+            if (sets(p).contains(low)) hits(p) += 1
+            p += 1
+          }
+          start = -1
+        }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(hits)
+  }
+}
+
+case class StopwordProfileHitsExpr(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    profiles.map { ws =>
+      val set = new java.util.HashSet[UTF8String]()
+      ws.foreach(w => set.add(UTF8String.fromString(w)))
+      set
+    }.toArray
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"stopword_profile_hits requires STRING, got ${child.dataType.catalogString}")
+  override def nullSafeEval(v: Any): Any =
+    StopwordProfileHits.compute(v.asInstanceOf[UTF8String], sets)
+  override protected def withNewChildInternal(newChild: Expression): StopwordProfileHitsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "stopword_profile_hits"
+}
+
 case class TextStatsExpr(child: Expression, stopwords: Seq[String])
     extends UnaryExpression with CodegenFallback {
   @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {

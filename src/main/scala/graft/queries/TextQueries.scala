@@ -41,10 +41,11 @@ object TextQueries {
           qualityScoreFrom(col("st"), col("punct_ratio"), col("digit_ratio")).as("quality"))
         .orderBy("doc_id")),
 
+    // profile hits evaluated once per row (own projection, like q31's st)
     "q32_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(
-        col("doc_id"),
-        langId(col("text")).as("lang_pred"))
+        col("doc_id"), col("text"), langProfileHits(col("text")).as("h"))
+        .select(col("doc_id"), langIdFrom(col("h"), col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
     "q33_fingerprint" -> ((s, dir) =>

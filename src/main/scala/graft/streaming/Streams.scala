@@ -122,6 +122,18 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup over a content hash: keeps the first arrival of
+    * each key and drops re-deliveries that arrive within the watermark
+    * horizon. State stores only the dedup keys and is EXPIRED by the
+    * watermark (`dropDuplicatesWithinWatermark`), so a 100 TB stream holds
+    * hours of keys, not history — the streaming twin of
+    * [[graft.dedup.Dedup.exactDedup]]'s hash-not-text principle. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                  watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Batch-mode sessionization with the same gap semantics, as a pure
     * window pipeline — the cross-check for the stateful version and the
     * shape used for backfills: session id = running count of gap breaks. */

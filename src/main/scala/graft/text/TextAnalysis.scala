@@ -133,17 +133,43 @@ object TextAnalysis {
     "zh" -> Seq.empty) // detected by script, below
 
   /** Language-id heuristic: CJK character presence → zh; otherwise the
-    * profile with the highest stopword hit-count (ties → lexicographically
-    * first language, deterministic). Unknown → "und". */
-  def langId(text: Column): Column = {
+    * profile with the highest stopword hit-count. All profiles are scored
+    * in ONE native tokenization pass
+    * ([[graft.functions.StopwordProfileHits]] — the HOF form re-tokenized
+    * per profile, [[langIdHof]] kept as the spec cross-check). */
+  def langId(text: Column): Column =
+    langIdFrom(langProfileHits(text), text)
+
+  /** The one-pass per-profile hit counts (ARRAY<INT> in [[LangProfiles]]
+    * order, non-empty profiles only). */
+  def langProfileHits(text: Column): Column =
+    graft.functions.StopwordProfileHits.profileHits(
+      text, LangProfiles.filter(_._2.nonEmpty).map(_._2))
+
+  /** [[langId]] from pre-computed [[langProfileHits]] — queries alias the
+    * hits in their own projection so the non-cheap expression is evaluated
+    * once per row, not once per struct field. */
+  def langIdFrom(hits: Column, text: Column): Column = {
+    val scored = LangProfiles.filter(_._2.nonEmpty).zipWithIndex.map {
+      case ((lang, _), i) =>
+        struct(element_at(hits, i + 1).as("score"), lit(lang).as("lang"))
+    }
+    // struct max orders by (score, lang): ties pick the lexicographically
+    // greatest language — deterministic, documented.
+    val best = array_max(array(scored: _*))
+    when(regexp_count(text, lit("[\\x{4E00}-\\x{9FFF}]")) > 0, "zh")
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise("und")
+  }
+
+  /** HOF twin of [[langId]], kept solely as the semantic cross-check. */
+  def langIdHof(text: Column): Column = {
     val toks = wsTokens(lower(text))
     val scored = LangProfiles.filter(_._2.nonEmpty).map { case (lang, sw) =>
       struct(
         size(filter(toks, t => array_contains(lit(sw.toArray), t))).as("score"),
         lit(lang).as("lang"))
     }
-    // struct max orders by (score, lang): ties pick the lexicographically
-    // greatest language — deterministic, documented.
     val best = array_max(array(scored: _*))
     when(regexp_count(text, lit("[\\x{4E00}-\\x{9FFF}]")) > 0, "zh")
       .when(best.getField("score") > 0, best.getField("lang"))

@@ -156,6 +156,24 @@ class StreamsSpec extends SparkSpec {
     assert(s.session_end == ts("2024-01-01 10:00:30"))
   }
 
+  test("streaming exact dedup drops re-deliveries within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val in = mem.toDF().toDF("content_hash", "ts")
+    val sq = dedupStream(in, Seq("content_hash"), "ts", "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_wm").start()
+    mem.addData(
+      ("h1", ts("2024-01-01 10:00:00")),
+      ("h1", ts("2024-01-01 10:00:05")), // duplicate within watermark
+      ("h2", ts("2024-01-01 10:00:10")))
+    sq.processAllAvailable()
+    mem.addData(("h1", ts("2024-01-01 10:00:20"))) // still a duplicate
+    sq.processAllAvailable()
+    val got = spark.table("dedup_wm").collect().map(_.getString(0)).sorted.toSeq
+    sq.stop()
+    assert(got == Seq("h1", "h2"))
+  }
+
   test("batch sessionization: sub-second gap precision (µs, not whole seconds)") {
     val df = Seq(
       (1L, new Timestamp(1704103200000L)),        // 10:00:00.000

@@ -43,6 +43,19 @@ class TextSpec extends SparkSpec {
     assert(one[String](langId(col("t")), "xyzzy plugh qwerty") == "und")
   }
 
+  test("langid: native profile scorer ≡ HOF formulation (incl. ties)") {
+    val rnd = new scala.util.Random(99L)
+    val pool = LangProfiles.flatMap(_._2) ++ Seq("xyzzy", "中文", "la", "der", "THE", "Le")
+    val texts = Seq("", " ", "la der", "el le") ++ // engineered score ties
+      (1 to 80).map(_ => (0 until (rnd.nextInt(25) + 1))
+        .map(_ => pool(rnd.nextInt(pool.size))).mkString(" "))
+    val rows = texts.toDF("t")
+      .select(langId(col("t")).as("n"), langIdHof(col("t")).as("h")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getString(0) == r.getString(1), s"langId mismatch on '$t'")
+    }
+  }
+
   test("fingerprints: content hash deterministic and edit-sensitive; winnowing robust") {
     val a = one[Long](contentFingerprint(col("t")), "hello world")
     val a2 = one[Long](contentFingerprint(col("t")), "hello world")
