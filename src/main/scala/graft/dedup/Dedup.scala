@@ -202,6 +202,41 @@ object Dedup {
     labels.withColumnRenamed("x", "id")
   }
 
+  /** The full dedup pipeline in one call — what a 100 TB training-data
+    * sweep actually runs: exact dedup FIRST (payload-identical documents
+    * collapse on a 16-byte hash before LSH, so a duplicate-heavy corpus
+    * cannot explode one LSH bucket into a quadratic hot spot), then
+    * LSH-scoped near-dup pairs over the exact survivors, connected
+    * components, and a keep table.
+    *
+    * @return (id, keep_id, reason) for EVERY input row:
+    *         'kept'  — the survivor of its group (id == keep_id),
+    *         'exact' — dropped as payload-identical to a lower id,
+    *         'near'  — dropped as a transitive near-duplicate.
+    */
+  def nearDupKeepList(df: DataFrame, idCol: Column, textCol: Column,
+                      n: Int, m: Int, bands: Int, threshold: Double): DataFrame = {
+    val rep = df.select(idCol.as("id"), textCol.as("text"))
+      .withColumn("exact_rep",
+        min(col("id")).over(Window.partitionBy(md5(col("text")))))
+    val survivors = rep.where(col("id") === col("exact_rep")).select("id", "text")
+    val edges = ngramJaccardPairsLsh(survivors, col("id"), col("text"),
+      n, m, bands, threshold)
+    val comps = connectedComponents(
+        survivors.select("id"), col("id"), edges, col("a_id"), col("b_id"))
+      .select(col("id").as("exact_rep"), col("component").as("keep_id"))
+    rep.select(col("id"), col("exact_rep"))
+      .join(comps, Seq("exact_rep"), "left")
+      .select(col("id"),
+        coalesce(col("keep_id"), col("exact_rep")).as("keep_id"),
+        col("exact_rep"))
+      .withColumn("reason",
+        when(col("id") === col("keep_id"), "kept")
+          .when(col("id") =!= col("exact_rep"), "exact")
+          .otherwise("near"))
+      .select("id", "keep_id", "reason")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash fingerprint of a token array (native expression —

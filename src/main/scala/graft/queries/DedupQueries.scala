@@ -83,6 +83,13 @@ object DedupQueries {
           maxHamming = 6)
         .orderBy("a_id", "b_id")),
 
+    // the WHOLE dedup pipeline as one call: exact dedup → LSH near-dup
+    // pairs over exact survivors → components → keep table with reasons
+    "q29_dedup_pipeline" -> ((s, dir) =>
+      Dedup.nearDupKeepList(t(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 3, m = 32, bands = 16, threshold = 0.5)
+        .orderBy("id")),
+
     // embedding cosine near-dup via banded sign-bit LSH + exact verify
     // (ids only — see oracle note). The oracle mirrors the banding exactly
     // (sign bits of stored floats are portable integers), so candidate
@@ -135,6 +142,34 @@ object DedupQueries {
         |  UNION
         |  SELECT r.x, u.n FROM reach r JOIN und u ON r.n = u.x)
         |SELECT x AS doc_id, min(n) AS keep_id FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+
+    // exact-dedup window + all-pairs closure over exact survivors only
+    "q29_dedup_pipeline" ->
+      """WITH RECURSIVE rep AS (
+        |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS exact_rep
+        |  FROM documents),
+        |surv AS (SELECT doc_id, text FROM rep WHERE doc_id = exact_rep),
+        |sh_docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        |  FROM surv WHERE len(string_split(text,' ')) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh_docs a JOIN sh_docs b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |und AS (SELECT a AS x, b AS n FROM pairs UNION ALL SELECT b AS x, a AS n FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS x, doc_id AS n FROM surv
+        |  UNION
+        |  SELECT r.x, u.n FROM reach r JOIN und u ON r.n = u.x),
+        |comp AS (SELECT x AS exact_rep, min(n) AS keep_id FROM reach GROUP BY x)
+        |SELECT rep.doc_id AS id, coalesce(c.keep_id, rep.exact_rep) AS keep_id,
+        |  CASE WHEN rep.doc_id = coalesce(c.keep_id, rep.exact_rep) THEN 'kept'
+        |       WHEN rep.doc_id <> rep.exact_rep THEN 'exact' ELSE 'near' END AS reason
+        |FROM rep LEFT JOIN comp c ON rep.exact_rep = c.exact_rep
+        |ORDER BY id""".stripMargin,
 
     // ids only: cosine magnitudes differ in the last ulp between engines,
     // but the 0.4 threshold has ≥1e-5 margin to every pair at all SFs.

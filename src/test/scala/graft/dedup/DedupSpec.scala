@@ -121,6 +121,25 @@ class DedupSpec extends SparkSpec {
       s"LSH path must reproduce all-pairs at 0.5 here: missing ${allPairs -- lsh}, extra ${lsh -- allPairs}")
   }
 
+  test("nearDupKeepList: exact, near and kept reasons on a planted corpus") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val docs = Seq(
+      (1L, base),                           // kept (group root)
+      (2L, base),                           // exact dup of 1
+      (3L, base + "lambda"),                // near dup of 1 (high jaccard)
+      (4L, "completely different text about unrelated matters entirely " * 4),
+      (5L, base)                            // exact dup of 1
+    ).toDF("doc_id", "text")
+    val keep = Dedup.nearDupKeepList(docs, col("doc_id"), col("text"),
+        n = 3, m = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(keep(1L) == (1L, "kept"))
+    assert(keep(2L) == (1L, "exact"))
+    assert(keep(3L) == (1L, "near"))
+    assert(keep(4L) == (4L, "kept"))
+    assert(keep(5L) == (1L, "exact"))
+  }
+
   test("connected components match a union-find reference on a random graph") {
     val rnd = new scala.util.Random(42L)
     val n = 60
