@@ -14,7 +14,8 @@ import graft.functions._
   *
   * SQL surface: base26(n), simhash64(tokens), rolling_hash64(s),
   * minhash_ngrams(tokens, n, m), cosine_sim(a, b), ngram_hashes(tokens, n),
-  * sorted_jaccard(a, b), hyperplane_sig(vec, nBits, seed).
+  * sorted_jaccard(a, b), hyperplane_sig(vec, nBits, seed),
+  * winnow_fingerprints(s, k, w), text_stats(s).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -51,7 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("sorted_jaccard", "sorted_jaccard(a, b) - exact Jaccard of sorted BIGINT sets",
       es => SortedJaccardExpr(es(0), es(1))),
     ("hyperplane_sig", "hyperplane_sig(vec, nBits, seed) - cosine-LSH sign signature",
-      es => HyperplaneSig(es(0), intLit(es(1), "nBits"), longLit(es(2), "seed"))))
+      es => HyperplaneSig(es(0), intLit(es(1), "nBits"), longLit(es(2), "seed"))),
+    ("winnow_fingerprints", "winnow_fingerprints(s, k, w) - winnowing k-gram fingerprints",
+      es => WinnowFingerprints(es(0), intLit(es(1), "k"), intLit(es(2), "w"))),
+    ("text_stats", "text_stats(s) - (ws_tokens, stop_hits, len_sum) one-pass token stats",
+      es => TextStatsExpr(es.head, graft.text.TextAnalysis.Stopwords)))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

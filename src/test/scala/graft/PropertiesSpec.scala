@@ -40,6 +40,47 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  // -- text stats ------------------------------------------------------
+
+  private val genText: Gen[String] = {
+    // letters, stopwords, CJK, an emoji (supplementary plane), ASCII and
+    // NON-\s unicode whitespace (U+00A0 is part of a token for Java \s+)
+    val atoms = Gen.oneOf("the", "cat", "The", "OF", "中文", "😀",
+      "a b", "x1!", " ", "\t", "\n", "", "\r", "")
+    Gen.listOf(atoms).map(_.mkString)
+  }
+
+  test("TextStats.compute matches an independent JVM reference on unicode text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val stopSet = new java.util.HashSet[UTF8String]()
+    graft.text.TextAnalysis.Stopwords.foreach(w => stopSet.add(UTF8String.fromString(w)))
+    val stops = graft.text.TextAnalysis.Stopwords.toSet
+    check(Prop.forAll(genText) { s =>
+      val toks = s.split("\\s+").filter(_.nonEmpty)
+      val expHits = toks.count(t => stops.contains(UTF8String.fromString(t).toLowerCase.toString))
+      val expLen = toks.map(t => t.codePointCount(0, t.length).toLong).sum
+      val row = graft.functions.TextStats.compute(UTF8String.fromString(s), stopSet)
+      row.getInt(0) == toks.length && row.getInt(1) == expHits && row.getLong(2) == expLen
+    })
+  }
+
+  test("StopwordProfileHits.compute matches per-profile reference counts") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val profiles = graft.text.TextAnalysis.LangProfiles.filter(_._2.nonEmpty).map(_._2)
+    val sets = profiles.map { ws =>
+      val set = new java.util.HashSet[UTF8String]()
+      ws.foreach(w => set.add(UTF8String.fromString(w)))
+      set
+    }.toArray
+    check(Prop.forAll(genText) { s =>
+      val toks = s.split("\\s+").filter(_.nonEmpty)
+        .map(t => UTF8String.fromString(t).toLowerCase.toString)
+      val exp = profiles.map(p => toks.count(p.toSet.contains))
+      val arr = graft.functions.StopwordProfileHits.compute(UTF8String.fromString(s), sets)
+      exp.indices.forall(i => arr.getInt(i) == exp(i))
+    })
+  }
+
   // -- weeks -----------------------------------------------------------
 
   private val genDate: Gen[LocalDate] =
