@@ -175,21 +175,26 @@ object DedupQueries {
     // but the 0.4 threshold has ≥1e-5 margin to every pair at all SFs.
     // The banding mirrors Dedup.cosinePairsSignLsh(8 bands × 4 sign bits)
     // bit-for-bit — sign comparisons on stored floats are exact integers.
+    // candidates deduped as int pairs FIRST, vectors joined back once per
+    // pair — same result as the engine's in-band verify, but cheap enough
+    // for DuckDB to complete at sf0.1 too (carrying the float lists
+    // through the pair GROUP BY spilled for tens of minutes)
     "q24_embedding_neardup" ->
       """WITH banded AS (
-        |  SELECT vec_id, embedding AS v, b.band,
+        |  SELECT vec_id, b.band,
         |      (CASE WHEN embedding[b.band*4 + 1] >= 0 THEN 1 ELSE 0 END)
         |    + (CASE WHEN embedding[b.band*4 + 2] >= 0 THEN 2 ELSE 0 END)
         |    + (CASE WHEN embedding[b.band*4 + 3] >= 0 THEN 4 ELSE 0 END)
         |    + (CASE WHEN embedding[b.band*4 + 4] >= 0 THEN 8 ELSE 0 END) AS bucket
         |  FROM embeddings, range(0, 8) b(band)),
         |cand AS (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |    any_value(a.v) AS va, any_value(b.v) AS vb
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
-        |    AND a.vec_id < b.vec_id
-        |  GROUP BY a.vec_id, b.vec_id)
-        |SELECT a_id, b_id FROM cand
-        |WHERE list_cosine_similarity(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])) >= 0.4
+        |    AND a.vec_id < b.vec_id)
+        |SELECT c.a_id, c.b_id
+        |FROM cand c
+        |JOIN embeddings ea ON ea.vec_id = c.a_id
+        |JOIN embeddings eb ON eb.vec_id = c.b_id
+        |WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin)
 }
