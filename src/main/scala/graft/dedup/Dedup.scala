@@ -173,14 +173,48 @@ object Dedup {
     * deterministic under any execution order. At extreme diameters swap in
     * alternating large-star/small-star — same API, same output.
     *
+    * Ids must be integral (they are cast to BIGINT). When the edge set
+    * fits under `driverEdgeThreshold`, a driver-side union-find + one
+    * broadcast join replaces the shuffle rounds (the node table never
+    * leaves the cluster).
+    *
     * @return (id, component) for every node, component = min reachable id.
     */
   def connectedComponents(nodes: DataFrame, idCol: Column,
                           edges: DataFrame, aCol: Column, bCol: Column,
-                          maxIter: Int = 20): DataFrame = {
-    val und = edges.select(aCol.as("x"), bCol.as("n"))
-      .unionByName(edges.select(bCol.as("x"), aCol.as("n")))
-      .distinct()
+                          maxIter: Int = 20,
+                          driverEdgeThreshold: Long = 1000000L): DataFrame = {
+    val e = edges.select(aCol.cast("long").as("a"), bCol.cast("long").as("b")).distinct()
+    // Near-dup edge sets are small relative to the corpus (they scale with
+    // the dup rate, not the row count) — when they fit the driver, a local
+    // union-find + one broadcast join replaces maxIter shuffle rounds,
+    // exactly like a broadcast-join threshold. Nodes NEVER collect.
+    val nEdges = e.count()
+    if (nEdges <= driverEdgeThreshold) {
+      val arr = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      arr.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root
+      }
+      val mapping = arr.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => (x, find(x))).toSeq
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labelDf = mapping.toDF("id", "_comp")
+      return nodes.select(idCol.as("id"))
+        .join(broadcast(labelDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("_comp"), col("id")).as("component"))
+    }
+    val und = e.select(col("a").as("x"), col("b").as("n"))
+      .unionByName(e.select(col("b").as("x"), col("a").as("n")))
     var labels = nodes.select(idCol.as("x"), idCol.as("component")).localCheckpoint()
     var i = 0
     var converged = false

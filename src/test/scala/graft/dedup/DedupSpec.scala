@@ -155,9 +155,15 @@ class DedupSpec extends SparkSpec {
     val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
     val nodes = (0 until n).map(_.toLong).toDF("id")
     val edgeDf = edges.toDF("a", "b")
+    // driver fast path (edges under threshold) ...
     val got = Dedup.connectedComponents(nodes, col("id"), edgeDf, col("a"), col("b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // union-find min-root and min-reachable-id agree when unions keep mins
     assert(got == expected)
+    // ... and the distributed iterative path must agree exactly
+    val gotIter = Dedup.connectedComponents(nodes, col("id"), edgeDf, col("a"), col("b"),
+        driverEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotIter == expected)
   }
 }
