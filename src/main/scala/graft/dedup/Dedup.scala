@@ -74,18 +74,24 @@ object Dedup {
   def minhashSignatureNative(tokensCol: Column, n: Int, m: Int): Column =
     graft.functions.MinHash.minhashNgrams(tokensCol, n, m)
 
-  /** Banded LSH buckets: rows (id, sig, band, bucket) where bucket is the
-    * hash of the band's signature slice. The signature column rides along
+  /** Banded LSH buckets: rows (id, <carried…>, band, bucket) where bucket
+    * is the hash of the band's signature slice. `carry` columns ride along
     * so downstream similarity checks never need a second join back (which
-    * would re-evaluate the signature subtree). bands*rowsPerBand must equal
-    * the signature length. */
+    * would re-evaluate their subtrees); by default the signature itself is
+    * carried. bands*rowsPerBand must equal the signature length. This is
+    * THE banding definition — every LSH pipeline (q21/q22/q28/q29) goes
+    * through it, so the band hash can never desynchronize between them. */
   def lshBuckets(df: DataFrame, idCol: Column, sigCol: Column,
-                 bands: Int, rowsPerBand: Int): DataFrame =
-    df.select(idCol.as("id"), sigCol.as("sig"))
-      .select(col("id"), col("sig"),
+                 bands: Int, rowsPerBand: Int,
+                 carry: Seq[(Column, String)] = Nil): DataFrame = {
+    val carried = if (carry.isEmpty) Seq(sigCol.as("sig")) else carry.map { case (c, n) => c.as(n) }
+    val carriedNames = if (carry.isEmpty) Seq("sig") else carry.map(_._2)
+    df.select((idCol.as("id") +: carried) :+ sigCol.as("_sig"): _*)
+      .select((col("id") +: carriedNames.map(col)) :+
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+          b => xxhash64(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
 
   /** Candidate pairs from banded LSH (distinct, a < b). The self-join keys
     * on (band, bucket): only rows sharing a bucket ever meet. */
@@ -146,10 +152,8 @@ object Dedup {
       .select(col("id"),
         graft.functions.NgramHashes.ngramHashes(col("toks"), n).as("hs"),
         minhashSignatureNative(col("toks"), n, m).as("sig"))
-    val buckets = base.select(col("id"), col("hs"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val buckets = lshBuckets(base, col("id"), col("sig"), bands, rows,
+      carry = Seq((col("hs"), "hs")))
     val l = buckets.select(col("band"), col("bucket"), col("id").as("a_id"), col("hs").as("hsa"))
     val r = buckets.select(col("band"), col("bucket"), col("id").as("b_id"), col("hs").as("hsb"))
     l.join(r, Seq("band", "bucket")).where(col("a_id") < col("b_id"))
@@ -184,7 +188,11 @@ object Dedup {
                           edges: DataFrame, aCol: Column, bCol: Column,
                           maxIter: Int = 20,
                           driverEdgeThreshold: Long = 1000000L): DataFrame = {
-    val e = edges.select(aCol.cast("long").as("a"), bCol.cast("long").as("b")).distinct()
+    // Materialize the (possibly expensive) edge pipeline ONCE — count,
+    // collect and every propagation round below reuse the checkpointed
+    // result instead of re-executing the detection lineage per action.
+    val e = edges.select(aCol.cast("long").as("a"), bCol.cast("long").as("b"))
+      .distinct().localCheckpoint()
     // Near-dup edge sets are small relative to the corpus (they scale with
     // the dup rate, not the row count) — when they fit the driver, a local
     // union-find + one broadcast join replaces maxIter shuffle rounds,
@@ -233,6 +241,13 @@ object Dedup {
       labels = updated.drop("_old")
       i += 1
     }
+    // an unconverged result would silently split components — refuse it
+    // (min-label propagation advances one hop per round; graphs deeper
+    // than maxIter need a higher bound or a large-star/small-star variant)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations — " +
+          "raise maxIter for graphs with diameter beyond it")
     labels.withColumnRenamed("x", "id")
   }
 

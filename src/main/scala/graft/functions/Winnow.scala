@@ -31,13 +31,26 @@ object Winnow {
     toColumn(WinnowFingerprints(toExpr(text), k, w))
 
   def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
-    val n = s.numChars() - (k - 1)
+    val nChars = s.numChars()
+    val n = nChars - (k - 1)
     if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    // code-point → byte-offset index, built in one scan: substr(text,i+1,k)
+    // is the byte range [off(i), off(i+k)) — calling UTF8String.substring
+    // per k-gram would re-walk the string from byte 0 every time (O(n²))
+    val bytes = s.getBytes
+    val offs = new Array[Int](nChars + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < bytes.length) {
+      if ((bytes(bi) & 0xC0) != 0x80) { offs(ci) = bi; ci += 1 }
+      bi += 1
+    }
+    offs(nChars) = bytes.length
     val hashes = new Array[Long](n)
     var i = 0
     while (i < n) {
-      // substr(text, i+1, k): 1-based SQL positions = [i, i+k) code points
-      hashes(i) = XxHash64Function.hash(s.substring(i, i + k), StringType, 42L)
+      val gram = UTF8String.fromBytes(bytes, offs(i), offs(i + k) - offs(i))
+      hashes(i) = XxHash64Function.hash(gram, StringType, 42L)
       i += 1
     }
     val m = n - (w - 1)
