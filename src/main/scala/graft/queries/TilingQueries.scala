@@ -39,6 +39,16 @@ object TilingQueries {
       .as[PairRow]
   }
 
+  /** 64 deterministic 12×10 centerline masks whose hit pattern is pure
+    * integer arithmetic — mirrorable in SQL without materializing arrays
+    * ((i·7 + mask_id·13) mod 11 = 0 → pixel 1). */
+  private def syntheticMasks(s: SparkSession): DataFrame =
+    s.range(64).select(
+      col("id").as("mask_id"), lit(12).as("h"), lit(10).as("w"),
+      transform(sequence(lit(0), lit(119)), i =>
+        when(pmod(i.cast("bigint") * 7 + col("id") * 13, lit(11)) === 0, 1.0f)
+          .otherwise(0.0f)).as("pixels"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O24/O12/O25/O13/O26 — faithful greedy tiling over synthetic pairs
     "q60_tiling_greedy" -> ((s, _) =>
@@ -73,6 +83,21 @@ object TilingQueries {
         .orderBy("p_partkey")
     }),
 
+    // O24 at scale — candidate-center extraction through the REAL
+    // candidatesDF (posexplode + filter) over arithmetically synthesized
+    // masks, so the (r, c) recovery from flat indices carries an oracle
+    "q62_candidates_df" -> ((s, _) => {
+      val masks = syntheticMasks(s)
+      TileJobs.candidatesDF(masks).orderBy("mask_id", "r", "c")
+    }),
+
+    // O26 scalable mode — stride-grid overlap suppression (first candidate
+    // per cell, row-major) through the REAL gridSnapDF window
+    "q63_gridsnap_df" -> ((s, _) => {
+      val cands = TileJobs.candidatesDF(syntheticMasks(s))
+      TileJobs.gridSnapDF(cands, stride = 4).orderBy("mask_id", "r", "c")
+    }),
+
     // O13 — tile-quality counts + acceptance over synthesized HR/LR arrays
     // (zeros / nodata / inf injected arithmetically; 64- and 16-element
     // arrays so the percentage divisions are exact powers of two)
@@ -94,7 +119,25 @@ object TilingQueries {
         .orderBy("p_partkey")
     }))
 
+  private val CandCte =
+    """cand AS (
+      |  SELECT m.mask_id, CAST(t.i // 10 AS INT) AS r, CAST(t.i % 10 AS INT) AS c
+      |  FROM range(0, 64) m(mask_id), range(0, 120) t(i)
+      |  WHERE (t.i * 7 + m.mask_id * 13) % 11 = 0)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q62_candidates_df" ->
+      s"""WITH $CandCte
+         |SELECT mask_id, r, c FROM cand ORDER BY mask_id, r, c""".stripMargin,
+
+    "q63_gridsnap_df" ->
+      s"""WITH $CandCte,
+         |ranked AS (
+         |  SELECT mask_id, r, c,
+         |    row_number() OVER (PARTITION BY mask_id, r // 4, c // 4 ORDER BY r, c) AS rn
+         |  FROM cand)
+         |SELECT mask_id, r, c FROM ranked WHERE rn = 1 ORDER BY mask_id, r, c""".stripMargin,
+
     "q26_border_filter" ->
       """WITH masks AS (
         |  SELECT CAST(i AS BIGINT) AS mask_id, 100 + (i % 3) * 10 AS h, 90 + (i % 4) * 5 AS w
