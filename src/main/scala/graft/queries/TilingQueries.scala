@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions._
 
 import graft.tiling.{PairRow, TileJobs}
 
-/** Tiling-operator queries. The E3 kernels are not SQL-expressible (driver
-  * records rows-only); inputs are generated deterministically in-query
-  * (hash-derived pixels — no files needed), sized against the same
-  * geometry as the golden fixtures. Full reference parity is pinned by
-  * TilingSpec against the numpy oracle; this entry keeps a live tiling
-  * artifact in every verify round.
+/** Tiling-operator queries. The sequential E3 kernels (greedy/shuffled
+  * crop scans, q60/q61) are not SQL-expressible — driver records
+  * rows-only and TilingSpec pins full reference parity against the numpy
+  * oracle — but the DataFrame-level forms ARE oracle-backed: border
+  * filter (q26), quality filter (q27), candidate extraction (q62) and
+  * grid-snap suppression (q63), each over deterministically synthesized
+  * inputs a DuckDB oracle regenerates arithmetically.
   */
 object TilingQueries {
 
