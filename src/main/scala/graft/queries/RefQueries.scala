@@ -269,6 +269,29 @@ object RefQueries {
         .orderBy("name")
     }),
 
+    // sort-based aggregation path — exact interpolated percentiles
+    // (quantile_cont twin; quantities are small integers so the
+    // interpolation arithmetic is exact in both engines)
+    "q34_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // JSON path extraction over the events props column + grouped stats
+    "q36_props_json" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // O30 — Python list-repr round-trip: build the repr (O5 quirk Q3) and
     // re-parse it (mfo:151), per customer over their sorted order keys
     "q25_listrepr_roundtrip" -> ((s, dir) =>
@@ -446,6 +469,19 @@ object RefQueries {
         |FROM named
         |WHERE regexp_matches(name, '[._](B02|B03|B04|B05)[._]') AND name NOT LIKE '%xml%'
         |ORDER BY name""".stripMargin,
+
+    "q34_percentiles" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // sum cast to BIGINT: DuckDB widens BIGINT sums to HUGEINT (q05 lesson)
+    "q36_props_json" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q25_listrepr_roundtrip" ->
       """WITH k AS (
