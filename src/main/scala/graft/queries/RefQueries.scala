@@ -292,6 +292,39 @@ object RefQueries {
         .orderBy("event_type")
     }),
 
+    // set operations — INTERSECT/EXCEPT distinct semantics
+    "q37_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val jan = o.where(month(col("o_orderdate")) === 1).select("o_custkey")
+      val feb = o.where(month(col("o_orderdate")) === 2).select("o_custkey")
+      jan.intersect(feb).select(col("o_custkey"), lit("both").as("status"))
+        .unionByName(jan.except(feb).select(col("o_custkey"), lit("jan_only").as("status")))
+        .orderBy("o_custkey", "status")
+    }),
+
+    // grouping sets — full CUBE (q15 covers ROLLUP)
+    "q38_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // pivot — weekly event counts, one column per event type (explicit
+    // value list so the output schema is deterministic)
+    "q39_pivot" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .withColumn("d", to_date(timestamp_micros(expr("ts div 1000"))))
+        .select(WeekBins.epochWeek(col("d")).as("week"), col("event_type"))
+        .groupBy("week")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy("week")
+    }),
+
     // O30 — Python list-repr round-trip: build the repr (O5 quirk Q3) and
     // re-parse it (mfo:151), per customer over their sorted order keys
     "q25_listrepr_roundtrip" -> ((s, dir) =>
@@ -482,6 +515,35 @@ object RefQueries {
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q37_set_ops" ->
+      """SELECT o_custkey, status FROM (
+        |  SELECT o_custkey, 'both' AS status FROM (
+        |    SELECT o_custkey FROM orders WHERE date_part('month', o_orderdate) = 1
+        |    INTERSECT
+        |    SELECT o_custkey FROM orders WHERE date_part('month', o_orderdate) = 2)
+        |  UNION ALL
+        |  SELECT o_custkey, 'jan_only' AS status FROM (
+        |    SELECT o_custkey FROM orders WHERE date_part('month', o_orderdate) = 1
+        |    EXCEPT
+        |    SELECT o_custkey FROM orders WHERE date_part('month', o_orderdate) = 2))
+        |ORDER BY o_custkey, status""".stripMargin,
+
+    "q38_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q39_pivot" ->
+      """SELECT CAST(floor(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY week""".stripMargin,
 
     "q25_listrepr_roundtrip" ->
       """WITH k AS (
