@@ -70,6 +70,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("json/pivot queries prune the events scan to the columns they touch") {
+    val s36 = "ReadSchema:.*".r.findFirstIn(plan("q36_props_json")).getOrElse("")
+    assert(s36.contains("props") && s36.contains("event_type") &&
+      !s36.contains("value") && !s36.contains("user_id"), s36)
+    val s39 = "ReadSchema:.*".r.findFirstIn(plan("q39_pivot")).getOrElse("")
+    assert(s39.contains("ts") && s39.contains("event_type") &&
+      !s39.contains("props") && !s39.contains("value"), s39)
+  }
+
   test("ANN brute force is the documented exception: explicit cross join, top-k via window") {
     val p = plan("q40_ann_topk")
     assert(p.contains("Window") || p.contains("RunningWindowFunction"), p.take(300))
