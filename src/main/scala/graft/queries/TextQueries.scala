@@ -53,6 +53,16 @@ object TextQueries {
         col("doc_id"),
         contentFingerprint(col("text")).as("content_fp"),
         size(winnowingFingerprints(col("text"), k = 8, w = 4)).as("n_winnowed"))
+        .orderBy("doc_id")),
+
+    // rolling content hash alone — unlike the xxhash64-based winnowing it
+    // HAS a DuckDB twin (h ← h·31 + byte is plain wrapping arithmetic,
+    // reduced over the bytes with HUGEINT mod 2^64; the corpus is ASCII so
+    // per-character codes equal UTF-8 bytes)
+    "q35_content_fp" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        contentFingerprint(col("text")).as("content_fp"))
         .orderBy("doc_id")))
 
   private val StopwordsSql =
@@ -100,6 +110,19 @@ object TextQueries {
          |    + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 8.0 THEN 1.0
          |            WHEN mean_word_len > 0.0 THEN 0.5 ELSE 0.0 END) * 0.2 AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q35_content_fp" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |            THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS content_fp
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS HUGEINT))),
+        |      (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // stopword-profile scoring + CJK script check — pure portable counting
     "q32_langid" ->

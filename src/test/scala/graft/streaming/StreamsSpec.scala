@@ -174,6 +174,39 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq("h1", "h2"))
   }
 
+  test("stateful streaming sessionization ≡ batch sessionization on real events (sf0.001)") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("user_id", "timestamp_micros(ts div 1000) AS ts")
+      .collect()
+      .map(r => SessionEvent(r.getLong(0), r.getTimestamp(1), "e"))
+      .sortBy(_.ts.getTime) // arrival order = event time (no late data)
+    val gapMs = 30L * 60 * 1000
+    val expected = sessionizeBatch(
+        evs.toSeq.toDF("user_id", "ts", "event_type"), "user_id", "ts", gapMs)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3)))
+      .toSet
+
+    val mem = MemoryStream[SessionEvent]
+    val sq = sessionize(mem.toDS(), gapMs)
+      .writeStream.outputMode("append").format("memory").queryName("sess_sf").start()
+    evs.grouped(evs.length / 3 + 1).foreach { batch =>
+      mem.addData(batch.toIndexedSeq: _*); sq.processAllAvailable()
+    }
+    // flush: a far-future event per user closes every open session
+    val flushTs = new Timestamp(evs.map(_.ts.getTime).max + 10L * gapMs)
+    mem.addData(evs.map(_.user_id).distinct.map(u => SessionEvent(u, flushTs, "flush")).toIndexedSeq: _*)
+    sq.processAllAvailable()
+    val got = spark.table("sess_sf").as[UserSession].collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events.toLong))
+      .toSet
+    sq.stop()
+    assert(got == expected,
+      s"streaming≠batch: missing ${(expected -- got).take(3)}, extra ${(got -- expected).take(3)}")
+  }
+
   test("batch sessionization: sub-second gap precision (µs, not whole seconds)") {
     val df = Seq(
       (1L, new Timestamp(1704103200000L)),        // 10:00:00.000
