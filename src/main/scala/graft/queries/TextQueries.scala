@@ -55,6 +55,16 @@ object TextQueries {
         size(winnowingFingerprints(col("text"), k = 8, w = 4)).as("n_winnowed"))
         .orderBy("doc_id")),
 
+    // overlapping character-window chunking (200-char windows, 40 overlap)
+    // — long-document → training-sample split, one row per chunk
+    "q43_chunking" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(chunk(col("text"), size = 200, overlap = 40)).as(Seq("chunk_idx", "chunk_text")))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk_text")).as("chunk_len"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // rolling content hash alone — unlike the xxhash64-based winnowing it
     // HAS a DuckDB twin (h ← h·31 + byte is plain wrapping arithmetic,
     // reduced over the bytes with HUGEINT mod 2^64; the corpus is ASCII so
@@ -110,6 +120,15 @@ object TextQueries {
          |    + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 8.0 THEN 1.0
          |            WHEN mean_word_len > 0.0 THEN 0.5 ELSE 0.0 END) * 0.2 AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q43_chunking" ->
+      """SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  length(substr(text, CAST(i * 160 + 1 AS INT), 200)) AS chunk_len,
+        |  substr(text, CAST(i * 160 + 1 AS INT), 200) AS chunk_text
+        |FROM documents, range(0, 100000) t(i)
+        |WHERE length(text) > 0
+        |  AND i <= ceil(greatest(length(text) - 200, 0) / 160.0)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q35_content_fp" ->
       """SELECT doc_id,

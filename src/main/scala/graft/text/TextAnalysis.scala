@@ -176,6 +176,28 @@ object TextAnalysis {
       .otherwise("und")
   }
 
+  // ------------------------------------------------------------ chunking
+
+  /** Overlapping character-window chunks — the standard long-document →
+    * training-sample split. Chunk i covers characters
+    * [i·(size−overlap), i·(size−overlap)+size); the last chunk may be
+    * shorter but every character is covered and consecutive chunks share
+    * `overlap` characters. Pure `sequence`+`substring` projection — narrow,
+    * codegen'd, embarrassingly parallel. Returns ARRAY<STRING> (callers
+    * posexplode into rows). */
+  def chunk(text: Column, size: Int, overlap: Int): Column = {
+    require(size > overlap && overlap >= 0, "need size > overlap >= 0")
+    val stride = size - overlap
+    val n = length(text)
+    // number of chunks: 1 + ceil(max(0, n - size) / stride); empty text → 0
+    val extra = greatest(n - size, lit(0))
+    val nChunks = lit(1) + ceil(extra.cast("double") / stride).cast("int")
+    // n == 0 guarded separately: sequence(0, -1) would count DOWN
+    when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => text.substr(i * stride + 1, lit(size))))
+  }
+
   // -------------------------------------------------------- fingerprints
 
   /** 64-bit polynomial rolling hash of the whole (normalized) document —

@@ -92,6 +92,24 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("chunking: full coverage, fixed overlap, short/empty edge cases") {
+    def chunks(t: String, size: Int, ov: Int): Seq[String] =
+      Seq(t).toDF("t").select(chunk(col("t"), size, ov).as("c"))
+        .collect()(0).getSeq[String](0).toSeq
+    assert(chunks("", 10, 2).isEmpty)
+    assert(chunks("short", 10, 2) == Seq("short"))
+    assert(chunks("a" * 10, 10, 2) == Seq("a" * 10))
+    val text = (0 until 450).map(i => ('a' + i % 26).toChar).mkString
+    val cs = chunks(text, 200, 40)
+    assert(cs.head == text.substring(0, 200))
+    // stride 160: consecutive chunks share exactly the 40-char overlap
+    cs.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      assert(a.takeRight(40) == b.take(40), s"overlap broken at $i")
+    }
+    // concatenating chunk strides reconstructs the document
+    assert((cs.init.map(_.take(160)).mkString + cs.last) == text)
+  }
+
   test("winnowing: native expression ≡ HOF formulation bit-for-bit") {
     // deterministic pseudo-random corpus spanning the edge regimes:
     // empty, < k, = k, between k and k+w (m ≤ 0), and long texts with
