@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.queries ++
       graft.queries.StreamingQueries.queries ++
       graft.queries.TilingQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.SimilarityQueries.oracle ++
       graft.queries.StreamingQueries.oracle ++
       graft.queries.TilingQueries.oracle ++
-      graft.queries.MultimodalQueries.oracle
+      graft.queries.MultimodalQueries.oracle ++
+      graft.queries.OpsQueries.oracle
 }

@@ -100,6 +100,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q44 bucketed join plans without a hash Exchange on the join key") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.SparkEntry.queries("q44_bucketed_join")(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      // the only hash Exchange allowed is the final segment aggregation's —
+      // the join reads both bucketed tables co-located
+      assert(!"Exchange hashpartitioning\\(custkey".r.findFirstIn(p).isDefined,
+        s"bucketed join shuffled on the join key:\n${p.take(800)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS graft_orders_bkt_root_testdata_sf0_001")
+      spark.sql(s"DROP TABLE IF EXISTS graft_customer_bkt_root_testdata_sf0_001")
+    }
+  }
+
+  test("q46 partitioned read prunes to the two filtered event-type partitions") {
+    val df = graft.SparkEntry.queries("q46_layout_pruning")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
+    assert(pf.contains("event_type"), s"no partition filter in scan: ${p.take(800)}")
+  }
+
   test("ANN brute force is the documented exception: explicit cross join, top-k via window") {
     val p = plan("q40_ann_topk")
     assert(p.contains("Window") || p.contains("RunningWindowFunction"), p.take(300))
