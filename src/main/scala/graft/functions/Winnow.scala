@@ -30,7 +30,18 @@ object Winnow {
   def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
     toColumn(WinnowFingerprints(toExpr(text), k, w))
 
-  def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
+  /** Same winnow (window-min + first-occurrence distinct) with the k-gram
+    * hash swapped for the rolling 31-hash family ([[RollingHash]]) — plain
+    * wrapping integer arithmetic, so a DuckDB oracle can reproduce the
+    * FULL semantics (xxhash64 has no DuckDB twin). The xxhash64 variant
+    * stays the production default (stronger mixing). */
+  def winnowingFingerprintsPortable(text: Column, k: Int, w: Int): Column =
+    toColumn(WinnowFingerprints(toExpr(text), k, w, portable = true))
+
+  def compute(s: UTF8String, k: Int, w: Int): ArrayData =
+    compute(s, k, w, portable = false)
+
+  def compute(s: UTF8String, k: Int, w: Int, portable: Boolean): ArrayData = {
     val nChars = s.numChars()
     val n = nChars - (k - 1)
     if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
@@ -49,8 +60,17 @@ object Winnow {
     val hashes = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val gram = UTF8String.fromBytes(bytes, offs(i), offs(i + k) - offs(i))
-      hashes(i) = XxHash64Function.hash(gram, StringType, 42L)
+      if (portable) {
+        // rolling 31-hash over the gram's bytes (RollingHash family)
+        var h = 1125899906842597L
+        var b = offs(i)
+        val end = offs(i + k)
+        while (b < end) { h = h * 31L + bytes(b); b += 1 }
+        hashes(i) = h
+      } else {
+        val gram = UTF8String.fromBytes(bytes, offs(i), offs(i + k) - offs(i))
+        hashes(i) = XxHash64Function.hash(gram, StringType, 42L)
+      }
       i += 1
     }
     val m = n - (w - 1)
@@ -82,7 +102,8 @@ object Winnow {
   }
 }
 
-case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+case class WinnowFingerprints(child: Expression, k: Int, w: Int,
+                              portable: Boolean = false)
     extends UnaryExpression {
   require(k >= 1 && w >= 1, "winnow requires k >= 1 and w >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -92,9 +113,9 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     else TypeCheckResult.TypeCheckFailure(
       s"winnow_fingerprints requires STRING, got ${child.dataType.catalogString}")
   override def nullSafeEval(v: Any): Any =
-    Winnow.compute(v.asInstanceOf[UTF8String], k, w)
+    Winnow.compute(v.asInstanceOf[UTF8String], k, w, portable)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Winnow.compute($c, $k, $w)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Winnow.compute($c, $k, $w, $portable)")
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
   override def prettyName: String = "winnow_fingerprints"

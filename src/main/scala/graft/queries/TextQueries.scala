@@ -48,11 +48,21 @@ object TextQueries {
         .select(col("doc_id"), langIdFrom(col("h"), col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // winnowing with the PORTABLE rolling-31 k-gram hash (full DuckDB twin:
+    // window-min + first-occurrence distinct, pinned by count, xor and min
+    // of the fingerprint set — xor/min are order-free so list_distinct
+    // ordering can't matter). The xxhash64 production variant is pinned
+    // native≡HOF in TextSpec. The winnow array is evaluated in its own
+    // projection (non-cheap expression — one evaluation, three consumers).
     "q33_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
-        col("doc_id"),
-        contentFingerprint(col("text")).as("content_fp"),
-        size(winnowingFingerprints(col("text"), k = 8, w = 4)).as("n_winnowed"))
+          col("doc_id"),
+          contentFingerprint(col("text")).as("content_fp"),
+          winnowingFingerprintsPortable(col("text"), k = 8, w = 4).as("fps"))
+        .select(col("doc_id"), col("content_fp"),
+          size(col("fps")).as("n_winnowed"),
+          aggregate(col("fps"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"),
+          array_min(col("fps")).as("fp_min"))
         .orderBy("doc_id")),
 
     // overlapping character-window chunking (200-char windows, 40 overlap)

@@ -215,6 +215,14 @@ object TextAnalysis {
   def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
     graft.functions.Winnow.winnowingFingerprints(text, k, w)
 
+  /** Portable-hash winnowing: identical window-min + first-occurrence
+    * distinct semantics with the rolling 31-hash ([[contentFingerprint]]'s
+    * family) as the k-gram hash — plain wrapping integer arithmetic, so a
+    * DuckDB oracle reproduces the FULL winnow (q33). xxhash64 stays the
+    * production default (stronger mixing). */
+  def winnowingFingerprintsPortable(text: Column, k: Int, w: Int): Column =
+    graft.functions.Winnow.winnowingFingerprintsPortable(text, k, w)
+
   /** The original higher-order-function formulation — kept solely as the
     * independent semantic cross-check for [[winnowingFingerprints]]
     * (TextSpec pins native ≡ HOF bit-for-bit on non-null inputs). */
