@@ -39,7 +39,13 @@ object Dedup {
     * The survivor set is derived over a NARROW (hash, id) projection — the
     * md5 shuffle carries 24-byte rows, never the document payload (at
     * 100 TB the text column dominates every byte moved) — and the full
-    * rows are then kept via a semi join on the id key. */
+    * rows are then kept via a semi join on the id key.
+    *
+    * REQUIRES `idCol` to be a unique, non-null key (true of every corpus
+    * this engine ingests — doc_id is the primary key): the semi join keeps
+    * "the rows whose id is a group's min id", so a NULL id can never match
+    * (its group's rows would all drop) and a duplicated id would keep every
+    * row carrying the winning id. */
   def exactDedup(df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
     val keep = df.select(md5(textCol.cast("string")).as("_h"), idCol.as("_kid"))
       .groupBy("_h").agg(min(col("_kid")).as("_kid"))

@@ -33,8 +33,13 @@ object Winnow {
   /** Same winnow (window-min + first-occurrence distinct) with the k-gram
     * hash swapped for the rolling 31-hash family ([[RollingHash]]) — plain
     * wrapping integer arithmetic, so a DuckDB oracle can reproduce the
-    * FULL semantics (xxhash64 has no DuckDB twin). The xxhash64 variant
-    * stays the production default (stronger mixing). */
+    * FULL semantics (xxhash64 has no DuckDB twin). UTF-8 bytes are folded
+    * UNSIGNED (& 0xFF), so the hash is well-defined for any input; the
+    * DuckDB twin walks per-character code points, so oracle portability
+    * holds exactly for single-byte (ASCII) text — same assumption the q35
+    * content-fingerprint oracle documents. On ASCII grams this equals
+    * [[RollingHash.hash]]. The xxhash64 variant stays the production
+    * default (stronger mixing). */
   def winnowingFingerprintsPortable(text: Column, k: Int, w: Int): Column =
     toColumn(WinnowFingerprints(toExpr(text), k, w, portable = true))
 
@@ -61,11 +66,12 @@ object Winnow {
     var i = 0
     while (i < n) {
       if (portable) {
-        // rolling 31-hash over the gram's bytes (RollingHash family)
+        // rolling 31-hash over the gram's bytes (RollingHash family);
+        // unsigned fold so non-ASCII bytes don't go in negative
         var h = 1125899906842597L
         var b = offs(i)
         val end = offs(i + k)
-        while (b < end) { h = h * 31L + bytes(b); b += 1 }
+        while (b < end) { h = h * 31L + (bytes(b) & 0xFF); b += 1 }
         hashes(i) = h
       } else {
         val gram = UTF8String.fromBytes(bytes, offs(i), offs(i + k) - offs(i))

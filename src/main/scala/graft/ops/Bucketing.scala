@@ -1,6 +1,8 @@
 package graft.ops
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
 
 /** Bucketed-table helpers for the 100 TB path: persisting both sides of a
   * recurring equi-join bucketed (and sorted) by the join key lets Spark
@@ -15,15 +17,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed, sorted managed table (overwrite). */
+  /** Persist `df` as a bucketed, sorted managed table (overwrite).
+    *
+    * Overwrite must also cover the stale-location case: the session
+    * metastore is in-memory (fresh per JVM) while `spark-warehouse/`
+    * persists on disk, so a managed-table directory left by a PREVIOUS
+    * process is invisible to the catalog and `saveAsTable` fails with
+    * LOCATION_ALREADY_EXISTS. If the table is not in the catalog but its
+    * default location exists, remove the orphaned directory first. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    nBuckets: Int): Unit =
+                    nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new Path(
+        spark.sessionState.catalog.defaultTablePath(TableIdentifier(table)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write
       .mode("overwrite")
       .bucketBy(nBuckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-key bucketed tables — with matching bucket counts the
     * planner elides both Exchanges (verify with

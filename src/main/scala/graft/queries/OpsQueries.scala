@@ -29,7 +29,10 @@ object OpsQueries {
     t(s, dir, "events")
   }
 
-  private def suffix(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+  /** Table-name suffix derived from the data dir (specs reuse this to
+    * compute the exact table names for cleanup — never hardcode them). */
+  private[graft] def suffix(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // co-located bucketed join: orders⋈customer both bucketed by custkey,

@@ -7,8 +7,10 @@ import graft.text.TextAnalysis._
 
 /** Text-analysis queries over `documents`. Token stats, quality scores and
   * language-id are pure integer-count arithmetic over fixed built-in tables
-  * → DuckDB oracles compare bit-exactly; fingerprints are deterministic but
-  * xxhash64-specific (rows-only check, pinned in TextSpec instead).
+  * → DuckDB oracles compare bit-exactly; the fingerprint queries use the
+  * portable rolling-31 hash family so the full winnow semantics get a
+  * DuckDB twin too (the xxhash64 production variant is pinned native≡HOF
+  * in TextSpec — xxhash64 has no DuckDB equivalent).
   */
 object TextQueries {
 
@@ -152,6 +154,61 @@ object TextQueries {
         |      (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS h
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // Full winnow twin (k=8, w=4): each k-gram's rolling 31-hash is ONE
+    // polynomial in HUGEINT — seed·31^8 + Σ code·31^j < 2^100 fits 128-bit,
+    // so a single mod 2^64 at the end is exact (mod is +/×-homomorphic) —
+    // then CONVERTED TO SIGNED before the window minima (Spark compares
+    // Longs signed; an unsigned min would pick different fingerprints),
+    // sliding-window min over w=4, distinct, count/xor/min. Degenerate
+    // cases mirror the expression: fewer grams than a window → distinct
+    // gram hashes; no grams → empty set (xor 0, min NULL). ASCII corpus:
+    // per-character code points equal unsigned UTF-8 bytes (same
+    // assumption as q35, verified by q35 staying green).
+    "q33_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    list_transform(
+        |      list_transform(range(1, greatest(length(text) - 7, 0) + 1), i ->
+        |        (1125899906842597::HUGEINT * 852891037441
+        |         + ascii(substr(text, CAST(i AS INT), 1))::HUGEINT     * 27512614111
+        |         + ascii(substr(text, CAST(i + 1 AS INT), 1))::HUGEINT * 887503681
+        |         + ascii(substr(text, CAST(i + 2 AS INT), 1))::HUGEINT * 28629151
+        |         + ascii(substr(text, CAST(i + 3 AS INT), 1))::HUGEINT * 923521
+        |         + ascii(substr(text, CAST(i + 4 AS INT), 1))::HUGEINT * 29791
+        |         + ascii(substr(text, CAST(i + 5 AS INT), 1))::HUGEINT * 961
+        |         + ascii(substr(text, CAST(i + 6 AS INT), 1))::HUGEINT * 31
+        |         + ascii(substr(text, CAST(i + 7 AS INT), 1))::HUGEINT
+        |        ) % 18446744073709551616::HUGEINT),
+        |      h -> CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |                     THEN h - 18446744073709551616::HUGEINT
+        |                     ELSE h END AS BIGINT)) AS grams
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(grams) >= 4 THEN
+        |      list_transform(range(1, len(grams) - 2), j ->
+        |        list_aggregate(grams[CAST(j AS INT):CAST(j + 3 AS INT)], 'min'))
+        |    ELSE grams END AS mins
+        |  FROM g),
+        |d AS (SELECT doc_id, text, list_distinct(mins) AS fps FROM w),
+        |cf AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |              THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS content_fp
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_reduce(
+        |        list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |          list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS HUGEINT))),
+        |        (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS h
+        |    FROM documents))
+        |SELECT d.doc_id, cf.content_fp,
+        |  CAST(len(fps) AS INT) AS n_winnowed,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, b) -> xor(a, b)) AS fp_xor,
+        |  list_aggregate(fps, 'min') AS fp_min
+        |FROM d JOIN cf ON d.doc_id = cf.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // stopword-profile scoring + CJK script check — pure portable counting
     "q32_langid" ->

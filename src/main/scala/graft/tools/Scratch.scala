@@ -3,22 +3,28 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc drive/profiling scratchpad (not part of the engine surface).
-  * Current drive: hostile-header multimodal assets through the decode
-  * pipeline (poison-safety check). */
+  * Current drive: reproduce the q44 Verify-path failure (query + coalesced
+  * parquet write, exactly as Verify does it). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/tmp/vfy/poison")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[4]")
-      .appName("graft-poison-drive")
+      .appName("graft-scratch")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val assets = graft.multimodal.Multimodal.readAssetDir(spark, dir, glob = "*.grft")
-    println(s"assets_listed=${assets.count()}")
-    val frames = graft.multimodal.Multimodal.decodeFrames(assets)
-    println(s"frames_decoded=${frames.count()}")
+    try {
+      val df = graft.SparkEntry.queries("q44_bucketed_join")(spark, sfDir)
+      df.coalesce(1).write.mode("overwrite").parquet("/tmp/scratch_q44")
+      println("q44 OK")
+    } catch {
+      case e: Throwable =>
+        println(s"q44 FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        e.printStackTrace()
+    }
     spark.stop()
   }
 }

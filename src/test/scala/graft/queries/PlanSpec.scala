@@ -112,8 +112,9 @@ class PlanSpec extends SparkSpec {
         s"bucketed join shuffled on the join key:\n${p.take(800)}")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.sql(s"DROP TABLE IF EXISTS graft_orders_bkt_root_testdata_sf0_001")
-      spark.sql(s"DROP TABLE IF EXISTS graft_customer_bkt_root_testdata_sf0_001")
+      val sfx = graft.queries.OpsQueries.suffix(dir)
+      spark.sql(s"DROP TABLE IF EXISTS graft_orders_bkt$sfx")
+      spark.sql(s"DROP TABLE IF EXISTS graft_customer_bkt$sfx")
     }
   }
 
