@@ -10,8 +10,12 @@ import sys
 from pathlib import Path
 
 
-def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=None):
-    """pixels: list of ints/floats, row-major, len w*h."""
+def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=None,
+               compression=1):
+    """pixels: list of ints/floats, row-major, len w*h.
+    compression: 1 = none, 8 = deflate (zlib per strip), other values are
+    written as-is with raw strip data (for unsupported-compression tests)."""
+    import zlib
     bo = "<" if little else ">"
     bpp = bits // 8
     rps = rows_per_strip or h
@@ -31,6 +35,8 @@ def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=No
                     data += struct.pack(bo + "f", v)
                 else:
                     data += struct.pack(bo + ("i" if fmt == 2 else "I"), v)
+        if compression == 8:
+            data = zlib.compress(data, 6)
         strips.append(data)
         r += rows
 
@@ -60,7 +66,7 @@ def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=No
         (256, 3, 1, short(w)),
         (257, 3, 1, short(h)),
         (258, 3, 1, short(bits)),
-        (259, 3, 1, short(1)),
+        (259, 3, 1, short(compression)),
         (262, 3, 1, short(1)),
         (277, 3, 1, short(1)),
         (278, 3, 1, short(rps)),
@@ -90,6 +96,15 @@ def main():
     write_tiff(out / "scene_B05.strips.tif", 5, 6, grad, bits=8, rows_per_strip=2)
     write_tiff(out / "scene_B07.ignored.tif", 5, 6, grad, bits=8)  # band not requested
     (out / "scene_B02.xmlish.xml").write_bytes(b"<not a tiff/>")
+    # deflate-compressed variants (kept OUT of the band-matched names so the
+    # readTiffDir band-count assertions stay unchanged)
+    write_tiff(out / "deflate_one.tif", 5, 6, [v * 100 for v in grad], bits=16,
+               compression=8)
+    write_tiff(out / "deflate_strips.tif", 5, 6, grad, bits=8, rows_per_strip=2,
+               compression=8)
+    write_tiff(out / "deflate_be_f32.tif", 5, 6, [v / 4.0 for v in grad], bits=32,
+               fmt=3, little=False, compression=8)
+    write_tiff(out / "lzw_unsupported.tif", 5, 6, grad, bits=8, compression=5)
     print("tiff fixtures written to", out)
 
 

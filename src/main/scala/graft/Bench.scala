@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   * `bit_xor(xxhash64(struct(*)))` — every output column of every row is
   * computed, hashed and aggregated (xor: overflow-free under ANSI mode),
   * while the shuffle back to the driver stays one row.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
+  * per-query MEDIAN — single runs on this host vary ±20–30% (BASELINE.md),
+  * so a one-shot total can't distinguish a real 1.3× regression from noise.
   */
 object Bench {
 
@@ -39,16 +43,22 @@ object Bench {
     // whichever query happens to scan parquet first — data stays cold
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Exception => () }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { materialize(fn(spark, sfDir)); true }
-        catch { case e: Exception =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      // a failed query reports -1, never a plausible-looking elapsed time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { materialize(fn(spark, sfDir)); true }
+          catch { case e: Exception =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        // a failed query reports -1, never a plausible-looking elapsed time
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      // median of the successful reps; -1 only if every rep failed
+      val good = times.filter(_ >= 0.0).sorted
+      name -> (if (good.isEmpty) -1.0 else good(good.length / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -37,7 +37,32 @@ object SimilarityQueries {
       t(s, dir, "embeddings")
         .select(col("vec_id"),
           Ann.hyperplaneSignature(col("embedding"), nBits = 32, seed = 42L).as("sig"))
-        .orderBy("vec_id")))
+        .orderBy("vec_id")),
+
+    // IVF approximation quality as a MEASURED output: per-query recall@10
+    // of q41's IVF result against q40's exact brute force (same config) —
+    // the driver tracks the number round over round instead of trusting a
+    // spec constant. Pure relational over two deterministic top-k outputs
+    // (tiny: 20 queries × k rows each); rows-only because the IVF side
+    // inherits q41's xxhash64 centroid sample, which has no DuckDB twin.
+    // The aggregate recall is additionally pinned in AnnSpec.
+    "q47_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 20)
+      val bf = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+      val ivf = Ann.ivfTopK(q, emb, "vec_id", "embedding",
+        k = 10, nCentroids = 16, nProbe = 4)
+      val hits = bf.join(ivf.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_true"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_true"))
+            .as("recall"))
+        .orderBy("query_id")
+    }))
 
   val oracle: Map[String, String] = Map(
     "q40_ann_topk" ->

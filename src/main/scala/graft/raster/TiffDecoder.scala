@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions.col
 
 /** Minimal pure-JVM GeoTIFF decoder for the band files the reference reads
   * with rasterio (`raster.read(1)` — O2, fct_data_extraction.py:22–26):
-  * baseline TIFF, uncompressed (Compression=1), strip-organized, single
-  * sample per pixel, 8/16/32-bit unsigned/signed integer or 32-bit float,
-  * either byte order. Geo* tags are ignored (the reference only consumes
-  * the pixel grid; georeferencing travels as metadata elsewhere).
+  * baseline TIFF, uncompressed (Compression=1) or Deflate-compressed
+  * (Compression=8 "Adobe deflate" / 32946 legacy deflate, zlib per strip),
+  * strip-organized, single sample per pixel, 8/16/32-bit unsigned/signed
+  * integer or 32-bit float, either byte order. Geo* tags are ignored (the
+  * reference only consumes the pixel grid; georeferencing travels as
+  * metadata elsewhere).
   *
-  * Anything outside that envelope (LZW/deflate, tiles, multi-band) returns
+  * Anything outside that envelope (LZW, tiles, multi-band) returns
   * Left(reason) — callers drop or route the file, a poison blob must never
-  * kill a sweep.
+  * kill a sweep. Inflation is bounded by the declared image size, so a
+  * zip-bomb strip can never allocate past the MaxPixels sanity cap.
   */
 object TiffDecoder {
 
@@ -91,9 +94,13 @@ object TiffDecoder {
     }
 
     if (width <= 0 || height <= 0) return Left("missing dimensions")
-    if (compression != 1) return Left(s"unsupported compression $compression")
+    val deflated = compression == 8 || compression == 32946
+    if (compression != 1 && !deflated)
+      return Left(s"unsupported compression $compression")
     if (samples != 1) return Left(s"unsupported samples/pixel $samples")
     if (stripOffsets == null) return Left("missing strip offsets")
+    if (deflated && stripCounts == null)
+      return Left("compressed strips need byte counts")
     if (!Set(8, 16, 32).contains(bits)) return Left(s"unsupported bits/sample $bits")
     if (bits == 32 && sampleFormat != 3 && sampleFormat != 1 && sampleFormat != 2)
       return Left(s"unsupported sample format $sampleFormat")
@@ -110,18 +117,46 @@ object TiffDecoder {
         if (stripCounts != null && s < stripCounts.length) stripCounts(s).toInt
         else math.min(bytes.length - sOff, (out.length - px) * bytesPerPx)
       if (sOff < 0 || sOff + sLen > bytes.length) return Left("strip out of range")
+      // (buf, bOff, bLen): the strip's sample bytes — a window into the file
+      // for uncompressed strips, a freshly inflated buffer for deflate. The
+      // inflate target is capped at the pixels this image still owes, so
+      // hostile compressed data can't allocate beyond the declared size.
+      val (buf, bOff, bLen) =
+        if (!deflated) (bytes, sOff, sLen)
+        else {
+          val cap = (out.length - px) * bytesPerPx
+          val tmp = new Array[Byte](cap)
+          val inf = new java.util.zip.Inflater()
+          var n = 0
+          try {
+            inf.setInput(bytes, sOff, sLen)
+            var stalled = false
+            while (!inf.finished() && !stalled && n < cap) {
+              val got = inf.inflate(tmp, n, cap - n)
+              n += got
+              // got == 0 while unfinished → truncated/corrupt stream or a
+              // needed dictionary; bail (the px-count check reports it)
+              stalled = got == 0
+            }
+          } catch {
+            case _: java.util.zip.DataFormatException =>
+              return Left("corrupt deflate strip")
+          } finally inf.end()
+          (tmp, 0, n)
+        }
+      val sb = if (buf eq bytes) bb else ByteBuffer.wrap(buf).order(order)
       var i = 0
-      while (i + bytesPerPx <= sLen && px < out.length) {
+      while (i + bytesPerPx <= bLen && px < out.length) {
         out(px) = bits match {
           case 8 =>
-            if (sampleFormat == 2) bytes(sOff + i).toFloat
-            else (bytes(sOff + i) & 0xFF).toFloat
+            if (sampleFormat == 2) buf(bOff + i).toFloat
+            else (buf(bOff + i) & 0xFF).toFloat
           case 16 =>
-            if (sampleFormat == 2) bb.getShort(sOff + i).toFloat
-            else (bb.getShort(sOff + i) & 0xFFFF).toFloat
+            if (sampleFormat == 2) sb.getShort(bOff + i).toFloat
+            else (sb.getShort(bOff + i) & 0xFFFF).toFloat
           case 32 =>
-            if (sampleFormat == 3) bb.getFloat(sOff + i)
-            else bb.getInt(sOff + i).toFloat
+            if (sampleFormat == 3) sb.getFloat(bOff + i)
+            else sb.getInt(bOff + i).toFloat
         }
         px += 1
         i += bytesPerPx

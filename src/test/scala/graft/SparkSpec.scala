@@ -6,7 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for test suites (one per JVM). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
-  def sf(name: String): String = s"/root/testdata/sf0.001/$name.parquet"
+  def sfDir: String = "/root/testdata/sf0.001"
+  def sf(name: String): String = s"$sfDir/$name.parquet"
 }
 
 object SparkSpec {

@@ -39,6 +39,36 @@ class TiffDecoderSpec extends SparkSpec {
     assert(t.pixels.toSeq == grad.toSeq)
   }
 
+  test("deflate: single-strip 16-bit") {
+    val Right(t) = decodeFile("deflate_one.tif")
+    assert((t.h, t.w) == (6, 5))
+    assert(t.pixels.toSeq == grad.map(_ * 100).toSeq)
+  }
+
+  test("deflate: multi-strip (each strip its own zlib stream)") {
+    val Right(t) = decodeFile("deflate_strips.tif")
+    assert(t.pixels.toSeq == grad.toSeq)
+  }
+
+  test("deflate: big-endian float samples") {
+    val Right(t) = decodeFile("deflate_be_f32.tif")
+    assert(t.pixels.toSeq == grad.map(_ / 4.0f).toSeq)
+  }
+
+  test("deflate: corrupt stream is dropped, not thrown") {
+    val good = Files.readAllBytes(Paths.get(res, "deflate_one.tif"))
+    // the strip starts at offset 8 (header) in the generator's layout —
+    // wreck the zlib stream body
+    val bad = good.clone()
+    bad(12) = (bad(12) ^ 0x55).toByte
+    bad(13) = (bad(13) ^ 0x55).toByte
+    assert(TiffDecoder.decode(bad).isLeft)
+  }
+
+  test("LZW stays unsupported with a pinned reason") {
+    assert(decodeFile("lzw_unsupported.tif") == Left("unsupported compression 5"))
+  }
+
   test("rejects non-TIFF bytes with a reason") {
     assert(TiffDecoder.decode("garbage bytes".getBytes).isLeft)
     assert(TiffDecoder.decode(Array[Byte](0x49, 0x49)).isLeft)

@@ -34,6 +34,23 @@ class AnnSpec extends SparkSpec {
     assert(ivf.size == bf.size) // k neighbors for every query
   }
 
+  test("q47 recall query ≡ the set-based recall computation") {
+    val bf = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Ann.ivfTopK(queries, emb, "vec_id", "embedding", 10, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val expected = (bf & ivf).size.toDouble / bf.size
+    val rows = graft.SparkEntry.queries("q47_ivf_recall")(spark, sfDir).collect()
+    assert(rows.length == 20) // one row per query vector
+    val overall = rows.map(_.getAs[Long]("n_hit")).sum.toDouble /
+      rows.map(_.getAs[Long]("n_true")).sum
+    assert(overall == expected, s"q47 overall $overall != set-based $expected")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall") ==
+        r.getAs[Long]("n_hit").toDouble / r.getAs[Long]("n_true"))
+    }
+  }
+
   test("IVF with all cells probed == brute force exactly") {
     val bf = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
