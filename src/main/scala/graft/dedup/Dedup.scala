@@ -145,6 +145,37 @@ object Dedup {
       .distinct()
   }
 
+  /** [[minhashLshPairs]] with the PORTABLE multiply-add MinHash family
+    * (graft.functions.PortableMinHash) and the band's signature SLICE as
+    * the bucket key — both choices exist so a DuckDB oracle can mirror the
+    * complete candidate semantics (xxhash64 has no DuckDB twin, neither
+    * for the signature nor for the band-bucket hash). Production keeps
+    * [[minhashLshPairs]]: its 8-byte hashed buckets shuffle less than
+    * these rowsPerBand×8-byte array keys and its hash family mixes
+    * better; the two paths share banding geometry and est_sim. */
+  def minhashLshPairsPortable(df: DataFrame, idCol: Column, textCol: Column,
+                              n: Int, m: Int, bands: Int,
+                              minEstSim: Double): DataFrame = {
+    val rows = m / bands
+    require(rows * bands == m, s"bands $bands must divide signature length $m")
+    val sigs = df.select(idCol.as("id"), tokens(textCol).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("id"),
+        graft.functions.PortableMinHash
+          .minhashNgramsPortable(col("toks"), n, m).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bnd => slice(col("sig"), bnd * rows + 1, lit(rows)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val l = banded.select(col("band"), col("bkey"), col("id").as("a_id"), col("sig").as("siga"))
+    val r = banded.select(col("band"), col("bkey"), col("id").as("b_id"), col("sig").as("sigb"))
+    l.join(r, Seq("band", "bkey")).where(col("a_id") < col("b_id"))
+      .withColumn("est_sim", signatureSimilarity(col("siga"), col("sigb")))
+      .where(col("est_sim") >= minEstSim)
+      .select(col("a_id"), col("b_id"), col("est_sim"))
+      .distinct()
+  }
+
   // -------------------------------------------------------------- jaccard
 
   /** Exact shingle-set Jaccard via set sizes (|∩| / (|A|+|B|-|∩|)) — the

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Mix64
+
+/** Deterministic hash-threshold sampling — the downsampling primitive of a
+  * training-data pipeline (per-source/per-quality-bucket rates over a
+  * corpus). Row membership is a pure function of the row's KEY, not of
+  * partitioning, task order or RNG state:
+  *
+  *   keep ⇔ Mix64.sampleCoord(key) < floor(rate · 2^32)
+  *
+  * so a sample is reproducible across runs, engines and cluster layouts,
+  * and samples NEST (rate 0.1 ⊂ rate 0.2 for the same key column) — which
+  * is what makes ablation subsets comparable. A narrow filter with no
+  * shuffle: it composes with scan pruning and survives any scale-up.
+  */
+object Sampling {
+
+  /** Rows whose key lands under the stratum's rate threshold. `rates` maps
+    * stratum value → rate in [0, 1]; strata absent from the map use
+    * `defaultRate`. */
+  def stratifiedSample(df: DataFrame, keyCol: Column, strataCol: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val coord = Mix64.sampleCoord(keyCol.cast("long"))
+    val thr = rates.foldLeft(lit(threshold(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(strataCol === stratum, lit(threshold(rate))).otherwise(acc)
+    }
+    df.where(coord < thr)
+  }
+
+  /** Uniform variant: one rate for every row. */
+  def sample(df: DataFrame, keyCol: Column, rate: Double): DataFrame =
+    df.where(Mix64.sampleCoord(keyCol.cast("long")) < lit(threshold(rate)))
+
+  /** floor(rate · 2^32) — rate 1.0 exceeds every coordinate (≤ 2^32−1),
+    * keeping all rows. Shared with the oracle-SQL generation so the two
+    * sides can never round differently. */
+  def threshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0, 1]")
+    (rate * 4294967296.0).toLong
+  }
+}

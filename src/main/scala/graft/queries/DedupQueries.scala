@@ -7,10 +7,11 @@ import graft.dedup.Dedup
 
 /** Deduplication queries over the `documents`/`embeddings` tables. The
   * SQL-expressible ones (exact hash groups, exact n-gram Jaccard, exact
-  * embedding cosine) carry DuckDB oracles; the hash-family-dependent ones
-  * (MinHash/LSH, SimHash — xxhash64 has no DuckDB twin) are registered
-  * without oracles (driver records rows-only) and are instead pinned by
-  * GraftDedupSpec against planted near-duplicates.
+  * embedding cosine, and the portable-family MinHash-LSH q48) carry DuckDB
+  * oracles; the xxhash64-family ones (q22 MinHash, q23 SimHash — xxhash64
+  * has no DuckDB twin) are registered without oracles (driver records
+  * rows-only) and are instead pinned by GraftDedupSpec against planted
+  * near-duplicates.
   */
 object DedupQueries {
 
@@ -64,6 +65,15 @@ object DedupQueries {
           n = 3, m = 32, bands = 8, minEstSim = 0.3)
         .orderBy("a_id", "b_id")),
 
+    // PORTABLE MinHash-LSH candidates — the multiply-add hash family and
+    // slice-keyed banding make signature, banding, est_sim AND threshold
+    // all DuckDB-expressible, so the full MinHash-LSH semantics get a green
+    // oracle row (q22 keeps the xxhash64 production path, rows-only)
+    "q48_minhash_portable" -> ((s, dir) =>
+      Dedup.minhashLshPairsPortable(t(s, dir, "documents"), col("doc_id"), col("text"),
+          n = 3, m = 32, bands = 8, minEstSim = 0.3)
+        .orderBy("a_id", "b_id")),
+
     // SimHash fingerprints + banded near-dup pairs (no oracle)
     "q23_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
@@ -88,7 +98,65 @@ object DedupQueries {
         .select("a_id", "b_id")
         .orderBy("a_id", "b_id")))
 
+  /** The portable MinHash (a_j, b_j) family as DuckDB struct literals —
+    * generated from graft.functions.PortableMinHash so the Spark expression
+    * and the oracle can never drift apart. b_j is emitted UNSIGNED (the
+    * oracle works in HUGEINT mod 2^64). */
+  private val MinhashConstsSql: String = (0 until 32).map { j =>
+    val a = graft.functions.PortableMinHash.a(j)
+    val b = java.lang.Long.toUnsignedString(graft.functions.PortableMinHash.b(j))
+    s"{'a': $a::HUGEINT, 'b': $b::HUGEINT}"
+  }.mkString("[", ", ", "]")
+
   val oracle: Map[String, String] = Map(
+    // Complete MinHash-LSH twin: word-trigram gram strings → rolling-31
+    // base hash mod 2^32 (the 32-bit reduction keeps a_j·x inside signed
+    // HUGEINT) → per-slot (a_j·x + b_j) mod 2^64, converted to SIGNED
+    // before the min (Spark Long order) → 8 bands keyed by the 4-slot
+    // signature slice → est_sim = equal-slot fraction, ≥ 0.3, distinct.
+    "q48_minhash_portable" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |g AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(t) - 1), i ->
+         |      t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)] || ' ' || t[CAST(i + 2 AS INT)]) AS grams
+         |  FROM tk),
+         |xs AS (
+         |  SELECT doc_id,
+         |    list_transform(grams, s ->
+         |      CAST(list_reduce(
+         |        list_prepend(1125899906842597::HUGEINT,
+         |          list_transform(range(1, length(s) + 1),
+         |            p -> ascii(substr(s, CAST(p AS INT), 1))::HUGEINT)),
+         |        (acc, c) -> (acc * 31 + c) % 18446744073709551616::HUGEINT)
+         |        % 4294967296 AS BIGINT)) AS xs
+         |  FROM g),
+         |sg AS (
+         |  SELECT doc_id,
+         |    list_transform($MinhashConstsSql, cc ->
+         |      list_aggregate(
+         |        list_transform(
+         |          list_transform(xs, x -> (cc.a * x + cc.b) % 18446744073709551616::HUGEINT),
+         |          h -> CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+         |                         THEN h - 18446744073709551616::HUGEINT
+         |                         ELSE h END AS BIGINT)),
+         |        'min')) AS sig
+         |  FROM xs),
+         |bnd AS (
+         |  SELECT doc_id, sig, CAST(bb.b AS INT) AS band,
+         |    sig[CAST(bb.b * 4 + 1 AS INT):CAST(bb.b * 4 + 4 AS INT)] AS bkey
+         |  FROM sg, range(0, 8) bb(b)),
+         |cand AS (
+         |  SELECT l.doc_id AS a_id, r.doc_id AS b_id, l.sig AS sa, r.sig AS sb
+         |  FROM bnd l JOIN bnd r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+         |SELECT DISTINCT a_id, b_id,
+         |  len(list_filter(range(1, 33), i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) / 32.0 AS est_sim
+         |FROM cand
+         |WHERE len(list_filter(range(1, 33), i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) / 32.0 >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
     "q20_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Bucketing, Layout, Skew}
+import graft.functions.Mix64
+import graft.ops.{Bucketing, Layout, Sampling, Skew}
 
 /** Driver-visible registrations for the scale-infrastructure operators
   * (graft.ops). The row-level ANSWERS are plain-SQL-expressible and carry
@@ -65,6 +66,15 @@ object OpsQueries {
         merged = Seq(sum(col("c")).as("n_events"), sum(col("s")).as("sum_floor_value")))
         .orderBy("event_type")),
 
+    // deterministic stratified sampling: per-event-type rates, membership a
+    // pure function of event_id (reproducible across engines/cluster
+    // layouts; samples nest across rates). Narrow filter — no shuffle.
+    "q49_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+          events(s, dir).select(col("event_id"), col("event_type"), col("user_id")),
+          col("event_id"), col("event_type"), SampleRates, SampleDefaultRate)
+        .orderBy("event_id")),
+
     // partitioned write layout + pruned read-back: events written
     // partitionBy(event_type), then a filtered aggregate over two of the
     // five partitions — the scan lists only those directories
@@ -83,7 +93,27 @@ object OpsQueries {
         .orderBy("event_type")
     }))
 
+  /** q49's per-stratum rates — thresholds are derived through the same
+    * Sampling.threshold floor on both sides. */
+  private val SampleRates = Map(
+    "click" -> 0.5, "view" -> 0.25, "purchase" -> 1.0, "signup" -> 0.1)
+  private val SampleDefaultRate = 0.05
+
+  private val SampleCaseSql: String =
+    SampleRates.toSeq.sorted.map { case (stratum, rate) =>
+      s"WHEN '$stratum' THEN ${Sampling.threshold(rate)}"
+    }.mkString("CASE event_type ", " ", s" ELSE ${Sampling.threshold(SampleDefaultRate)} END")
+
   val oracle: Map[String, String] = Map(
+    // the Mix64 coordinate in HUGEINT: ((A·key + B) mod 2^64) // 2^32 —
+    // bit-identical to the JVM's wrapping multiply + unsigned shift
+    "q49_stratified_sample" ->
+      s"""SELECT event_id, event_type, user_id FROM events
+         |WHERE ((${java.lang.Long.toUnsignedString(Mix64.MulA)}::HUGEINT * event_id
+         |        + ${java.lang.Long.toUnsignedString(Mix64.AddB)}::HUGEINT)
+         |       % 18446744073709551616::HUGEINT) // 4294967296
+         |      < $SampleCaseSql
+         |ORDER BY event_id""".stripMargin,
     "q44_bucketed_join" ->
       """SELECT c.c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

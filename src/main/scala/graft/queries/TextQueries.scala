@@ -77,6 +77,17 @@ object TextQueries {
           length(col("chunk_text")).as("chunk_len"), col("chunk_text"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // next-fit sequence packing per source shard (budget 120 ws-tokens):
+    // training-batch construction — short docs concatenate into packs, a
+    // doc longer than the budget gets its own pack. Sequential per shard,
+    // parallel across shards (the sessionize shape); the oracle replays
+    // the walk with a recursive CTE.
+    "q52_seq_packing" -> ((s, dir) =>
+      graft.text.Packing.packNextFit(
+          t(s, dir, "documents"),
+          col("source"), col("doc_id"), tokenCountWs(col("text")), budget = 120)
+        .orderBy("shard", "doc_id")),
+
     // rolling content hash alone — unlike the xxhash64-based winnowing it
     // HAS a DuckDB twin (h ← h·31 + byte is plain wrapping arithmetic,
     // reduced over the bytes with HUGEINT mod 2^64; the corpus is ASCII so
@@ -141,6 +152,29 @@ object TextQueries {
         |WHERE length(text) > 0
         |  AND i <= ceil(greatest(length(text) - 200, 0) / 160.0)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // replay of the per-shard next-fit walk: row_number orders each shard,
+    // the recursive step carries (pack_idx, acc) one row at a time — every
+    // shard advances once per iteration, so depth = max rows per shard
+    "q52_seq_packing" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT source AS shard, doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT shard, doc_id, n_tok, rn, CAST(0 AS BIGINT) AS pack_idx, n_tok AS acc
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.shard, b.doc_id, b.n_tok, b.rn,
+        |    CASE WHEN p.acc > 0 AND p.acc + b.n_tok > 120
+        |         THEN p.pack_idx + 1 ELSE p.pack_idx END,
+        |    CASE WHEN p.acc > 0 AND p.acc + b.n_tok > 120
+        |         THEN b.n_tok ELSE p.acc + b.n_tok END
+        |  FROM base b JOIN packed p ON b.shard = p.shard AND b.rn = p.rn + 1)
+        |SELECT shard, doc_id, n_tok, pack_idx FROM packed
+        |ORDER BY shard, doc_id""".stripMargin,
 
     "q35_content_fp" ->
       """SELECT doc_id,

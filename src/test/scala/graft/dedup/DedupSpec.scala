@@ -109,6 +109,25 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} planted pairs")
   }
 
+  test("portable MinHash-LSH recovers the planted near-dups like the xxhash64 path") {
+    val d = spark.read.parquet(sf("documents"))
+    val truth = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+        lit(0), 3, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val portable = Dedup.minhashLshPairsPortable(d, col("doc_id"), col("text"),
+        n = 3, m = 32, bands = 8, minEstSim = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(portable.contains).toDouble / truth.size
+    assert(recall >= 0.9,
+      s"portable-family recall $recall over ${truth.size} planted pairs")
+    // est_sim is k/32 with k integral — exact in binary, safe to hash-compare
+    val sims = Dedup.minhashLshPairsPortable(d, col("doc_id"), col("text"),
+        n = 3, m = 32, bands = 8, minEstSim = 0.3)
+      .collect().map(_.getDouble(2))
+    assert(sims.forall(s => s >= 0.3 && s <= 1.0 && (s * 32) == math.rint(s * 32)))
+  }
+
   test("LSH-scoped jaccard pairs equal the all-pairs result on this corpus") {
     val d = spark.read.parquet(sf("documents"))
     val allPairs = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),

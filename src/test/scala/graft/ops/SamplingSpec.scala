@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val keys = spark.range(0, 20000).toDF("id")
+
+  test("uniform sample: rate accuracy within binomial noise") {
+    val n = Sampling.sample(keys, col("id"), 0.25).count()
+    // 20000 trials at p=0.25: 3σ ≈ ±184
+    assert(math.abs(n - 5000) < 600, s"sampled $n of 20000 at rate 0.25")
+  }
+
+  test("samples nest: lower rate is a subset of higher rate") {
+    val lo = Sampling.sample(keys, col("id"), 0.1).select("id").collect().map(_.getLong(0)).toSet
+    val hi = Sampling.sample(keys, col("id"), 0.3).select("id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi), s"${(lo -- hi).size} keys in the 10% sample missing from 30%")
+  }
+
+  test("membership is a pure function of the key (repartition-invariant)") {
+    val a = Sampling.sample(keys, col("id"), 0.2).collect().map(_.getLong(0)).toSet
+    val b = Sampling.sample(keys.repartition(13), col("id"), 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("stratified: per-stratum rates and default rate both apply") {
+    val df = keys.withColumn("s",
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c"))
+    val out = Sampling.stratifiedSample(df, col("id"), col("s"),
+        Map("a" -> 1.0, "b" -> 0.0), defaultRate = 0.5)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") == 6667L)            // rate 1.0 keeps every row
+    assert(!out.contains("b"))           // rate 0.0 keeps none
+    assert(math.abs(out("c") - 3333L) < 500) // default 0.5 of 6666
+  }
+
+  test("rate 1.0 threshold exceeds every coordinate; rate bounds enforced") {
+    assert(Sampling.threshold(1.0) == 4294967296L)
+    assert(Sampling.threshold(0.0) == 0L)
+    intercept[IllegalArgumentException](Sampling.threshold(1.5))
+  }
+}
