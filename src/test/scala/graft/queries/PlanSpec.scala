@@ -118,6 +118,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q48 portable MinHash joins on (band, slice-key) — never a cartesian") {
+    val p = plan("q48_minhash_portable")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(500))
+    assert(p.contains("band") && p.contains("bkey"), p.take(500))
+  }
+
+  test("q49 sampling is a narrow filter: no Exchange before the scan's filter") {
+    val df = graft.SparkEntry.queries("q49_stratified_sample")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // only the final orderBy may shuffle; the sample itself is scan+filter
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.toString)
+    val schema = "ReadSchema:.*".r.findFirstIn(p).getOrElse("")
+    assert(!schema.contains("props") && !schema.contains("value"),
+      s"sampling read more columns than selected: $schema")
+  }
+
+  test("q52 packing shuffles once on the shard key then sorts in-partition") {
+    val df = graft.SparkEntry.queries("q52_seq_packing")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning\\(shard".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly one shard repartition:\n${p.take(800)}")
+  }
+
   test("q46 partitioned read prunes to the two filtered event-type partitions") {
     val df = graft.SparkEntry.queries("q46_layout_pruning")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
