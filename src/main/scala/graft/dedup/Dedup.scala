@@ -376,8 +376,22 @@ object Dedup {
     * chunks (pigeonhole: maxHamming ≤ 3 guarantees one equal chunk; larger
     * maxHamming trades recall, documented). Output (a_id, b_id, hamming). */
   def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
-                   maxHamming: Int): DataFrame = {
-    val base = df.select(idCol.as("id"), simhash(tokens(textCol)).as("sh"))
+                   maxHamming: Int): DataFrame =
+    simhashPairsOf(df, idCol, simhash(tokens(textCol)), maxHamming)
+
+  /** [[simhashPairs]] with the PORTABLE per-token hash family
+    * (graft.functions.PortableSimHash) so a DuckDB oracle can mirror the
+    * fingerprint, the chunk banding and the hamming verify exactly; the
+    * xxhash64 variant stays the production default. */
+  def simhashPairsPortable(df: DataFrame, idCol: Column, textCol: Column,
+                           maxHamming: Int): DataFrame =
+    simhashPairsOf(df, idCol,
+      graft.functions.PortableSimHash.simhash64Portable(tokens(textCol)),
+      maxHamming)
+
+  private def simhashPairsOf(df: DataFrame, idCol: Column, shCol: Column,
+                             maxHamming: Int): DataFrame = {
+    val base = df.select(idCol.as("id"), shCol.as("sh"))
     val chunks = base.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         i => call_function("shiftrightunsigned", col("sh"), i * 16)

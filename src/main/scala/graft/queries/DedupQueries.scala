@@ -80,6 +80,14 @@ object DedupQueries {
           maxHamming = 6)
         .orderBy("a_id", "b_id")),
 
+    // PORTABLE SimHash twin (multiply-add + xorshift token hash): the
+    // fingerprint, the 16-bit chunk banding and the hamming verify all get
+    // a DuckDB oracle; q23's xxhash64 path stays production, rows-only
+    "q53_simhash_portable" -> ((s, dir) =>
+      Dedup.simhashPairsPortable(t(s, dir, "documents"), col("doc_id"), col("text"),
+          maxHamming = 6)
+        .orderBy("a_id", "b_id")),
+
     // the WHOLE dedup pipeline as one call: exact dedup → LSH near-dup
     // pairs over exact survivors → components → keep table with reasons
     "q29_dedup_pipeline" -> ((s, dir) =>
@@ -108,7 +116,68 @@ object DedupQueries {
     s"{'a': $a::HUGEINT, 'b': $b::HUGEINT}"
   }.mkString("[", ", ", "]")
 
+  /** 2^0 … 2^63 as HUGEINT literals (bit tests on the unsigned fingerprint
+    * run as division + parity — no engine-specific shift semantics). */
+  private val PowersSql: String =
+    (0 until 64).map(b => s"${BigInt(1) << b}::HUGEINT").mkString("[", ", ", "]")
+
+  private val M64 = "18446744073709551616::HUGEINT"
+  private val SimA = java.lang.Long.toUnsignedString(graft.functions.Mix64.MulA)
+  private val SimB = java.lang.Long.toUnsignedString(graft.functions.Mix64.AddB)
+
   val oracle: Map[String, String] = Map(
+    // Portable SimHash twin: per token x = rolling31 mod 2^32,
+    // h = (A·x + B) mod 2^64, f = h XOR (h >>> 32) — three nested
+    // list_transforms bind the intermediates; bit b of the unsigned f is
+    // (f // 2^b) % 2; the fingerprint sums 2^b over the majority-1 bits,
+    // is converted to SIGNED for output/hamming, and the pairs replay the
+    // 16-bit chunk banding + bit_count(xor) verify.
+    "q53_simhash_portable" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |th AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_transform(
+         |        list_transform(t, s ->
+         |          ($SimA::HUGEINT *
+         |            ((list_reduce(
+         |                list_prepend(1125899906842597::HUGEINT,
+         |                  list_transform(range(1, length(s) + 1),
+         |                    p -> ascii(substr(s, CAST(p AS INT), 1))::HUGEINT)),
+         |                (acc, c) -> (acc * 31 + c) % $M64)) % 4294967296)
+         |           + $SimB::HUGEINT) % $M64),
+         |        h -> xor(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+         |                           THEN h - $M64 ELSE h END AS BIGINT),
+         |                 CAST(h // 4294967296 AS BIGINT))),
+         |      f -> CAST(CASE WHEN f < 0 THEN f::HUGEINT + $M64
+         |                     ELSE f::HUGEINT END AS HUGEINT)) AS hs
+         |  FROM tk),
+         |fp AS (
+         |  SELECT doc_id,
+         |    list_aggregate(
+         |      list_transform($PowersSql, pw ->
+         |        CASE WHEN 2 * len(list_filter(hs, v -> (v // pw) % 2 = 1)) > len(hs)
+         |             THEN pw ELSE 0::HUGEINT END),
+         |      'sum')::HUGEINT AS fpu
+         |  FROM th),
+         |bnd AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN fpu >= 9223372036854775808::HUGEINT
+         |              THEN fpu - $M64 ELSE fpu END AS BIGINT) AS sh,
+         |    CAST(cc.k AS INT) AS chunk,
+         |    (fpu // (CASE CAST(cc.k AS INT) WHEN 0 THEN 1::HUGEINT
+         |             WHEN 1 THEN 65536::HUGEINT
+         |             WHEN 2 THEN 4294967296::HUGEINT
+         |             ELSE 281474976710656::HUGEINT END)) % 65536 AS ckey
+         |  FROM fp, range(0, 4) cc(k))
+         |SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+         |  CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
+         |FROM bnd l JOIN bnd r
+         |  ON l.chunk = r.chunk AND l.ckey = r.ckey AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.sh, r.sh)) <= 6
+         |ORDER BY a_id, b_id""".stripMargin,
+
     // Complete MinHash-LSH twin: word-trigram gram strings → rolling-31
     // base hash mod 2^32 (the 32-bit reduction keeps a_j·x inside signed
     // HUGEINT) → per-slot (a_j·x + b_j) mod 2^64, converted to SIGNED

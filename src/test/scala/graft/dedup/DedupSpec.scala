@@ -80,6 +80,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("portable simhash: same structural properties as the xxhash64 family") {
+    val fp = docs.select(col("doc_id"),
+        graft.functions.PortableSimHash.simhash64Portable(Dedup.tokens(col("text"))).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L)) // identical text → identical fingerprint
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(2L)) <
+      java.lang.Long.bitCount(fp(1L) ^ fp(3L))) // near-dup ≪ unrelated
+    val pairs = Dedup.simhashPairsPortable(docs, col("doc_id"), col("text"), maxHamming = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup collides on every chunk
+  }
+
   test("cosine pairs: exact self-similarity and orthogonality") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
