@@ -50,7 +50,21 @@ object StreamingQueries {
         .groupBy(window(col("ts"), "7 days").as("wk"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("wk.start").cast("date").as("week_start"), col("event_type"), col("cnt"))
-        .orderBy("week_start", "event_type")))
+        .orderBy("week_start", "event_type")),
+
+    // time-bounded click→purchase attribution join (batch form of
+    // Streams.attributionJoin; StreamsSpec pins streaming ≡ batch). All
+    // time arithmetic in exact integer µs via unix_micros.
+    "q54_attribution_join" -> ((s, dir) => {
+      val e = eventsUs(s, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .select("event_id", "user_id", "ts", "event_type")
+      graft.streaming.Streams.attributionJoin(
+          e.where(col("event_type") === "click"),
+          e.where(col("event_type") === "purchase"),
+          maxGap = "6 hours")
+        .orderBy("user_id", "click_id", "purchase_id")
+    }))
 
   val oracle: Map[String, String] = Map(
     "q50_sessionize" ->
@@ -73,5 +87,16 @@ object StreamingQueries {
       """SELECT DATE '1970-01-01'
         |    + CAST(floor(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7.0) * 7 AS INT) AS week_start,
         |  event_type, count(*) AS cnt
-        |FROM events GROUP BY 1, 2 ORDER BY week_start, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY week_start, event_type""".stripMargin,
+
+    // same-user purchases at most 6 h after a click; DuckDB's µs-truncated
+    // NANOS timestamps equal Spark's ts_ns div 1000 exactly
+    "q54_attribution_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 21600000000::BIGINT
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin)
 }

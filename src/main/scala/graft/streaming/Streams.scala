@@ -134,6 +134,34 @@ object Streams {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Time-bounded stream-stream inner join (click → purchase attribution):
+    * each purchase pairs with the same user's clicks at most `maxGap`
+    * before it. Both sides carry watermarks and the join condition bounds
+    * purchase_ts − click_ts, so the state store holds only `maxGap +
+    * watermark` of clicks per user — the requirement for an unbounded
+    * 100 TB/day stream (an unconstrained stream-stream join would buffer
+    * both streams forever). Works identically on batch DataFrames (the
+    * q54 oracle form and backfills).
+    *
+    * Inputs need (event_id, user_id, ts: TIMESTAMP). Output:
+    * (user_id, click_id, purchase_id, gap_us ≥ 0).
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      maxGap: String, watermarkDelay: String = "1 hour"): DataFrame = {
+    def side(df: DataFrame, role: String): DataFrame = {
+      val named = df.select(col("event_id").as(s"${role}_id"),
+        col("user_id").as(s"${role}_user"), col("ts").as(s"${role}_ts"))
+      if (named.isStreaming) named.withWatermark(s"${role}_ts", watermarkDelay)
+      else named
+    }
+    side(clicks, "click").join(side(purchases, "purchase"),
+        col("click_user") === col("purchase_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxGap"))
+      .select(col("click_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
+
   /** Batch-mode sessionization with the same gap semantics, as a pure
     * window pipeline — the cross-check for the stateful version and the
     * shape used for backfills: session id = running count of gap breaks. */

@@ -207,6 +207,44 @@ class StreamsSpec extends SparkSpec {
       s"streaming≠batch: missing ${(expected -- got).take(3)}, extra ${(got -- expected).take(3)}")
   }
 
+  test("stream-stream attribution join ≡ batch join on real events (sf0.001)") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("event_id", "user_id", "timestamp_micros(ts div 1000) AS ts", "event_type")
+      .where("event_type IN ('click', 'purchase')")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+      .sortBy(_._3.getTime)
+    val toDf = (rows: Seq[(Long, Long, Timestamp, String)]) =>
+      rows.toDF("event_id", "user_id", "ts", "event_type")
+    val expected = attributionJoin(
+        toDf(evs.filter(_._4 == "click").toSeq), toDf(evs.filter(_._4 == "purchase").toSeq),
+        maxGap = "6 hours")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty, "testdata should contain click→purchase pairs")
+
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val joined = attributionJoin(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts"),
+      maxGap = "6 hours", watermarkDelay = "1 hour")
+    val sq = joined.writeStream.outputMode("append").format("memory")
+      .queryName("attr_join").start()
+    // feed in event-time order across 3 micro-batches (no late data)
+    evs.grouped(evs.length / 3 + 1).foreach { batch =>
+      clicks.addData(batch.filter(_._4 == "click").map(e => (e._1, e._2, e._3)).toIndexedSeq: _*)
+      purchases.addData(batch.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3)).toIndexedSeq: _*)
+      sq.processAllAvailable()
+    }
+    val got = spark.table("attr_join")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    sq.stop()
+    assert(got == expected,
+      s"streaming≠batch: missing ${(expected -- got).take(3)}, extra ${(got -- expected).take(3)}")
+  }
+
   test("batch sessionization: sub-second gap precision (µs, not whole seconds)") {
     val df = Seq(
       (1L, new Timestamp(1704103200000L)),        // 10:00:00.000
