@@ -12,10 +12,12 @@ import graft.functions._
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.GraftExtensions`.
   *
-  * SQL surface: base26(n), simhash64(tokens), rolling_hash64(s),
-  * minhash_ngrams(tokens, n, m), cosine_sim(a, b), ngram_hashes(tokens, n),
-  * sorted_jaccard(a, b), hyperplane_sig(vec, nBits, seed),
-  * winnow_fingerprints(s, k, w), text_stats(s).
+  * SQL surface: base26(n), simhash64(tokens), simhash64_portable(tokens),
+  * rolling_hash64(s), minhash_ngrams(tokens, n, m),
+  * minhash_ngrams_portable(tokens, n, m), cosine_sim(a, b),
+  * ngram_hashes(tokens, n), sorted_jaccard(a, b),
+  * hyperplane_sig(vec, nBits, seed), winnow_fingerprints(s, k, w),
+  * winnow_fingerprints_portable(s, k, w), sample_coord(key), text_stats(s).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -56,7 +58,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("winnow_fingerprints", "winnow_fingerprints(s, k, w) - winnowing k-gram fingerprints",
       es => WinnowFingerprints(es(0), intLit(es(1), "k"), intLit(es(2), "w"))),
     ("text_stats", "text_stats(s) - (ws_tokens, stop_hits, len_sum) one-pass token stats",
-      es => TextStatsExpr(es.head, graft.text.TextAnalysis.Stopwords)))
+      es => TextStatsExpr(es.head, graft.text.TextAnalysis.Stopwords)),
+    ("simhash64_portable", "simhash64_portable(tokens) - SimHash via the DuckDB-portable hash family",
+      es => SimHash64Portable(es.head)),
+    ("minhash_ngrams_portable", "minhash_ngrams_portable(tokens, n, m) - MinHash via the portable multiply-add family",
+      es => MinHashNgramsPortable(es(0), intLit(es(1), "n"), intLit(es(2), "m"))),
+    ("winnow_fingerprints_portable", "winnow_fingerprints_portable(s, k, w) - winnowing with the rolling-31 k-gram hash",
+      es => WinnowFingerprints(es(0), intLit(es(1), "k"), intLit(es(2), "w"), portable = true)),
+    ("sample_coord", "sample_coord(key) - deterministic sampling coordinate in [0, 2^32)",
+      es => SampleCoord(es.head)))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

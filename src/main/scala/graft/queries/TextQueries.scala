@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextAnalysis._
@@ -77,6 +78,28 @@ object TextQueries {
           length(col("chunk_text")).as("chunk_len"), col("chunk_text"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // corpus CURATION pipeline — the three LLM-data stages composed:
+    // quality-score filter (q31's exact formula) → exact dedup of the
+    // survivors (narrow hash+id shuffle, Dedup.exactDedup) → per-source
+    // cap keeping the 10 best by (quality desc, doc_id). Quality floats
+    // are bit-identical across engines (q31), so filter AND ranking agree.
+    "q55_curation" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          textStats(col("text")).as("st"),
+          punctRatio(col("text")).as("pr"), digitRatio(col("text")).as("dr"))
+        .select(col("doc_id"), col("source"), col("text"),
+          qualityScoreFrom(col("st"), col("pr"), col("dr")).as("quality"))
+      val deduped = graft.dedup.Dedup.exactDedup(
+        scored.where(col("quality") >= 0.5), col("text"), col("doc_id"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality").desc, col("doc_id"))
+      deduped.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select(col("source"), col("doc_id"), col("quality"), col("rank"))
+        .orderBy("source", "rank")
+    }),
+
     // next-fit sequence packing per source shard (budget 120 ws-tokens):
     // training-batch construction — short docs concatenate into packs, a
     // doc longer than the budget gets its own pack. Sequential per shard,
@@ -152,6 +175,42 @@ object TextQueries {
         |WHERE length(text) > 0
         |  AND i <= ceil(greatest(length(text) - 200, 0) / 160.0)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q31's quality formula → filter → md5 min-id dedup → per-source top-10
+    "q55_curation" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text, length(text) AS n,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rawtoks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, source, text,
+         |    CASE WHEN n = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / n END AS punct_ratio,
+         |    CASE WHEN n = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / n END AS digit_ratio,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_filter(toks, x -> list_contains($StopwordsSql, x)))::DOUBLE / len(toks) END AS stopword_ratio,
+         |    CASE WHEN len(rawtoks) = 0 THEN 0.0
+         |         ELSE list_aggregate(list_transform(rawtoks, x -> length(x)), 'sum')::DOUBLE / len(rawtoks) END AS mean_word_len
+         |  FROM base),
+         |scored AS (
+         |  SELECT doc_id, source, text,
+         |    least(stopword_ratio * 4.0, 1.0) * 0.3
+         |      + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.25
+         |      + greatest(1.0 - digit_ratio * 5.0, 0.0) * 0.25
+         |      + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 8.0 THEN 1.0
+         |              WHEN mean_word_len > 0.0 THEN 0.5 ELSE 0.0 END) * 0.2 AS quality
+         |  FROM m),
+         |qual AS (SELECT * FROM scored WHERE quality >= 0.5),
+         |keep AS (SELECT min(doc_id) AS kid FROM qual GROUP BY md5(text)),
+         |ded AS (SELECT q.* FROM qual q JOIN keep k ON q.doc_id = k.kid)
+         |SELECT source, doc_id, quality,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |       ORDER BY quality DESC, doc_id) AS INT) AS rank
+         |FROM ded
+         |QUALIFY rank <= 10
+         |ORDER BY source, rank""".stripMargin,
 
     // replay of the per-shard next-fit walk: row_number orders each shard,
     // the recursive step carries (pack_idx, acc) one row at a time — every

@@ -38,6 +38,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("hp") != 0L)
   }
 
+  test("portable-family and sampling functions callable from SQL") {
+    val row = spark.sql(
+      """SELECT
+        |  simhash64_portable(array('a','b')) AS shp,
+        |  size(minhash_ngrams_portable(array('a','b','c','d'), 2, 16)) AS mp,
+        |  size(winnow_fingerprints_portable('abcdefghij', 4, 2)) AS wp,
+        |  sample_coord(42L) AS sc
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[Long]("shp") ==
+      graft.functions.PortableSimHash.ofArray(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("a"),
+            org.apache.spark.unsafe.types.UTF8String.fromString("b")))))
+    assert(row.getAs[Int]("mp") == 16)
+    assert(row.getAs[Int]("wp") > 0)
+    assert(row.getAs[Long]("sc") == graft.functions.Mix64.hash(42L))
+    assert(row.getAs[Long]("sc") >= 0L && row.getAs[Long]("sc") < 4294967296L)
+  }
+
   test("SQL type errors are analysis-time and name the function") {
     val e = intercept[Exception](spark.sql("SELECT base26('not a number')").collect())
     assert(e.getMessage.toLowerCase.contains("base26") ||
