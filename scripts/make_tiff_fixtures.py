@@ -11,15 +11,18 @@ from pathlib import Path
 
 
 def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=None,
-               compression=1):
+               compression=1, overlong_first_strip=False):
     """pixels: list of ints/floats, row-major, len w*h.
     compression: 1 = none, 8 = deflate (zlib per strip), other values are
-    written as-is with raw strip data (for unsupported-compression tests)."""
+    written as-is with raw strip data (for unsupported-compression tests).
+    overlong_first_strip: hostile variant — strip 0's deflate stream
+    inflates to the WHOLE image (more than RowsPerStrip rows); decoders
+    must reject it rather than shift later strips' pixel placement."""
     import zlib
     bo = "<" if little else ">"
     bpp = bits // 8
     rps = rows_per_strip or h
-    strips = []
+    raw_strips = []
     r = 0
     while r < h:
         rows = min(rps, h - r)
@@ -35,10 +38,14 @@ def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=No
                     data += struct.pack(bo + "f", v)
                 else:
                     data += struct.pack(bo + ("i" if fmt == 2 else "I"), v)
-        if compression == 8:
-            data = zlib.compress(data, 6)
-        strips.append(data)
+        raw_strips.append(data)
         r += rows
+    if compression == 8:
+        strips = [zlib.compress(d, 6) for d in raw_strips]
+        if overlong_first_strip:
+            strips[0] = zlib.compress(b"".join(raw_strips), 6)
+    else:
+        strips = raw_strips
 
     # layout: header(8) | strip data | IFD | out-of-line values
     header = struct.pack(bo + "2sHI", b"II" if little else b"MM", 42, 0)  # patch IFD off
@@ -104,6 +111,8 @@ def main():
                compression=8)
     write_tiff(out / "deflate_be_f32.tif", 5, 6, [v / 4.0 for v in grad], bits=32,
                fmt=3, little=False, compression=8)
+    write_tiff(out / "deflate_overlong.tif", 5, 6, grad, bits=8, rows_per_strip=2,
+               compression=8, overlong_first_strip=True)
     write_tiff(out / "lzw_unsupported.tif", 5, 6, grad, bits=8, compression=5)
     print("tiff fixtures written to", out)
 

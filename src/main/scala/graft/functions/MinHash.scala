@@ -110,7 +110,12 @@ object PortableMinHash {
     val t = arr.numElements()
     val mins = Array.fill(m)(Long.MaxValue)
     if (t >= n) {
-      val toks = Array.tabulate(t)(i => arr.getUTF8String(i).getBytes)
+      // Null elements fold as empty byte runs (only the joining space
+      // contributes) — mirrors SimHash64Portable's isNullAt skip; the
+      // xxhash64 MinHashNgrams hashes null to its seed for the same reason.
+      val toks = Array.tabulate(t) { i =>
+        if (arr.isNullAt(i)) Array.emptyByteArray else arr.getUTF8String(i).getBytes
+      }
       var i = 0
       while (i <= t - n) {
         var h = Seed

@@ -9,7 +9,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
 /** Deterministic sampling coordinate of an integer key: the top 32 bits of
   * the multiply-add mix (key·A + B) mod 2^64 — a value in [0, 2^32) that a
   * DuckDB oracle reproduces with plain HUGEINT arithmetic
-  * (((A·key + B) mod 2^64) // 2^32). Used for hash-threshold sampling:
+  * (((A·key + B) mod 2^64) // 2^32 — with the mod normalized to a
+  * non-negative residue, (((x % M) + M) % M), because DuckDB's % and //
+  * follow the dividend's sign while the JVM side is unsigned; see the
+  * q49 oracle). Used for hash-threshold sampling:
   * keep a row iff coord < floor(rate · 2^32); the decision is a pure
   * function of the key, so samples are reproducible across runs, engines
   * and cluster sizes, and nested rates compose (a 10% sample is a subset

@@ -24,7 +24,11 @@ object Bucketing {
     * persists on disk, so a managed-table directory left by a PREVIOUS
     * process is invisible to the catalog and `saveAsTable` fails with
     * LOCATION_ALREADY_EXISTS. If the table is not in the catalog but its
-    * default location exists, remove the orphaned directory first. */
+    * default location exists, remove the orphaned directory first —
+    * but ONLY if it looks like a prior managed-table write (contains a
+    * `_SUCCESS` marker or parquet part files). A name collision with
+    * unrelated data under spark-warehouse must fail loudly via
+    * saveAsTable's LOCATION_ALREADY_EXISTS, not be silently removed. */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     nBuckets: Int): Unit = {
     val spark = df.sparkSession
@@ -32,7 +36,16 @@ object Bucketing {
       val loc = new Path(
         spark.sessionState.catalog.defaultTablePath(TableIdentifier(table)))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      if (fs.exists(loc)) {
+        val children = fs.listStatus(loc).map(_.getPath.getName)
+        val orphanedTableWrite = children.isEmpty ||
+          children.contains("_SUCCESS") ||
+          children.exists(n => n.startsWith("part-") && n.contains(".parquet"))
+        if (orphanedTableWrite) fs.delete(loc, true)
+        else throw new IllegalStateException(
+          s"refusing to overwrite non-table data at $loc for table '$table': " +
+            s"directory contains ${children.take(5).mkString(", ")}")
+      }
     }
     df.write
       .mode("overwrite")

@@ -106,11 +106,17 @@ object OpsQueries {
 
   val oracle: Map[String, String] = Map(
     // the Mix64 coordinate in HUGEINT: ((A·key + B) mod 2^64) // 2^32 —
-    // bit-identical to the JVM's wrapping multiply + unsigned shift
+    // bit-identical to the JVM's wrapping multiply + unsigned shift. The
+    // mod is NORMALIZED (((x % M) + M) % M) because DuckDB's % follows the
+    // dividend's sign: without it a negative key's residue (and the //)
+    // would diverge from the JVM's unsigned semantics. event_id >= 0 here,
+    // but the pattern must stay safe to reuse on signed keys.
     "q49_stratified_sample" ->
       s"""SELECT event_id, event_type, user_id FROM events
-         |WHERE ((${java.lang.Long.toUnsignedString(Mix64.MulA)}::HUGEINT * event_id
-         |        + ${java.lang.Long.toUnsignedString(Mix64.AddB)}::HUGEINT)
+         |WHERE ((((${java.lang.Long.toUnsignedString(Mix64.MulA)}::HUGEINT * event_id
+         |          + ${java.lang.Long.toUnsignedString(Mix64.AddB)}::HUGEINT)
+         |         % 18446744073709551616::HUGEINT)
+         |        + 18446744073709551616::HUGEINT)
          |       % 18446744073709551616::HUGEINT) // 4294967296
          |      < $SampleCaseSql
          |ORDER BY event_id""".stripMargin,

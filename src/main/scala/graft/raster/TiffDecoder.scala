@@ -48,6 +48,7 @@ object TiffDecoder {
     var bits = 1; var compression = 1; var samples = 1; var sampleFormat = 1
     var stripOffsets: Array[Long] = null
     var stripCounts: Array[Long] = null
+    var rowsPerStrip = -1L
 
     def entryValues(entryOff: Int): Array[Long] = {
       val typ = bb.getShort(entryOff + 2) & 0xFFFF
@@ -85,7 +86,9 @@ object TiffDecoder {
         case 259 => compression = vs.headOption.getOrElse(1L).toInt
         case 273 => stripOffsets = vs
         case 277 => samples = vs.headOption.getOrElse(1L).toInt
-        // 278 RowsPerStrip is ignored: strips are consumed by byte counts
+        // 278 RowsPerStrip bounds each strip's decompressed size; pixel
+        // placement is still sequential by decoded byte counts.
+        case 278 => rowsPerStrip = vs.headOption.getOrElse(-1L)
         case 279 => stripCounts = vs
         case 339 => sampleFormat = vs.headOption.getOrElse(1L).toInt
         case _ => ()
@@ -119,12 +122,17 @@ object TiffDecoder {
       if (sOff < 0 || sOff + sLen > bytes.length) return Left("strip out of range")
       // (buf, bOff, bLen): the strip's sample bytes — a window into the file
       // for uncompressed strips, a freshly inflated buffer for deflate. The
-      // inflate target is capped at the pixels this image still owes, so
-      // hostile compressed data can't allocate beyond the declared size.
+      // inflate target is capped at THIS strip's expected size (RowsPerStrip
+      // rows, or whatever the image still owes if smaller/undeclared), so a
+      // hostile over-long stream can't write into later strips' pixel
+      // positions — it is rejected instead of silently shifting placement.
       val (buf, bOff, bLen) =
         if (!deflated) (bytes, sOff, sLen)
         else {
-          val cap = (out.length - px) * bytesPerPx
+          val remaining = (out.length - px).toLong * bytesPerPx
+          val declared =
+            if (rowsPerStrip > 0) rowsPerStrip * width * bytesPerPx else remaining
+          val cap = math.min(remaining, declared).toInt
           val tmp = new Array[Byte](cap)
           val inf = new java.util.zip.Inflater()
           var n = 0
@@ -138,6 +146,11 @@ object TiffDecoder {
               // needed dictionary; bail (the px-count check reports it)
               stalled = got == 0
             }
+            // Stream still has output past the strip's declared size → the
+            // strip lies about its length; reject rather than misplace pixels.
+            if (n == cap && !inf.finished() &&
+                inf.inflate(new Array[Byte](1), 0, 1) > 0)
+              return Left("deflate strip inflates past its declared size")
           } catch {
             case _: java.util.zip.DataFormatException =>
               return Left("corrupt deflate strip")

@@ -6,7 +6,7 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.catalog.WeekBins
-import graft.functions.{Base26, MinHash, NgramHashes, SortedJaccard}
+import graft.functions.{Base26, MinHash, NgramHashes, PortableMinHash, SortedJaccard}
 import graft.tiling.TileKernel
 
 /** Property suites (SURVEY.md §5.2) over the pure kernels — scalacheck
@@ -204,5 +204,22 @@ class PropertiesSpec extends AnyFunSuite {
       s1.numElements() == 16 &&
         (0 until 16).forall(i => s1.getLong(i) == s2.getLong(i))
     }, n = 50)
+  }
+
+  test("portable minhash tolerates null token elements (folds as empty runs)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val as = Array.tabulate(8)(PortableMinHash.a)
+    val bs = Array.tabulate(8)(PortableMinHash.b)
+    val withNull = new GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), null, UTF8String.fromString("b")))
+    val withEmpty = new GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), UTF8String.fromString(""),
+        UTF8String.fromString("b")))
+    val s1 = PortableMinHash.signature(withNull, 2, 8, as, bs)
+    val s2 = PortableMinHash.signature(withEmpty, 2, 8, as, bs)
+    assert((0 until 8).forall(i => s1.getLong(i) == s2.getLong(i)))
+    // xxhash64 variant already tolerated nulls — keep that pinned too
+    assert(MinHash.signature(withNull, 2, 8).numElements() == 8)
   }
 }

@@ -12,7 +12,6 @@ import graft.SparkSpec
 class LayoutSpec extends SparkSpec {
 
   test("partition-column filter prunes at the directory level") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(sf("events"))
       .select(col("event_id"), col("event_type"), col("user_id"))
     val out = Files.createTempDirectory("layout").toString

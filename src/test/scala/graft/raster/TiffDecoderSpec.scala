@@ -65,6 +65,14 @@ class TiffDecoderSpec extends SparkSpec {
     assert(TiffDecoder.decode(bad).isLeft)
   }
 
+  test("deflate: a strip inflating past RowsPerStrip is rejected, not shifted") {
+    // strip 0's stream decompresses to the WHOLE image (30 bytes vs the
+    // declared 2 rows × 5 px); accepting it would write into strips 1-2's
+    // pixel positions
+    assert(decodeFile("deflate_overlong.tif") ==
+      Left("deflate strip inflates past its declared size"))
+  }
+
   test("LZW stays unsupported with a pinned reason") {
     assert(decodeFile("lzw_unsupported.tif") == Left("unsupported compression 5"))
   }

@@ -176,7 +176,6 @@ class StreamsSpec extends SparkSpec {
 
   test("stateful streaming sessionization ≡ batch sessionization on real events (sf0.001)") {
     implicit val sqlCtx = spark.sqlContext
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val evs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .selectExpr("user_id", "timestamp_micros(ts div 1000) AS ts")
       .collect()
@@ -209,7 +208,6 @@ class StreamsSpec extends SparkSpec {
 
   test("stream-stream attribution join ≡ batch join on real events (sf0.001)") {
     implicit val sqlCtx = spark.sqlContext
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val evs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .selectExpr("event_id", "user_id", "timestamp_micros(ts div 1000) AS ts", "event_type")
       .where("event_type IN ('click', 'purchase')")
