@@ -91,6 +91,27 @@ object OpsQueries {
           count(lit(1)).as("n_events"),
           sum(floor(col("value"))).as("sum_floor_value"))
         .orderBy("event_type")
+    }),
+
+    // backward as-of join: each purchase attributed to the user's LATEST
+    // at-or-before click (contrast q54, which keeps EVERY click in a time
+    // window). Exact integer µs; single key-shuffle sweep — see AsOfJoin.
+    "q56_asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("click_ts_us"))
+      graft.ops.AsOfJoin.backward(purchases, clicks, Seq("user_id"),
+          leftTime = "ts_us", rightTime = "click_ts_us",
+          rightTieBreak = "click_id")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("click_id"), col("click_ts_us"),
+          (col("ts_us") - col("click_ts_us")).as("gap_us"))
+        .orderBy("event_id")
     }))
 
   /** q49's per-stratum rates — thresholds are derived through the same
@@ -135,5 +156,24 @@ object OpsQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
         |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
         |FROM events WHERE event_type IN ('click', 'purchase')
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // independently-shaped oracle for the as-of sweep: an explicit
+    // join-then-arg-max (the quadratic formulation AsOfJoin avoids — fine
+    // at oracle scale). max_by tie-safety: events carry no equal-(user,ts)
+    // pairs at any SF, and the engine side additionally pins greatest-id
+    // tie-break in AsOfJoinSpec.
+    "q56_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts_us AS click_ts_us FROM e WHERE event_type = 'click'),
+        |best AS (
+        |  SELECT p.event_id AS pid, max(c.click_ts_us) AS click_ts_us,
+        |         max_by(c.click_id, c.click_ts_us) AS click_id
+        |  FROM p JOIN c ON c.user_id = p.user_id AND c.click_ts_us <= p.ts_us
+        |  GROUP BY p.event_id)
+        |SELECT p.event_id, p.user_id, p.ts_us, b.click_id, b.click_ts_us,
+        |  p.ts_us - b.click_ts_us AS gap_us
+        |FROM p LEFT JOIN best b ON b.pid = p.event_id
+        |ORDER BY p.event_id""".stripMargin)
 }
