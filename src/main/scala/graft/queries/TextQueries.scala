@@ -70,6 +70,31 @@ object TextQueries {
 
     // overlapping character-window chunking (200-char windows, 40 overlap)
     // — long-document → training-sample split, one row per chunk
+    // Gopher-style repetition signals: duplicate-word mass and the
+    // character fraction of the most-repeated word 2-/3-gram — the standard
+    // boilerplate/spam drop filters for web-scale corpora. One native pass
+    // per row (struct in its own projection); fractions are single
+    // divisions of exact integers → bit-identical across engines.
+    "q57_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), length(col("text")).as("n_chars"),
+        graft.functions.Repetition.repetitionStats(col("text")).as("rep"))
+        .select(
+          col("doc_id"),
+          col("rep.n_words").as("n_words"),
+          col("rep.n_distinct_words").as("n_distinct_words"),
+          ((col("rep.n_words") - col("rep.n_distinct_words")).cast("double") /
+            col("rep.n_words").cast("double")).as("dup_word_frac"),
+          col("rep.top2_gram").as("top2_gram"),
+          col("rep.top2_cnt").as("top2_cnt"),
+          ((col("rep.top2_cnt") * length(col("rep.top2_gram"))).cast("double") /
+            col("n_chars").cast("double")).as("top2_frac"),
+          col("rep.top3_gram").as("top3_gram"),
+          col("rep.top3_cnt").as("top3_cnt"),
+          ((col("rep.top3_cnt") * length(col("rep.top3_gram"))).cast("double") /
+            col("n_chars").cast("double")).as("top3_frac"))
+        .orderBy("doc_id")),
+
     "q43_chunking" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -166,6 +191,31 @@ object TextQueries {
          |    + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 8.0 THEN 1.0
          |            WHEN mean_word_len > 0.0 THEN 0.5 ELSE 0.0 END) * 0.2 AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    // tokenization is string_split(text, ' ') on BOTH sides by design (the
+    // native expression mirrors it, empty tokens kept); top-gram ties break
+    // (count DESC, gram binary-ASC) identically
+    "q57_repetition" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws, length(text) AS nc FROM documents),
+        |w AS (SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct FROM d),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' '))) AS gram FROM d),
+        |c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+        |t2 AS (SELECT doc_id, gram, c FROM (
+        |  SELECT doc_id, gram, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn FROM c2) WHERE rn = 1),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS gram FROM d),
+        |c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram),
+        |t3 AS (SELECT doc_id, gram, c FROM (
+        |  SELECT doc_id, gram, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn FROM c3) WHERE rn = 1)
+        |SELECT d.doc_id, CAST(w.n_words AS INT) AS n_words,
+        |  CAST(w.n_distinct AS INT) AS n_distinct_words,
+        |  CAST(w.n_words - w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE) AS dup_word_frac,
+        |  t2.gram AS top2_gram, CAST(t2.c AS INT) AS top2_cnt,
+        |  CAST(t2.c * length(t2.gram) AS DOUBLE) / CAST(d.nc AS DOUBLE) AS top2_frac,
+        |  t3.gram AS top3_gram, CAST(t3.c AS INT) AS top3_cnt,
+        |  CAST(t3.c * length(t3.gram) AS DOUBLE) / CAST(d.nc AS DOUBLE) AS top3_frac
+        |FROM d JOIN w USING (doc_id)
+        |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q43_chunking" ->
       """SELECT doc_id, CAST(i AS INT) AS chunk_idx,
