@@ -112,7 +112,22 @@ object OpsQueries {
           col("click_id"), col("click_ts_us"),
           (col("ts_us") - col("click_ts_us")).as("gap_us"))
         .orderBy("event_id")
-    }))
+    }),
+
+    // KMV distinct-count sketch vs exact: the sketch is a mergeable
+    // TypedImperativeAggregate whose partials are ≤ k longs per partition —
+    // the distributed-sketch shape — and the portable Mix64 hash + integer
+    // estimate make the approximation itself a DuckDB-checked value. k=64:
+    // unsaturated (exact path) at sf0.001, bottom-k estimation above.
+    "q59_kmv_distinct" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type").agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          graft.functions.Kmv.kmvDistinct(col("user_id"), 64).as("kmv"))
+        .select(col("event_type"), col("exact_users"),
+          col("kmv.n_kept").as("kmv_kept"),
+          col("kmv.kth_min").as("kth_min"),
+          col("kmv.est").as("kmv_est"))
+        .orderBy("event_type")))
 
   /** q49's per-stratum rates — thresholds are derived through the same
     * Sampling.threshold floor on both sides. */
@@ -175,5 +190,34 @@ object OpsQueries {
         |SELECT p.event_id, p.user_id, p.ts_us, b.click_id, b.click_ts_us,
         |  p.ts_us - b.click_ts_us AS gap_us
         |FROM p LEFT JOIN best b ON b.pid = p.event_id
-        |ORDER BY p.event_id""".stripMargin)
+        |ORDER BY p.event_id""".stripMargin,
+
+    // the KMV sketch replayed in SQL: same Mix64 mix in normalized HUGEINT
+    // (see q49's oracle for why the +M …%M), >>>1 as //2, bottom-64 via
+    // row_number, estimate = 63·2^63/h_64 — ONE double division of exact
+    // integers, so even the approximation matches bit-for-bit
+    "q59_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    (((((${java.lang.Long.toUnsignedString(Mix64.MulA)}::HUGEINT * user_id
+         |        + ${java.lang.Long.toUnsignedString(Mix64.AddB)}::HUGEINT)
+         |       % 18446744073709551616::HUGEINT)
+         |      + 18446744073709551616::HUGEINT)
+         |     % 18446744073709551616::HUGEINT) // 2)::BIGINT AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |      FROM h),
+         |nd AS (SELECT event_type, count(*) AS nd FROM h GROUP BY event_type),
+         |kth AS (SELECT event_type, h AS kth_min FROM r WHERE rn = 64),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+         |       FROM events GROUP BY event_type)
+         |SELECT ex.event_type, ex.exact_users,
+         |  CAST(least(nd.nd, 64) AS INT) AS kmv_kept,
+         |  kth.kth_min,
+         |  CASE WHEN kth.kth_min IS NOT NULL
+         |       THEN CAST(63 * 9223372036854775808::HUGEINT AS DOUBLE) / CAST(kth.kth_min AS DOUBLE)
+         |       ELSE CAST(nd.nd AS DOUBLE) END AS kmv_est
+         |FROM ex JOIN nd USING (event_type) LEFT JOIN kth USING (event_type)
+         |ORDER BY ex.event_type""".stripMargin)
 }

@@ -95,6 +95,32 @@ object TextQueries {
             col("n_chars").cast("double")).as("top3_frac"))
         .orderBy("doc_id")),
 
+    // TF-IDF-style distinctive terms: top-3 terms per document by
+    // tf·(N+1)/(df+1). The idf is the LINEAR inverse-frequency form, not
+    // log — same rarer-is-more-distinctive ordering, but the score is ONE
+    // division of exact integers → bit-identical in DuckDB (ln() last-ulp
+    // differences across libm builds would break hash parity). Map-side
+    // combinable aggs; the vocab→df join broadcasts (term dictionaries
+    // grow sublinearly — Heaps' law — so the build side stays small
+    // relative to the corpus even at 100 TB).
+    "q58_tfidf_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val nDocs = docs.count() // parquet metadata count — no scan
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(broadcast(dfreq), "term")
+        .withColumn("score",
+          (col("tf") * (nDocs + 1)).cast("double") / (col("df") + 1))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rnk")
+    }),
+
     "q43_chunking" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -216,6 +242,21 @@ object TextQueries {
         |FROM d JOIN w USING (doc_id)
         |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // score = tf·(N+1)/(df+1): one division of exact integers (see the
+    // query registration for why linear idf, not log)
+    "q58_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf * ((SELECT count(*) FROM documents) + 1) AS DOUBLE) / (df.df + 1) AS score
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, rnk, term, tf, df, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "q43_chunking" ->
       """SELECT doc_id, CAST(i AS INT) AS chunk_idx,
