@@ -17,11 +17,18 @@ object Hyperplane {
   def signature(vec: Column, nBits: Int, seed: Long): Column =
     toColumn(HyperplaneSig(toExpr(vec), nBits, seed))
 
-  /** splitmix64 — deterministic component generator. */
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+  /** splitmix64 constants — public so [[HyperplanePortable]]'s DuckDB
+    * oracle SQL is generated from the SAME values the JVM mixes with. */
+  val MixC1 = 0x9E3779B97F4A7C15L
+  val MixC2 = 0xBF58476D1CE4E5B9L
+  val MixC3 = 0x94D049BB133111EBL
+
+  /** splitmix64 — deterministic component generator (shared with
+    * [[HyperplanePortable]]). */
+  private[functions] def mix(z0: Long): Long = {
+    var z = z0 + MixC1
+    z = (z ^ (z >>> 30)) * MixC2
+    z = (z ^ (z >>> 27)) * MixC3
     z ^ (z >>> 31)
   }
 

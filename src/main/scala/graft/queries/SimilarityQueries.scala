@@ -62,9 +62,72 @@ object SimilarityQueries {
           (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_true"))
             .as("recall"))
         .orderBy("query_id")
-    }))
+    }),
+
+    // PORTABLE hyperplane LSH signatures: integer-quantized dot products
+    // (order-free exact sums) against splitmix64-regenerated planes — the
+    // whole signature replays in DuckDB SQL, giving the hyperplane family a
+    // full oracle (q42's float variant stays the prod form; its bits are
+    // pinned deterministic in AnnSpec)
+    "q64_hyperplane_portable" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.HyperplanePortable
+            .signature(col("embedding"), nBits = 32, seed = 42L).as("sig"))
+        .orderBy("vec_id")))
+
+  /** The splitmix64 chain as DuckDB SQL over normalized HUGEINT (add and
+    * multiply wrap mod 2^64; >>> n as unsigned // 2^n; xor on the BIGINT
+    * two's-complement image — bit-identical to the JVM). Generated from the same
+    * constants [[graft.functions.Hyperplane.mix]] uses so the two sides
+    * cannot drift. Stage aliases are DuckDB lateral column references. */
+  private def splitmixSql: String = {
+    import graft.functions.Hyperplane.{MixC1, MixC2, MixC3}
+    def u(x: Long) = java.lang.Long.toUnsignedString(x)
+    val M = "18446744073709551616::HUGEINT" // 2^64
+    val H = "9223372036854775808::HUGEINT"  // 2^63
+    // x·C mod 2^64 via 32-bit split — a full 64×64 HUGEINT product can
+    // exceed INT128: x·C ≡ x_lo·C + ((x_hi·C) mod 2^32)·2^32, every
+    // intermediate < 2^96
+    def mulmod(x: String, c: Long): String =
+      s"(($x % 4294967296) * ${u(c)}::HUGEINT" +
+        s" + ((($x // 4294967296) * ${u(c)}::HUGEINT) % 4294967296) * 4294967296) % $M"
+    s"""xor(42, xor(j * 4294967296, i)) AS z0s,
+       |    ((CASE WHEN z0s < 0 THEN z0s::HUGEINT + $M ELSE z0s::HUGEINT END) + ${u(MixC1)}::HUGEINT) % $M AS z1u,
+       |    CAST(CASE WHEN z1u >= $H THEN z1u - $M ELSE z1u END AS BIGINT) AS z1s,
+       |    xor(z1s, CAST(z1u // 1073741824 AS BIGINT)) AS x1s,
+       |    CASE WHEN x1s < 0 THEN x1s::HUGEINT + $M ELSE x1s::HUGEINT END AS x1u,
+       |    ${mulmod("x1u", MixC2)} AS z2u,
+       |    CAST(CASE WHEN z2u >= $H THEN z2u - $M ELSE z2u END AS BIGINT) AS z2s,
+       |    xor(z2s, CAST(z2u // 134217728 AS BIGINT)) AS x2s,
+       |    CASE WHEN x2s < 0 THEN x2s::HUGEINT + $M ELSE x2s::HUGEINT END AS x2u,
+       |    ${mulmod("x2u", MixC3)} AS z3u,
+       |    CAST(CASE WHEN z3u >= $H THEN z3u - $M ELSE z3u END AS BIGINT) AS z3s,
+       |    xor(z3s, CAST(z3u // 2147483648 AS BIGINT)) AS mixs,
+       |    (CASE WHEN mixs < 0 THEN mixs::HUGEINT + $M ELSE mixs::HUGEINT END) // 4294967296 AS top32u,
+       |    CAST(CASE WHEN top32u >= 2147483648 THEN top32u - 4294967296 ELSE top32u END AS BIGINT) AS comp""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
+    // plane components c(j,i) = signed top-32 of splitmix64(42 ^ j<<32 ^ i);
+    // quantization floor(x·2^20) is exact in double; integer dot sums are
+    // order-free so GROUP BY may reassociate freely (see HyperplanePortable)
+    "q64_hyperplane_portable" ->
+      s"""WITH comp AS (
+         |  SELECT j, i, $splitmixSql
+         |  FROM range(0, 32) tj(j), range(0, 64) ti(i)),
+         |dv AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS q
+         |  FROM embeddings),
+         |dots AS (
+         |  SELECT d.vec_id, c.j, sum(d.q * c.comp) AS dot
+         |  FROM dv d JOIN comp c ON c.i = d.i
+         |  GROUP BY d.vec_id, c.j)
+         |SELECT vec_id,
+         |  CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS sig
+         |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "q40_ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |q AS (SELECT * FROM e WHERE vec_id < 20),

@@ -74,4 +74,41 @@ class AnnSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(sig2.toSeq == vecs.collect().map(r => sig(r.getLong(0))).toSeq)
   }
+
+  test("portable hyperplane sig ≈ float sig: quantization flips almost no bits") {
+    import graft.functions.HyperplanePortable
+    val nBits = 32
+    val rows = emb.select(
+        Ann.hyperplaneSignature(col("embedding"), nBits, 42L).as("f"),
+        HyperplanePortable.signature(col("embedding"), nBits, 42L).as("p"))
+      .collect()
+    // both variants are monotone images of the same mix (float: mix/2^63,
+    // portable: mix >> 32), so plane DIRECTIONS agree — a bit can only flip
+    // when the dot is within quantization error of zero (|cos| ≲ 2^-20).
+    // Expected flips over 500 vecs × 32 bits: ≪ 1; assert a loose ceiling.
+    val flips = rows.map(r => java.lang.Long.bitCount(r.getLong(0) ^ r.getLong(1))).sum
+    assert(flips <= 10, s"quantization flipped $flips bits across ${rows.length} vecs")
+    val sigs = rows.map(_.getLong(1))
+    assert(sigs.distinct.length > rows.length / 2, "portable sigs degenerate")
+    // determinism across evaluations
+    val again = emb.select(HyperplanePortable.signature(col("embedding"), nBits, 42L))
+      .collect().map(_.getLong(0))
+    assert(again.toSeq === sigs.toSeq)
+  }
+
+  test("portable hyperplane JVM closed form matches the expression") {
+    import graft.functions.HyperplanePortable
+    val v = Array(0.3f, -0.2f, 0.55f, 0.01f)
+    val df = Seq((1L, v)).toDF("vec_id", "embedding")
+    val got = df.select(HyperplanePortable.signature(col("embedding"), 8, 7L))
+      .head().getLong(0)
+    var expect = 0L
+    for (j <- 0 until 8) {
+      val dot = v.indices.map(i =>
+        HyperplanePortable.quant(v(i).toDouble) *
+          HyperplanePortable.component(7L, j, i)).sum
+      if (dot >= 0) expect |= (1L << j)
+    }
+    assert(got === expect)
+  }
 }
