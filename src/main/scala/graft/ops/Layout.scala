@@ -1,6 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+
+import graft.functions.ZOrder
 
 /** Write-layout helpers for the 100 TB path. Partitioning the physical
   * layout by the columns queries filter on turns those filters into
@@ -23,4 +26,20 @@ object Layout {
       else df
     out.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
+
+  /** Z-ordered parquet write: range-partition + sort on the Morton value of
+    * two layout keys, so every file covers a tight bounding BOX in (x, y) —
+    * parquet min/max stats then skip files for filters on EITHER dimension
+    * (plain sorting only tightens the leading column). This is the
+    * high-cardinality complement to [[writePartitioned]]: no directory
+    * explosion, locality comes from the curve, not the path. `numFiles`
+    * bounds output file count (at 100 TB, size so files land 128 MB–1 GB).
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: Column, yCol: Column,
+                    numFiles: Int): Unit =
+    df.withColumn("_zval", ZOrder.zval(xCol.cast("long"), yCol.cast("long")))
+      .repartitionByRange(numFiles, col("_zval"))
+      .sortWithinPartitions("_zval")
+      .drop("_zval")
+      .write.mode("overwrite").parquet(path)
 }

@@ -44,4 +44,24 @@ object Sampling {
     require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0, 1]")
     (rate * 4294967296.0).toLong
   }
+
+  /** Deterministic weighted sample WITHOUT replacement (priority sampling,
+    * Duffield–Lund–Thorup): each row gets priority w/u with u the key's
+    * uniform coordinate, and the n highest priorities win — rows with twice
+    * the weight are (stochastically) twice as likely to make the cut, yet
+    * the outcome is a pure function of (key, weight). Computed as
+    * w·2^32/(coord+1): one exact power-of-two scale + one division, both
+    * IEEE-exact-rounded → bit-identical in DuckDB. Plans as top-k
+    * (TakeOrdered): per-partition heaps then a single merge — no full sort,
+    * no shuffle of the corpus. Requires weights > 0 (non-positive rows are
+    * dropped). */
+  def weightedTopK(df: DataFrame, keyCol: Column, weightCol: Column,
+                   n: Int): DataFrame = {
+    val u32 = Mix64.sampleCoord(keyCol.cast("long")) + lit(1L) // (0, 2^32]
+    val priority = weightCol * lit(4294967296.0) / u32.cast("double")
+    df.where(weightCol > 0)
+      .withColumn("priority", priority)
+      .orderBy(col("priority").desc, keyCol)
+      .limit(n)
+  }
 }

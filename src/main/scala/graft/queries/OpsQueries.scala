@@ -127,7 +127,27 @@ object OpsQueries {
           col("kmv.n_kept").as("kmv_kept"),
           col("kmv.kth_min").as("kth_min"),
           col("kmv.est").as("kmv_est"))
-        .orderBy("event_type")))
+        .orderBy("event_type")),
+
+    // deterministic weighted sampling (priority sampling): top-100 events
+    // by value-weighted priority — reproducible across engines/layouts,
+    // plans as TakeOrdered (per-partition heaps, no full sort)
+    "q65_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedTopK(
+          events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+          col("event_id"), col("value"), n = 100)
+        .orderBy(col("priority").desc, col("event_id"))),
+
+    // Morton curve coordinate for the (user, day) layout keys — the value
+    // Layout.writeZOrdered clusters files by (LayoutSpec pins the bounding-
+    // box tightening); codegen'd bit interleave, narrow projection
+    "q66_zorder" -> ((s, dir) =>
+      events(s, dir)
+        .withColumnRenamed("ts", "ts_ns")
+        .select(col("event_id"), col("user_id"),
+          expr("ts_ns div 1000 div 86400000000").as("day"))
+        .withColumn("zval", graft.functions.ZOrder.zval(col("user_id"), col("day")))
+        .orderBy("event_id")))
 
   /** q49's per-stratum rates — thresholds are derived through the same
     * Sampling.threshold floor on both sides. */
@@ -140,20 +160,23 @@ object OpsQueries {
       s"WHEN '$stratum' THEN ${Sampling.threshold(rate)}"
     }.mkString("CASE event_type ", " ", s" ELSE ${Sampling.threshold(SampleDefaultRate)} END")
 
+  /** The Mix64 coordinate in HUGEINT: ((A·key + B) mod 2^64) // 2^32 —
+    * bit-identical to the JVM's wrapping multiply + unsigned shift. The
+    * mod is NORMALIZED (((x % M) + M) % M) because DuckDB's % follows the
+    * dividend's sign: without it a negative key's residue (and the //)
+    * would diverge from the JVM's unsigned semantics. Keys here are >= 0,
+    * but the pattern must stay safe to reuse on signed keys. */
+  private def coordSql(key: String): String =
+    s"""((((${java.lang.Long.toUnsignedString(Mix64.MulA)}::HUGEINT * $key
+       |    + ${java.lang.Long.toUnsignedString(Mix64.AddB)}::HUGEINT)
+       |   % 18446744073709551616::HUGEINT)
+       |  + 18446744073709551616::HUGEINT)
+       | % 18446744073709551616::HUGEINT) // 4294967296""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // the Mix64 coordinate in HUGEINT: ((A·key + B) mod 2^64) // 2^32 —
-    // bit-identical to the JVM's wrapping multiply + unsigned shift. The
-    // mod is NORMALIZED (((x % M) + M) % M) because DuckDB's % follows the
-    // dividend's sign: without it a negative key's residue (and the //)
-    // would diverge from the JVM's unsigned semantics. event_id >= 0 here,
-    // but the pattern must stay safe to reuse on signed keys.
     "q49_stratified_sample" ->
       s"""SELECT event_id, event_type, user_id FROM events
-         |WHERE ((((${java.lang.Long.toUnsignedString(Mix64.MulA)}::HUGEINT * event_id
-         |          + ${java.lang.Long.toUnsignedString(Mix64.AddB)}::HUGEINT)
-         |         % 18446744073709551616::HUGEINT)
-         |        + 18446744073709551616::HUGEINT)
-         |       % 18446744073709551616::HUGEINT) // 4294967296
+         |WHERE ${coordSql("event_id")}
          |      < $SampleCaseSql
          |ORDER BY event_id""".stripMargin,
     "q44_bucketed_join" ->
@@ -219,5 +242,27 @@ object OpsQueries {
          |       THEN CAST(63 * 9223372036854775808::HUGEINT AS DOUBLE) / CAST(kth.kth_min AS DOUBLE)
          |       ELSE CAST(nd.nd AS DOUBLE) END AS kmv_est
          |FROM ex JOIN nd USING (event_type) LEFT JOIN kth USING (event_type)
-         |ORDER BY ex.event_type""".stripMargin)
+         |ORDER BY ex.event_type""".stripMargin,
+
+    // priority = w·2^32/(coord+1): power-of-two scale (exact) + one
+    // division (exact-rounded) — identical doubles on both engines
+    "q65_weighted_sample" ->
+      s"""SELECT event_id, event_type, value,
+         |  value * 4294967296 / CAST(${coordSql("event_id")} + 1 AS DOUBLE) AS priority
+         |FROM events WHERE value > 0
+         |ORDER BY priority DESC, event_id LIMIT 100""".stripMargin,
+
+    // bit interleave expanded term-by-term from ZOrder.Bits — generated
+    // from the same constant as the JVM loop
+    "q66_zorder" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day,
+         |  ${zvalSql("user_id", "(epoch_us(ts) // 86400000000)")} AS zval
+         |FROM events ORDER BY event_id""".stripMargin)
+
+  /** Σ_b ((x>>b)&1)·2^(2b) + ((y>>b)&1)·2^(2b+1) — [[ZOrder.interleave]]
+    * unrolled as DuckDB SQL (inputs here are < 2^16, matching the mask). */
+  private def zvalSql(x: String, y: String): String =
+    (0 until graft.functions.ZOrder.Bits).flatMap(b => Seq(
+      s"((($x >> $b) & 1) << ${2 * b})",
+      s"((($y >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
 }

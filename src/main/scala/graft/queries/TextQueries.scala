@@ -121,6 +121,22 @@ object TextQueries {
         .orderBy("doc_id", "rnk")
     }),
 
+    // inverted-index build: term → (df, postings ordered by doc_id with
+    // term frequencies) — the retrieval-side materialization of q58's
+    // statistics. One explode + two map-side-combinable aggregations; each
+    // posting list is bounded by the term's df (at 100 TB, shard hot terms'
+    // lists into fixed-size blocks at write time — the build shape is
+    // unchanged). sort_array on (doc_id, tf) structs orders by doc_id: the
+    // same list DuckDB's ordered list() aggregate produces.
+    "q67_inverted_index" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .groupBy("term").agg(
+          count(lit(1)).as("df"),
+          sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
+        .orderBy("term")),
+
     "q43_chunking" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -257,6 +273,15 @@ object TextQueries {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
         |  FROM scored)
         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q67_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT term, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term, doc_id)
+        |SELECT term, count(*) AS df,
+        |  list({'doc_id': doc_id, 'tf': tf} ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY term ORDER BY term""".stripMargin,
 
     "q43_chunking" ->
       """SELECT doc_id, CAST(i AS INT) AS chunk_idx,

@@ -29,4 +29,34 @@ class LayoutSpec extends SparkSpec {
     val dataFiles = purchaseDir.listFiles().count(_.getName.endsWith(".parquet"))
     assert(dataFiles == 1, s"small-files guard: $dataFiles files")
   }
+
+  test("z-ordered layout skips files on the NON-leading dimension too") {
+    import spark.implicits._
+    // a shuffled 64×64 grid: plain x-sort gives every file the full y range
+    // (no y-skipping); the z-curve gives each file a tight (x, y) box
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y").repartition(8) // destroy any incidental order
+    val zDir = Files.createTempDirectory("zorder").toString
+    val xDir = Files.createTempDirectory("xsort").toString
+    Layout.writeZOrdered(grid, zDir, $"x", $"y", numFiles = 16)
+    grid.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xDir)
+
+    // files whose [min_y, max_y] overlaps the filter y < 8 — the file count
+    // a stats-based reader must open
+    def overlapping(dir: String): Int = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      files.count { f =>
+        val r = spark.read.parquet(f).agg(min($"y"), max($"y")).head()
+        r.getLong(0) < 8
+      }
+    }
+    val zHit = overlapping(zDir)
+    val xHit = overlapping(xDir)
+    assert(xHit >= 12, s"x-sorted layout should leave ~every file y-unselective, got $xHit")
+    assert(zHit <= xHit / 2, s"z-order should halve touched files at worst: z=$zHit x=$xHit")
+    // layout must not change the data
+    assert(spark.read.parquet(zDir).count() === 64L * 64)
+  }
 }

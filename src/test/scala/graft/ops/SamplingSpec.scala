@@ -44,4 +44,27 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.threshold(0.0) == 0L)
     intercept[IllegalArgumentException](Sampling.threshold(1.5))
   }
+
+  test("weighted top-k matches the driver-side closed form; drops w <= 0") {
+    import graft.functions.Mix64
+    val df = keys.withColumn("w",
+      when(col("id") % 7 === 0, -1.0).otherwise((col("id") % 13 + 1).cast("double")))
+    val got = Sampling.weightedTopK(df, col("id"), col("w"), n = 25)
+      .select("id", "priority").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expect = df.select("id", "w").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(_._2 > 0)
+      .map { case (id, w) => (id, w * 4294967296.0 / (Mix64.hash(id) + 1).toDouble) }
+      .sortBy { case (id, p) => (-p, id) }
+      .take(25)
+    assert(got.toSeq === expect.toSeq)
+    assert(!got.exists { case (id, _) => id % 7 == 0 })
+  }
+
+  test("weighted top-k plans as TakeOrdered — no global sort exchange") {
+    val df = keys.withColumn("w", (col("id") % 13 + 1).cast("double"))
+    val plan = Sampling.weightedTopK(df, col("id"), col("w"), 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n${plan.take(400)}")
+  }
 }
