@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,6 +17,9 @@ object TextQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** q68's fixed keyword query — shared with its oracle SQL. */
+  private val Bm25QueryTerms: Seq[String] = Seq("spark", "join", "window")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_token_stats" -> ((s, dir) =>
@@ -136,6 +139,43 @@ object TextQueries {
           count(lit(1)).as("df"),
           sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
         .orderBy("term")),
+
+    // BM25-style keyword retrieval: top-20 docs for a fixed 3-term query.
+    // Classic BM25 term saturation (k1=1.2, b=0.75) with the LINEAR idf
+    // (N−df+0.5)/(df+0.5) — same monotonicity, no ln() (cross-libm ulp
+    // drift); each term's double score is floored to integer micro-units
+    // BEFORE the per-doc sum, so the aggregation is order-free integer
+    // addition (a double sum's association order differs between Spark's
+    // partial aggregation and DuckDB — floors make that unobservable).
+    // Shape: tf filter → broadcast df join → narrow scoring → TakeOrdered.
+    "q68_bm25_topk" -> ((s, dir) => {
+      val qterms = Bm25QueryTerms
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val withDl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"),
+        col("text"))
+      val Row(sumDl: Long, nDocs: Long) = withDl
+        .agg(sum(col("dl")), count(lit(1))).head()
+      val avgdl = sumDl.toDouble / nDocs // one division — portable
+      val tf = withDl
+        .select(col("doc_id"), col("dl"),
+          explode(split(col("text"), " ")).as("term"))
+        .where(col("term").isin(qterms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val idf = ((lit(nDocs) - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val tfsat = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl").cast("double")) / lit(avgdl)))
+      tf.join(broadcast(dfreq), "term")
+        .withColumn("s_term", floor(lit(1000000.0) * idf * tfsat))
+        .groupBy("doc_id").agg(sum(col("s_term")).as("score_micro"),
+          count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(20)
+        .select("doc_id", "n_terms_hit", "score_micro")
+    }),
 
     "q43_chunking" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -273,6 +313,29 @@ object TextQueries {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
         |  FROM scored)
         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // float factors mirror the Spark expression TREE op-for-op (each IEEE
+    // op is exactly rounded, so identical trees ⇒ identical doubles); the
+    // floor-to-micro-units before the sum makes aggregation order moot
+    "q68_bm25_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN (${Bm25QueryTerms.map(t => s"'$t'").mkString(", ")})
+         |       GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+         |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+         |g AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n FROM dl),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    CAST(floor(1000000.0 *
+         |      ((CAST(g.n - dfq.df AS DOUBLE) + 0.5) / (CAST(dfq.df AS DOUBLE) + 0.5)) *
+         |      ((CAST(tf.tf AS DOUBLE) * 2.2) /
+         |       (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl.dl AS DOUBLE)) / g.avgdl)))
+         |    ) AS BIGINT) AS s_term
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), g)
+         |SELECT doc_id, count(*) AS n_terms_hit, CAST(sum(s_term) AS BIGINT) AS score_micro
+         |FROM scored GROUP BY doc_id
+         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
 
     "q67_inverted_index" ->
       """WITH tf AS (
