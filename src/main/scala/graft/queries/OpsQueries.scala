@@ -138,6 +138,29 @@ object OpsQueries {
           col("event_id"), col("value"), n = 100)
         .orderBy(col("priority").desc, col("event_id"))),
 
+    // Bloom-pruned selective join: the small side's keys aggregate into a
+    // broadcast bitset and the fact side filters BEFORE its shuffle — at
+    // 100 TB the shuffle carries ~10% of orders instead of all of them.
+    // No false negatives ⇒ result ≡ the plain semi join, which IS the
+    // oracle; BloomSpec pins the pruning selectivity and plan shape.
+    "q69_bloom_join" -> ((s, dir) => {
+      import graft.functions.Bloom
+      val cust = t(s, dir, "customer")
+        .where(col("c_acctbal") > 9000).select(col("c_custkey"))
+      val bloom = cust.agg(
+        Bloom.buildAgg(col("c_custkey"), numBits = 1 << 14, numHashes = 4).as("bf"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+        .crossJoin(broadcast(bloom))
+        .where(Bloom.mightContain(col("bf"), col("o_custkey"), numHashes = 4))
+        .drop("bf")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Morton curve coordinate for the (user, day) layout keys — the value
     // Layout.writeZOrdered clusters files by (LayoutSpec pins the bounding-
     // box tightening); codegen'd bit interleave, narrow projection
@@ -251,6 +274,16 @@ object OpsQueries {
          |  value * 4294967296 / CAST(${coordSql("event_id")} + 1 AS DOUBLE) AS priority
          |FROM events WHERE value > 0
          |ORDER BY priority DESC, event_id LIMIT 100""".stripMargin,
+
+    // the bloom prefilter is invisible to results (no false negatives):
+    // the oracle is the plain selective semi join
+    "q69_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // bit interleave expanded term-by-term from ZOrder.Bits — generated
     // from the same constant as the JVM loop
