@@ -41,6 +41,19 @@ object Kmv {
 
   def estimate(k: Int, kthMin: Long): Double =
     ((k - 1).toDouble * Scale) / kthMin.toDouble
+
+  /** Insert a hash into a bottom-k buffer (shared by the batch aggregate
+    * and the streaming state fold — one definition, one semantics). */
+  def add(buf: java.util.TreeSet[java.lang.Long], h: Long, k: Int): Unit =
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last) { if (buf.add(h)) buf.pollLast(); () }
+
+  /** (n_kept, kth_min, est) of a buffer — est is exact below saturation. */
+  def stats(buf: java.util.TreeSet[java.lang.Long], k: Int): (Int, Option[Long], Double) =
+    if (buf.size >= k) {
+      val kth = buf.last.longValue()
+      (buf.size, Some(kth), estimate(k, kth))
+    } else (buf.size, None, buf.size.toDouble)
 }
 
 case class KmvDistinct(
@@ -66,15 +79,11 @@ case class KmvDistinct(
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 
-  private def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit =
-    if (buf.size < k) { buf.add(h); () }
-    else if (h < buf.last) { if (buf.add(h)) buf.pollLast(); () }
-
   override def update(
       buf: java.util.TreeSet[java.lang.Long],
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
-    if (v != null) add(buf, Kmv.hash63(v.asInstanceOf[Long]))
+    if (v != null) Kmv.add(buf, Kmv.hash63(v.asInstanceOf[Long]), k)
     buf
   }
 
@@ -82,17 +91,14 @@ case class KmvDistinct(
       buf: java.util.TreeSet[java.lang.Long],
       other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
     val it = other.iterator()
-    while (it.hasNext) add(buf, it.next())
+    while (it.hasNext) Kmv.add(buf, it.next(), k)
     buf
   }
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
-    if (buf.size >= k) {
-      val kth = buf.last.longValue()
-      new GenericInternalRow(Array[Any](buf.size, kth, Kmv.estimate(k, kth)))
-    } else {
-      new GenericInternalRow(Array[Any](buf.size, null, buf.size.toDouble))
-    }
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val (n, kth, est) = Kmv.stats(buf, k)
+    new GenericInternalRow(Array[Any](n, kth.orNull, est))
+  }
 
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 * buf.size)

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.Kmv
+
+/** Per-batch KMV update for one group. `est` is exact below saturation. */
+case class KmvUpdate(group: String, n_kept: Int, kth_min: Option[Long], est: Double)
+
+/** Streaming distinct-count sketching: the [[graft.functions.KmvDistinct]]
+  * bottom-k estimator maintained as `mapGroupsWithState` state, one bounded
+  * buffer (≤ k longs) per group, updated per micro-batch and emitting the
+  * running estimate. This is how cardinality monitoring runs on an
+  * unbounded stream at scale: state size is k·|groups| longs FOREVER —
+  * compare a streaming `approx_count_distinct` materialization or exact
+  * dropDuplicates, whose state grows with the key universe.
+  *
+  * The fold uses the SAME [[Kmv.add]]/[[Kmv.stats]] as the batch aggregate,
+  * so stream-end state ≡ the batch sketch over the same rows regardless of
+  * micro-batch slicing (pinned in StreamsSpec) — and therefore ≡ the q59
+  * DuckDB oracle too.
+  */
+object SketchStream {
+
+  /** @param events streaming DataFrame
+    * @param keyCol BIGINT column whose distincts are estimated
+    * @param byCol  STRING grouping column
+    * @param k      sketch size (bottom-k) */
+  def distinctSketch(events: DataFrame, keyCol: String, byCol: String,
+                     k: Int): Dataset[KmvUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(byCol).as("g"), col(keyCol).cast("long").as("key"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], KmvUpdate](GroupStateTimeout.NoTimeout()) {
+        (group: String, it: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
+          val buf = new java.util.TreeSet[java.lang.Long]()
+          state.getOption.foreach(_.foreach(h => buf.add(h)))
+          it.foreach { case (_, key) => Kmv.add(buf, Kmv.hash63(key), k) }
+          val arr = new Array[Long](buf.size)
+          val bit = buf.iterator()
+          var i = 0
+          while (bit.hasNext) { arr(i) = bit.next(); i += 1 }
+          state.update(arr)
+          val (n, kth, est) = Kmv.stats(buf, k)
+          KmvUpdate(group, n, kth, est)
+      }
+  }
+
+  /** Batch twin over the same rows (for stream ≡ batch pinning). */
+  def distinctSketchBatch(events: DataFrame, keyCol: String, byCol: String,
+                          k: Int): DataFrame =
+    events.groupBy(col(byCol).as("group"))
+      .agg(Kmv.kmvDistinct(col(keyCol).cast("long"), k).as("kmv"))
+      .select(col("group"), col("kmv.n_kept").as("n_kept"),
+        col("kmv.kth_min").as("kth_min"), col("kmv.est").as("est"))
+}

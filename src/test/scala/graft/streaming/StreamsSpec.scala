@@ -252,6 +252,39 @@ class StreamsSpec extends SparkSpec {
     assert(out.length == 2, "800ms gap with 500ms threshold must split")
   }
 
+  test("streaming KMV sketch ≡ batch sketch over the same rows (any slicing)") {
+    // real keys from sf0.001 events, split across 3 micro-batches on an
+    // arbitrary boundary — stream-end state must equal the batch aggregate
+    val rows = spark.read.parquet(sf("events"))
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val k = 8 // saturate (15 distinct users per type at sf0.001)
+    val expected = SketchStream
+      .distinctSketchBatch(rows.toDF("event_type", "user_id"), "user_id", "event_type", k)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.get(2)), r.getDouble(3))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val sq = SketchStream
+      .distinctSketch(mem.toDF().toDF("event_type", "user_id"), "user_id", "event_type", k)
+      .writeStream.outputMode("update").format("memory").queryName("kmvs").start()
+    Seq(rows.take(100), rows.slice(100, 617), rows.drop(617)).foreach { slice =>
+      mem.addData(slice: _*)
+      sq.processAllAvailable()
+    }
+    // memory sink in update mode appends every batch's updates: the LAST
+    // row per group is the stream-end sketch
+    val got = spark.table("kmvs").collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.get(2)), r.getDouble(3)))
+      .zipWithIndex
+      .groupBy(_._1._1).map { case (_, vs) => vs.maxBy(_._2)._1 }.toSet
+    sq.stop()
+    assert(got === expected)
+    // saturation really happened (the estimate path, not the exact path)
+    assert(expected.forall { case (_, n, kth, _) => n == k && kth.isDefined })
+  }
+
   test("batch sessionization: gap splits, out-of-order safe") {
     val df = Seq(
       (1L, ts("2024-01-01 10:02:00")), // arrives out of order
