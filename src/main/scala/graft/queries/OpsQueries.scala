@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Mix64
-import graft.ops.{Bucketing, Layout, Sampling, Skew}
+import graft.ops.{Bucketing, Layout, Quantiles, Sampling, Skew}
 
 /** Driver-visible registrations for the scale-infrastructure operators
   * (graft.ops). The row-level ANSWERS are plain-SQL-expressible and carry
@@ -161,6 +161,29 @@ object OpsQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // histogram quantile sketch vs exact: the (group, bin) counts are the
+    // mergeable sketch (≤ 256 rows per group ever shuffle); the exact side
+    // pays the full per-group sort the sketch avoids. Both paths and the
+    // approximation error itself are oracle-checked bit-for-bit.
+    "q71_histogram_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(col("event_type"), col("value"))
+      val est = Quantiles.histogramEstimates(ev, "event_type", "value",
+        nBins = 256, qs = Seq(0.5, 0.95))
+      val ranked = ev.withColumn("rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("value")))
+      val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n2"))
+      def exactDisc(q: Double, name: String) =
+        ranked.join(broadcast(counts), "event_type")
+          .where(col("rn") === ceil(lit(q) * col("n2")))
+          .groupBy("event_type").agg(max(col("value")).as(name))
+      est.join(exactDisc(0.5, "p50_exact"), "event_type")
+        .join(exactDisc(0.95, "p95_exact"), "event_type")
+        .select(col("event_type"), col("n"), col("vmin"), col("vmax"),
+          col("p50_est"), col("p95_est"), col("p50_exact"), col("p95_exact"))
+        .orderBy("event_type")
+    }),
+
     // Morton curve coordinate for the (user, day) layout keys — the value
     // Layout.writeZOrdered clusters files by (LayoutSpec pins the bounding-
     // box tightening); codegen'd bit interleave, narrow projection
@@ -284,6 +307,40 @@ object OpsQueries {
         |WHERE EXISTS (SELECT 1 FROM customer c
         |              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // every float step is the same two-operand tree as the Spark side
+    // (subtract / divide / scale-by-256 / floor; edge formula for the
+    // estimate) — IEEE exact rounding makes the doubles identical
+    "q71_histogram_quantiles" ->
+      """WITH s AS (SELECT event_type, value FROM events),
+        |g AS (SELECT event_type, count(*) AS n, min(value) AS vmin, max(value) AS vmax
+        |      FROM s GROUP BY event_type),
+        |b AS (SELECT s.event_type,
+        |        CASE WHEN g.vmax = g.vmin THEN 0
+        |             ELSE least(CAST(floor(((s.value - g.vmin) / (g.vmax - g.vmin)) * 256) AS BIGINT), 255)
+        |        END AS bin
+        |      FROM s JOIN g USING (event_type)),
+        |h AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY event_type, bin),
+        |cum AS (SELECT h.event_type, h.bin,
+        |          sum(h.c) OVER (PARTITION BY h.event_type ORDER BY h.bin) AS cc, g.n
+        |        FROM h JOIN g USING (event_type)),
+        |q50 AS (SELECT event_type, min(bin) AS qbin FROM cum
+        |        WHERE cc >= CAST(ceil(0.5 * n) AS BIGINT) GROUP BY event_type),
+        |q95 AS (SELECT event_type, min(bin) AS qbin FROM cum
+        |        WHERE cc >= CAST(ceil(0.95 * n) AS BIGINT) GROUP BY event_type),
+        |r AS (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn FROM s),
+        |x50 AS (SELECT r.event_type, max(r.value) AS p50_exact FROM r JOIN g USING (event_type)
+        |        WHERE rn = CAST(ceil(0.5 * n) AS BIGINT) GROUP BY r.event_type),
+        |x95 AS (SELECT r.event_type, max(r.value) AS p95_exact FROM r JOIN g USING (event_type)
+        |        WHERE rn = CAST(ceil(0.95 * n) AS BIGINT) GROUP BY r.event_type)
+        |SELECT g.event_type, g.n, g.vmin, g.vmax,
+        |  g.vmin + (CAST(q50.qbin + 1 AS DOUBLE) * (g.vmax - g.vmin)) / 256 AS p50_est,
+        |  g.vmin + (CAST(q95.qbin + 1 AS DOUBLE) * (g.vmax - g.vmin)) / 256 AS p95_est,
+        |  x50.p50_exact, x95.p95_exact
+        |FROM g JOIN q50 USING (event_type) JOIN q95 USING (event_type)
+        |JOIN x50 USING (event_type) JOIN x95 USING (event_type)
+        |ORDER BY g.event_type""".stripMargin,
 
     // bit interleave expanded term-by-term from ZOrder.Bits — generated
     // from the same constant as the JVM loop
