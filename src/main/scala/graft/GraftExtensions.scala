@@ -16,8 +16,11 @@ import graft.functions._
   * rolling_hash64(s), minhash_ngrams(tokens, n, m),
   * minhash_ngrams_portable(tokens, n, m), cosine_sim(a, b),
   * ngram_hashes(tokens, n), sorted_jaccard(a, b),
-  * hyperplane_sig(vec, nBits, seed), winnow_fingerprints(s, k, w),
-  * winnow_fingerprints_portable(s, k, w), sample_coord(key), text_stats(s).
+  * hyperplane_sig(vec, nBits, seed), hyperplane_sig_portable(vec, nBits,
+  * seed), winnow_fingerprints(s, k, w), winnow_fingerprints_portable(s, k,
+  * w), sample_coord(key), text_stats(s), repetition_stats(s), zval(x, y),
+  * kmv_distinct(key, k), bloom_build(key, bits, hashes),
+  * bloom_might_contain(bitset, key, hashes).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -66,7 +69,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("winnow_fingerprints_portable", "winnow_fingerprints_portable(s, k, w) - winnowing with the rolling-31 k-gram hash",
       es => WinnowFingerprints(es(0), intLit(es(1), "k"), intLit(es(2), "w"), portable = true)),
     ("sample_coord", "sample_coord(key) - deterministic sampling coordinate in [0, 2^32)",
-      es => SampleCoord(es.head)))
+      es => SampleCoord(es.head)),
+    ("repetition_stats", "repetition_stats(s) - word/distinct counts + top 2-/3-gram (Gopher repetition signals)",
+      es => RepetitionStatsExpr(es.head)),
+    ("hyperplane_sig_portable", "hyperplane_sig_portable(vec, nBits, seed) - integer-quantized cosine-LSH signature",
+      es => HyperplanePortableSig(es(0), intLit(es(1), "nBits"), longLit(es(2), "seed"))),
+    ("zval", "zval(x, y) - Morton/Z-order interleave of two 16-bit layout keys",
+      es => ZValue(es(0), es(1))),
+    ("kmv_distinct", "kmv_distinct(key, k) - bottom-k distinct-count sketch (aggregate)",
+      es => KmvDistinct(es(0), intLit(es(1), "k")).toAggregateExpression()),
+    ("bloom_build", "bloom_build(key, numBits, numHashes) - Bloom bitset of the keys (aggregate)",
+      es => BloomBuildAgg(es(0), intLit(es(1), "numBits"),
+        intLit(es(2), "numHashes")).toAggregateExpression()),
+    ("bloom_might_contain", "bloom_might_contain(bitset, key, numHashes) - Bloom membership probe",
+      es => BloomMightContain(es(0), es(1), intLit(es(2), "numHashes"))))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

@@ -57,6 +57,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("sc") >= 0L && row.getAs[Long]("sc") < 4294967296L)
   }
 
+  test("round-6 functions callable from SQL (incl. the two aggregates)") {
+    val row = spark.sql(
+      """SELECT
+        |  repetition_stats('a b a b a').n_words AS nw,
+        |  repetition_stats('a b a b a').top2_gram AS g2,
+        |  hyperplane_sig_portable(array(CAST(0.3 AS FLOAT), CAST(-0.2 AS FLOAT)), 8, 7L) AS hpp,
+        |  zval(3L, 5L) AS z
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[Int]("nw") == 5)
+    assert(row.getAs[String]("g2") == "a b")
+    assert(row.getAs[Long]("z") == graft.functions.ZOrder.interleave(3L, 5L))
+    val agg = spark.sql(
+      """SELECT kmv_distinct(k, 8) AS kmv,
+        |       bloom_build(k, 1024, 4) AS bf
+        |FROM (SELECT CAST(id AS BIGINT) AS k FROM range(0, 100))""".stripMargin)
+      .collect()(0)
+    assert(agg.getStruct(0).getInt(0) == 8) // saturated at k=8
+    val probe = spark.sql(
+      """SELECT bloom_might_contain(bf, 5L, 4) AS hit,
+        |       bloom_might_contain(bf, 123456789L, 4) AS miss
+        |FROM (SELECT bloom_build(k, 16384, 4) AS bf
+        |      FROM (SELECT CAST(id AS BIGINT) AS k FROM range(0, 100)))""".stripMargin)
+      .collect()(0)
+    assert(probe.getBoolean(0) && !probe.getBoolean(1))
+  }
+
   test("SQL type errors are analysis-time and name the function") {
     val e = intercept[Exception](spark.sql("SELECT base26('not a number')").collect())
     assert(e.getMessage.toLowerCase.contains("base26") ||
