@@ -31,6 +31,17 @@ object Bloom {
   def buildAgg(key: Column, numBits: Int, numHashes: Int): Column =
     toColumn(BloomBuildAgg(toExpr(key), numBits, numHashes).toAggregateExpression())
 
+  /** Build and MATERIALIZE the bitset (a few KB) on the driver — the
+    * production shape: built once per build-side refresh, then inlined as a
+    * LITERAL into any number of fact scans. A literal keeps the probe a
+    * narrow filter directly above the scan, where it must sit: left as a
+    * joined column, Catalyst may reorder the actual join below the probe
+    * and the prefilter prunes nothing. */
+  def build(df: org.apache.spark.sql.DataFrame, key: Column,
+            numBits: Int, numHashes: Int): Array[Long] =
+    df.agg(buildAgg(key, numBits, numHashes).as("bf"))
+      .head().getSeq[Long](0).toArray
+
   /** True iff `key` may be in the set `bitset` encodes (never false for an
     * inserted key). */
   def mightContain(bitset: Column, key: Column, numHashes: Int): Column =

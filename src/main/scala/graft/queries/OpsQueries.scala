@@ -138,22 +138,23 @@ object OpsQueries {
           col("event_id"), col("value"), n = 100)
         .orderBy(col("priority").desc, col("event_id"))),
 
-    // Bloom-pruned selective join: the small side's keys aggregate into a
-    // broadcast bitset and the fact side filters BEFORE its shuffle — at
-    // 100 TB the shuffle carries ~10% of orders instead of all of them.
+    // Bloom-pruned selective join: the small side's keys materialize ONCE
+    // into a few-KB bitset (the per-refresh artifact a 100 TB pipeline
+    // persists), inlined as a literal so the probe is a narrow filter
+    // directly above the fact scan — the shuffle then carries ~10% of
+    // orders instead of all of them. (Joining the bitset in instead lets
+    // Catalyst reorder the semi join BELOW the probe, pruning nothing.)
     // No false negatives ⇒ result ≡ the plain semi join, which IS the
-    // oracle; BloomSpec pins the pruning selectivity and plan shape.
+    // oracle; BloomSpec pins selectivity, and PlanSpec the filter-below-
+    // join shape.
     "q69_bloom_join" -> ((s, dir) => {
       import graft.functions.Bloom
       val cust = t(s, dir, "customer")
         .where(col("c_acctbal") > 9000).select(col("c_custkey"))
-      val bloom = cust.agg(
-        Bloom.buildAgg(col("c_custkey"), numBits = 1 << 14, numHashes = 4).as("bf"))
+      val bits = Bloom.build(cust, col("c_custkey"), numBits = 1 << 14, numHashes = 4)
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
-        .crossJoin(broadcast(bloom))
-        .where(Bloom.mightContain(col("bf"), col("o_custkey"), numHashes = 4))
-        .drop("bf")
+        .where(Bloom.mightContain(lit(bits), col("o_custkey"), numHashes = 4))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),

@@ -44,9 +44,9 @@ class BloomSpec extends SparkSpec {
       .where($"c_acctbal" > 9000).select($"c_custkey")
     val orders = spark.read.parquet(sf("orders"))
       .select($"o_custkey", $"o_orderkey")
-    val bloom = cust.agg(Bloom.buildAgg($"c_custkey", Bits, K).as("bf"))
-    val viaBloom = orders.crossJoin(broadcast(bloom))
-      .where(Bloom.mightContain($"bf", $"o_custkey", K)).drop("bf")
+    val bits = Bloom.build(cust, $"c_custkey", Bits, K)
+    val viaBloom = orders
+      .where(Bloom.mightContain(lit(bits), $"o_custkey", K))
       .join(broadcast(cust), $"o_custkey" === $"c_custkey", "left_semi")
       .select("o_orderkey").collect().map(_.getLong(0)).sorted
     val plain = orders
@@ -55,17 +55,16 @@ class BloomSpec extends SparkSpec {
     assert(viaBloom.toSeq === plain.toSeq && plain.nonEmpty)
   }
 
-  test("the probe filter stays inside whole-stage codegen") {
+  test("the literal-bitset probe compiles into whole-stage codegen") {
     val cust = spark.read.parquet(sf("customer")).select($"c_custkey")
-    val bloom = cust.agg(Bloom.buildAgg($"c_custkey", Bits, K).as("bf"))
+    val bits = Bloom.build(cust, $"c_custkey", Bits, K)
     val pruned = spark.read.parquet(sf("orders"))
-      .crossJoin(broadcast(bloom))
-      .where(Bloom.mightContain($"bf", $"o_custkey", K))
-    val plan = pruned.queryExecution.executedPlan.toString
-    // bloom_might_contain must appear in a Filter, and that filter must not
-    // fall back to interpreted eval (no CodegenFallback marker in the tree)
-    assert(plan.contains("bloom_might_contain"))
-    val exec = pruned.count()
-    assert(exec > 0)
+      .where(Bloom.mightContain(lit(bits), $"o_custkey", K))
+    val gen = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    // the generated Java must call the static probe — not fall back to
+    // interpreted eval in the scan-side filter
+    assert(gen.contains("Bloom.mightContainEval"), gen.take(600))
+    assert(pruned.count() > 0)
   }
 }

@@ -154,4 +154,50 @@ class PlanSpec extends SparkSpec {
     val p = plan("q40_ann_topk")
     assert(p.contains("Window") || p.contains("RunningWindowFunction"), p.take(300))
   }
+
+  test("q57 repetition scan prunes documents to (doc_id, text)") {
+    val p = plan("q57_repetition")
+    val schema = "ReadSchema:.*".r.findFirstIn(p).getOrElse("")
+    assert(schema.contains("doc_id") && schema.contains("text"))
+    assert(!schema.contains("lang") && !schema.contains("source"), schema)
+  }
+
+  test("q58 tf-idf broadcasts the vocab df join and group-limits the window") {
+    val p = plan("q58_tfidf_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    // rank<=3 must push a partial group limit below the window's shuffle
+    assert(p.contains("WindowGroupLimit"), p.take(500))
+  }
+
+  test("q66 zval stays inside whole-stage codegen (generated, not fallback)") {
+    // the projection core of q66 without the final sort (AQE defers stage
+    // compilation behind exchanges, hiding codegen from explain) — the
+    // generated Java must call the static interleave
+    val df = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_id", "user_id", "ts div 1000 div 86400000000 as day")
+      .withColumn("zval", graft.functions.ZOrder.zval(
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("day")))
+    val gen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(gen.contains("ZOrder.interleave"), gen.take(600))
+  }
+
+  test("q69 probes the bloom filter BELOW the semi join (prune before shuffle)") {
+    val df = graft.SparkEntry.queries("q69_bloom_join")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val probeAt = p.indexOf("bloom_might_contain")
+    val joinAt = p.indexOf("LeftSemi")
+    assert(probeAt >= 0 && joinAt >= 0, p.take(600))
+    // plan prints top-down: the filter must appear BELOW (after) the join
+    assert(probeAt > joinAt,
+      s"bloom probe (at $probeAt) should sit under the semi join (at $joinAt)")
+  }
+
+  test("q71 histogram shuffles bins, not rows: hist agg keyed (group, bin)") {
+    val df = graft.SparkEntry.queries("q71_histogram_quantiles")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(event_type[^,]*, bin".r.findFirstIn(p).isDefined,
+      s"expected a (event_type, bin) exchange:\n${p.take(800)}")
+  }
 }
