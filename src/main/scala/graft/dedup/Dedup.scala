@@ -362,6 +362,41 @@ object Dedup {
       .select("id", "keep_id", "reason")
   }
 
+  /** INCREMENTAL dedup — the ingestion-time shape: decide each NEW doc
+    * (id ≥ `split`) against the already-ingested corpus (id < `split`) and
+    * the earlier part of its own batch, without re-deduplicating the
+    * corpus. Exact: content-hash rep = min id over corpus+batch (corpus ids
+    * sort first, so the corpus copy always wins); narrow (id, md5) shuffle
+    * only. Near: portable MinHash-LSH pairs over exact survivors; a new doc
+    * drops to its smallest-id qualifying partner. ONE-PASS semantics: a
+    * dropped doc's partner may itself be near-dropped — chains are the
+    * accepted approximation of production one-shot LSH dedup (the
+    * transitive variant is [[nearDupKeepList]]).
+    *
+    * @return (doc_id, decision ∈ keep|drop_exact|drop_near, partner_id)
+    *         for every NEW doc (partner null on keep). */
+  def incrementalDedup(df: DataFrame, idCol: Column, textCol: Column,
+                       split: Long, n: Int, m: Int, bands: Int,
+                       minEstSim: Double): DataFrame = {
+    val hashed = df.select(idCol.as("doc_id"), textCol.as("text"))
+      .withColumn("h", md5(col("text")))
+    val reps = hashed.groupBy("h").agg(min(col("doc_id")).as("rep_id"))
+    val withRep = hashed.join(reps, "h")
+    val pairs = minhashLshPairsPortable(
+      withRep.where(col("doc_id") === col("rep_id")).select("doc_id", "text"),
+      col("doc_id"), col("text"), n, m, bands, minEstSim)
+    val near = pairs.where(col("b_id") >= split)
+      .groupBy(col("b_id").as("doc_id")).agg(min(col("a_id")).as("near_partner"))
+    withRep.where(col("doc_id") >= split)
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("rep_id"), lit("drop_exact"))
+          .when(col("near_partner").isNotNull, lit("drop_near"))
+          .otherwise(lit("keep")).as("decision"),
+        when(col("doc_id") =!= col("rep_id"), col("rep_id"))
+          .otherwise(col("near_partner")).as("partner_id"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash fingerprint of a token array (native expression —

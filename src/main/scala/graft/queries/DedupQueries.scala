@@ -88,6 +88,23 @@ object DedupQueries {
           maxHamming = 6)
         .orderBy("a_id", "b_id")),
 
+    // INCREMENTAL dedup — the production ingestion shape: the top half of
+    // doc_ids play the "new batch" arriving against the already-ingested
+    // corpus below them. Exact: content-hash rep = min doc_id (corpus ids
+    // sort below batch ids, so corpus always wins). Near: portable
+    // MinHash-LSH pairs over exact survivors; a new doc drops to its
+    // smallest-id partner (corpus doc or earlier batch doc). One-pass
+    // semantics — a dropped doc's partner may itself be near-dropped
+    // (chains are accepted, as in production one-shot LSH dedup; the
+    // transitive variant is q28/q29's components path).
+    "q72_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val split = docs.agg(max(col("doc_id"))).head().getLong(0) / 2 + 1
+      Dedup.incrementalDedup(docs, col("doc_id"), col("text"), split,
+          n = 3, m = 32, bands = 8, minEstSim = 0.3)
+        .orderBy("doc_id")
+    }),
+
     // the WHOLE dedup pipeline as one call: exact dedup → LSH near-dup
     // pairs over exact survivors → components → keep table with reasons
     "q29_dedup_pipeline" -> ((s, dir) =>
@@ -124,6 +141,56 @@ object DedupQueries {
   private val M64 = "18446744073709551616::HUGEINT"
   private val SimA = java.lang.Long.toUnsignedString(graft.functions.Mix64.MulA)
   private val SimB = java.lang.Long.toUnsignedString(graft.functions.Mix64.AddB)
+
+  /** The complete portable MinHash-LSH pair chain (word trigrams →
+    * rolling-31 mod 2^32 → per-slot (a·x+b) mod 2^64 signed mins → 8 bands
+    * of 4 slots → est_sim ≥ 0.3, distinct) as WITH-clause CTEs ending in
+    * `lsh_pairs(a_id, b_id, est_sim)`. Parameterized by the source
+    * relation/CTE (must expose doc_id, text) so q48 and the incremental
+    * dedup (q72) replay the IDENTICAL semantics over different inputs. */
+  private def portableLshPairsSql(src: String): String =
+    s"""tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(t) - 1), i ->
+       |      t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)] || ' ' || t[CAST(i + 2 AS INT)]) AS grams
+       |  FROM tk),
+       |xs AS (
+       |  SELECT doc_id,
+       |    list_transform(grams, s ->
+       |      CAST(list_reduce(
+       |        list_prepend(1125899906842597::HUGEINT,
+       |          list_transform(range(1, length(s) + 1),
+       |            p -> ascii(substr(s, CAST(p AS INT), 1))::HUGEINT)),
+       |        (acc, c) -> (acc * 31 + c) % 18446744073709551616::HUGEINT)
+       |        % 4294967296 AS BIGINT)) AS xs
+       |  FROM g),
+       |sg AS (
+       |  SELECT doc_id,
+       |    list_transform($MinhashConstsSql, cc ->
+       |      list_aggregate(
+       |        list_transform(
+       |          list_transform(xs, x -> (cc.a * x + cc.b) % 18446744073709551616::HUGEINT),
+       |          h -> CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+       |                         THEN h - 18446744073709551616::HUGEINT
+       |                         ELSE h END AS BIGINT)),
+       |        'min')) AS sig
+       |  FROM xs),
+       |bnd AS (
+       |  SELECT doc_id, sig, CAST(bb.b AS INT) AS band,
+       |    sig[CAST(bb.b * 4 + 1 AS INT):CAST(bb.b * 4 + 4 AS INT)] AS bkey
+       |  FROM sg, range(0, 8) bb(b)),
+       |cand AS (
+       |  SELECT l.doc_id AS a_id, r.doc_id AS b_id, l.sig AS sa, r.sig AS sb
+       |  FROM bnd l JOIN bnd r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+       |lsh_pairs AS (
+       |  SELECT DISTINCT a_id, b_id,
+       |    len(list_filter(range(1, 33), i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) / 32.0 AS est_sim
+       |  FROM cand
+       |  WHERE len(list_filter(range(1, 33), i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) / 32.0 >= 0.3)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // Portable SimHash twin: per token x = rolling31 mod 2^32,
@@ -184,48 +251,30 @@ object DedupQueries {
     // before the min (Spark Long order) → 8 bands keyed by the 4-slot
     // signature slice → est_sim = equal-slot fraction, ≥ 0.3, distinct.
     "q48_minhash_portable" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-         |  WHERE len(string_split(text, ' ')) >= 3),
-         |g AS (
-         |  SELECT doc_id,
-         |    list_transform(range(1, len(t) - 1), i ->
-         |      t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)] || ' ' || t[CAST(i + 2 AS INT)]) AS grams
-         |  FROM tk),
-         |xs AS (
-         |  SELECT doc_id,
-         |    list_transform(grams, s ->
-         |      CAST(list_reduce(
-         |        list_prepend(1125899906842597::HUGEINT,
-         |          list_transform(range(1, length(s) + 1),
-         |            p -> ascii(substr(s, CAST(p AS INT), 1))::HUGEINT)),
-         |        (acc, c) -> (acc * 31 + c) % 18446744073709551616::HUGEINT)
-         |        % 4294967296 AS BIGINT)) AS xs
-         |  FROM g),
-         |sg AS (
-         |  SELECT doc_id,
-         |    list_transform($MinhashConstsSql, cc ->
-         |      list_aggregate(
-         |        list_transform(
-         |          list_transform(xs, x -> (cc.a * x + cc.b) % 18446744073709551616::HUGEINT),
-         |          h -> CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
-         |                         THEN h - 18446744073709551616::HUGEINT
-         |                         ELSE h END AS BIGINT)),
-         |        'min')) AS sig
-         |  FROM xs),
-         |bnd AS (
-         |  SELECT doc_id, sig, CAST(bb.b AS INT) AS band,
-         |    sig[CAST(bb.b * 4 + 1 AS INT):CAST(bb.b * 4 + 4 AS INT)] AS bkey
-         |  FROM sg, range(0, 8) bb(b)),
-         |cand AS (
-         |  SELECT l.doc_id AS a_id, r.doc_id AS b_id, l.sig AS sa, r.sig AS sb
-         |  FROM bnd l JOIN bnd r
-         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
-         |SELECT DISTINCT a_id, b_id,
-         |  len(list_filter(range(1, 33), i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) / 32.0 AS est_sim
-         |FROM cand
-         |WHERE len(list_filter(range(1, 33), i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) / 32.0 >= 0.3
-         |ORDER BY a_id, b_id""".stripMargin,
+      s"""WITH ${portableLshPairsSql("documents")}
+         |SELECT a_id, b_id, est_sim FROM lsh_pairs ORDER BY a_id, b_id""".stripMargin,
+
+    // the same LSH chain replayed over exact survivors, then the decision
+    // join (md5 + min-id rep; smallest qualifying partner)
+    "q72_incremental_dedup" ->
+      s"""WITH hashed AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+         |reps AS (SELECT h, min(doc_id) AS rep_id FROM hashed GROUP BY h),
+         |wr AS (SELECT hashed.doc_id, hashed.text, reps.rep_id
+         |       FROM hashed JOIN reps USING (h)),
+         |surv AS (SELECT doc_id, text FROM wr WHERE doc_id = rep_id),
+         |${portableLshPairsSql("surv")},
+         |sp AS (SELECT (max(doc_id) // 2 + 1) AS s FROM documents),
+         |near AS (SELECT b_id AS doc_id, min(a_id) AS near_partner
+         |         FROM lsh_pairs CROSS JOIN sp WHERE b_id >= sp.s GROUP BY b_id)
+         |SELECT wr.doc_id,
+         |  CASE WHEN wr.doc_id <> wr.rep_id THEN 'drop_exact'
+         |       WHEN near.near_partner IS NOT NULL THEN 'drop_near'
+         |       ELSE 'keep' END AS decision,
+         |  CASE WHEN wr.doc_id <> wr.rep_id THEN wr.rep_id
+         |       ELSE near.near_partner END AS partner_id
+         |FROM wr CROSS JOIN sp LEFT JOIN near ON near.doc_id = wr.doc_id
+         |WHERE wr.doc_id >= sp.s
+         |ORDER BY wr.doc_id""".stripMargin,
     "q20_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -171,6 +171,28 @@ class DedupSpec extends SparkSpec {
     assert(keep(5L) == (1L, "exact"))
   }
 
+  test("incremental dedup: batch docs decide against corpus then earlier batch") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val other = "completely different text about unrelated matters entirely " * 4
+    val docs = Seq(
+      (1L, base),            // corpus
+      (2L, other),           // corpus
+      (10L, base),           // new: exact dup of corpus 1
+      (11L, base + "lambda"),// new: near dup of corpus 1
+      (12L, "nothing like anything else here at all whatsoever truly " * 4),
+      (13L, base + "lambda") // new: exact dup of EARLIER BATCH doc 11
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(docs, col("doc_id"), col("text"),
+        split = 10L, n = 3, m = 32, bands = 16, minEstSim = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(got(10L) === ("drop_exact", Some(1L)))
+    assert(got(11L) === ("drop_near", Some(1L)))
+    assert(got(12L) === ("keep", None))
+    assert(got(13L) === ("drop_exact", Some(11L)))
+    assert(got.size === 4) // corpus docs are never re-decided
+  }
+
   test("connected components match a union-find reference on a random graph") {
     val rnd = new scala.util.Random(42L)
     val n = 60
