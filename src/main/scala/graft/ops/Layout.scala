@@ -42,4 +42,29 @@ object Layout {
       .sortWithinPartitions("_zval")
       .drop("_zval")
       .write.mode("overwrite").parquet(path)
+
+  /** Compact a small-files parquet directory (the debris of streaming /
+    * per-task ingest — every downstream scan pays a task and a footer read
+    * PER FILE) into ceil(bytes / targetFileBytes) files. Sizing comes from
+    * the actual on-disk bytes, not a row-count guess, so output files land
+    * near the target regardless of row width. Writes to `tmpPath` first and
+    * swaps only after success — a crashed compaction leaves the original
+    * intact. Returns (filesBefore, filesAfter). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long, tmpPath: String): (Int, Int) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(hPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode("overwrite").parquet(tmpPath)
+    val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
+    val after = fs.listStatus(hPath)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (dataFiles.length, after)
+  }
 }

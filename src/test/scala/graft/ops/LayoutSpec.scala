@@ -59,4 +59,19 @@ class LayoutSpec extends SparkSpec {
     // layout must not change the data
     assert(spark.read.parquet(zDir).count() === 64L * 64)
   }
+
+  test("compaction collapses small files without changing the data") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    val df = (1 to 5000).map(i => (i.toLong, s"row $i payload")).toDF("id", "s")
+    df.repartition(64).write.parquet(dir) // 64 tiny files — ingest debris
+    val before = spark.read.parquet(dir).inputFiles.length
+    val sum0 = spark.read.parquet(dir).agg(sum($"id")).head().getLong(0)
+    val (nBefore, nAfter) = Layout.compact(spark, dir,
+      targetFileBytes = 1L << 20, tmpPath = dir + "_tmp")
+    assert(nBefore === before && nBefore >= 60)
+    assert(nAfter <= 2, s"still $nAfter files")
+    assert(spark.read.parquet(dir).agg(sum($"id")).head().getLong(0) === sum0)
+    assert(spark.read.parquet(dir).count() === 5000L)
+  }
 }
