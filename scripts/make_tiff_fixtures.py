@@ -10,14 +10,61 @@ import sys
 from pathlib import Path
 
 
+def tiff_lzw_compress(data: bytes) -> bytes:
+    """TIFF 6.0 LZW: MSB-first bit packing, 9->12-bit codes, ClearCode=256,
+    EOI=257, EARLY CHANGE (width bumps when the next free code reaches
+    2^width - 1). Fixture-scale only: asserts the table never fills (no
+    mid-stream Clear needed)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    width = 9
+
+    def put(code):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        bitbuf &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    put(CLEAR)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+        else:
+            put(table[w])
+            table[wc] = next_code
+            next_code += 1
+            assert next_code < 4094, "fixture too large for clear-free LZW"
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+            w = bytes([byte])
+    if w:
+        put(table[w])
+    put(EOI)
+    if nbits > 0:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=None,
-               compression=1, overlong_first_strip=False):
+               compression=1, overlong_first_strip=False, truncate_lzw=False,
+               raw_strip_bytes=False):
     """pixels: list of ints/floats, row-major, len w*h.
-    compression: 1 = none, 8 = deflate (zlib per strip), other values are
-    written as-is with raw strip data (for unsupported-compression tests).
-    overlong_first_strip: hostile variant — strip 0's deflate stream
-    inflates to the WHOLE image (more than RowsPerStrip rows); decoders
-    must reject it rather than shift later strips' pixel placement."""
+    compression: 1 = none, 8 = deflate (zlib per strip), 5 = TIFF LZW;
+    other values (or raw_strip_bytes=True) write raw strip data as-is
+    (for unsupported-compression / corrupt-stream tests).
+    overlong_first_strip: hostile variant — strip 0's stream decodes to the
+    WHOLE image (more than RowsPerStrip rows); decoders must reject it
+    rather than shift later strips' pixel placement.
+    truncate_lzw: cut the LZW stream short (corrupt-stream test)."""
     import zlib
     bo = "<" if little else ">"
     bpp = bits // 8
@@ -44,6 +91,12 @@ def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=No
         strips = [zlib.compress(d, 6) for d in raw_strips]
         if overlong_first_strip:
             strips[0] = zlib.compress(b"".join(raw_strips), 6)
+    elif compression == 5 and not raw_strip_bytes:
+        strips = [tiff_lzw_compress(d) for d in raw_strips]
+        if overlong_first_strip:
+            strips[0] = tiff_lzw_compress(b"".join(raw_strips))
+        if truncate_lzw:
+            strips[0] = strips[0][: max(2, len(strips[0]) // 3)]
     else:
         strips = raw_strips
 
@@ -113,7 +166,23 @@ def main():
                fmt=3, little=False, compression=8)
     write_tiff(out / "deflate_overlong.tif", 5, 6, grad, bits=8, rows_per_strip=2,
                compression=8, overlong_first_strip=True)
-    write_tiff(out / "lzw_unsupported.tif", 5, 6, grad, bits=8, compression=5)
+    # LZW variants (real TIFF 6.0 early-change LZW per strip)
+    write_tiff(out / "lzw_one.tif", 5, 6, [v * 100 for v in grad], bits=16,
+               compression=5)
+    write_tiff(out / "lzw_strips.tif", 5, 6, grad, bits=8, rows_per_strip=2,
+               compression=5)
+    write_tiff(out / "lzw_be_f32.tif", 5, 6, [v / 4.0 for v in grad], bits=32,
+               fmt=3, little=False, compression=5)
+    # 48x48 low-repetition pattern: the dictionary crosses 511 AND 1023 AND
+    # 2047, exercising every code-width transition (9->10->11->12)
+    wide = [(r * 31 + c * 17 + (r * c) % 7) % 251 for r in range(48) for c in range(48)]
+    write_tiff(out / "lzw_wide.tif", 48, 48, wide, bits=8, compression=5)
+    write_tiff(out / "lzw_overlong.tif", 5, 6, grad, bits=8, rows_per_strip=2,
+               compression=5, overlong_first_strip=True)
+    write_tiff(out / "lzw_corrupt.tif", 5, 6, grad, bits=8, compression=5,
+               truncate_lzw=True)
+    write_tiff(out / "jpeg_unsupported.tif", 5, 6, grad, bits=8, compression=7,
+               raw_strip_bytes=True)
     print("tiff fixtures written to", out)
 
 

@@ -7,17 +7,19 @@ import org.apache.spark.sql.functions.col
 
 /** Minimal pure-JVM GeoTIFF decoder for the band files the reference reads
   * with rasterio (`raster.read(1)` — O2, fct_data_extraction.py:22–26):
-  * baseline TIFF, uncompressed (Compression=1) or Deflate-compressed
-  * (Compression=8 "Adobe deflate" / 32946 legacy deflate, zlib per strip),
-  * strip-organized, single sample per pixel, 8/16/32-bit unsigned/signed
-  * integer or 32-bit float, either byte order. Geo* tags are ignored (the
-  * reference only consumes the pixel grid; georeferencing travels as
-  * metadata elsewhere).
+  * baseline TIFF, uncompressed (Compression=1), Deflate-compressed
+  * (Compression=8 "Adobe deflate" / 32946 legacy deflate, zlib per strip)
+  * or LZW-compressed (Compression=5, TIFF 6.0 MSB-first variable-width
+  * codes with the historical early-change convention), strip-organized,
+  * single sample per pixel, 8/16/32-bit unsigned/signed integer or 32-bit
+  * float, either byte order. Geo* tags are ignored (the reference only
+  * consumes the pixel grid; georeferencing travels as metadata elsewhere).
   *
-  * Anything outside that envelope (LZW, tiles, multi-band) returns
+  * Anything outside that envelope (JPEG, tiles, multi-band) returns
   * Left(reason) — callers drop or route the file, a poison blob must never
-  * kill a sweep. Inflation is bounded by the declared image size, so a
-  * zip-bomb strip can never allocate past the MaxPixels sanity cap.
+  * kill a sweep. Decompression is bounded by the declared strip size, so a
+  * zip/lzw-bomb strip can never allocate past the MaxPixels sanity cap nor
+  * shift later strips' pixel placement.
   */
 object TiffDecoder {
 
@@ -98,11 +100,12 @@ object TiffDecoder {
 
     if (width <= 0 || height <= 0) return Left("missing dimensions")
     val deflated = compression == 8 || compression == 32946
-    if (compression != 1 && !deflated)
+    val lzw = compression == 5
+    if (compression != 1 && !deflated && !lzw)
       return Left(s"unsupported compression $compression")
     if (samples != 1) return Left(s"unsupported samples/pixel $samples")
     if (stripOffsets == null) return Left("missing strip offsets")
-    if (deflated && stripCounts == null)
+    if ((deflated || lzw) && stripCounts == null)
       return Left("compressed strips need byte counts")
     if (!Set(8, 16, 32).contains(bits)) return Left(s"unsupported bits/sample $bits")
     if (bits == 32 && sampleFormat != 3 && sampleFormat != 1 && sampleFormat != 2)
@@ -127,7 +130,17 @@ object TiffDecoder {
       // hostile over-long stream can't write into later strips' pixel
       // positions — it is rejected instead of silently shifting placement.
       val (buf, bOff, bLen) =
-        if (!deflated) (bytes, sOff, sLen)
+        if (!deflated && !lzw) (bytes, sOff, sLen)
+        else if (lzw) {
+          val remaining = (out.length - px).toLong * bytesPerPx
+          val declared =
+            if (rowsPerStrip > 0) rowsPerStrip * width * bytesPerPx else remaining
+          val cap = math.min(remaining, declared).toInt
+          lzwDecode(bytes, sOff, sLen, cap) match {
+            case Left(err) => return Left(err)
+            case Right((tmp, n)) => (tmp, 0, n)
+          }
+        }
         else {
           val remaining = (out.length - px).toLong * bytesPerPx
           val declared =
@@ -178,6 +191,100 @@ object TiffDecoder {
     }
     if (px != out.length) return Left(s"pixel data incomplete ($px of ${out.length})")
     Right(Tiff(height, width, out))
+  }
+
+  /** TIFF 6.0 LZW strip decode (Compression=5): MSB-first bit packing,
+    * 9→12-bit variable-width codes, ClearCode=256, EOI=257, and the
+    * historical EARLY-CHANGE convention — both sides widen when the next
+    * free code reaches 2^width − 1 (511/1023/2047), one code earlier than
+    * plain LZW. Output is capped at the strip's expected byte size: a
+    * hostile stream that keeps producing past the cap is rejected (same
+    * policy as the deflate path), so strips can't shift pixel placement.
+    */
+  private def lzwDecode(src: Array[Byte], off: Int, len: Int,
+                        cap: Int): Either[String, (Array[Byte], Int)] = {
+    val Clear = 256; val Eoi = 257
+    val out = new Array[Byte](cap)
+    var outN = 0
+    var bitPos = 0L
+    val totalBits = len.toLong * 8
+    var width = 9
+    // dictionary as (prefix code, appended byte); strings materialize by
+    // walking the prefix chain into scratch (longest chain < 4096)
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val scratch = new Array[Byte](4096)
+    var next = 258
+    var prevCode = -1
+
+    def readCode(): Int = {
+      if (bitPos + width > totalBits) return -2 // out of input
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val b = src(off + (bitPos >> 3).toInt)
+        v = (v << 1) | ((b >> (7 - (bitPos & 7).toInt)) & 1)
+        bitPos += 1
+        i += 1
+      }
+      v
+    }
+
+    /** Write code's string into out; returns its first byte, or -1 if the
+      * output would pass the cap (hostile/overlong), -2 on a bad chain. */
+    def emit(code: Int): Int = {
+      var c = code
+      var n = 0
+      while (c >= 258) {
+        if (n >= scratch.length) return -2
+        scratch(n) = suffix(c); n += 1; c = prefix(c)
+      }
+      if (c < 0 || c > 255) return -2
+      scratch(n) = c.toByte; n += 1
+      if (outN + n > cap) return -1
+      var i = n - 1
+      while (i >= 0) { out(outN) = scratch(i); outN += 1; i -= 1 }
+      scratch(n - 1) & 0xFF
+    }
+
+    var done = false
+    while (!done) {
+      val code = readCode()
+      if (code == -2 || code == Eoi) done = true // EOI, or writer omitted it
+      else if (code == Clear) { next = 258; width = 9; prevCode = -1 }
+      else if (prevCode == -1) {
+        if (code > 255) return Left("corrupt lzw strip")
+        if (outN + 1 > cap) return Left("lzw strip decodes past its declared size")
+        out(outN) = code.toByte; outN += 1
+        prevCode = code
+      } else {
+        if (code > next || next >= 4096) return Left("corrupt lzw strip")
+        val first =
+          if (code == next) { // KwKwK: prev's string + its own first byte
+            val f = emit(prevCode)
+            if (f == -2) return Left("corrupt lzw strip")
+            if (f == -1 || outN + 1 > cap)
+              return Left("lzw strip decodes past its declared size")
+            out(outN) = f.toByte; outN += 1
+            f
+          } else {
+            val f = emit(code)
+            if (f == -2) return Left("corrupt lzw strip")
+            if (f == -1) return Left("lzw strip decodes past its declared size")
+            f
+          }
+        prefix(next) = prevCode; suffix(next) = first.toByte; next += 1
+        // early change + the decoder's one-code lag behind the writer's
+        // dictionary: the writer widens when ITS next free code hits
+        // 2^w − 1 (after the add that follows emitting code k); this
+        // decoder performs add k only after reading code k+1, so it must
+        // widen one entry earlier — at 2^w − 2 — for code k+1 to be read
+        // at the writer's width (libtiff's maxcode = MAXCODE(n) − 1).
+        if (next == (1 << width) - 2 && width < 12) width += 1
+        prevCode = code
+      }
+    }
+    Right((out, outN))
   }
 
   final case class BandFile(path: String, band: String, h: Int, w: Int, pixels: Array[Float])

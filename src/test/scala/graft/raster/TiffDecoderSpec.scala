@@ -73,8 +73,43 @@ class TiffDecoderSpec extends SparkSpec {
       Left("deflate strip inflates past its declared size"))
   }
 
-  test("LZW stays unsupported with a pinned reason") {
-    assert(decodeFile("lzw_unsupported.tif") == Left("unsupported compression 5"))
+  test("lzw: single-strip 16-bit") {
+    val Right(t) = decodeFile("lzw_one.tif")
+    assert((t.h, t.w) == (6, 5))
+    assert(t.pixels.toSeq == grad.map(_ * 100).toSeq)
+  }
+
+  test("lzw: multi-strip (each strip its own code stream)") {
+    val Right(t) = decodeFile("lzw_strips.tif")
+    assert(t.pixels.toSeq == grad.toSeq)
+  }
+
+  test("lzw: big-endian float samples") {
+    val Right(t) = decodeFile("lzw_be_f32.tif")
+    assert(t.pixels.toSeq == grad.map(_ / 4.0f).toSeq)
+  }
+
+  test("lzw: 48x48 low-repetition image crosses every code-width transition") {
+    // dictionary growth passes 511, 1023 and 2047 — the 9→10→11→12-bit
+    // early-change switches must stay in lockstep with the writer's
+    val Right(t) = decodeFile("lzw_wide.tif")
+    val expect = for (r <- 0 until 48; c <- 0 until 48)
+      yield ((r * 31 + c * 17 + (r * c) % 7) % 251).toFloat
+    assert((t.h, t.w) == (48, 48))
+    assert(t.pixels.toSeq == expect)
+  }
+
+  test("lzw: a strip decoding past RowsPerStrip is rejected, not shifted") {
+    assert(decodeFile("lzw_overlong.tif") ==
+      Left("lzw strip decodes past its declared size"))
+  }
+
+  test("lzw: truncated stream is dropped, not thrown") {
+    assert(decodeFile("lzw_corrupt.tif").isLeft)
+  }
+
+  test("unsupported compression keeps a pinned reason (JPEG)") {
+    assert(decodeFile("jpeg_unsupported.tif") == Left("unsupported compression 7"))
   }
 
   test("rejects non-TIFF bytes with a reason") {
