@@ -56,7 +56,7 @@ def tiff_lzw_compress(data: bytes) -> bytes:
 
 def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=None,
                compression=1, overlong_first_strip=False, truncate_lzw=False,
-               raw_strip_bytes=False):
+               raw_strip_bytes=False, tile_size=None):
     """pixels: list of ints/floats, row-major, len w*h.
     compression: 1 = none, 8 = deflate (zlib per strip), 5 = TIFF LZW;
     other values (or raw_strip_bytes=True) write raw strip data as-is
@@ -64,29 +64,45 @@ def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=No
     overlong_first_strip: hostile variant — strip 0's stream decodes to the
     WHOLE image (more than RowsPerStrip rows); decoders must reject it
     rather than shift later strips' pixel placement.
-    truncate_lzw: cut the LZW stream short (corrupt-stream test)."""
+    truncate_lzw: cut the LZW stream short (corrupt-stream test).
+    tile_size: (tw, th) -> tiled organization (tags 322/323/324/325) instead
+    of strips; edge tiles are stored full-size with zero padding."""
     import zlib
     bo = "<" if little else ">"
     bpp = bits // 8
     rps = rows_per_strip or h
+
+    def pack(v):
+        if bits == 8:
+            return struct.pack(bo + ("b" if fmt == 2 else "B"), v)
+        elif bits == 16:
+            return struct.pack(bo + ("h" if fmt == 2 else "H"), v)
+        elif bits == 32 and fmt == 3:
+            return struct.pack(bo + "f", v)
+        return struct.pack(bo + ("i" if fmt == 2 else "I"), v)
+
     raw_strips = []
-    r = 0
-    while r < h:
-        rows = min(rps, h - r)
-        data = b""
-        for rr in range(r, r + rows):
-            for cc in range(w):
-                v = pixels[rr * w + cc]
-                if bits == 8:
-                    data += struct.pack(bo + ("b" if fmt == 2 else "B"), v)
-                elif bits == 16:
-                    data += struct.pack(bo + ("h" if fmt == 2 else "H"), v)
-                elif bits == 32 and fmt == 3:
-                    data += struct.pack(bo + "f", v)
-                else:
-                    data += struct.pack(bo + ("i" if fmt == 2 else "I"), v)
-        raw_strips.append(data)
-        r += rows
+    if tile_size:
+        tw, th = tile_size
+        for row0 in range(0, h, th):
+            for col0 in range(0, w, tw):
+                data = b""
+                for r in range(th):
+                    for c in range(tw):
+                        rr, cc = row0 + r, col0 + c
+                        v = pixels[rr * w + cc] if rr < h and cc < w else 0
+                        data += pack(v)
+                raw_strips.append(data)
+    else:
+        r = 0
+        while r < h:
+            rows = min(rps, h - r)
+            data = b""
+            for rr in range(r, r + rows):
+                for cc in range(w):
+                    data += pack(pixels[rr * w + cc])
+            raw_strips.append(data)
+            r += rows
     if compression == 8:
         strips = [zlib.compress(d, 6) for d in raw_strips]
         if overlong_first_strip:
@@ -129,13 +145,19 @@ def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=No
         (259, 3, 1, short(compression)),
         (262, 3, 1, short(1)),
         (277, 3, 1, short(1)),
-        (278, 3, 1, short(rps)),
         (339, 3, 1, short(fmt)),
     ]
     so = b"".join(long_(o) for o in strip_offsets)
     sc = b"".join(long_(len(s)) for s in strips)
-    tags.append((273, 4, len(strips), so))
-    tags.append((279, 4, len(strips), sc))
+    if tile_size:
+        tags.append((322, 3, 1, short(tile_size[0])))
+        tags.append((323, 3, 1, short(tile_size[1])))
+        tags.append((324, 4, len(strips), so))
+        tags.append((325, 4, len(strips), sc))
+    else:
+        tags.append((278, 3, 1, short(rps)))
+        tags.append((273, 4, len(strips), so))
+        tags.append((279, 4, len(strips), sc))
     tags.sort()
     n_entries = len(tags)
     for tag, typ, cnt, vb in tags:
@@ -183,6 +205,15 @@ def main():
                truncate_lzw=True)
     write_tiff(out / "jpeg_unsupported.tif", 5, 6, grad, bits=8, compression=7,
                raw_strip_bytes=True)
+    # tiled organization (the COG layout): 4x4 tiles over 5x6 -> 2x2 tile
+    # grid with padded edge tiles; uncompressed, deflate and LZW variants
+    write_tiff(out / "tiled_plain.tif", 5, 6, grad, bits=8, tile_size=(4, 4))
+    write_tiff(out / "tiled_deflate_16.tif", 5, 6, [v * 100 for v in grad],
+               bits=16, compression=8, tile_size=(4, 4))
+    write_tiff(out / "tiled_lzw_f32.tif", 5, 6, [v / 4.0 for v in grad],
+               bits=32, fmt=3, compression=5, tile_size=(4, 4))
+    write_tiff(out / "tiled_lzw_wide.tif", 48, 48, wide, bits=8,
+               compression=5, tile_size=(16, 16))
     print("tiff fixtures written to", out)
 
 

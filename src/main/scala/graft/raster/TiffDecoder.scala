@@ -10,16 +10,18 @@ import org.apache.spark.sql.functions.col
   * baseline TIFF, uncompressed (Compression=1), Deflate-compressed
   * (Compression=8 "Adobe deflate" / 32946 legacy deflate, zlib per strip)
   * or LZW-compressed (Compression=5, TIFF 6.0 MSB-first variable-width
-  * codes with the historical early-change convention), strip-organized,
-  * single sample per pixel, 8/16/32-bit unsigned/signed integer or 32-bit
-  * float, either byte order. Geo* tags are ignored (the reference only
-  * consumes the pixel grid; georeferencing travels as metadata elsewhere).
+  * codes with the historical early-change convention), organized as STRIPS
+  * or TILES (tags 322–325 — the Cloud-Optimized GeoTIFF layout; edge-tile
+  * padding decoded and discarded), single sample per pixel, 8/16/32-bit
+  * unsigned/signed integer or 32-bit float, either byte order. Geo* tags
+  * are ignored (the reference only consumes the pixel grid; georeferencing
+  * travels as metadata elsewhere).
   *
-  * Anything outside that envelope (JPEG, tiles, multi-band) returns
+  * Anything outside that envelope (JPEG, multi-band) returns
   * Left(reason) — callers drop or route the file, a poison blob must never
-  * kill a sweep. Decompression is bounded by the declared strip size, so a
-  * zip/lzw-bomb strip can never allocate past the MaxPixels sanity cap nor
-  * shift later strips' pixel placement.
+  * kill a sweep. Decompression is bounded by the declared block size, so a
+  * zip/lzw-bomb strip or tile can never allocate past the MaxPixels sanity
+  * cap nor shift other blocks' pixel placement.
   */
 object TiffDecoder {
 
@@ -51,6 +53,9 @@ object TiffDecoder {
     var stripOffsets: Array[Long] = null
     var stripCounts: Array[Long] = null
     var rowsPerStrip = -1L
+    var tileW = -1; var tileH = -1
+    var tileOffsets: Array[Long] = null
+    var tileCounts: Array[Long] = null
 
     def entryValues(entryOff: Int): Array[Long] = {
       val typ = bb.getShort(entryOff + 2) & 0xFFFF
@@ -92,6 +97,10 @@ object TiffDecoder {
         // placement is still sequential by decoded byte counts.
         case 278 => rowsPerStrip = vs.headOption.getOrElse(-1L)
         case 279 => stripCounts = vs
+        case 322 => tileW = vs.headOption.getOrElse(-1L).toInt
+        case 323 => tileH = vs.headOption.getOrElse(-1L).toInt
+        case 324 => tileOffsets = vs
+        case 325 => tileCounts = vs
         case 339 => sampleFormat = vs.headOption.getOrElse(1L).toInt
         case _ => ()
       }
@@ -104,92 +113,145 @@ object TiffDecoder {
     if (compression != 1 && !deflated && !lzw)
       return Left(s"unsupported compression $compression")
     if (samples != 1) return Left(s"unsupported samples/pixel $samples")
-    if (stripOffsets == null) return Left("missing strip offsets")
-    if ((deflated || lzw) && stripCounts == null)
+    val tiled = tileOffsets != null
+    if (stripOffsets == null && !tiled) return Left("missing strip offsets")
+    if ((deflated || lzw) && !tiled && stripCounts == null)
       return Left("compressed strips need byte counts")
+    if ((deflated || lzw) && tiled && tileCounts == null)
+      return Left("compressed tiles need byte counts")
+    if (tiled && (tileW <= 0 || tileH <= 0))
+      return Left("tiled layout missing tile dimensions")
     if (!Set(8, 16, 32).contains(bits)) return Left(s"unsupported bits/sample $bits")
     if (bits == 32 && sampleFormat != 3 && sampleFormat != 1 && sampleFormat != 2)
       return Left(s"unsupported sample format $sampleFormat")
     if (width.toLong * height > MaxPixels)
       return Left(s"implausible dimensions ${width}x$height")
+    if (tiled && tileW.toLong * tileH > MaxPixels)
+      return Left(s"implausible tile dimensions ${tileW}x$tileH")
 
     val out = new Array[Float](width * height)
     val bytesPerPx = bits / 8
-    var px = 0
-    var s = 0
-    while (s < stripOffsets.length && px < out.length) {
-      val sOff = stripOffsets(s).toInt
-      val sLen =
-        if (stripCounts != null && s < stripCounts.length) stripCounts(s).toInt
-        else math.min(bytes.length - sOff, (out.length - px) * bytesPerPx)
-      if (sOff < 0 || sOff + sLen > bytes.length) return Left("strip out of range")
-      // (buf, bOff, bLen): the strip's sample bytes — a window into the file
-      // for uncompressed strips, a freshly inflated buffer for deflate. The
-      // inflate target is capped at THIS strip's expected size (RowsPerStrip
-      // rows, or whatever the image still owes if smaller/undeclared), so a
-      // hostile over-long stream can't write into later strips' pixel
-      // positions — it is rejected instead of silently shifting placement.
-      val (buf, bOff, bLen) =
-        if (!deflated && !lzw) (bytes, sOff, sLen)
-        else if (lzw) {
-          val remaining = (out.length - px).toLong * bytesPerPx
-          val declared =
-            if (rowsPerStrip > 0) rowsPerStrip * width * bytesPerPx else remaining
-          val cap = math.min(remaining, declared).toInt
-          lzwDecode(bytes, sOff, sLen, cap) match {
-            case Left(err) => return Left(err)
-            case Right((tmp, n)) => (tmp, 0, n)
-          }
-        }
-        else {
-          val remaining = (out.length - px).toLong * bytesPerPx
-          val declared =
-            if (rowsPerStrip > 0) rowsPerStrip * width * bytesPerPx else remaining
-          val cap = math.min(remaining, declared).toInt
-          val tmp = new Array[Byte](cap)
-          val inf = new java.util.zip.Inflater()
-          var n = 0
-          try {
-            inf.setInput(bytes, sOff, sLen)
-            var stalled = false
-            while (!inf.finished() && !stalled && n < cap) {
-              val got = inf.inflate(tmp, n, cap - n)
-              n += got
-              // got == 0 while unfinished → truncated/corrupt stream or a
-              // needed dictionary; bail (the px-count check reports it)
-              stalled = got == 0
-            }
-            // Stream still has output past the strip's declared size → the
-            // strip lies about its length; reject rather than misplace pixels.
-            if (n == cap && !inf.finished() &&
-                inf.inflate(new Array[Byte](1), 0, 1) > 0)
-              return Left("deflate strip inflates past its declared size")
-          } catch {
-            case _: java.util.zip.DataFormatException =>
-              return Left("corrupt deflate strip")
-          } finally inf.end()
-          (tmp, 0, n)
-        }
-      val sb = if (buf eq bytes) bb else ByteBuffer.wrap(buf).order(order)
-      var i = 0
-      while (i + bytesPerPx <= bLen && px < out.length) {
-        out(px) = bits match {
-          case 8 =>
-            if (sampleFormat == 2) buf(bOff + i).toFloat
-            else (buf(bOff + i) & 0xFF).toFloat
-          case 16 =>
-            if (sampleFormat == 2) sb.getShort(bOff + i).toFloat
-            else (sb.getShort(bOff + i) & 0xFFFF).toFloat
-          case 32 =>
-            if (sampleFormat == 3) sb.getFloat(bOff + i)
-            else sb.getInt(bOff + i).toFloat
-        }
-        px += 1
-        i += bytesPerPx
-      }
-      s += 1
+
+    def readSample(buf: Array[Byte], sb: ByteBuffer, off: Int): Float = bits match {
+      case 8 =>
+        if (sampleFormat == 2) buf(off).toFloat
+        else (buf(off) & 0xFF).toFloat
+      case 16 =>
+        if (sampleFormat == 2) sb.getShort(off).toFloat
+        else (sb.getShort(off) & 0xFFFF).toFloat
+      case 32 =>
+        if (sampleFormat == 3) sb.getFloat(off)
+        else sb.getInt(off).toFloat
     }
-    if (px != out.length) return Left(s"pixel data incomplete ($px of ${out.length})")
+
+    // (buf, bOff, bLen): a block's sample bytes — a window into the file
+    // for uncompressed data, a freshly decoded buffer otherwise. The decode
+    // target is capped at THIS block's expected size, so a hostile
+    // over-long stream can't write into later blocks' pixel positions — it
+    // is rejected instead of silently shifting placement.
+    def decompress(kind: String, sOff: Int, sLen: Int,
+                   cap: Int): Either[String, (Array[Byte], Int, Int)] =
+      if (sOff < 0 || sOff + sLen > bytes.length) Left(s"$kind out of range")
+      else if (!deflated && !lzw) Right((bytes, sOff, sLen))
+      else if (lzw) lzwDecode(bytes, sOff, sLen, cap, kind)
+        .map { case (tmp, n) => (tmp, 0, n) }
+      else {
+        val tmp = new Array[Byte](cap)
+        val inf = new java.util.zip.Inflater()
+        var n = 0
+        try {
+          inf.setInput(bytes, sOff, sLen)
+          var stalled = false
+          while (!inf.finished() && !stalled && n < cap) {
+            val got = inf.inflate(tmp, n, cap - n)
+            n += got
+            // got == 0 while unfinished → truncated/corrupt stream or a
+            // needed dictionary; bail (the coverage check reports it)
+            stalled = got == 0
+          }
+          // Stream still has output past the block's declared size → the
+          // block lies about its length; reject rather than misplace pixels.
+          if (n == cap && !inf.finished() &&
+              inf.inflate(new Array[Byte](1), 0, 1) > 0)
+            return Left(s"deflate $kind inflates past its declared size")
+        } catch {
+          case _: java.util.zip.DataFormatException =>
+            return Left(s"corrupt deflate $kind")
+        } finally inf.end()
+        Right((tmp, 0, n))
+      }
+
+    if (!tiled) {
+      var px = 0
+      var s = 0
+      while (s < stripOffsets.length && px < out.length) {
+        val sOff = stripOffsets(s).toInt
+        val sLen =
+          if (stripCounts != null && s < stripCounts.length) stripCounts(s).toInt
+          else math.min(bytes.length - sOff, (out.length - px) * bytesPerPx)
+        val remaining = (out.length - px).toLong * bytesPerPx
+        val declared =
+          if (rowsPerStrip > 0) rowsPerStrip * width * bytesPerPx else remaining
+        val cap = math.min(remaining, declared).toInt
+        val (buf, bOff, bLen) = decompress("strip", sOff, sLen, cap) match {
+          case Left(err) => return Left(err)
+          case Right(w) => w
+        }
+        val sb = if (buf eq bytes) bb else ByteBuffer.wrap(buf).order(order)
+        var i = 0
+        while (i + bytesPerPx <= bLen && px < out.length) {
+          out(px) = readSample(buf, sb, bOff + i)
+          px += 1
+          i += bytesPerPx
+        }
+        s += 1
+      }
+      if (px != out.length)
+        return Left(s"pixel data incomplete ($px of ${out.length})")
+    } else {
+      // tiled organization (the COG/cloud layout): tiles are row-major
+      // tw×th blocks; edge tiles are stored FULL-SIZE with padding, which
+      // is decoded then discarded — only in-bounds pixels place.
+      val across = (width + tileW - 1) / tileW
+      val down = (height + tileH - 1) / tileH
+      if (tileOffsets.length < across.toLong * down)
+        return Left(s"tiled layout needs ${across * down} tiles, has ${tileOffsets.length}")
+      val tileBytes = tileW * tileH * bytesPerPx
+      var written = 0L
+      var t = 0
+      while (t < across * down) {
+        val tOff = tileOffsets(t).toInt
+        val tLen =
+          if (tileCounts != null && t < tileCounts.length) tileCounts(t).toInt
+          else math.min(bytes.length - tOff, tileBytes)
+        val (buf, bOff, bLen) = decompress("tile", tOff, tLen, tileBytes) match {
+          case Left(err) => return Left(err)
+          case Right(w) => w
+        }
+        val sb = if (buf eq bytes) bb else ByteBuffer.wrap(buf).order(order)
+        val row0 = (t / across) * tileH
+        val col0 = (t % across) * tileW
+        val rows = math.min(tileH, height - row0)
+        val cols = math.min(tileW, width - col0)
+        var r = 0
+        while (r < rows) {
+          var c = 0
+          val rowBase = r * tileW
+          while (c < cols) {
+            val src = (rowBase + c) * bytesPerPx
+            if (src + bytesPerPx <= bLen) {
+              out((row0 + r) * width + (col0 + c)) = readSample(buf, sb, bOff + src)
+              written += 1
+            }
+            c += 1
+          }
+          r += 1
+        }
+        t += 1
+      }
+      if (written != out.length)
+        return Left(s"pixel data incomplete ($written of ${out.length})")
+    }
     Right(Tiff(height, width, out))
   }
 
@@ -201,8 +263,8 @@ object TiffDecoder {
     * hostile stream that keeps producing past the cap is rejected (same
     * policy as the deflate path), so strips can't shift pixel placement.
     */
-  private def lzwDecode(src: Array[Byte], off: Int, len: Int,
-                        cap: Int): Either[String, (Array[Byte], Int)] = {
+  private def lzwDecode(src: Array[Byte], off: Int, len: Int, cap: Int,
+                        kind: String): Either[String, (Array[Byte], Int)] = {
     val Clear = 256; val Eoi = 257
     val out = new Array[Byte](cap)
     var outN = 0
@@ -253,24 +315,24 @@ object TiffDecoder {
       if (code == -2 || code == Eoi) done = true // EOI, or writer omitted it
       else if (code == Clear) { next = 258; width = 9; prevCode = -1 }
       else if (prevCode == -1) {
-        if (code > 255) return Left("corrupt lzw strip")
-        if (outN + 1 > cap) return Left("lzw strip decodes past its declared size")
+        if (code > 255) return Left(s"corrupt lzw $kind")
+        if (outN + 1 > cap) return Left(s"lzw $kind decodes past its declared size")
         out(outN) = code.toByte; outN += 1
         prevCode = code
       } else {
-        if (code > next || next >= 4096) return Left("corrupt lzw strip")
+        if (code > next || next >= 4096) return Left(s"corrupt lzw $kind")
         val first =
           if (code == next) { // KwKwK: prev's string + its own first byte
             val f = emit(prevCode)
-            if (f == -2) return Left("corrupt lzw strip")
+            if (f == -2) return Left(s"corrupt lzw $kind")
             if (f == -1 || outN + 1 > cap)
-              return Left("lzw strip decodes past its declared size")
+              return Left(s"lzw $kind decodes past its declared size")
             out(outN) = f.toByte; outN += 1
             f
           } else {
             val f = emit(code)
-            if (f == -2) return Left("corrupt lzw strip")
-            if (f == -1) return Left("lzw strip decodes past its declared size")
+            if (f == -2) return Left(s"corrupt lzw $kind")
+            if (f == -1) return Left(s"lzw $kind decodes past its declared size")
             f
           }
         prefix(next) = prevCode; suffix(next) = first.toByte; next += 1

@@ -112,6 +112,29 @@ class TiffDecoderSpec extends SparkSpec {
     assert(decodeFile("jpeg_unsupported.tif") == Left("unsupported compression 7"))
   }
 
+  test("tiled: 4x4 tiles over 5x6 with edge padding discarded") {
+    val Right(t) = decodeFile("tiled_plain.tif")
+    assert((t.h, t.w) == (6, 5))
+    assert(t.pixels.toSeq == grad.toSeq)
+  }
+
+  test("tiled: deflate-compressed 16-bit tiles") {
+    val Right(t) = decodeFile("tiled_deflate_16.tif")
+    assert(t.pixels.toSeq == grad.map(_ * 100).toSeq)
+  }
+
+  test("tiled: lzw float tiles") {
+    val Right(t) = decodeFile("tiled_lzw_f32.tif")
+    assert(t.pixels.toSeq == grad.map(_ / 4.0f).toSeq)
+  }
+
+  test("tiled: 48x48 lzw in 16x16 tiles (9 tiles, per-tile code streams)") {
+    val Right(t) = decodeFile("tiled_lzw_wide.tif")
+    val expect = for (r <- 0 until 48; c <- 0 until 48)
+      yield ((r * 31 + c * 17 + (r * c) % 7) % 251).toFloat
+    assert(t.pixels.toSeq == expect)
+  }
+
   test("rejects non-TIFF bytes with a reason") {
     assert(TiffDecoder.decode("garbage bytes".getBytes).isLeft)
     assert(TiffDecoder.decode(Array[Byte](0x49, 0x49)).isLeft)
