@@ -222,4 +222,79 @@ class PropertiesSpec extends AnyFunSuite {
     // xxhash64 variant already tolerated nulls — keep that pinned too
     assert(MinHash.signature(withNull, 2, 8).numElements() == 8)
   }
+
+  // -- round-6 kernels -------------------------------------------------
+
+  test("zval interleave is a bijection on 16-bit pairs and monotone per axis") {
+    import graft.functions.ZOrder
+    val g16 = Gen.chooseNum(0L, 65535L)
+    check(Prop.forAll(g16, g16) { (x, y) =>
+      val z = ZOrder.interleave(x, y)
+      // de-interleave recovers both inputs exactly
+      var xr = 0L; var yr = 0L
+      for (b <- 0 until 16) {
+        xr |= ((z >> (2 * b)) & 1L) << b
+        yr |= ((z >> (2 * b + 1)) & 1L) << b
+      }
+      xr == x && yr == y && z >= 0 && z < (1L << 32)
+    })
+  }
+
+  test("kmv sketch is insertion-order and duplication invariant") {
+    import graft.functions.Kmv
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))) { keys =>
+      def sketch(ks: Seq[Long]) = {
+        val buf = new java.util.TreeSet[java.lang.Long]()
+        ks.foreach(k => Kmv.add(buf, Kmv.hash63(k), 16))
+        Kmv.stats(buf, 16)
+      }
+      val base = sketch(keys)
+      sketch(scala.util.Random.javaRandomToRandom(
+        new java.util.Random(keys.hashCode.toLong)).shuffle(keys)) == base &&
+        sketch(keys ++ keys) == base &&
+        base._3 >= 0.0
+    }, n = 50)
+  }
+
+  test("bloom filter never false-negatives an inserted key") {
+    import graft.functions.Bloom
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))) { keys =>
+      val bits = new Array[Long](1024 / 64)
+      keys.foreach { k =>
+        (0 until 4).foreach(i => Bloom.setBit(bits, Bloom.position(k, i, 1024)))
+      }
+      keys.forall { k =>
+        (0 until 4).forall(i => Bloom.getBit(bits, Bloom.position(k, i, 1024)))
+      }
+    }, n = 50)
+  }
+
+  test("repetition stats agree with a naive reference on random word strings") {
+    import graft.functions.Repetition
+    import org.apache.spark.unsafe.types.UTF8String
+    val word = Gen.oneOf("a", "b", "ab", "ba", "x", "", "aa")
+    val genDoc = Gen.listOf(word).map(_.mkString(" "))
+    check(Prop.forAll(genDoc) { text =>
+      val row = Repetition.compute(UTF8String.fromString(text))
+      val words = text.split(" ", -1).toSeq
+      def top(n: Int): Option[(String, Int)] =
+        if (words.length < n) None
+        else {
+          val grams = words.sliding(n).map(_.mkString(" ")).toSeq
+          val counts = grams.groupBy(identity).view.mapValues(_.size)
+          Some(counts.toSeq.minBy { case (g, c) => (-c, g) })
+        }
+      val okCounts = row.getInt(0) == words.length &&
+        row.getInt(1) == words.distinct.length
+      val ok2 = top(2) match {
+        case None => row.isNullAt(2)
+        case Some((g, c)) => row.getUTF8String(2).toString == g && row.getInt(3) == c
+      }
+      val ok3 = top(3) match {
+        case None => row.isNullAt(4)
+        case Some((g, c)) => row.getUTF8String(4).toString == g && row.getInt(5) == c
+      }
+      okCounts && ok2 && ok3
+    })
+  }
 }
