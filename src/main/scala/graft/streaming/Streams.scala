@@ -162,6 +162,26 @@ object Streams {
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
   }
 
+  /** Stream-static enrichment: the unbounded stream broadcast-joins a
+    * bounded dimension table — the standard fact-enrichment shape. The
+    * static side is re-readable per micro-batch (so a dim refresh is
+    * picked up) and broadcast, so the stream side never shuffles and no
+    * join state accumulates — unlike a stream-stream join, this is
+    * stateless. Left join: facts with no dimension row pass through with
+    * nulls rather than silently dropping. */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
+  /** Idempotent per-batch parquet sink: each micro-batch writes to
+    * `path/batch_id=<id>` with overwrite, so a replayed batch (failure →
+    * restart reprocesses the last uncommitted batch) overwrites its own
+    * directory instead of duplicating rows — the standard
+    * exactly-once-by-batch-id foreachBatch pattern for sinks without
+    * transactional commit. Readers see `batch_id` as a partition column. */
+  def idempotentParquetSink(path: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
   /** Batch-mode sessionization with the same gap semantics, as a pure
     * window pipeline — the cross-check for the stateful version and the
     * shape used for backfills: session id = running count of gap breaks. */

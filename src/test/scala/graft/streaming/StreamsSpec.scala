@@ -285,6 +285,33 @@ class StreamsSpec extends SparkSpec {
     assert(expected.forall { case (_, n, kth, _) => n == k && kth.isDefined })
   }
 
+  test("stream-static enrichment: stateless broadcast join, no dropped facts") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, String)]
+    val sq = Streams.enrich(mem.toDF().toDF("user_id", "action"), dim, Seq("user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("enr").start()
+    mem.addData((1L, "click"), (2L, "view"), (99L, "click")) // 99 has no dim row
+    sq.processAllAvailable()
+    val got = spark.table("enr").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    sq.stop()
+    assert(got === Set((1L, "click", Some("gold")), (2L, "view", Some("basic")),
+      (99L, "click", None)))
+  }
+
+  test("idempotent foreachBatch sink: a replayed batch does not duplicate rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("sink").toString + "/t"
+    val sink = Streams.idempotentParquetSink(out)
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    sink(b0, 0L)
+    sink(Seq((3L, "c")).toDF("id", "v"), 1L)
+    sink(b0, 0L) // replay of batch 0 after a simulated restart
+    val rows = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("batch sessionization: gap splits, out-of-order safe") {
     val df = Seq(
       (1L, ts("2024-01-01 10:02:00")), // arrives out of order
