@@ -177,6 +177,35 @@ object TextQueries {
         .select("doc_id", "n_terms_hit", "score_micro")
     }),
 
+    // per-source DATA CARD: the one-pass dataset documentation artifact a
+    // training corpus ships with — volume, token mass, exact-dup rate,
+    // declared-language mix, quality mass, length envelope. Integer-only
+    // aggregates (quality floored to micro-units per doc BEFORE the sum)
+    // so every column is bit-portable; one map-side-combinable pass plus
+    // the (source, md5) dedup shuffle.
+    "q73_data_card" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          col("text"), textStats(col("text")).as("st"),
+          punctRatio(col("text")).as("pr"), digitRatio(col("text")).as("dr"))
+        .select(col("source"), col("lang"), col("n_chars"),
+          col("st.ws_tokens").as("toks"),
+          md5(col("text")).as("h"),
+          floor(qualityScoreFrom(col("st"), col("pr"), col("dr")) *
+            lit(1000000.0)).as("q_micro"))
+      scored.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"),
+          sum(col("toks").cast("long")).as("n_tokens_ws"),
+          countDistinct(col("h")).as("n_distinct_content"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(col("q_micro")).as("sum_quality_micro"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .withColumn("n_exact_dups", col("n_docs") - col("n_distinct_content"))
+        .orderBy("source")
+    }),
+
     "q43_chunking" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -336,6 +365,44 @@ object TextQueries {
          |SELECT doc_id, count(*) AS n_terms_hit, CAST(sum(s_term) AS BIGINT) AS score_micro
          |FROM scored GROUP BY doc_id
          |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q31's quality formula (already pinned bit-exact there) floored to
+    // micro-units per doc, then integer sums per source
+    "q73_data_card" ->
+      s"""WITH base AS (
+         |  SELECT source, lang, n_chars, text, length(text) AS n,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rawtoks
+         |  FROM documents),
+         |m AS (
+         |  SELECT source, lang, n_chars, text, len(rawtoks) AS toks_n,
+         |    CASE WHEN n = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / n END AS punct_ratio,
+         |    CASE WHEN n = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / n END AS digit_ratio,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_filter(toks, x -> list_contains($StopwordsSql, x)))::DOUBLE / len(toks) END AS stopword_ratio,
+         |    CASE WHEN len(rawtoks) = 0 THEN 0.0
+         |         ELSE list_aggregate(list_transform(rawtoks, x -> length(x)), 'sum')::DOUBLE / len(rawtoks) END AS mean_word_len
+         |  FROM base),
+         |scored AS (
+         |  SELECT source, lang, n_chars, toks_n, md5(text) AS h,
+         |    CAST(floor((least(stopword_ratio * 4.0, 1.0) * 0.3
+         |      + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.25
+         |      + greatest(1.0 - digit_ratio * 5.0, 0.0) * 0.25
+         |      + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 8.0 THEN 1.0
+         |              WHEN mean_word_len > 0.0 THEN 0.5 ELSE 0.0 END) * 0.2)
+         |      * 1000000.0) AS BIGINT) AS q_micro
+         |  FROM m)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+         |  CAST(sum(toks_n) AS BIGINT) AS n_tokens_ws,
+         |  count(DISTINCT h) AS n_distinct_content,
+         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |  CAST(sum(q_micro) AS BIGINT) AS sum_quality_micro,
+         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+         |  count(*) - count(DISTINCT h) AS n_exact_dups
+         |FROM scored GROUP BY source ORDER BY source""".stripMargin,
 
     "q67_inverted_index" ->
       """WITH tf AS (
