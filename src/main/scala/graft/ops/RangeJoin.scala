@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyless point-in-interval range join. Spark plans `p.t BETWEEN i.s AND
+  * i.e` with no equality key as a BroadcastNestedLoopJoin — every point
+  * against every interval, the shape that dies first at 100 TB. The
+  * standard fix is to MANUFACTURE an equality key: quantize time into
+  * buckets of `bucketWidth`, explode each interval onto every bucket it
+  * overlaps, and hash-join points (which land in exactly ONE bucket) to
+  * the exploded intervals, re-checking the precise range after the join.
+  *
+  * A point matches an interval in precisely the point's own bucket, so the
+  * join emits no duplicates — no distinct needed. Cost: the interval side
+  * replicates by ceil(span/bucketWidth)+1; pick bucketWidth near the
+  * typical interval span so replication stays O(1) and buckets stay
+  * skew-free (a width far below the span explodes replicas; far above it
+  * degrades bucket selectivity toward the quadratic join).
+  */
+object RangeJoin {
+
+  /** @param points    (pointTime, …) — each row joins intervals covering it
+    * @param intervals (startCol, endCol, …) — half-open [start, end)
+    * @return points ⋈ intervals rows (all columns of both sides); column
+    *         names must not collide */
+  /** Exact floor division for BIGINT times: `floor(x / w)` routes through
+    * double division, which silently misrounds past 2^53 (nanosecond-epoch
+    * keys are ~2^60) — a point and an interval edge could then land in
+    * different buckets and MISS. pmod keeps everything in exact integer
+    * arithmetic for any long. */
+  private def floorDiv(x: Column, w: Long): Column =
+    ((x - pmod(x, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
+
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointTime: String, startCol: String, endCol: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val ib = intervals.withColumn("_rj_bucket",
+      explode(sequence(floorDiv(col(startCol), bucketWidth),
+        floorDiv(col(endCol) - 1, bucketWidth))))
+    val pb = points.withColumn("_rj_bucket",
+      floorDiv(col(pointTime), bucketWidth))
+    pb.join(ib, "_rj_bucket")
+      .where(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
+      .drop("_rj_bucket")
+  }
+}

@@ -162,6 +162,27 @@ object OpsQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // keyless range join via bucket manufacture: every event attributed to
+    // the ±5-minute windows around error events — no equality key exists,
+    // so a naive BETWEEN join is a BroadcastNestedLoopJoin; the bucketed
+    // form hash-joins on quantized time (PlanSpec pins no-NLJ). Width =
+    // window span → each interval lands in ≤ 3 buckets.
+    "q74_range_join" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("t_us", expr("ts_ns div 1000"))
+      val points = e.select(col("event_id"), col("t_us"))
+      val win = 300000000L // ±5 min in µs
+      val intervals = e.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"),
+          (col("t_us") - win).as("w_start"), (col("t_us") + win).as("w_end"))
+      graft.ops.RangeJoin.pointInInterval(points, intervals,
+          "t_us", "w_start", "w_end", bucketWidth = 2 * win)
+        .select(col("event_id"), col("error_id"),
+          (col("t_us") - col("w_start")).as("offset_us"))
+        .orderBy("event_id", "error_id")
+    }),
+
     // histogram quantile sketch vs exact: the (group, bin) counts are the
     // mergeable sketch (≤ 256 rows per group ever shuffle); the exact side
     // pays the full per-group sort the sketch avoids. Both paths and the
@@ -308,6 +329,17 @@ object OpsQueries {
         |WHERE EXISTS (SELECT 1 FROM customer c
         |              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the naive BETWEEN formulation — DuckDB's IEJoin handles it directly
+    "q74_range_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS t_us FROM events),
+        |er AS (SELECT event_id AS error_id,
+        |         epoch_us(ts) - 300000000 AS w_start,
+        |         epoch_us(ts) + 300000000 AS w_end
+        |       FROM events WHERE event_type = 'error')
+        |SELECT e.event_id, er.error_id, e.t_us - er.w_start AS offset_us
+        |FROM e JOIN er ON e.t_us >= er.w_start AND e.t_us < er.w_end
+        |ORDER BY e.event_id, er.error_id""".stripMargin,
 
     // every float step is the same two-operand tree as the Spark side
     // (subtract / divide / scale-by-256 / floor; edge formula for the

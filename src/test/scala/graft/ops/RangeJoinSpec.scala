@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def points = Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 100L))
+    .toDF("pid", "t")
+  private def intervals = Seq((10L, 10L, 20L), (11L, 0L, 6L), (12L, 18L, 40L))
+    .toDF("iid", "s", "e")
+
+  test("matches the naive BETWEEN join exactly (half-open), no duplicates") {
+    for (w <- Seq(1L, 3L, 10L, 1000L)) { // bucket width must not change results
+      val got = RangeJoin.pointInInterval(points, intervals, "t", "s", "e", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val naive = points.crossJoin(intervals)
+        .where($"t" >= $"s" && $"t" < $"e")
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq === naive.toSeq, s"width $w")
+      assert(got.length === got.distinct.length)
+    }
+    // pin the expected pairs once: 5∈[0,6), 10∈[10,20), 19∈[10,20)+[18,40),
+    // 20∉[10,20) (half-open) but ∈[18,40)
+    val expect = Seq((1L, 11L), (2L, 10L), (3L, 10L), (3L, 12L), (4L, 12L))
+    val got = RangeJoin.pointInInterval(points, intervals, "t", "s", "e", 8L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === expect)
+  }
+
+  test("plans as a hash join on the manufactured bucket — no nested loop") {
+    val p = RangeJoin.pointInInterval(points, intervals, "t", "s", "e", 8L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(500))
+    assert(p.contains("_rj_bucket"), p.take(500))
+  }
+
+  test("negative times bucket correctly (floor, not truncate-toward-zero)") {
+    val pts = Seq((1L, -5L), (2L, -16L)).toDF("pid", "t")
+    val ivs = Seq((10L, -20L, -10L), (11L, -8L, 2L)).toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(pts, ivs, "t", "s", "e", 8L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === Seq((1L, 11L), (2L, 10L)))
+  }
+
+  test("nanosecond-epoch keys past 2^53 bucket exactly (no double rounding)") {
+    // 2024 epoch-nanos ≈ 1.7e18 ≫ 2^53: a double-division bucket would
+    // misround near edges and silently miss matches
+    val base = 1704067200000000000L // 2024-01-01 in ns
+    val pts = Seq((1L, base + 999L), (2L, base + 1000L)).toDF("pid", "t")
+    val ivs = Seq((10L, base, base + 1000L), (11L, base + 1000L, base + 2000L))
+      .toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(pts, ivs, "t", "s", "e", 1000L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === Seq((1L, 10L), (2L, 11L)))
+  }
+}
