@@ -200,4 +200,24 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(event_type[^,]*, bin".r.findFirstIn(p).isDefined,
       s"expected a (event_type, bin) exchange:\n${p.take(800)}")
   }
+
+  test("REGISTRY-WIDE: no cartesian or nested-loop join in any query plan " +
+      "(q40 is the documented exact-baseline exception)") {
+    // the blanket guard behind every per-query pin: a future registration
+    // that plans a quadratic join fails here by name. q40 is the labeled
+    // exact brute-force baseline; q41/q47's nested loops are the IVF
+    // centroid-ASSIGNMENT joins — the build side is the nCentroids-row
+    // (16) broadcast table, O(N·k) by construction, not data-quadratic.
+    val allowed = Set("q40_ann_topk", "q41_ann_ivf", "q47_ivf_recall")
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowed)
+      .flatMap { name =>
+        val p = graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty, s"quadratic join plans in: $offenders")
+  }
 }
