@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,6 +20,14 @@ object TextQueries {
 
   /** q68's fixed keyword query — shared with its oracle SQL. */
   private val Bm25QueryTerms: Seq[String] = Seq("spark", "join", "window")
+
+  /** Word 4-gram set of a whitespace tokenization (empty when < 4 tokens).
+    * The explicit size guard matters: Spark's sequence(1, n) with n < 1
+    * would DESCEND ([1, 0]) instead of being empty like DuckDB's range. */
+  private def wordGrams4(ws: Column): Column =
+    when(size(ws) < 4, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - 3),
+        i => concat_ws(" ", slice(ws, i, lit(4)))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_token_stats" -> ((s, dir) =>
@@ -204,6 +212,35 @@ object TextQueries {
           max(col("n_chars")).as("max_chars"))
         .withColumn("n_exact_dups", col("n_docs") - col("n_distinct_content"))
         .orderBy("source")
+    }),
+
+    // benchmark DECONTAMINATION: flag corpus docs sharing any word 4-gram
+    // with the held-out eval set (source 'src0' stands in for the
+    // benchmark). The eval side is small BY DEFINITION, so its distinct
+    // gram set broadcasts; the corpus side stays narrow (scan → explode →
+    // broadcast probe → partial count by doc_id) — document text never
+    // shuffles, only (doc_id, count) rows do. Hits count matched gram
+    // OCCURRENCES, not distinct grams: a plain count is map-side
+    // combinable, where a per-doc distinct would shuffle the matched
+    // (doc_id, gram) pairs themselves. At 100 TB the probe keys would be
+    // xxhash64(gram) (8 B vs ~25 B strings); raw strings here keep the
+    // oracle an exact string-equality replay.
+    "q75_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      val bench = d.where(col("source") === "src0")
+        .select(explode(wordGrams4(col("ws"))).as("gram")).distinct()
+      val corpus = d.where(col("source") =!= "src0")
+      val hits = corpus
+        .select(col("doc_id"), explode(wordGrams4(col("ws"))).as("gram"))
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_gram_hits"))
+      corpus.select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"),
+          (coalesce(col("n_gram_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
     }),
 
     "q43_chunking" -> ((s, dir) =>
@@ -403,6 +440,27 @@ object TextQueries {
          |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
          |  count(*) - count(DISTINCT h) AS n_exact_dups
          |FROM scored GROUP BY source ORDER BY source""".stripMargin,
+
+    // same tokenization (string_split keeps empties) and the same 4-gram
+    // windows: range(1, len-2) is empty below 4 tokens, mirroring the
+    // Spark side's size guard
+    "q75_decontaminate" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |bench AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 2),
+        |    i -> array_to_string(ws[i:i+3], ' '))) AS gram
+        |  FROM d WHERE source = 'src0'),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_gram_hits
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 2),
+        |          i -> array_to_string(ws[i:i+3], ' '))) AS gram
+        |        FROM d WHERE source <> 'src0') c
+        |  JOIN bench USING (gram) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(h.n_gram_hits, 0) AS n_gram_hits,
+        |  coalesce(h.n_gram_hits, 0) > 0 AS contaminated
+        |FROM d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.source <> 'src0'
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q67_inverted_index" ->
       """WITH tf AS (

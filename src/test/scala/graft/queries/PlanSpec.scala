@@ -201,6 +201,22 @@ class PlanSpec extends SparkSpec {
       s"expected a (event_type, bin) exchange:\n${p.take(800)}")
   }
 
+  test("q75 decontamination broadcasts the benchmark gram set — corpus text never shuffles") {
+    val df = graft.SparkEntry.queries("q75_decontaminate")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    // exactly ONE gram exchange is allowed: the benchmark side's distinct
+    // (small by definition). A second would mean the corpus side shuffles
+    // its grams — e.g. a per-doc countDistinct — which is the 100 TB
+    // anti-pattern this query avoids. Document text never shuffles at all.
+    val gramEx = "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p)
+      .filter(_.group(1).contains("gram")).toList
+    assert(gramEx.size <= 1, s"corpus grams ride a shuffle: $gramEx")
+    "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p).foreach { m =>
+      assert(!m.group(1).contains("text"), s"text column in a shuffle: ${m.matched}")
+    }
+  }
+
   test("REGISTRY-WIDE: no cartesian or nested-loop join in any query plan " +
       "(q40 is the documented exact-baseline exception)") {
     // the blanket guard behind every per-query pin: a future registration
