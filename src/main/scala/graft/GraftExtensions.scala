@@ -20,7 +20,7 @@ import graft.functions._
   * seed), winnow_fingerprints(s, k, w), winnow_fingerprints_portable(s, k,
   * w), sample_coord(key), text_stats(s), repetition_stats(s), zval(x, y),
   * kmv_distinct(key, k), bloom_build(key, bits, hashes),
-  * bloom_might_contain(bitset, key, hashes).
+  * bloom_might_contain(bitset, key, hashes), misra_gries(item, k).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -82,7 +82,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => BloomBuildAgg(es(0), intLit(es(1), "numBits"),
         intLit(es(2), "numHashes")).toAggregateExpression()),
     ("bloom_might_contain", "bloom_might_contain(bitset, key, numHashes) - Bloom membership probe",
-      es => BloomMightContain(es(0), es(1), intLit(es(2), "numHashes"))))
+      es => BloomMightContain(es(0), es(1), intLit(es(2), "numHashes"))),
+    ("misra_gries", "misra_gries(item, k) - bounded heavy-hitter candidates (aggregate)",
+      es => MisraGriesAgg(es(0), intLit(es(1), "k")).toAggregateExpression()))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

@@ -243,6 +243,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus HEAVY HITTERS: terms with ≥ 1% of total token mass, found as
+    // sketch-prune + exact-verify. Pass 1 is a Misra–Gries aggregate
+    // (bounded at k=200 counters per partial, O(1)/item): its candidate
+    // set provably SUPERSETS every term above n/201 < 1%·n, whatever the
+    // merge order. Pass 2 exact-counts ONLY the ≤200 candidates (broadcast
+    // probe, map-side combine) and applies the true integer threshold —
+    // so the output is exact and deterministic while the full-vocabulary
+    // shuffle an exact GROUP BY would pay never happens. share is one
+    // double division of exact integers (portable).
+    "q76_heavy_hitters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("text"))
+      val total = docs.agg(sum(size(split(col("text"), " ")).cast("long")))
+        .head().getLong(0)
+      val toks = docs.select(explode(split(col("text"), " ")).as("term"))
+      val cand = toks
+        .agg(graft.functions.MisraGries.misraGries(col("term"), 200).as("cs"))
+        .select(explode(col("cs")).as("c")).select(col("c.term").as("term"))
+      toks.join(broadcast(cand), "term")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") * 100 >= lit(total))
+        .select(col("term"), col("cnt"),
+          (col("cnt").cast("double") / lit(total).cast("double")).as("share"))
+        .orderBy(col("cnt").desc, col("term"))
+    }),
+
     "q43_chunking" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -461,6 +486,16 @@ object TextQueries {
         |FROM d LEFT JOIN hits h USING (doc_id)
         |WHERE d.source <> 'src0'
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the sketch prunes, the exact count decides — so the oracle is the
+    // plain exact heavy-hitter SQL (integer threshold, one division)
+    "q76_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tot AS (SELECT count(*) AS n FROM tok),
+        |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+        |SELECT term, cnt, CAST(cnt AS DOUBLE) / CAST(tot.n AS DOUBLE) AS share
+        |FROM c, tot WHERE cnt * 100 >= tot.n
+        |ORDER BY cnt DESC, term""".stripMargin,
 
     "q67_inverted_index" ->
       """WITH tf AS (
