@@ -64,4 +64,24 @@ object Sampling {
       .orderBy(col("priority").desc, keyCol)
       .limit(n)
   }
+
+  /** QUOTA sampling: exactly min(|stratum|, quota) rows per stratum — the
+    * balanced-mixture construction a training run needs when sources must
+    * contribute fixed counts, not fixed rates (rate sampling keeps a share;
+    * quota sampling caps a count, whatever each stratum's size). The kept
+    * rows are the stratum's `quota` smallest Mix64 coordinates — a uniform
+    * draw without replacement that is a pure function of the keys, so it
+    * reproduces across engines/layouts AND nests across quotas (quota 5 ⊂
+    * quota 10 for the same keys). The rank<=quota predicate compiles to
+    * WindowGroupLimit: per-partition top-quota heaps run BEFORE the
+    * stratum shuffle, so at 100 TB each map task forwards at most `quota`
+    * rows per stratum instead of its whole slice (pinned in PlanSpec). */
+  def quotaSample(df: DataFrame, keyCol: Column, strataCol: Column,
+                  quota: Int): DataFrame = {
+    require(quota >= 1, s"quota $quota must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(Mix64.sampleCoord(keyCol.cast("long")), keyCol)
+    df.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= quota)
+  }
 }

@@ -206,6 +206,16 @@ object OpsQueries {
         .orderBy("event_type")
     }),
 
+    // quota sampling: exactly 8 docs per source, the 8 smallest Mix64
+    // coordinates — balanced-mixture construction (fixed COUNTS per
+    // source, vs q49's fixed rates). Deterministic, nests across quotas;
+    // WindowGroupLimit caps what each map task forwards (PlanSpec).
+    "q77_quota_sample" -> ((s, dir) =>
+      Sampling.quotaSample(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("doc_id"), col("source"), quota = 8)
+        .orderBy("doc_id")),
+
     // Morton curve coordinate for the (user, day) layout keys — the value
     // Layout.writeZOrdered clusters files by (LayoutSpec pins the bounding-
     // box tightening); codegen'd bit interleave, narrow projection
@@ -329,6 +339,16 @@ object OpsQueries {
         |WHERE EXISTS (SELECT 1 FROM customer c
         |              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the same coordinate order replayed with a window; row_number is INT
+    // on the Spark side, so the oracle casts
+    "q77_quota_sample" ->
+      s"""SELECT doc_id, source, rank FROM (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |         ORDER BY ${coordSql("doc_id")}, doc_id) AS INT) AS rank
+         |  FROM documents)
+         |WHERE rank <= 8 ORDER BY doc_id""".stripMargin,
 
     // the naive BETWEEN formulation — DuckDB's IEJoin handles it directly
     "q74_range_join" ->

@@ -67,4 +67,19 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n${plan.take(400)}")
   }
+
+  test("quota sample: exact counts per stratum, nests across quotas, layout-invariant") {
+    val df = keys.withColumn("src", (col("id") % 7).cast("string"))
+    def ids(quota: Int, parts: Int): Set[Long] =
+      Sampling.quotaSample(df.repartition(parts), col("id"), col("src"), quota)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val q5 = ids(5, 4)
+    val q10 = ids(10, 4)
+    assert(q5.size === 5 * 7 && q10.size === 10 * 7)
+    assert(q5.subsetOf(q10), "quota 5 sample not nested in quota 10")
+    assert(ids(5, 13) === q5, "sample depends on partition layout")
+    // a stratum smaller than the quota keeps all its rows
+    val small = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("src", "id")
+    assert(Sampling.quotaSample(small, col("id"), col("src"), 5).count() === 3)
+  }
 }

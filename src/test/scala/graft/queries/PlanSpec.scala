@@ -217,6 +217,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q77 quota sample group-limits before the stratum shuffle") {
+    val p = plan("q77_quota_sample")
+    // rank<=quota must push WindowGroupLimit below the exchange: each map
+    // task forwards at most `quota` rows per stratum, not its whole slice
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+  }
+
   test("REGISTRY-WIDE: no cartesian or nested-loop join in any query plan " +
       "(q40 is the documented exact-baseline exception)") {
     // the blanket guard behind every per-query pin: a future registration
