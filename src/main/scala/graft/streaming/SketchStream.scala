@@ -4,10 +4,15 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.functions.Kmv
+import graft.functions.{Kmv, MisraGries}
 
 /** Per-batch KMV update for one group. `est` is exact below saturation. */
 case class KmvUpdate(group: String, n_kept: Int, kth_min: Option[Long], est: Double)
+
+/** Per-batch Misra–Gries update for one group: candidate terms (sorted)
+  * with their lower-bound counts. */
+case class MgUpdate(group: String, n_counters: Int,
+    candidates: Seq[String], cnt_lower: Seq[Long])
 
 /** Streaming distinct-count sketching: the [[graft.functions.KmvDistinct]]
   * bottom-k estimator maintained as `mapGroupsWithState` state, one bounded
@@ -58,4 +63,42 @@ object SketchStream {
       .agg(Kmv.kmvDistinct(col(keyCol).cast("long"), k).as("kmv"))
       .select(col("group"), col("kmv.n_kept").as("n_kept"),
         col("kmv.kth_min").as("kth_min"), col("kmv.est").as("est"))
+
+  /** Streaming heavy hitters: the [[graft.functions.MisraGries]] k-counter
+    * summary as per-group state, folded per micro-batch with the SAME
+    * `MisraGries.add` as the batch aggregate and emitting the running
+    * candidate set. State is ≤ k (term, count) pairs per group FOREVER —
+    * frequency monitoring on an unbounded stream without a growing term
+    * dictionary.
+    *
+    * Unlike KMV (a set of minima — order-free), the MG summary is
+    * order-SENSITIVE: different micro-batch slicings may keep different
+    * borderline counters. What IS slicing-invariant — and what consumers
+    * may rely on — is the guarantee: any term whose true count so far
+    * exceeds n/(k+1) is in the candidate set, and every emitted count is a
+    * lower bound (pinned in StreamsSpec under multiple slicings). */
+  def heavyHittersSketch(events: DataFrame, itemCol: String, byCol: String,
+                         k: Int): Dataset[MgUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    events
+      .select(col(byCol).as("g"), col(itemCol).as("item"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[(String, Long)], MgUpdate](GroupStateTimeout.NoTimeout()) {
+        (group: String, it: Iterator[(String, String)],
+         state: GroupState[Array[(String, Long)]]) =>
+          val buf = scala.collection.mutable.HashMap.empty[UTF8String, Long]
+          state.getOption.foreach(_.foreach { case (t, c) =>
+            buf.update(UTF8String.fromString(t), c)
+          })
+          it.foreach { case (_, term) =>
+            if (term != null) MisraGries.add(buf, UTF8String.fromString(term), 1L, k)
+          }
+          val arr = buf.toArray.map { case (t, c) => (t.toString, c) }.sortBy(_._1)
+          state.update(arr)
+          MgUpdate(group, arr.length, arr.map(_._1).toSeq, arr.map(_._2).toSeq)
+      }
+  }
 }

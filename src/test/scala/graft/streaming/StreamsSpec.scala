@@ -285,6 +285,47 @@ class StreamsSpec extends SparkSpec {
     assert(expected.forall { case (_, n, kth, _) => n == k && kth.isDefined })
   }
 
+  test("streaming Misra-Gries: bounded state, guarantee holds under every slicing") {
+    // term stream with one heavy term per group; MG state is order-
+    // sensitive so the pin is the slicing-INVARIANT contract: counters
+    // bounded by k, heavy terms always candidates, counts lower bounds
+    val terms = (1 to 60).map(i => ("g1", "hot")) ++
+      (1 to 25).map(i => ("g1", s"cold$i")) ++
+      (1 to 30).map(i => ("g2", "warm")) ++
+      (1 to 10).map(i => ("g2", s"rare$i"))
+    val exact = terms.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val k = 4
+    implicit val sqlCtx = spark.sqlContext
+    for (cut <- Seq(Seq(40, 80), Seq(1, 100), Seq(63))) {
+      val mem = MemoryStream[(String, String)]
+      val name = s"mgs_${cut.mkString("_")}"
+      val sq = SketchStream
+        .heavyHittersSketch(mem.toDF().toDF("event_type", "term"), "term", "event_type", k)
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      val bounds = 0 +: cut :+ terms.size
+      bounds.sliding(2).foreach { case Seq(a, b) =>
+        mem.addData(terms.slice(a, b): _*)
+        sq.processAllAvailable()
+      }
+      val last = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getInt(1),
+          r.getSeq[String](2), r.getSeq[Long](3)))
+        .zipWithIndex.groupBy(_._1._1)
+        .map { case (_, vs) => vs.maxBy(_._2)._1 }
+      sq.stop()
+      last.foreach { case (g, n, cands, lowers) =>
+        assert(n <= k, s"$g state exceeded $k counters")
+        val nGroup = terms.count(_._1 == g).toLong
+        exact.collect { case ((gg, t), c) if gg == g && c > nGroup / (k + 1) => t }
+          .foreach(t => assert(cands.contains(t),
+            s"slicing $cut lost heavy term $t in $g: $cands"))
+        cands.zip(lowers).foreach { case (t, lo) =>
+          assert(lo <= exact((g, t)), s"$g/$t lower $lo exceeds exact")
+        }
+      }
+    }
+  }
+
   test("stream-static enrichment: stateless broadcast join, no dropped facts") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
