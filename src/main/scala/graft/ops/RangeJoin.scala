@@ -45,4 +45,30 @@ object RangeJoin {
       .where(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
       .drop("_rj_bucket")
   }
+
+  /** Interval–interval OVERLAP join: pairs with [ls, le) ∩ [rs, re) ≠ ∅,
+    * i.e. ls < re AND rs < le — both half-open. Both sides explode onto
+    * their covered buckets and hash-join on the bucket; an overlapping
+    * pair shares every bucket its overlap spans, so to stay
+    * duplicate-free WITHOUT a distinct (which would shuffle the joined
+    * payloads again) each pair is emitted only in its CANONICAL bucket:
+    * the one containing max(ls, rs), the overlap's first instant. That
+    * bucket is covered by both sides by construction, so exactly one
+    * replica survives. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      leftStart: String, leftEnd: String,
+                      rightStart: String, rightEnd: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def exploded(df: DataFrame, s: String, e: String) =
+      df.withColumn("_rj_bucket",
+        explode(sequence(floorDiv(col(s), bucketWidth),
+          floorDiv(col(e) - 1, bucketWidth))))
+    exploded(left, leftStart, leftEnd)
+      .join(exploded(right, rightStart, rightEnd), "_rj_bucket")
+      .where(col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd))
+      .where(col("_rj_bucket") ===
+        floorDiv(greatest(col(leftStart), col(rightStart)), bucketWidth))
+      .drop("_rj_bucket")
+  }
 }

@@ -183,6 +183,32 @@ object OpsQueries {
         .orderBy("event_id", "error_id")
     }),
 
+    // interval OVERLAP join (both sides ranges — the q74 shape generalized):
+    // error ±5-min windows × purchase ±1-min windows that intersect. No
+    // equality key exists, so the bucket manufacture again replaces the
+    // nested-loop plan with a hash join; the canonical-bucket rule keeps
+    // it duplicate-free without a distinct. Overlap span in exact µs.
+    "q78_interval_overlap" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("t_us", expr("ts_ns div 1000"))
+      val errW = 300000000L // ±5 min
+      val purW = 60000000L  // ±1 min
+      val errors = e.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"),
+          (col("t_us") - errW).as("e_start"), (col("t_us") + errW).as("e_end"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          (col("t_us") - purW).as("p_start"), (col("t_us") + purW).as("p_end"))
+      graft.ops.RangeJoin.intervalOverlap(errors, purchases,
+          "e_start", "e_end", "p_start", "p_end", bucketWidth = 2 * errW)
+        .select(col("error_id"), col("purchase_id"),
+          greatest(col("e_start"), col("p_start")).as("ov_start_us"),
+          least(col("e_end"), col("p_end")).as("ov_end_us"))
+        .withColumn("ov_us", col("ov_end_us") - col("ov_start_us"))
+        .orderBy("error_id", "purchase_id")
+    }),
+
     // histogram quantile sketch vs exact: the (group, bin) counts are the
     // mergeable sketch (≤ 256 rows per group ever shuffle); the exact side
     // pays the full per-group sort the sketch avoids. Both paths and the
@@ -360,6 +386,20 @@ object OpsQueries {
         |SELECT e.event_id, er.error_id, e.t_us - er.w_start AS offset_us
         |FROM e JOIN er ON e.t_us >= er.w_start AND e.t_us < er.w_end
         |ORDER BY e.event_id, er.error_id""".stripMargin,
+
+    // the naive overlap BETWEEN formulation (DuckDB IEJoin)
+    "q78_interval_overlap" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS t FROM events),
+        |er AS (SELECT event_id AS error_id, t - 300000000 AS e_start, t + 300000000 AS e_end
+        |       FROM e WHERE event_type = 'error'),
+        |pu AS (SELECT event_id AS purchase_id, t - 60000000 AS p_start, t + 60000000 AS p_end
+        |       FROM e WHERE event_type = 'purchase')
+        |SELECT error_id, purchase_id,
+        |  greatest(e_start, p_start) AS ov_start_us,
+        |  least(e_end, p_end) AS ov_end_us,
+        |  least(e_end, p_end) - greatest(e_start, p_start) AS ov_us
+        |FROM er JOIN pu ON e_start < p_end AND p_start < e_end
+        |ORDER BY error_id, purchase_id""".stripMargin,
 
     // every float step is the same two-operand tree as the Spark side
     // (subtract / divide / scale-by-256 / floor; edge formula for the

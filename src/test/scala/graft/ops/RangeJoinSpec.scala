@@ -46,6 +46,36 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 11L), (2L, 10L)))
   }
 
+  test("interval overlap ≡ naive overlap join for every bucket width, no duplicates") {
+    val lhs = Seq((1L, 0L, 10L), (2L, 5L, 25L), (3L, 30L, 31L), (4L, -7L, 3L))
+      .toDF("lid", "ls", "le")
+    val rhs = Seq((10L, 8L, 12L), (11L, 24L, 40L), (12L, -100L, 100L))
+      .toDF("rid", "rs", "re")
+    val naive = lhs.crossJoin(rhs)
+      .where($"ls" < $"re" && $"rs" < $"le")
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    for (w <- Seq(1L, 4L, 16L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(lhs, rhs, "ls", "le", "rs", "re", w)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq === naive.toSeq, s"width $w")
+      assert(got.length === got.distinct.length, s"width $w produced duplicates")
+    }
+    // adjacency is NOT overlap under half-open semantics: [0,10) ∩ [10,20) = ∅
+    val adj = RangeJoin.intervalOverlap(
+      Seq((1L, 0L, 10L)).toDF("lid", "ls", "le"),
+      Seq((2L, 10L, 20L)).toDF("rid", "rs", "re"), "ls", "le", "rs", "re", 4L)
+    assert(adj.count() === 0)
+  }
+
+  test("interval overlap plans as a hash join — no nested loop") {
+    val lhs = Seq((1L, 0L, 10L)).toDF("lid", "ls", "le")
+    val rhs = Seq((10L, 8L, 12L)).toDF("rid", "rs", "re")
+    val p = RangeJoin.intervalOverlap(lhs, rhs, "ls", "le", "rs", "re", 8L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(500))
+  }
+
   test("nanosecond-epoch keys past 2^53 bucket exactly (no double rounding)") {
     // 2024 epoch-nanos ≈ 1.7e18 ≫ 2^53: a double-division bucket would
     // misround near edges and silently miss matches
