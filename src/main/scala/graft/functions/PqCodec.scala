@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Product-quantization codec: [[PqEncodeExpr]] maps a D-dim float vector to
+  * M sub-codebook indices (argmin L2 per subspace, ties to the lowest index)
+  * and [[PqAdcExpr]] scores a full query vector against a coded corpus row —
+  * asymmetric distance computation (ADC), Jégou et al., TPAMI 2011 — as an
+  * approximate COSINE: Σ_m dot(q_m, c_m[code_m]) over ‖q‖·‖x̂‖ with
+  * ‖x̂‖² = Σ_m ‖c_m[code_m]‖². Both are single-pass evals over a codebook
+  * held as an expression constant (M·K·(D/M) floats — the per-refresh model
+  * artifact, same deployment shape as the Bloom bitset literal in q69).
+  *
+  * All arithmetic is double-precision in a fixed loop order, so codes and
+  * scores are deterministic across runs and layouts (pinned in PqSpec).
+  */
+object PqCodec {
+
+  /** codebook(m)(j) = the j-th centroid of subspace m, each D/M floats. */
+  type Codebook = Array[Array[Array[Float]]]
+
+  def subDim(cb: Codebook): Int = cb(0)(0).length
+
+  private[functions] def l2sq(v: ArrayData, off: Int, c: Array[Float]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < c.length) {
+      val diff = v.getFloat(off + i).toDouble - c(i).toDouble
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  private[functions] def dot(v: ArrayData, off: Int, c: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < c.length) {
+      s += v.getFloat(off + i).toDouble * c(i).toDouble
+      i += 1
+    }
+    s
+  }
+}
+
+/** vec (array<float>, length M·subDim) → array<int> of M codebook indices. */
+case class PqEncodeExpr(child: Expression, codebook: PqCodec.Codebook)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  private val m = codebook.length
+  private val sub = PqCodec.subDim(codebook)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    require(v.numElements() == m * sub,
+      s"pq_encode expects ${m * sub} dims, got ${v.numElements()}")
+    val codes = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      val cands = codebook(mi)
+      var best = 0
+      var bestD = PqCodec.l2sq(v, mi * sub, cands(0))
+      var j = 1
+      while (j < cands.length) {
+        val d = PqCodec.l2sq(v, mi * sub, cands(j))
+        if (d < bestD) { bestD = d; best = j } // strict < : ties keep lowest j
+        j += 1
+      }
+      codes(mi) = best
+      mi += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}
+
+/** (query array<float>, codes array<int>) → approximate cosine via ADC. */
+case class PqAdcExpr(left: Expression, right: Expression,
+    codebook: PqCodec.Codebook)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_cosine"
+
+  private val m = codebook.length
+  private val sub = PqCodec.subDim(codebook)
+  // ‖c‖² per codeword, precomputed once per expression instance
+  private lazy val cNorm2: Array[Array[Double]] = codebook.map(_.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+    s
+  })
+
+  override def nullSafeEval(q: Any, codes: Any): Any = {
+    val qv = q.asInstanceOf[ArrayData]
+    val cd = codes.asInstanceOf[ArrayData]
+    require(qv.numElements() == m * sub && cd.numElements() == m,
+      s"pq_adc_cosine expects ${m * sub}-dim query and $m codes")
+    var dotSum = 0.0
+    var xNorm2 = 0.0
+    var qNorm2 = 0.0
+    var mi = 0
+    while (mi < m) {
+      val j = cd.getInt(mi)
+      dotSum += PqCodec.dot(qv, mi * sub, codebook(mi)(j))
+      xNorm2 += cNorm2(mi)(j)
+      mi += 1
+    }
+    var i = 0
+    val n = m * sub
+    while (i < n) {
+      val x = qv.getFloat(i).toDouble
+      qNorm2 += x * x
+      i += 1
+    }
+    val denom = math.sqrt(qNorm2) * math.sqrt(xNorm2)
+    if (denom == 0.0) 0.0 else dotSum / denom
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdcExpr = copy(left = l, right = r)
+}

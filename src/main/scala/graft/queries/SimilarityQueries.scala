@@ -64,6 +64,38 @@ object SimilarityQueries {
         .orderBy("query_id")
     }),
 
+    // product-quantization ADC top-10: the compressed-domain scan (corpus
+    // rows shrink 64 floats → 16 codes; codebook = deterministic sample +
+    // 3 integer-mean Lloyd iterations). Rows-only — argmin encode over
+    // float L2 has no DuckDB twin; PqSpec pins determinism + recall, q80
+    // MEASURES it.
+    "q79_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.similarity.Pq.adcTopK(emb.where(col("vec_id") < 20), emb,
+          "vec_id", "embedding", k = 10, m = 16, kCent = 64)
+        .orderBy("query_id", "rank")
+    }),
+
+    // PQ approximation quality as a measured output (the q47 pattern):
+    // per-query recall@10 of the ADC scan against exact brute force
+    "q80_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 20)
+      val bf = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+      val pq = graft.similarity.Pq.adcTopK(q, emb,
+        "vec_id", "embedding", k = 10, m = 16, kCent = 64)
+      val hits = bf.join(pq.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_true"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_true"))
+            .as("recall"))
+        .orderBy("query_id")
+    }),
+
     // PORTABLE hyperplane LSH signatures: integer-quantized dot products
     // (order-free exact sums) against splitmix64-regenerated planes — the
     // whole signature replays in DuckDB SQL, giving the hyperplane family a

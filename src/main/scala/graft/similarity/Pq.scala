@@ -1,0 +1,106 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{toColumn, toExpr, PqAdcExpr, PqCodec, PqEncodeExpr}
+
+/** Product-quantization ANN — the memory/IO scale path for embedding search.
+  * A 100 TB embedding corpus is mostly vector payload; PQ replaces each
+  * D-float vector (4·D bytes) with M small codebook indices (M ints, 4-bit
+  * codes in a production layout), so the scan/shuffle side of a top-k drops
+  * by ~D/M× while distances are still computable per pair via asymmetric
+  * distance computation (ADC) against the full-precision query.
+  *
+  * Everything is deterministic: the codebook is the [[Ann.sampleCentroids]]
+  * draw (smallest xxhash64(id) rows) subdivided into M subspaces, encode is
+  * a strict-argmin, ADC is fixed-order double arithmetic — so results are
+  * reproducible across runs and layouts, and the approximation quality is a
+  * MEASURED quantity (q80) like IVF's (q47), not a tolerance.
+  */
+object Pq {
+
+  /** Deterministic codebook: the k corpus vectors with the smallest
+    * xxhash64(id), split into m sub-vectors each. Collected to the driver —
+    * k·D floats, a bounded model artifact (the same deployment shape as
+    * q69's Bloom bitset), broadcast to executors inside the expressions. */
+  def codebook(corpus: DataFrame, idCol: String, vecCol: String,
+               m: Int, k: Int): PqCodec.Codebook = {
+    val rows = corpus
+      .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("_h"), col(idCol).as("_i"))
+      .orderBy("_h", "_i").limit(k)
+      .select("v").collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(rows.length == k, s"corpus smaller than codebook size $k")
+    val d = rows.head.length
+    require(d % m == 0, s"dim $d not divisible by $m subspaces")
+    val sub = d / m
+    Array.tabulate(m)(mi => rows.map(_.slice(mi * sub, (mi + 1) * sub)))
+  }
+
+  def encode(vec: Column, cb: PqCodec.Codebook): Column =
+    toColumn(PqEncodeExpr(toExpr(vec), cb))
+
+  /** Lloyd-refined codebook: start from the deterministic sample, then
+    * `iters` k-means steps per subspace — assign every sub-vector to its
+    * nearest codeword (the encode expression), recompute codewords as cell
+    * means, keep the old codeword for empty cells. The means are computed
+    * over components QUANTIZED to integers (floor(x·2^20), the q64 trick):
+    * integer sums are order-free, so the trained codebook is bit-identical
+    * whatever the partitioning — a float mean would drift with Spark's
+    * partial-aggregation order. At 100 TB, train on a bounded deterministic
+    * sample (Sampling.sample) — standard PQ practice; the refinement shape
+    * (encode → explode dims → integer groupBy means) is unchanged. */
+  def trainCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                    m: Int, k: Int, iters: Int): PqCodec.Codebook = {
+    var cb = codebook(corpus, idCol, vecCol, m, k)
+    val sub = PqCodec.subDim(cb)
+    val Q = 1048576L // 2^20
+    for (_ <- 1 to iters) {
+      val means = corpus
+        .select(col(vecCol).as("v"), encode(col(vecCol), cb).as("cs"))
+        .select(posexplode(col("cs")).as(Seq("mi", "code")), col("v"))
+        .select(col("mi"), col("code"),
+          posexplode(slice(col("v"), col("mi") * sub + 1, lit(sub)))
+            .as(Seq("di", "x")))
+        .groupBy("mi", "code", "di")
+        .agg(sum(floor(col("x").cast("double") * Q).cast("long")).as("qsum"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      means.foreach { r =>
+        val (mi, code, di) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        next(mi)(code)(di) =
+          (r.getLong(3).toDouble / r.getLong(4).toDouble / Q).toFloat
+      }
+      cb = next
+    }
+    cb
+  }
+
+  def adcCosine(query: Column, codes: Column, cb: PqCodec.Codebook): Column =
+    toColumn(PqAdcExpr(toExpr(query), toExpr(codes), cb))
+
+  /** ADC top-k: full-precision queries against the CODED corpus — the
+    * compressed-domain linear scan. Same output shape and tie-break as
+    * [[Ann.bruteForceTopK]]; the join moves M ints per corpus row instead
+    * of D floats. (Compose with IVF cells to also prune the scan — here the
+    * scan itself is the operator under test.) */
+  def adcTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              m: Int, kCent: Int, trainIters: Int = 3): DataFrame = {
+    val cb = trainCodebook(corpus, idCol, vecCol, m, kCent, trainIters)
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      encode(col(vecCol), cb).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("asim").desc, col("neighbor_id"))
+    q.crossJoin(coded)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("asim", adcCosine(col("qv"), col("codes"), cb))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+}

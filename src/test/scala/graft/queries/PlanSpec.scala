@@ -231,7 +231,11 @@ class PlanSpec extends SparkSpec {
     // exact brute-force baseline; q41/q47's nested loops are the IVF
     // centroid-ASSIGNMENT joins — the build side is the nCentroids-row
     // (16) broadcast table, O(N·k) by construction, not data-quadratic.
-    val allowed = Set("q40_ann_topk", "q41_ann_ivf", "q47_ivf_recall")
+    // q79/q80's cross joins are the PQ compressed-domain scans: corpus rows
+    // carry 8 ints, not vectors — the linear scan IS the operator (q80 also
+    // embeds q40's labeled exact baseline)
+    val allowed = Set("q40_ann_topk", "q41_ann_ivf", "q47_ivf_recall",
+      "q79_ann_pq", "q80_pq_recall")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>

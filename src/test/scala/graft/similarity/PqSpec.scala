@@ -1,0 +1,72 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PqSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("codebook is the deterministic sample, m x k x subdim") {
+    val cb = Pq.codebook(emb, "vec_id", "embedding", m = 8, k = 16)
+    assert(cb.length === 8)
+    assert(cb.forall(_.length === 16))
+    assert(cb.forall(_.forall(_.length === 8)))
+    val cb2 = Pq.codebook(emb.repartition(13), "vec_id", "embedding", 8, 16)
+    assert(cb.flatten.flatten.toSeq === cb2.flatten.flatten.toSeq,
+      "codebook depends on partition layout")
+  }
+
+  test("encode: codes in range, deterministic, nearest-centroid by construction") {
+    val cb = Pq.codebook(emb, "vec_id", "embedding", 8, 16)
+    val codes = emb.select(col("vec_id"),
+        Pq.encode(col("embedding"), cb).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+    // a vector that IS a codeword encodes to itself in every subspace
+    val sampleIds = emb.select(col("vec_id"), xxhash64(col("vec_id")).as("h"))
+      .orderBy("h", "vec_id").limit(16).select("vec_id")
+      .collect().map(_.getLong(0))
+    val vecOf = emb.where(col("vec_id").isin(sampleIds: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    sampleIds.foreach { id =>
+      val cs = codes(id)
+      cs.zipWithIndex.foreach { case (c, mi) =>
+        assert(cb(mi)(c).toSeq === vecOf(id).slice(mi * 8, mi * 8 + 8).toSeq,
+          s"codeword vector $id did not encode to itself in subspace $mi")
+      }
+    }
+  }
+
+  test("ADC self-similarity of a codeword vector is ~1") {
+    val cb = Pq.codebook(emb, "vec_id", "embedding", 8, 16)
+    val coded = emb.select(col("vec_id"), col("embedding"),
+      Pq.encode(col("embedding"), cb).as("codes"))
+    val sims = coded
+      .withColumn("self", Pq.adcCosine(col("embedding"), col("codes"), cb))
+      .select("self").collect().map(_.getDouble(0))
+    // reconstruction is lossy for non-codewords but must stay a cosine
+    assert(sims.forall(s => s >= -1.0000001 && s <= 1.0000001))
+    assert(sims.max > 0.9999, "no codeword reconstructed to itself")
+  }
+
+  test("recall@10 vs exact brute force clears the floor; layout-invariant") {
+    val q = emb.where(col("vec_id") < 20)
+    val bf = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Pq.adcTopK(q, emb, "vec_id", "embedding", 10, m = 16, kCent = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & pq).size.toDouble / bf.size
+    assert(recall >= 0.5, f"PQ recall@10 $recall%.2f below floor")
+    val pq2 = Pq.adcTopK(q.repartition(7), emb.repartition(5),
+        "vec_id", "embedding", 10, m = 16, kCent = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq2 === pq, "PQ result depends on partition layout")
+  }
+}
