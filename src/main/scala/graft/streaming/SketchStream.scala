@@ -14,6 +14,11 @@ case class KmvUpdate(group: String, n_kept: Int, kth_min: Option[Long], est: Dou
 case class MgUpdate(group: String, n_counters: Int,
     candidates: Seq[String], cnt_lower: Seq[Long])
 
+/** Per-batch histogram update for one group: running count and quantile
+  * estimates off the fixed-range histogram. */
+case class HistUpdate(group: String, n: Long, n_clamped: Long,
+    p50_est: Double, p95_est: Double)
+
 /** Streaming distinct-count sketching: the [[graft.functions.KmvDistinct]]
   * bottom-k estimator maintained as `mapGroupsWithState` state, one bounded
   * buffer (≤ k longs) per group, updated per micro-batch and emitting the
@@ -63,6 +68,53 @@ object SketchStream {
       .agg(Kmv.kmvDistinct(col(keyCol).cast("long"), k).as("kmv"))
       .select(col("group"), col("kmv.n_kept").as("n_kept"),
         col("kmv.kth_min").as("kth_min"), col("kmv.est").as("est"))
+
+  /** Streaming quantile monitoring: a FIXED-RANGE histogram per group as
+    * `mapGroupsWithState` state — nBins longs per group forever, the
+    * streaming member of the quantile family next to the batch
+    * [[graft.ops.Quantiles]] sketch. The range [lo, hi) must be fixed a
+    * priori (a streaming histogram cannot re-bin when the observed min/max
+    * move, unlike the batch two-pass form); values outside clamp into the
+    * edge bins and are counted in `n_clamped` so a drifting signal is
+    * VISIBLE, not silently absorbed. Bin counts are order-free sums, so
+    * stream-end state is exactly the batch binning of the same rows under
+    * any micro-batch slicing (pinned in StreamsSpec). Estimates read the
+    * right edge of the first bin whose cumulative count reaches ceil(q·n)
+    * — the same formula as the batch sketch. */
+  def histogramSketch(events: DataFrame, valueCol: String, byCol: String,
+                      lo: Double, hi: Double, nBins: Int): Dataset[HistUpdate] = {
+    require(nBins >= 2 && hi > lo)
+    val spark = events.sparkSession
+    import spark.implicits._
+    def binOf(x: Double): Int = {
+      val b = math.floor(((x - lo) / (hi - lo)) * nBins).toInt
+      math.min(math.max(b, 0), nBins - 1)
+    }
+    def edge(bin: Long): Double = lo + ((bin + 1).toDouble * (hi - lo)) / nBins
+    events
+      .select(col(byCol).as("g"), col(valueCol).cast("double").as("v"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], HistUpdate](GroupStateTimeout.NoTimeout()) {
+        (group: String, it: Iterator[(String, Double)], state: GroupState[Array[Long]]) =>
+          // state slot nBins holds the clamped-row count
+          val bins = state.getOption.getOrElse(new Array[Long](nBins + 1))
+          it.foreach { case (_, x) =>
+            bins(binOf(x)) += 1
+            if (x < lo || x >= hi) bins(nBins) += 1
+          }
+          state.update(bins)
+          val n = bins.view.slice(0, nBins).sum
+          def est(q: Double): Double = {
+            val target = math.ceil(q * n).toLong
+            var cc = 0L
+            var b = 0
+            while (b < nBins && cc + bins(b) < target) { cc += bins(b); b += 1 }
+            edge(math.min(b, nBins - 1).toLong)
+          }
+          HistUpdate(group, n, bins(nBins), est(0.5), est(0.95))
+      }
+  }
 
   /** Streaming heavy hitters: the [[graft.functions.MisraGries]] k-counter
     * summary as per-group state, folded per micro-batch with the SAME

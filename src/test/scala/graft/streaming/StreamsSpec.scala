@@ -326,6 +326,48 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming histogram: stream-end ≡ driver binning, estimates within one bin") {
+    val values = (1 to 500).map(i => ("a", (i % 97).toDouble)) ++
+      (1 to 100).map(i => ("b", i * 2.0)) :+ ("b", 1e9) // one out-of-range row
+    val (lo, hi, nBins) = (0.0, 200.0, 64)
+    implicit val sqlCtx = spark.sqlContext
+    val perSlicing = scala.collection.mutable.ArrayBuffer
+      .empty[Map[String, (Long, Long, Double, Double)]]
+    for (cut <- Seq(Seq(200, 400), Seq(1))) {
+      val mem = MemoryStream[(String, Double)]
+      val name = s"hist_${cut.mkString("_")}"
+      val sq = SketchStream
+        .histogramSketch(mem.toDF().toDF("g", "v"), "v", "g", lo, hi, nBins)
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      val bounds = 0 +: cut :+ values.size
+      bounds.sliding(2).foreach { case Seq(a, b) =>
+        mem.addData(values.slice(a, b): _*)
+        sq.processAllAvailable()
+      }
+      val last = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .zipWithIndex.groupBy(_._1._1)
+        .map { case (_, vs) => vs.maxBy(_._2)._1 }
+      sq.stop()
+      val binW = (hi - lo) / nBins
+      last.foreach { case (g, n, clamped, p50, p95) =>
+        val xs = values.filter(_._1 == g).map(_._2).sorted
+        assert(n === xs.size, s"$g count")
+        assert(clamped === xs.count(x => x < lo || x >= hi), s"$g clamped")
+        // one-bin error vs the exact percentile of the CLAMPED data
+        val cl = xs.map(x => math.min(math.max(x, lo), hi - 1e-9))
+        def exact(q: Double) = cl(math.ceil(q * cl.size).toInt - 1)
+        assert(math.abs(p50 - exact(0.5)) <= binW + 1e-9,
+          s"$g p50 $p50 vs exact ${exact(0.5)} (slicing $cut)")
+        assert(math.abs(p95 - exact(0.95)) <= binW + 1e-9,
+          s"$g p95 $p95 vs exact ${exact(0.95)}")
+      }
+      perSlicing += last.map { case (g, n, c, p50, p95) => g -> (n, c, p50, p95) }.toMap
+    }
+    // bin counts are order-free sums: stream-end rows identical per slicing
+    assert(perSlicing.distinct.size === 1, s"slicing-dependent: $perSlicing")
+  }
+
   test("stream-static enrichment: stateless broadcast join, no dropped facts") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
