@@ -232,6 +232,25 @@ object OpsQueries {
         .orderBy("event_type")
     }),
 
+    // salted broadcast join: the hot probe side (5 event types over
+    // millions of rows) salts into 16 buckets against a 16×-replicated
+    // dimension, so one hot key's rows spread across 16 tasks instead of
+    // one. The salt is invisible to results (inner equi-join semantics
+    // preserved — SkewSpec pins salted ≡ unsalted); integer aggregates.
+    "q81_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(("click", 1L), ("view", 2L), ("purchase", 5L),
+        ("signup", 10L), ("error", 0L)).toDF("event_type", "weight")
+      Skew.saltedBroadcastJoin(
+          events(s, dir).select(col("event_type"), col("value")),
+          dim, "event_type", buckets = 16)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value")).cast("long") * col("weight"))
+            .as("weighted_floor_sum"))
+        .orderBy("event_type")
+    }),
+
     // quota sampling: exactly 8 docs per source, the 8 smallest Mix64
     // coordinates — balanced-mixture construction (fixed COUNTS per
     // source, vs q49's fixed rates). Deterministic, nests across quotas;
@@ -365,6 +384,16 @@ object OpsQueries {
         |WHERE EXISTS (SELECT 1 FROM customer c
         |              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the salt is invisible to results: the oracle is the plain join
+    "q81_salted_join" ->
+      """SELECT e.event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(e.value) AS BIGINT) * d.weight) AS BIGINT) AS weighted_floor_sum
+        |FROM events e
+        |JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 5),
+        |      ('signup', 10), ('error', 0)) d(event_type, weight)
+        |  ON e.event_type = d.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     // the same coordinate order replayed with a window; row_number is INT
     // on the Spark side, so the oracle casts
