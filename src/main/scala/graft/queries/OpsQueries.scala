@@ -232,6 +232,31 @@ object OpsQueries {
         .orderBy("event_type")
     }),
 
+    // MIXTURE REBALANCING: derive per-source keep rates from the data
+    // (equalize token mass — every source downsampled to the smallest
+    // source's mass) and apply the deterministic hash-threshold sample in
+    // the same query. rate = T_min/T_s is one division of exact integer
+    // sums; rate·2^32 is a power-of-two scale (exact) so the floored
+    // thresholds — and therefore membership — are bit-portable. The rates
+    // table is |sources| rows → broadcast; the corpus side stays a narrow
+    // scan+filter. This is the static mixture-application step of a
+    // DoReMi-style pipeline: q73 measures, q82 rebalances, q49/q77 are the
+    // fixed-rate/fixed-count primitives underneath.
+    "q82_mixture_rebalance" -> ((s, dir) => {
+      import graft.text.TextAnalysis.tokenCountWs
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        tokenCountWs(col("text")).cast("long").as("n_tok"))
+      val mass = docs.groupBy("source").agg(sum(col("n_tok")).as("mass"))
+      val minMass = mass.agg(min(col("mass"))).head().getLong(0)
+      val rates = mass
+        .withColumn("rate", lit(minMass).cast("double") / col("mass").cast("double"))
+        .withColumn("thr", floor(col("rate") * lit(4294967296.0)).cast("long"))
+      docs.join(broadcast(rates), "source")
+        .where(Mix64.sampleCoord(col("doc_id")) < col("thr"))
+        .select("doc_id", "source", "n_tok", "rate")
+        .orderBy("doc_id")
+    }),
+
     // salted broadcast join: the hot probe side (5 event types over
     // millions of rows) salts into 16 buckets against a 16×-replicated
     // dimension, so one hot key's rows spread across 16 tasks instead of
@@ -384,6 +409,25 @@ object OpsQueries {
         |WHERE EXISTS (SELECT 1 FROM customer c
         |              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // same token count as q30, same Mix64 coordinate as q49; the only
+    // floats are one exact-integer division and one power-of-two scale
+    "q82_mixture_rebalance" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tok
+         |  FROM documents),
+         |m AS (SELECT source, sum(n_tok) AS mass FROM d GROUP BY source),
+         |r AS (SELECT source,
+         |        CAST((SELECT min(mass) FROM m) AS DOUBLE) / CAST(mass AS DOUBLE) AS rate,
+         |        CAST(floor((CAST((SELECT min(mass) FROM m) AS DOUBLE) / CAST(mass AS DOUBLE))
+         |             * 4294967296) AS BIGINT) AS thr
+         |      FROM m)
+         |SELECT d.doc_id, d.source, d.n_tok, r.rate
+         |FROM d JOIN r USING (source)
+         |WHERE ${coordSql("d.doc_id")} < r.thr
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the salt is invisible to results: the oracle is the plain join
     "q81_salted_join" ->
