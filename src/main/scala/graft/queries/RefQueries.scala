@@ -233,6 +233,33 @@ object RefQueries {
         .orderBy("o_custkey", "rn")
     }),
 
+    // sequential conversion FUNNEL: signup → first click at-or-after it →
+    // first purchase at-or-after that click, per user. Three chained
+    // min-aggregates keyed on user_id — only (user_id, µs) pairs ride the
+    // shuffles, and every stage is exact integer microseconds so the
+    // min/filter chain is bit-portable. The stage column counts how deep
+    // each user converted.
+    "q83_funnel" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("t_us", expr("ts_ns div 1000"))
+        .select(col("user_id"), col("event_type"), col("t_us"))
+      val su = e.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("t_us")).as("t_signup"))
+      val cl = e.where(col("event_type") === "click")
+        .join(su, "user_id")
+        .where(col("t_us") >= col("t_signup"))
+        .groupBy("user_id").agg(min(col("t_us")).as("t_click"))
+      val pu = e.where(col("event_type") === "purchase")
+        .join(cl, "user_id")
+        .where(col("t_us") >= col("t_click"))
+        .groupBy("user_id").agg(min(col("t_us")).as("t_purchase"))
+      su.join(cl, Seq("user_id"), "left").join(pu, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_signup"), col("t_click"), col("t_purchase"),
+          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0) +
+            when(col("t_purchase").isNotNull, 1).otherwise(0))
+            .cast("int").as("stage"))
+        .orderBy("user_id")
+    }),
+
     // O9 — gdalwarp shell-line codegen over a synthesized listing, both
     // sensor modes (Landsat: require .tif, same out name; Sentinel: keep all
     // non-xml, out name + ".tif" — fde:193 vs fde:207 quirks)
@@ -465,6 +492,21 @@ object RefQueries {
         |SELECT c_custkey, 'no_orders' AS status FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey, status""".stripMargin,
+
+    // the same three chained min-aggregates; all integer µs
+    "q83_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |su AS (SELECT user_id, min(t) AS t_signup FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |cl AS (SELECT e.user_id, min(e.t) AS t_click FROM e JOIN su USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.t >= su.t_signup GROUP BY e.user_id),
+        |pu AS (SELECT e.user_id, min(e.t) AS t_purchase FROM e JOIN cl USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t >= cl.t_click GROUP BY e.user_id)
+        |SELECT su.user_id, su.t_signup, cl.t_click, pu.t_purchase,
+        |  CAST(1 + CASE WHEN cl.t_click IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN pu.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage
+        |FROM su LEFT JOIN cl USING (user_id) LEFT JOIN pu USING (user_id)
+        |ORDER BY su.user_id""".stripMargin,
 
     "q14_window_topn" ->
       """SELECT o_custkey, rn, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
