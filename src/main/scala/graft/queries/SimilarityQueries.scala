@@ -96,6 +96,29 @@ object SimilarityQueries {
         .orderBy("query_id")
     }),
 
+    // IVF-PQ: cells prune WHICH rows are scanned, codes shrink WHAT they
+    // carry — the production ANN config, measured like q47/q80: per-query
+    // recall@10 against exact brute force (compounds both approximations).
+    // Rows-only (xxhash64 cells + float argmin encode, no DuckDB twin).
+    "q84_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 20)
+      val bf = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+      val ivfpq = graft.similarity.Pq.ivfAdcTopK(q, emb,
+        "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4,
+        m = 16, kCent = 64)
+      val hits = bf.join(ivfpq.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_true"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_true"))
+            .as("recall"))
+        .orderBy("query_id")
+    }),
+
     // PORTABLE hyperplane LSH signatures: integer-quantized dot products
     // (order-free exact sums) against splitmix64-regenerated planes — the
     // whole signature replays in DuckDB SQL, giving the hyperplane family a

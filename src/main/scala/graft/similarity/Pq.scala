@@ -103,4 +103,32 @@ object Pq {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
   }
+
+  /** IVF-PQ: the production ANN configuration — IVF cells prune WHICH rows
+    * are scanned (queries probe their nProbe nearest cells only), PQ codes
+    * shrink WHAT each scanned row carries. The probe join keys on
+    * centroid_id (a hash join — no cross join at all), and its corpus side
+    * is (cell, id, codes): at 100 TB that is nProbe/nCells of the corpus
+    * at D/M of the bytes. Same deterministic parts as q41 and q79;
+    * recall compounds both approximations and is measured, not assumed. */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 nCentroids: Int, nProbe: Int,
+                 m: Int, kCent: Int, trainIters: Int = 3): DataFrame = {
+    val cb = trainCodebook(corpus, idCol, vecCol, m, kCent, trainIters)
+    val cells = Ann.sampleCentroids(corpus, idCol, vecCol, nCentroids)
+    val corpusCells = Ann.assignCells(corpus, idCol, vecCol, cells)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        encode(col(vecCol), cb).as("codes"))
+    val queryCells = Ann.assignCells(queries, idCol, vecCol, cells, n = nProbe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("centroid_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("asim").desc, col("neighbor_id"))
+    queryCells.join(corpusCells, Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("asim", adcCosine(col("qv"), col("codes"), cb))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
 }

@@ -235,7 +235,7 @@ class PlanSpec extends SparkSpec {
     // carry 8 ints, not vectors — the linear scan IS the operator (q80 also
     // embeds q40's labeled exact baseline)
     val allowed = Set("q40_ann_topk", "q41_ann_ivf", "q47_ivf_recall",
-      "q79_ann_pq", "q80_pq_recall")
+      "q79_ann_pq", "q80_pq_recall", "q84_ivfpq_recall")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>

@@ -53,6 +53,28 @@ class PqSpec extends SparkSpec {
     assert(sims.max > 0.9999, "no codeword reconstructed to itself")
   }
 
+  test("IVF-PQ composes: hash join on cells, compounded recall clears its floor") {
+    val q = emb.where(col("vec_id") < 20)
+    val df = Pq.ivfAdcTopK(q, emb, "vec_id", "embedding", 10,
+      nCentroids = 16, nProbe = 4, m = 16, kCent = 64)
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus-scan join keys on centroid_id (only the bounded 16-row
+    // centroid-assignment joins are nested loops)
+    assert(p.contains("centroid_id"), p.take(400))
+    val bf = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & got).size.toDouble / bf.size
+    assert(recall >= 0.3, f"IVF-PQ recall@10 $recall%.2f below floor")
+    val got2 = Pq.ivfAdcTopK(q.repartition(3), emb.repartition(9),
+        "vec_id", "embedding", 10, nCentroids = 16, nProbe = 4, m = 16, kCent = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 === got, "IVF-PQ result depends on partition layout")
+  }
+
   test("recall@10 vs exact brute force clears the floor; layout-invariant") {
     val q = emb.where(col("vec_id") < 20)
     val bf = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
