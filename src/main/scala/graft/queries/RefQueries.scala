@@ -260,6 +260,23 @@ object RefQueries {
         .orderBy("user_id")
     }),
 
+    // RANGE-frame sliding window: per user, each event's trailing-1-hour
+    // count and floored-value sum — the time-decayed feature shape
+    // (rate limiting, burst detection). RANGE frames on exact integer µs:
+    // tie rows are peers in BOTH engines, aggregates are integers, so the
+    // frame semantics replay bit-for-bit. One (user_id) shuffle; the
+    // frame scan is a single in-partition sweep.
+    "q86_sliding_window" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("t_us", expr("ts_ns div 1000"))
+        .select(col("user_id"), col("event_id"), col("t_us"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy("t_us")
+        .rangeBetween(-3600000000L, 0L)
+      e.withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_floor_1h", sum(floor(col("value")).cast("long")).over(w))
+        .select("event_id", "user_id", "t_us", "n_1h", "sum_floor_1h")
+        .orderBy("event_id")
+    }),
+
     // O9 — gdalwarp shell-line codegen over a synthesized listing, both
     // sensor modes (Landsat: require .tif, same out name; Sentinel: keep all
     // non-xml, out name + ".tif" — fde:193 vs fde:207 quirks)
@@ -492,6 +509,16 @@ object RefQueries {
         |SELECT c_custkey, 'no_orders' AS status FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey, status""".stripMargin,
+
+    "q86_sliding_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, value FROM events)
+        |SELECT event_id, user_id, t_us,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(floor(value) AS BIGINT)) OVER w AS BIGINT) AS sum_floor_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // the same three chained min-aggregates; all integer µs
     "q83_funnel" ->

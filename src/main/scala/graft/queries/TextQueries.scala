@@ -268,6 +268,32 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("term"))
     }),
 
+    // OUT-OF-VOCABULARY rate: the unigram-LM quality signal made portable —
+    // vocab = terms covering ≥ 0.1% of token mass (exact integer
+    // threshold), oov_rate = one division of exact integers per doc. The
+    // vocab is bounded (≤ 1000 terms by construction: Σ shares ≤ 1) so it
+    // broadcasts; at 100 TB the vocab pass would ride the q76 Misra–Gries
+    // prune instead of the exact GROUP BY — same output, bounded shuffle.
+    "q85_oov_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val total = docs.agg(sum(size(split(col("text"), " ")).cast("long")))
+        .head().getLong(0)
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") * 1000 >= lit(total))
+        .select("term")
+      toks.join(broadcast(vocab), Seq("term"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_known"))
+        .join(docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")), Seq("doc_id"), "right")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_known"), lit(0L)).as("n_known"),
+          ((col("n_tok") - coalesce(col("n_known"), lit(0L))).cast("double") /
+            col("n_tok").cast("double")).as("oov_rate"))
+        .orderBy("doc_id")
+    }),
+
     "q43_chunking" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -496,6 +522,19 @@ object TextQueries {
         |SELECT term, cnt, CAST(cnt AS DOUBLE) / CAST(tot.n AS DOUBLE) AS share
         |FROM c, tot WHERE cnt * 100 >= tot.n
         |ORDER BY cnt DESC, term""".stripMargin,
+
+    "q85_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tot AS (SELECT count(*) AS n FROM tok),
+        |v AS (SELECT term FROM (SELECT term, count(*) AS cnt FROM tok GROUP BY term), tot
+        |      WHERE cnt * 1000 >= tot.n),
+        |known AS (SELECT doc_id, count(*) AS n_known FROM tok
+        |          WHERE term IN (SELECT term FROM v) GROUP BY doc_id),
+        |d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents)
+        |SELECT d.doc_id, d.n_tok, coalesce(k.n_known, 0) AS n_known,
+        |  CAST(d.n_tok - coalesce(k.n_known, 0) AS DOUBLE) / CAST(d.n_tok AS DOUBLE) AS oov_rate
+        |FROM d LEFT JOIN known k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q67_inverted_index" ->
       """WITH tf AS (
