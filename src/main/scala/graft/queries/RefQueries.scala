@@ -260,6 +260,35 @@ object RefQueries {
         .orderBy("user_id")
     }),
 
+    // moment-based CORRELATION with exact integer accumulators: Pearson r
+    // between floor(value) and hour-of-day per event type. The five
+    // accumulators (Σx, Σy, Σxy, Σx², Σy²) are integer sums — map-side
+    // combinable and order-free, unlike a float corr() whose partial-agg
+    // order drifts — and the final r is one fixed tree of exactly-rounded
+    // double ops (sqrt is IEEE-exact), so the statistic replays
+    // bit-for-bit. At larger scales the accumulators widen to DECIMAL;
+    // the shape is unchanged.
+    "q87_correlation" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("t_us", expr("ts_ns div 1000"))
+        .select(col("event_type"),
+          floor(col("value")).cast("long").as("x"),
+          expr("(t_us div 3600000000) % 24").as("y"))
+      e.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("n"),
+          (col("sx").cast("double") / col("n").cast("double")).as("mean_x"),
+          (col("sy").cast("double") / col("n").cast("double")).as("mean_y"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("corr_xy"))
+        .orderBy("event_type")
+    }),
+
     // RANGE-frame sliding window: per user, each event's trailing-1-hour
     // count and floored-value sum — the time-decayed feature shape
     // (rate limiting, burst detection). RANGE frames on exact integer µs:
@@ -509,6 +538,27 @@ object RefQueries {
         |SELECT c_custkey, 'no_orders' AS status FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey, status""".stripMargin,
+
+    // identical integer accumulators, identical final double tree
+    "q87_correlation" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value) AS BIGINT) AS x,
+        |    (epoch_us(ts) // 3600000000) % 24 AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM e GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+        |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "q86_sliding_window" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, value FROM events)
