@@ -50,6 +50,25 @@ object Layout {
     * near the target regardless of row width. Writes to `tmpPath` first and
     * swaps only after success — a crashed compaction leaves the original
     * intact. Returns (filesBefore, filesAfter). */
+  /** Keyed UPSERT (merge-into semantics without a table format): the new
+    * batch's rows win on key collision, snapshot rows without a collision
+    * survive, new keys insert. One anti-join keyed on the merge keys —
+    * the updates side is the (small) batch, so at 100 TB it broadcasts
+    * and the snapshot never shuffles; write the result partition-wise to
+    * swap in atomically (compact's temp-dir pattern). Column sets must
+    * match by name. */
+  def upsert(snapshot: DataFrame, updates: DataFrame,
+             keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty)
+    require(snapshot.columns.sorted.sameElements(updates.columns.sorted),
+      s"snapshot/updates schemas differ: ${snapshot.columns.toSeq} vs ${updates.columns.toSeq}")
+    updates.unionByName(
+      snapshot.join(
+        org.apache.spark.sql.functions.broadcast(
+          updates.select(keys.map(org.apache.spark.sql.functions.col): _*)),
+        keys, "left_anti"))
+  }
+
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long, tmpPath: String): (Int, Int) = {
     val hPath = new org.apache.hadoop.fs.Path(path)

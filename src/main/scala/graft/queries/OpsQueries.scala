@@ -232,6 +232,24 @@ object OpsQueries {
         .orderBy("event_type")
     }),
 
+    // keyed UPSERT (merge-into without a table format): a derived update
+    // batch (every 7th order re-priced, status 'U') merged over the
+    // snapshot — updates win on collision, everything else survives. The
+    // batch side broadcasts into the anti-join so the snapshot never
+    // shuffles; prices through DECIMAL so the re-price is exact.
+    "q90_upsert" -> ((s, dir) => {
+      val snap = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("total_price"))
+      val updates = t(s, dir, "orders")
+        .where(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice").cast("decimal(18,2)") * lit(2))
+            .cast("double").as("total_price"))
+      Layout.upsert(snap, updates, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // MIXTURE REBALANCING: derive per-source keep rates from the data
     // (equalize token mass — every source downsampled to the smallest
     // source's mass) and apply the deterministic hash-threshold sample in
@@ -409,6 +427,17 @@ object OpsQueries {
         |WHERE EXISTS (SELECT 1 FROM customer c
         |              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the closed form of the merge: updated rows ∪ untouched rows
+    "q90_upsert" ->
+      """SELECT o_orderkey, 'U' AS o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS total_price
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     // same token count as q30, same Mix64 coordinate as q49; the only
     // floats are one exact-integer division and one power-of-two scale

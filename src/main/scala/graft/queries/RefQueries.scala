@@ -260,6 +260,33 @@ object RefQueries {
         .orderBy("user_id")
     }),
 
+    // UNPIVOT/melt: the wide per-type stats row folded to (type, metric,
+    // value) — the long-format hand-off shape. Integer metrics only.
+    "q89_unpivot" -> ((s, dir) => {
+      val wide = events(s, dir).groupBy("event_type").agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value")).cast("long")).as("sum_floor"),
+        countDistinct(col("user_id")).as("n_users"))
+      wide.unpivot(Array(col("event_type")),
+          Array(col("n_events"), col("sum_floor"), col("n_users")),
+          "metric", "metric_value")
+        .orderBy("event_type", "metric")
+    }),
+
+    // LAG window: inter-event gaps per user (the session-gap raw signal
+    // q50 thresholds). lag over exact integer µs with an (t, event_id)
+    // tie-break order so equal timestamps sequence identically in both
+    // engines; first event per user has a NULL gap.
+    "q88_event_gaps" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("t_us", expr("ts_ns div 1000"))
+        .select(col("user_id"), col("event_id"), col("t_us"))
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      e.withColumn("prev_t_us", lag(col("t_us"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          col("prev_t_us"), (col("t_us") - col("prev_t_us")).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // moment-based CORRELATION with exact integer accumulators: Pearson r
     // between floor(value) and hour-of-day per event type. The five
     // accumulators (Σx, Σy, Σxy, Σx², Σy²) are integer sums — map-side
@@ -538,6 +565,27 @@ object RefQueries {
         |SELECT c_custkey, 'no_orders' AS status FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey, status""".stripMargin,
+
+    // the melt expressed as the equivalent UNION ALL (engine-neutral)
+    "q89_unpivot" ->
+      """WITH w AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |    CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor,
+        |    count(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, 'n_events' AS metric, n_events AS metric_value FROM w
+        |UNION ALL
+        |SELECT event_type, 'sum_floor', sum_floor FROM w
+        |UNION ALL
+        |SELECT event_type, 'n_users', n_users FROM w
+        |ORDER BY event_type, metric""".stripMargin,
+
+    "q88_event_gaps" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events)
+        |SELECT event_id, user_id, t_us,
+        |  lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev_t_us,
+        |  t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS gap_us
+        |FROM e ORDER BY event_id""".stripMargin,
 
     // identical integer accumulators, identical final double tree
     "q87_correlation" ->

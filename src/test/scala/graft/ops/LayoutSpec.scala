@@ -74,4 +74,17 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).agg(sum($"id")).head().getLong(0) === sum0)
     assert(spark.read.parquet(dir).count() === 5000L)
   }
+
+  test("upsert: updates win on collision, inserts land, untouched rows survive") {
+    import spark.implicits._
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val upd = Seq((2L, "B2"), (9L, "NEW")).toDF("k", "v")
+    val got = Layout.upsert(snap, upd, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "NEW")))
+    // schema drift is an error, not a silent column mangle
+    intercept[IllegalArgumentException] {
+      Layout.upsert(snap, Seq((2L, "x", 1)).toDF("k", "v", "extra"), Seq("k"))
+    }
+  }
 }
