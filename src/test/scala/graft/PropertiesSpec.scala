@@ -297,4 +297,86 @@ class PropertiesSpec extends AnyFunSuite {
       okCounts && ok2 && ok3
     })
   }
+
+  test("misra-gries: heavy items survive any split point; counts are lower bounds") {
+    import graft.functions.MisraGries
+    import org.apache.spark.unsafe.types.UTF8String
+    import scala.collection.mutable
+    val genItems = Gen.listOfN(300, Gen.chooseNum(0, 30).map(i => s"w$i"))
+    check(Prop.forAll(genItems, Gen.chooseNum(2, 12), Gen.chooseNum(0, 299)) {
+      (items, k, cut) =>
+        def sketch(xs: Seq[String]) = {
+          val buf = mutable.HashMap.empty[UTF8String, Long]
+          xs.foreach(x => MisraGries.add(buf, UTF8String.fromString(x), 1L, k))
+          buf
+        }
+        val (a, b) = items.splitAt(cut % (items.size + 1))
+        val m = sketch(a)
+        MisraGries.merge(m, sketch(b), k)
+        val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val heavy = exact.filter(_._2 > items.size.toLong / (k + 1)).keys
+        heavy.forall(t => m.contains(UTF8String.fromString(t))) &&
+          m.forall { case (t, c) => c <= exact(t.toString) } &&
+          m.size <= k
+    })
+  }
+
+  test("interval-overlap canonical bucket: exactly one emitting bucket per overlapping pair") {
+    val genIv = for {
+      s <- Gen.chooseNum(-1000L, 1000L)
+      len <- Gen.chooseNum(1L, 400L)
+    } yield (s, s + len)
+    check(Prop.forAll(genIv, genIv, Gen.chooseNum(1L, 500L)) {
+      case ((ls, le), (rs, re), w) =>
+        def buckets(s: Long, e: Long): Set[Long] =
+          (Math.floorDiv(s, w) to Math.floorDiv(e - 1, w)).toSet
+        val overlaps = ls < re && rs < le
+        if (!overlaps) Prop.passed
+        else {
+          val shared = buckets(ls, le) & buckets(rs, re)
+          val canonical = Math.floorDiv(math.max(ls, rs), w)
+          // the canonical bucket is always covered by BOTH sides, and it is
+          // the unique shared bucket that the join's filter keeps
+          Prop(shared.contains(canonical) &&
+            shared.count(_ == canonical) == 1)
+        }
+    })
+  }
+
+  test("pq encode is the strict argmin; adc equals the naive reconstruction score") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+    import graft.functions.{PqAdcExpr, PqEncodeExpr}
+    val genF = Gen.chooseNum(-1000, 1000).map(_ / 100.0f)
+    val m = 4; val sub = 3; val kc = 5
+    val genVec = Gen.listOfN(m * sub, genF)
+    val genCb = Gen.listOfN(m * kc * sub, genF).map { fs =>
+      Array.tabulate(m)(mi => Array.tabulate(kc)(j =>
+        fs.slice((mi * kc + j) * sub, (mi * kc + j + 1) * sub).toArray))
+    }
+    check(Prop.forAll(genVec, genVec, genCb) { (v, q, cb) =>
+      val enc = PqEncodeExpr(Literal.create(v, ArrayType(FloatType)), cb)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val codes = enc.toIntArray()
+      val naive = (0 until m).map { mi =>
+        val xs = v.slice(mi * sub, (mi + 1) * sub)
+        (0 until kc).minBy { j =>
+          val d = xs.zip(cb(mi)(j)).map { case (a, b) =>
+            val t = a.toDouble - b.toDouble; t * t
+          }.sum
+          (d, j)
+        }
+      }
+      val sameCodes = codes.toSeq == naive
+      val adc = PqAdcExpr(Literal.create(q, ArrayType(FloatType)),
+          Literal.create(codes.toSeq, ArrayType(IntegerType)), cb)
+        .eval(null).asInstanceOf[Double]
+      val recon = (0 until m).flatMap(mi => cb(mi)(codes(mi)))
+      val dot = q.zip(recon).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val denom = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(recon.map(x => x.toDouble * x.toDouble).sum)
+      val expect = if (denom == 0.0) 0.0 else dot / denom
+      sameCodes && math.abs(adc - expect) <= 1e-9 * math.max(1.0, math.abs(expect))
+    }, n = 60)
+  }
 }
