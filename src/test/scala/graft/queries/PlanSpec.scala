@@ -224,6 +224,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(600))
   }
 
+  test("q82 rebalance: rates broadcast, the corpus side is scan+filter") {
+    val df = graft.SparkEntry.queries("q82_mixture_rebalance")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    // no corpus-sized hash shuffle: the only exchanges are the tiny
+    // per-source mass aggregation and the final orderBy
+    "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p).foreach { m =>
+      assert(m.group(1).contains("source"),
+        s"unexpected non-source exchange: ${m.matched}")
+    }
+  }
+
+  test("q86 sliding window shuffles once on user_id") {
+    val df = graft.SparkEntry.queries("q86_sliding_window")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly one user_id exchange:\n${p.take(800)}")
+  }
+
+  test("q90 upsert anti-joins via broadcast — the snapshot never shuffles") {
+    val df = graft.SparkEntry.queries("q90_upsert")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p.take(600))
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined,
+      s"anti-join is not broadcast:\n${p.take(800)}")
+  }
+
   test("REGISTRY-WIDE: no cartesian or nested-loop join in any query plan " +
       "(q40 is the documented exact-baseline exception)") {
     // the blanket guard behind every per-query pin: a future registration
