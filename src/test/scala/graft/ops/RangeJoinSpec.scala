@@ -76,6 +76,17 @@ class RangeJoinSpec extends SparkSpec {
       p.take(500))
   }
 
+  test("non-positive bucket widths are rejected on both join variants") {
+    val lhs = Seq((1L, 0L, 10L)).toDF("lid", "ls", "le")
+    val rhs = Seq((10L, 8L, 12L)).toDF("rid", "rs", "re")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, intervals, "t", "s", "e", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(lhs, rhs, "ls", "le", "rs", "re", -5L)
+    }
+  }
+
   test("nanosecond-epoch keys past 2^53 bucket exactly (no double rounding)") {
     // 2024 epoch-nanos ≈ 1.7e18 ≫ 2^53: a double-division bucket would
     // misround near edges and silently miss matches

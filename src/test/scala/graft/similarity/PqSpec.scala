@@ -9,6 +9,22 @@ class PqSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
 
+  test("error paths: wrong dims throw with the operator's name, bad params rejected") {
+    val cb = Pq.codebook(emb, "vec_id", "embedding", 8, 16)
+    val bad = spark.range(1).selectExpr("cast(array(1.0, 2.0) as array<float>) as v")
+    val e = intercept[Exception] {
+      bad.select(Pq.encode(org.apache.spark.sql.functions.col("v"), cb)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("pq_encode"),
+      s"dim-mismatch error should name pq_encode: ${e.getMessage}")
+    intercept[IllegalArgumentException] {
+      Pq.codebook(emb, "vec_id", "embedding", m = 7, k = 16) // 64 % 7 != 0
+    }
+    intercept[IllegalArgumentException] {
+      Pq.codebook(emb.limit(3), "vec_id", "embedding", m = 8, k = 16) // corpus < k
+    }
+  }
+
   test("codebook is the deterministic sample, m x k x subdim") {
     val cb = Pq.codebook(emb, "vec_id", "embedding", m = 8, k = 16)
     assert(cb.length === 8)
