@@ -332,7 +332,7 @@ object OpsQueries {
     * dividend's sign: without it a negative key's residue (and the //)
     * would diverge from the JVM's unsigned semantics. Keys here are >= 0,
     * but the pattern must stay safe to reuse on signed keys. */
-  private def coordSql(key: String): String =
+  private[queries] def coordSql(key: String): String =
     s"""((((${java.lang.Long.toUnsignedString(Mix64.MulA)}::HUGEINT * $key
        |    + ${java.lang.Long.toUnsignedString(Mix64.AddB)}::HUGEINT)
        |   % 18446744073709551616::HUGEINT)

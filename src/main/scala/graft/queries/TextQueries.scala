@@ -294,6 +294,48 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // the END-TO-END training-data PREP PIPELINE in one plan — the four
+    // stages a corpus actually passes through, composed from the
+    // already-verified operators: decontaminate (q75's eval-gram probe,
+    // hit docs DROPPED) → quality floor (q31's exact formula, ≥ 0.5) →
+    // exact dedup (min-id per md5, narrow hash+id shuffle) → mixture
+    // rebalance (q82's token-mass equalization over the SURVIVORS, rates
+    // derived post-dedup as a real pipeline would). Every stage's floats
+    // are individually bit-portable, so the composition is too.
+    "q91_prep_pipeline" -> ((s, dir) => {
+      import graft.functions.Mix64
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          split(col("text"), " ").as("ws"))
+      val bench = d.where(col("source") === "src0")
+        .select(explode(wordGrams4(col("ws"))).as("gram")).distinct()
+      val corpus = d.where(col("source") =!= "src0")
+      val contaminated = corpus
+        .select(col("doc_id"), explode(wordGrams4(col("ws"))).as("gram"))
+        .join(broadcast(bench), "gram")
+        .select("doc_id").distinct()
+      val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      val scored = clean
+        .select(col("doc_id"), col("source"), col("text"),
+          textStats(col("text")).as("st"),
+          punctRatio(col("text")).as("pr"), digitRatio(col("text")).as("dr"))
+        .select(col("doc_id"), col("source"), col("text"),
+          tokenCountWs(col("text")).cast("long").as("n_tok"),
+          qualityScoreFrom(col("st"), col("pr"), col("dr")).as("quality"))
+        .where(col("quality") >= 0.5)
+      val deduped = graft.dedup.Dedup.exactDedup(
+        scored, col("text"), col("doc_id"))
+      val mass = deduped.groupBy("source").agg(sum(col("n_tok")).as("mass"))
+      val minMass = mass.agg(min(col("mass"))).head().getLong(0)
+      val rates = mass
+        .withColumn("thr", floor((lit(minMass).cast("double") / col("mass").cast("double"))
+          * lit(4294967296.0)).cast("long"))
+      deduped.join(broadcast(rates), "source")
+        .where(Mix64.sampleCoord(col("doc_id")) < col("thr"))
+        .select("doc_id", "source", "n_tok", "quality")
+        .orderBy("doc_id")
+    }),
+
     "q43_chunking" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -535,6 +577,62 @@ object TextQueries {
         |  CAST(d.n_tok - coalesce(k.n_known, 0) AS DOUBLE) / CAST(d.n_tok AS DOUBLE) AS oov_rate
         |FROM d LEFT JOIN known k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the four verified stage oracles concatenated as CTEs (q75's grams,
+    // q31/q55's quality+dedup, q82's rates) — one replayable chain
+    "q91_prep_pipeline" ->
+      s"""WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM documents),
+         |bench AS (
+         |  SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 2),
+         |    i -> array_to_string(ws[i:i+3], ' '))) AS gram
+         |  FROM d WHERE source = 'src0'),
+         |cont AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 2),
+         |      i -> array_to_string(ws[i:i+3], ' '))) AS gram
+         |    FROM d WHERE source <> 'src0') c
+         |  JOIN bench USING (gram)),
+         |clean AS (SELECT doc_id, source, text FROM d
+         |          WHERE source <> 'src0'
+         |            AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         |base AS (
+         |  SELECT doc_id, source, text, length(text) AS n,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rawtoks,
+         |    CAST(CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tok
+         |  FROM clean),
+         |m AS (
+         |  SELECT doc_id, source, text, n_tok,
+         |    CASE WHEN n = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / n END AS punct_ratio,
+         |    CASE WHEN n = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / n END AS digit_ratio,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_filter(toks, x -> list_contains($StopwordsSql, x)))::DOUBLE / len(toks) END AS stopword_ratio,
+         |    CASE WHEN len(rawtoks) = 0 THEN 0.0
+         |         ELSE list_aggregate(list_transform(rawtoks, x -> length(x)), 'sum')::DOUBLE / len(rawtoks) END AS mean_word_len
+         |  FROM base),
+         |scored AS (
+         |  SELECT doc_id, source, text, n_tok,
+         |    least(stopword_ratio * 4.0, 1.0) * 0.3
+         |      + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.25
+         |      + greatest(1.0 - digit_ratio * 5.0, 0.0) * 0.25
+         |      + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 8.0 THEN 1.0
+         |              WHEN mean_word_len > 0.0 THEN 0.5 ELSE 0.0 END) * 0.2 AS quality
+         |  FROM m),
+         |qual AS (SELECT * FROM scored WHERE quality >= 0.5),
+         |keep AS (SELECT min(doc_id) AS kid FROM qual GROUP BY md5(text)),
+         |ded AS (SELECT q.* FROM qual q JOIN keep k ON q.doc_id = k.kid),
+         |ms AS (SELECT source, sum(n_tok) AS mass FROM ded GROUP BY source),
+         |r AS (SELECT source,
+         |        CAST(floor((CAST((SELECT min(mass) FROM ms) AS DOUBLE) / CAST(mass AS DOUBLE))
+         |             * 4294967296) AS BIGINT) AS thr
+         |      FROM ms)
+         |SELECT ded.doc_id, ded.source, ded.n_tok, ded.quality
+         |FROM ded JOIN r USING (source)
+         |WHERE ${OpsQueries.coordSql("ded.doc_id")} < r.thr
+         |ORDER BY ded.doc_id""".stripMargin,
 
     "q67_inverted_index" ->
       """WITH tf AS (
