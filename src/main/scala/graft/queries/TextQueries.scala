@@ -137,8 +137,10 @@ object TextQueries {
     // statistics. One explode + two map-side-combinable aggregations; each
     // posting list is bounded by the term's df (at 100 TB, shard hot terms'
     // lists into fixed-size blocks at write time — the build shape is
-    // unchanged). sort_array on (doc_id, tf) structs orders by doc_id: the
-    // same list DuckDB's ordered list() aggregate produces.
+    // unchanged). sort_array on (doc_id, tf) structs orders by doc_id. The
+    // built lists are posexploded back to flat (term, df, pos, doc_id, tf)
+    // rows for the oracle compare (a nested list-of-struct column defeats
+    // the harness's lexsort), which also round-trip-checks the list order.
     "q67_inverted_index" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -146,7 +148,11 @@ object TextQueries {
         .groupBy("term").agg(
           count(lit(1)).as("df"),
           sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
-        .orderBy("term")),
+        .select(col("term"), col("df"),
+          posexplode(col("postings")).as(Seq("pos", "p")))
+        .select(col("term"), col("df"), col("pos").cast("int").as("pos"),
+          col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+        .orderBy("term", "pos")),
 
     // BM25-style keyword retrieval: top-20 docs for a fixed 3-term query.
     // Classic BM25 term saturation (k1=1.2, b=0.75) with the LINEAR idf
@@ -638,10 +644,13 @@ object TextQueries {
       """WITH tf AS (
         |  SELECT term, doc_id, count(*) AS tf
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-        |  GROUP BY term, doc_id)
-        |SELECT term, count(*) AS df,
-        |  list({'doc_id': doc_id, 'tf': tf} ORDER BY doc_id) AS postings
-        |FROM tf GROUP BY term ORDER BY term""".stripMargin,
+        |  GROUP BY term, doc_id),
+        |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT tf.term, d.df,
+        |  CAST(row_number() OVER (PARTITION BY tf.term ORDER BY tf.doc_id) - 1 AS INT) AS pos,
+        |  tf.doc_id, tf.tf
+        |FROM tf JOIN d USING (term)
+        |ORDER BY term, pos""".stripMargin,
 
     "q43_chunking" ->
       """SELECT doc_id, CAST(i AS INT) AS chunk_idx,
