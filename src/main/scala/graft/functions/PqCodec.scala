@@ -110,6 +110,9 @@ case class PqAdcExpr(left: Expression, right: Expression,
     var mi = 0
     while (mi < m) {
       val j = cd.getInt(mi)
+      require(j >= 0 && j < codebook(mi).length,
+        s"pq_adc_cosine: code $j at subspace $mi out of range " +
+          s"[0, ${codebook(mi).length}) — codes trained under a different codebook?")
       dotSum += PqCodec.dot(qv, mi * sub, codebook(mi)(j))
       xNorm2 += cNorm2(mi)(j)
       mi += 1

@@ -43,20 +43,19 @@ object Layout {
       .drop("_zval")
       .write.mode("overwrite").parquet(path)
 
-  /** Compact a small-files parquet directory (the debris of streaming /
-    * per-task ingest — every downstream scan pays a task and a footer read
-    * PER FILE) into ceil(bytes / targetFileBytes) files. Sizing comes from
-    * the actual on-disk bytes, not a row-count guess, so output files land
-    * near the target regardless of row width. Writes to `tmpPath` first and
-    * swaps only after success — a crashed compaction leaves the original
-    * intact. Returns (filesBefore, filesAfter). */
   /** Keyed UPSERT (merge-into semantics without a table format): the new
     * batch's rows win on key collision, snapshot rows without a collision
     * survive, new keys insert. One anti-join keyed on the merge keys —
     * the updates side is the (small) batch, so at 100 TB it broadcasts
     * and the snapshot never shuffles; write the result partition-wise to
     * swap in atomically (compact's temp-dir pattern). Column sets must
-    * match by name. */
+    * match by name.
+    *
+    * PRECONDITION: `updates` must be key-unique on `keys` — a batch with
+    * duplicate keys would keep EVERY duplicate (each suppresses the
+    * snapshot row; real MERGE INTO errors on multiple source matches).
+    * Callers with possibly-duplicated batches dedupe first, e.g. keep the
+    * newest row per key with max_by/row_number. */
   def upsert(snapshot: DataFrame, updates: DataFrame,
              keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty)
@@ -69,6 +68,13 @@ object Layout {
         keys, "left_anti"))
   }
 
+  /** Compact a small-files parquet directory (the debris of streaming /
+    * per-task ingest — every downstream scan pays a task and a footer read
+    * PER FILE) into ceil(bytes / targetFileBytes) files. Sizing comes from
+    * the actual on-disk bytes, not a row-count guess, so output files land
+    * near the target regardless of row width. Writes to `tmpPath` first and
+    * swaps only after success — a crashed compaction leaves the original
+    * intact. Returns (filesBefore, filesAfter). */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long, tmpPath: String): (Int, Int) = {
     val hPath = new org.apache.hadoop.fs.Path(path)

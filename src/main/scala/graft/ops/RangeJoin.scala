@@ -36,7 +36,11 @@ object RangeJoin {
                       pointTime: String, startCol: String, endCol: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val ib = intervals.withColumn("_rj_bucket",
+    // Empty intervals (end <= start) contain no point; drop them before the
+    // explode (sequence() would descend across their buckets otherwise —
+    // the membership predicate below already rejects the pairs, this just
+    // avoids manufacturing them).
+    val ib = intervals.where(col(startCol) < col(endCol)).withColumn("_rj_bucket",
       explode(sequence(floorDiv(col(startCol), bucketWidth),
         floorDiv(col(endCol) - 1, bucketWidth))))
     val pb = points.withColumn("_rj_bucket",
@@ -60,8 +64,13 @@ object RangeJoin {
                       rightStart: String, rightEnd: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // Empty intervals (end <= start) overlap nothing by definition, but the
+    // ls < re AND rs < le predicate is only a correct overlap test for
+    // NONEMPTY intervals — an empty [t, t) would still pair with any
+    // interval strictly containing t (and sequence() would DESCEND across
+    // its buckets). Drop them before the explode.
     def exploded(df: DataFrame, s: String, e: String) =
-      df.withColumn("_rj_bucket",
+      df.where(col(s) < col(e)).withColumn("_rj_bucket",
         explode(sequence(floorDiv(col(s), bucketWidth),
           floorDiv(col(e) - 1, bucketWidth))))
     exploded(left, leftStart, leftEnd)

@@ -42,6 +42,18 @@ object Pq {
   def encode(vec: Column, cb: PqCodec.Codebook): Column =
     toColumn(PqEncodeExpr(toExpr(vec), cb))
 
+  /** Bounded deterministic training sample: the `n` corpus rows with the
+    * smallest Mix64 sample coordinate (tie-broken by id) — a uniform draw
+    * without replacement that is a pure function of the ids, the same
+    * coordinate family as [[graft.ops.Sampling]]. Plans as TakeOrdered
+    * (per-partition top-n heaps, one merge): no shuffle of the corpus, so
+    * at 100 TB each Lloyd iteration touches n rows, not the corpus. */
+  private def trainingSample(corpus: DataFrame, idCol: String, vecCol: String,
+                             n: Int): DataFrame =
+    corpus.select(col(idCol), col(vecCol))
+      .orderBy(graft.functions.Mix64.sampleCoord(col(idCol).cast("long")), col(idCol))
+      .limit(n)
+
   /** Lloyd-refined codebook: start from the deterministic sample, then
     * `iters` k-means steps per subspace — assign every sub-vector to its
     * nearest codeword (the encode expression), recompute codewords as cell
@@ -49,16 +61,30 @@ object Pq {
     * over components QUANTIZED to integers (floor(x·2^20), the q64 trick):
     * integer sums are order-free, so the trained codebook is bit-identical
     * whatever the partitioning — a float mean would drift with Spark's
-    * partial-aggregation order. At 100 TB, train on a bounded deterministic
-    * sample (Sampling.sample) — standard PQ practice; the refinement shape
-    * (encode → explode dims → integer groupBy means) is unchanged. */
+    * partial-aggregation order.
+    *
+    * Training runs on a BOUNDED deterministic sample of the corpus
+    * (standard PQ practice): `trainSampleSize` rows via [[trainingSample]],
+    * cached across the iterations. At test scale the sample usually covers
+    * the whole corpus (default 65536 ≥ sf0.1's embeddings table); at 100 TB
+    * it is what makes `iters` refinement passes affordable — the full
+    * corpus is only ever touched by the one encode pass the caller runs
+    * AFTER training. Pass trainSampleSize <= 0 to force full-corpus
+    * training (spec/diagnostic use only). */
   def trainCodebook(corpus: DataFrame, idCol: String, vecCol: String,
-                    m: Int, k: Int, iters: Int): PqCodec.Codebook = {
-    var cb = codebook(corpus, idCol, vecCol, m, k)
+                    m: Int, k: Int, iters: Int,
+                    trainSampleSize: Int = 65536): PqCodec.Codebook = {
+    require(trainSampleSize <= 0 || trainSampleSize >= k,
+      s"trainSampleSize $trainSampleSize smaller than codebook size $k")
+    val train =
+      if (trainSampleSize > 0)
+        trainingSample(corpus, idCol, vecCol, trainSampleSize).cache()
+      else corpus
+    var cb = codebook(train, idCol, vecCol, m, k)
     val sub = PqCodec.subDim(cb)
     val Q = 1048576L // 2^20
     for (_ <- 1 to iters) {
-      val means = corpus
+      val means = train
         .select(col(vecCol).as("v"), encode(col(vecCol), cb).as("cs"))
         .select(posexplode(col("cs")).as(Seq("mi", "code")), col("v"))
         .select(col("mi"), col("code"),
@@ -76,6 +102,7 @@ object Pq {
       }
       cb = next
     }
+    if (trainSampleSize > 0) train.unpersist()
     cb
   }
 
@@ -89,8 +116,10 @@ object Pq {
     * scan itself is the operator under test.) */
   def adcTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              m: Int, kCent: Int, trainIters: Int = 3): DataFrame = {
-    val cb = trainCodebook(corpus, idCol, vecCol, m, kCent, trainIters)
+              m: Int, kCent: Int, trainIters: Int = 3,
+              trainSampleSize: Int = 65536): DataFrame = {
+    val cb = trainCodebook(corpus, idCol, vecCol, m, kCent, trainIters,
+      trainSampleSize)
     val coded = corpus.select(col(idCol).as("neighbor_id"),
       encode(col(vecCol), cb).as("codes"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -114,8 +143,10 @@ object Pq {
   def ivfAdcTopK(queries: DataFrame, corpus: DataFrame,
                  idCol: String, vecCol: String, k: Int,
                  nCentroids: Int, nProbe: Int,
-                 m: Int, kCent: Int, trainIters: Int = 3): DataFrame = {
-    val cb = trainCodebook(corpus, idCol, vecCol, m, kCent, trainIters)
+                 m: Int, kCent: Int, trainIters: Int = 3,
+                 trainSampleSize: Int = 65536): DataFrame = {
+    val cb = trainCodebook(corpus, idCol, vecCol, m, kCent, trainIters,
+      trainSampleSize)
     val cells = Ann.sampleCentroids(corpus, idCol, vecCol, nCentroids)
     val corpusCells = Ann.assignCells(corpus, idCol, vecCol, cells)
       .select(col(idCol).as("neighbor_id"), col("centroid_id"),

@@ -87,6 +87,19 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("empty intervals (end <= start) match nothing on either variant") {
+    // [t, t) strictly inside a covering interval: the bare ls<re && rs<le
+    // predicate would pair it; the degenerate-row guard must not.
+    val lhs = Seq((1L, 5L, 5L), (2L, 9L, 3L), (3L, 0L, 10L)).toDF("lid", "ls", "le")
+    val rhs = Seq((10L, -100L, 100L), (11L, 7L, 7L)).toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalOverlap(lhs, rhs, "ls", "le", "rs", "re", 4L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === Seq((3L, 10L))) // only the nonempty × nonempty pair
+    val pts = Seq((1L, 5L)).toDF("pid", "t")
+    val ivs = Seq((10L, 5L, 5L), (11L, 8L, 2L)).toDF("iid", "s", "e")
+    assert(RangeJoin.pointInInterval(pts, ivs, "t", "s", "e", 4L).count() === 0)
+  }
+
   test("nanosecond-epoch keys past 2^53 bucket exactly (no double rounding)") {
     // 2024 epoch-nanos ≈ 1.7e18 ≫ 2^53: a double-division bucket would
     // misround near edges and silently miss matches

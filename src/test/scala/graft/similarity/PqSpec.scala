@@ -91,6 +91,40 @@ class PqSpec extends SparkSpec {
     assert(got2 === got, "IVF-PQ result depends on partition layout")
   }
 
+  test("training runs on the bounded deterministic sample") {
+    // the default sample covers this corpus entirely → ≡ full-corpus training
+    val full = Pq.trainCodebook(emb, "vec_id", "embedding", 8, 16, iters = 2,
+      trainSampleSize = -1)
+    val dflt = Pq.trainCodebook(emb, "vec_id", "embedding", 8, 16, iters = 2)
+    assert(full.flatten.flatten.toSeq === dflt.flatten.flatten.toSeq)
+    // a bounded sample trains exactly as full training over that explicit
+    // subset (same Mix64 coordinate order Sampling uses)
+    val n = 64
+    val subset = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(graft.functions.Mix64.sampleCoord(col("vec_id").cast("long")),
+        col("vec_id"))
+      .limit(n)
+    val sampled = Pq.trainCodebook(emb, "vec_id", "embedding", 8, 16, iters = 2,
+      trainSampleSize = n)
+    val manual = Pq.trainCodebook(subset, "vec_id", "embedding", 8, 16, iters = 2,
+      trainSampleSize = -1)
+    assert(sampled.flatten.flatten.toSeq === manual.flatten.flatten.toSeq)
+    intercept[IllegalArgumentException] { // sample must cover the codebook
+      Pq.trainCodebook(emb, "vec_id", "embedding", 8, 16, 1, trainSampleSize = 8)
+    }
+  }
+
+  test("ADC rejects codes trained under a different codebook with a named error") {
+    val cb16 = Pq.codebook(emb, "vec_id", "embedding", 8, 16)
+    val cb32 = Pq.codebook(emb, "vec_id", "embedding", 8, 32)
+    val e = intercept[Exception] {
+      emb.select(Pq.adcCosine(col("embedding"),
+        Pq.encode(col("embedding"), cb32), cb16)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("pq_adc_cosine"),
+      s"out-of-range code error should name pq_adc_cosine: ${e.getMessage}")
+  }
+
   test("recall@10 vs exact brute force clears the floor; layout-invariant") {
     val q = emb.where(col("vec_id") < 20)
     val bf = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
