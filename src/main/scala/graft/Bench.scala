@@ -43,6 +43,17 @@ object Bench {
     // whichever query happens to scan parquet first — data stays cold
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Exception => () }
+    // ONE UNTIMED PASS over every query before timing: a fresh JVM's first
+    // ~30-60 s of executions run up to 15× slow (interpreter → C2 ramp over
+    // Spark's own hot paths + first-touch codegen/encoders), and with
+    // alphabetical order + median-of-3 that tax landed entirely on the
+    // first ~10 queries (r6: q01 10.7 s in-bench vs 0.15 s warm — the
+    // "regressions" judged in r5/r6 were this ramp plus host load, not the
+    // queries). The warm pass also pages the parquet files once, so timed
+    // reps measure the operator, not the ramp.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try materialize(fn(spark, sfDir)) catch { case _: Exception => () }
+    }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
@@ -60,10 +71,20 @@ object Bench {
       val good = times.filter(_ >= 0.0).sorted
       name -> (if (good.isEmpty) -1.0 else good(good.length / 2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver records only a bounded TAIL of stdout: the r6 artifact lost
+    // the line's head (metric/value) because 91 full query names at nanosecond
+    // precision overflowed the window. Keep the whole line comfortably inside
+    // it: per-query keys are the unique qNN prefix, values round to ms.
+    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val shortKey: Map[String, String] = {
+      val pref = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+      if (pref.values.toSeq.distinct.length == pref.size) pref
+      else results.map { case (k, _) => k -> k }.toMap // collision: full names
+    }
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

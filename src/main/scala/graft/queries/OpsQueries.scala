@@ -265,9 +265,12 @@ object OpsQueries {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
         tokenCountWs(col("text")).cast("long").as("n_tok"))
       val mass = docs.groupBy("source").agg(sum(col("n_tok")).as("mass"))
-      val minMass = mass.agg(min(col("mass"))).head().getLong(0)
+      // min mass via an unpartitioned window over the tiny aggregate, not a
+      // .head() action — one plan, one scan of the corpus (q91's pattern)
+      val minMass = min(col("mass")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy())
       val rates = mass
-        .withColumn("rate", lit(minMass).cast("double") / col("mass").cast("double"))
+        .withColumn("rate", minMass.cast("double") / col("mass").cast("double"))
         .withColumn("thr", floor(col("rate") * lit(4294967296.0)).cast("long"))
       docs.join(broadcast(rates), "source")
         .where(Mix64.sampleCoord(col("doc_id")) < col("thr"))

@@ -24,7 +24,12 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF: 16 cells, 4 probes (rows-only; recall pinned in AnnSpec)
+    // IVF: 16 cells, 4 probes — fully oracle-backed since the centroid
+    // sample moved to the portable Mix64 coordinate: centroids, cell
+    // assignment (argmax cosine, ties → lowest cell) and the in-cell top-k
+    // all replay in DuckDB. Rank-only output; every ranking gap measured
+    // ≥ 2e-5 at sf0.01/0.1 (assignment) — far above cross-engine ulp noise
+    // (the q40 argument).
     "q41_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.ivfTopK(emb.where(col("vec_id") < 20), emb,
@@ -43,9 +48,9 @@ object SimilarityQueries {
     // of q41's IVF result against q40's exact brute force (same config) —
     // the driver tracks the number round over round instead of trusting a
     // spec constant. Pure relational over two deterministic top-k outputs
-    // (tiny: 20 queries × k rows each); rows-only because the IVF side
-    // inherits q41's xxhash64 centroid sample, which has no DuckDB twin.
-    // The aggregate recall is additionally pinned in AnnSpec.
+    // (tiny: 20 queries × k rows each); oracle-backed now that the IVF side
+    // replays in DuckDB (q41). The aggregate recall is additionally pinned
+    // in AnnSpec.
     "q47_ivf_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 20)
@@ -192,5 +197,62 @@ object SimilarityQueries {
         |      ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id) AS rank
         |  FROM q JOIN e ON q.vec_id <> e.vec_id)
         |SELECT query_id, rank, neighbor_id FROM sims WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin)
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q41_ann_ivf" ->
+      s"""WITH $ivfSql
+         |SELECT query_id, rank, neighbor_id FROM ivf
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q47_ivf_recall" ->
+      s"""WITH $ivfSql,
+         |bf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.emb, e2.emb) DESC, e2.vec_id) AS rank
+         |    FROM e q JOIN e e2 ON q.vec_id <> e2.vec_id WHERE q.vec_id < 20) t
+         |  WHERE rank <= 10),
+         |hits AS (
+         |  SELECT bf.query_id, count(*) AS n_hit
+         |  FROM bf JOIN ivf USING (query_id, neighbor_id) GROUP BY bf.query_id)
+         |SELECT b.query_id, b.n_true,
+         |  coalesce(h.n_hit, 0) AS n_hit,
+         |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(b.n_true AS DOUBLE) AS recall
+         |FROM (SELECT query_id, count(*) AS n_true FROM bf GROUP BY query_id) b
+         |LEFT JOIN hits h ON b.query_id = h.query_id
+         |ORDER BY b.query_id""".stripMargin)
+
+  /** Shared IVF replay (16 Mix64-sampled centroids, nearest-cell
+    * assignment, 4 probes, in-cell exact top-10) as DuckDB CTEs — the SQL
+    * twin of [[Ann.ivfTopK]]'s q41 configuration. Rankings only: every
+    * argmax/top-k gap is ≥ 2e-5 at the oracle SFs, far above the ulp-level
+    * difference between the two engines' cosine accumulations. */
+  private def ivfSql: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cent AS (
+       |  SELECT row_number() OVER (ORDER BY coord, vec_id) - 1 AS centroid_id,
+       |    emb AS cvec
+       |  FROM (SELECT vec_id, emb, ${OpsQueries.coordSql("vec_id")} AS coord
+       |        FROM e ORDER BY coord, vec_id LIMIT 16) t),
+       |cc AS (
+       |  SELECT vec_id AS neighbor_id, emb AS cv, centroid_id FROM (
+       |    SELECT e.vec_id, e.emb, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC, c.centroid_id) AS crank
+       |    FROM e CROSS JOIN cent c) t WHERE crank <= 1),
+       |qc AS (
+       |  SELECT vec_id AS query_id, emb AS qv, centroid_id FROM (
+       |    SELECT e.vec_id, e.emb, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC, c.centroid_id) AS crank
+       |    FROM e CROSS JOIN cent c WHERE e.vec_id < 20) t WHERE crank <= 4),
+       |ivf AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT qc.query_id, cc.neighbor_id,
+       |      row_number() OVER (PARTITION BY qc.query_id
+       |        ORDER BY list_cosine_similarity(qc.qv, cc.cv) DESC, cc.neighbor_id) AS rank
+       |    FROM qc JOIN cc USING (centroid_id)
+       |    WHERE qc.query_id <> cc.neighbor_id) t
+       |  WHERE rank <= 10)""".stripMargin
 }

@@ -64,24 +64,67 @@ object StreamingQueries {
           e.where(col("event_type") === "purchase"),
           maxGap = "6 hours")
         .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
+    // STREAMING sessionization against q50's DuckDB oracle: the events
+    // table replays through MemoryStream in four event-time micro-batches
+    // into Streams.sessionizeTicks (flatMapGroupsWithState, exact µs), a
+    // far-future flush tick per user closes every real session (the flush
+    // sessions themselves stay open in state and never emit), and the
+    // memory-sink table — the stream-end result — is compared against the
+    // BATCH gap-sessionization SQL. This promotes the StreamsSpec
+    // stream≡batch claim to a driver-checked oracle row. The driver-side
+    // collect is the REPLAY HARNESS feeding MemoryStream (bounded: (long,
+    // long) pairs), not part of the operator — production reads Kafka/files.
+    "q92_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = eventsUs(s, dir).select(col("user_id"), col("ts_us"))
+        .as[(Long, Long)].collect().sortBy(r => (r._2, r._1))
+      val flushT = rows.map(_._2).max + 10 * GapUs
+      s.catalog.dropTempView("q92_sessions") // re-entrant (bench reps)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Streams.TickEvent]
+      val sq = Streams.sessionizeTicks(mem.toDS(), GapUs)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("q92_sessions").start()
+      try {
+        rows.grouped(rows.length / 4 + 1).foreach { b =>
+          mem.addData(b.map(r => Streams.TickEvent(r._1, r._2)).toIndexedSeq: _*)
+          sq.processAllAvailable()
+        }
+        mem.addData(rows.map(_._1).distinct
+          .map(u => Streams.TickEvent(u, flushT)).toIndexedSeq: _*)
+        sq.processAllAvailable()
+      } finally sq.stop()
+      s.table("q92_sessions")
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .orderBy("user_id", "session_start_us")
     }))
 
+  /** q50 and q92 share one oracle: the batch gap-sessionization SQL is the
+    * ground truth for BOTH the window-function batch form and the
+    * stream-end state of the MemoryStream replay. */
+  private def sessionizeSql: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+       |l AS (SELECT user_id, ts_us,
+       |        lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+       |      FROM e),
+       |b AS (SELECT user_id, ts_us,
+       |        CASE WHEN prev IS NULL OR ts_us - prev > $GapUs THEN 1 ELSE 0 END AS brk
+       |      FROM l),
+       |sid AS (SELECT user_id, ts_us,
+       |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |      FROM b)
+       |SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+       |  count(*) AS n_events
+       |FROM sid GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q50_sessionize" ->
-      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
-         |l AS (SELECT user_id, ts_us,
-         |        lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
-         |      FROM e),
-         |b AS (SELECT user_id, ts_us,
-         |        CASE WHEN prev IS NULL OR ts_us - prev > $GapUs THEN 1 ELSE 0 END AS brk
-         |      FROM l),
-         |sid AS (SELECT user_id, ts_us,
-         |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-         |      FROM b)
-         |SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
-         |  count(*) AS n_events
-         |FROM sid GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    "q92_stream_sessionize" -> sessionizeSql,
+    "q50_sessionize" -> sessionizeSql,
 
     "q51_weekly_windows" ->
       """SELECT DATE '1970-01-01'

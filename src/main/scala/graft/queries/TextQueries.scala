@@ -331,10 +331,15 @@ object TextQueries {
         .where(col("quality") >= 0.5)
       val deduped = graft.dedup.Dedup.exactDedup(
         scored, col("text"), col("doc_id"))
+      // min mass folded INTO the plan (unpartitioned window over the
+      // per-source aggregate — a handful of rows on one partition), not a
+      // separate .head() action: a driver action here would execute the
+      // whole decontaminate→quality→dedup upstream TWICE, since exchange
+      // reuse never spans separate jobs. One plan → one upstream pass.
       val mass = deduped.groupBy("source").agg(sum(col("n_tok")).as("mass"))
-      val minMass = mass.agg(min(col("mass"))).head().getLong(0)
+      val minMass = min(col("mass")).over(Window.partitionBy())
       val rates = mass
-        .withColumn("thr", floor((lit(minMass).cast("double") / col("mass").cast("double"))
+        .withColumn("thr", floor((minMass.cast("double") / col("mass").cast("double"))
           * lit(4294967296.0)).cast("long"))
       deduped.join(broadcast(rates), "source")
         .where(Mix64.sampleCoord(col("doc_id")) < col("thr"))

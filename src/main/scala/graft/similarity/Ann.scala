@@ -43,11 +43,13 @@ object Ann {
   }
 
   /** Deterministic centroid sample: the nCentroids corpus rows with the
-    * smallest xxhash64(id) — stable across runs and engines, no RNG. */
+    * smallest Mix64 sample coordinate — stable across runs, engines AND
+    * replayable in portable SQL (the same coordinate family Sampling uses),
+    * which is what lets the IVF queries carry a full DuckDB oracle. */
   def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       nCentroids: Int): DataFrame =
     corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
-        xxhash64(col(idCol)).as("_h"))
+        graft.functions.Mix64.sampleCoord(col(idCol).cast("long")).as("_h"))
       .orderBy("_h", "cid").limit(nCentroids)
       // centroid ids via row_number over an explicit total order — never
       // monotonically_increasing_id, whose values depend on the physical

@@ -34,6 +34,39 @@ object Streams {
   final case class UserSession(
       user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Int)
 
+  /** Unit-agnostic integer-time event/session (`t` in whatever tick the
+    * caller uses — µs for the parquet events table, whose sub-ms precision
+    * a Timestamp.getTime fold would truncate). */
+  final case class TickEvent(user_id: Long, t: Long)
+  final case class TickSession(
+      user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
+
+  /** [[sessionize]] on raw integer ticks — the exact-arithmetic core the
+    * Timestamp variant wraps (ms ticks). Same semantics: every event is
+    * tested against every open session (merging bridged ones), the newest
+    * session in event time stays open across batches, older ones emit at
+    * end-of-batch. */
+  def sessionizeTicks(events: Dataset[TickEvent], gap: Long): Dataset[TickSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], TickSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[TickEvent], state: GroupState[List[SessionState]]) =>
+          val sessions = foldEvents(state.getOption.getOrElse(Nil), it.toSeq, gap)
+          val (open, closed) =
+            if (sessions.isEmpty) (Nil, Nil)
+            else {
+              val newest = sessions.maxBy(s => (s.last, s.start))
+              (List(newest), sessions.filter(_ != newest))
+            }
+          state.update(open)
+          closed.sortBy(_.start).iterator.map(s =>
+            TickSession(userId, s.start, s.last, s.n.toLong))
+      }
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * when a user is silent for `gapMs`. Event-time ordering within a group
     * is not guaranteed by the engine, so every event is tested against
@@ -47,36 +80,23 @@ object Streams {
   def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessionState], UserSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (userId: Long, it: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
-          val sessions = foldEvents(state.getOption.getOrElse(Nil), it.toSeq, gapMs)
-          // keep open the newest session IN EVENT TIME; close the rest
-          val (open, closed) =
-            if (sessions.isEmpty) (Nil, Nil)
-            else {
-              val newest = sessions.maxBy(s => (s.last, s.start))
-              (List(newest), sessions.filter(_ != newest))
-            }
-          state.update(open)
-          closed.sortBy(_.start).iterator.map(s =>
-            UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
-      }
+    sessionizeTicks(
+        events.map(e => TickEvent(e.user_id, e.ts.getTime)), gapMs)
+      .map(s => UserSession(s.user_id, new Timestamp(s.session_start_us),
+        new Timestamp(s.session_end_us), s.n_events.toInt))
   }
 
   /** Fold a batch of events (any arrival order) into gap-separated
     * sessions: each event merges every session whose gap-extended interval
     * covers it (bridging sessions collapse into one). Open sessions remain
     * pairwise >gap apart. */
-  private def foldEvents(open: List[SessionState], evs: Seq[SessionEvent],
-                         gapMs: Long): List[SessionState] = {
+  private def foldEvents(open: List[SessionState], evs: Seq[TickEvent],
+                         gap: Long): List[SessionState] = {
     var sessions = open
-    evs.sortBy(_.ts.getTime).foreach { e =>
-      val t = e.ts.getTime
+    evs.sortBy(_.t).foreach { e =>
+      val t = e.t
       val (touch, rest) = sessions.partition(s =>
-        t >= s.start - gapMs && t <= s.last + gapMs)
+        t >= s.start - gap && t <= s.last + gap)
       val merged =
         if (touch.isEmpty) SessionState(t, t, 1)
         else SessionState(
@@ -107,7 +127,8 @@ object Streams {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, it: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
           val wm = state.getCurrentWatermarkMs()
-          val sessions = foldEvents(state.getOption.getOrElse(Nil), it.toSeq, gapMs)
+          val sessions = foldEvents(state.getOption.getOrElse(Nil),
+            it.toSeq.map(e => TickEvent(e.user_id, e.ts.getTime)), gapMs)
           // final = nothing below the watermark can arrive to extend it
           val (closed, open) = sessions.partition(_.last + gapMs < wm)
           if (open.isEmpty) state.remove()

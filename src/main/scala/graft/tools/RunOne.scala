@@ -27,11 +27,15 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries.getOrElse(name,
       { System.err.println(s"unknown query $name"); sys.exit(2); throw new Exception })
+    val repeats = args.find(_.startsWith("--repeat="))
+      .map(_.stripPrefix("--repeat=").toInt).getOrElse(1)
     val df = fn(spark, sfDir)
     if (explain) df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"query=$name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    for (r <- 1 to repeats) {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"query=$name run=$r rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
     spark.stop()
   }
 }
