@@ -22,7 +22,15 @@ object PqCodec {
   /** codebook(m)(j) = the j-th centroid of subspace m, each D/M floats. */
   type Codebook = Array[Array[Array[Float]]]
 
+  /** Integer-quantized codebook (floor(c·2^20) per component) for the
+    * portable encode twin. */
+  type QCodebook = Array[Array[Array[Long]]]
+
   def subDim(cb: Codebook): Int = cb(0)(0).length
+
+  /** Quantize a float codebook to the portable integer form. */
+  def quantize(cb: Codebook): QCodebook =
+    cb.map(_.map(_.map(c => math.floor(c.toDouble * 1048576.0).toLong)))
 
   private[functions] def l2sq(v: ArrayData, off: Int, c: Array[Float]): Double = {
     var d = 0.0
@@ -44,6 +52,63 @@ object PqCodec {
     }
     s
   }
+}
+
+/** PORTABLE twin of [[PqEncodeExpr]]: both the vector components and the
+  * codebook are quantized to integers (floor(x·2^20) — exact in double:
+  * float→double is exact and ·2^20 is a power-of-two scale), and the
+  * per-subspace argmin minimizes the EXACT integer squared distance
+  * (Σ(qv−qc)² < 2^45 for unit-scale inputs — no overflow, no rounding).
+  * Every step replays in DuckDB SQL, giving the PQ quantizer itself a
+  * cross-engine oracle (the q64 quantized-dot trick applied to PQ). */
+case class PqEncodePortableExpr(child: Expression,
+    codebook: PqCodec.QCodebook)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode_portable"
+
+  private val m = codebook.length
+  private val sub = codebook(0)(0).length
+  private val Q = 1048576.0 // 2^20
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    require(v.numElements() == m * sub,
+      s"pq_encode_portable expects ${m * sub} dims, got ${v.numElements()}")
+    val qv = new Array[Long](m * sub)
+    var i = 0
+    while (i < qv.length) {
+      qv(i) = math.floor(v.getFloat(i).toDouble * Q).toLong
+      i += 1
+    }
+    val codes = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      val cands = codebook(mi)
+      var best = 0
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < cands.length) {
+        val c = cands(j)
+        var d2 = 0L
+        var di = 0
+        while (di < sub) {
+          val diff = qv(mi * sub + di) - c(di)
+          d2 += diff * diff
+          di += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = j } // strict < : ties keep lowest j
+        j += 1
+      }
+      codes(mi) = best
+      mi += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncodePortableExpr =
+    copy(child = c)
 }
 
 /** vec (array<float>, length M·subDim) → array<int> of M codebook indices. */

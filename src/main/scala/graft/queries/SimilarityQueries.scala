@@ -124,6 +124,24 @@ object SimilarityQueries {
         .orderBy("query_id")
     }),
 
+    // PORTABLE PQ encode: the q48/q53/q64 pattern applied to the PQ family
+    // — Mix64-sampled codebook, components and codewords quantized to
+    // floor(x·2^20) integers, per-subspace argmin over EXACT integer
+    // squared distances (ties → lowest code). The quantizer — the heart of
+    // PQ — replays bit-for-bit in DuckDB, shrinking the family's
+    // unverifiable surface to the float ADC scan (whose recall q80/q84
+    // measure). Codes posexploded to flat (vec_id, mi, code) rows.
+    "q93_pq_portable" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qcb = graft.similarity.Pq.codebookPortable(
+        emb, "vec_id", "embedding", m = 8, k = 16)
+      emb.select(col("vec_id"),
+          posexplode(graft.similarity.Pq.encodePortable(col("embedding"), qcb))
+            .as(Seq("mi", "code")))
+        .select(col("vec_id"), col("mi").cast("int").as("mi"), col("code"))
+        .orderBy("vec_id", "mi")
+    }),
+
     // PORTABLE hyperplane LSH signatures: integer-quantized dot products
     // (order-free exact sums) against splitmix64-regenerated planes — the
     // whole signature replays in DuckDB SQL, giving the hyperplane family a
@@ -203,6 +221,34 @@ object SimilarityQueries {
       s"""WITH $ivfSql
          |SELECT query_id, rank, neighbor_id FROM ivf
          |ORDER BY query_id, rank""".stripMargin,
+
+    // integer-quantized per-subspace argmin (m=8 → sub=8, k=16): dims join
+    // codeword dims 1:1 and group by subspace d//8, so d2 is the exact
+    // integer L2 between the vector's subspace slice and codeword j's
+    "q93_pq_portable" ->
+      s"""WITH dv AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS qv
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT row_number() OVER (ORDER BY coord, vec_id) - 1 AS j, embedding
+         |  FROM (SELECT vec_id, embedding, ${OpsQueries.coordSql("vec_id")} AS coord
+         |        FROM embeddings ORDER BY coord, vec_id LIMIT 16) t),
+         |cb AS (
+         |  SELECT j, generate_subscripts(embedding, 1) - 1 AS d,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS qc
+         |  FROM cent),
+         |dist AS (
+         |  SELECT v.vec_id, v.d // 8 AS mi, c.j,
+         |    sum((v.qv - c.qc) * (v.qv - c.qc)) AS d2
+         |  FROM dv v JOIN cb c ON c.d = v.d
+         |  GROUP BY v.vec_id, v.d // 8, c.j),
+         |code AS (
+         |  SELECT vec_id, mi, j,
+         |    row_number() OVER (PARTITION BY vec_id, mi ORDER BY d2, j) AS rn
+         |  FROM dist)
+         |SELECT vec_id, CAST(mi AS INT) AS mi, CAST(j AS INT) AS code
+         |FROM code WHERE rn = 1 ORDER BY vec_id, mi""".stripMargin,
 
     "q47_ivf_recall" ->
       s"""WITH $ivfSql,

@@ -42,6 +42,31 @@ object Pq {
   def encode(vec: Column, cb: PqCodec.Codebook): Column =
     toColumn(PqEncodeExpr(toExpr(vec), cb))
 
+  /** PORTABLE codebook: the k corpus vectors with the smallest Mix64
+    * sample coordinate (the replayable sample family — same as
+    * [[Ann.sampleCentroids]]), split into m subspaces and quantized to
+    * integers. The twin of [[codebook]] whose every downstream code is
+    * DuckDB-replayable. */
+  def codebookPortable(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int, k: Int): PqCodec.QCodebook = {
+    val rows = corpus
+      .select(col(vecCol).as("v"),
+        graft.functions.Mix64.sampleCoord(col(idCol).cast("long")).as("_h"),
+        col(idCol).as("_i"))
+      .orderBy("_h", "_i").limit(k)
+      .select("v").collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(rows.length == k, s"corpus smaller than codebook size $k")
+    val d = rows.head.length
+    require(d % m == 0, s"dim $d not divisible by $m subspaces")
+    val sub = d / m
+    PqCodec.quantize(
+      Array.tabulate(m)(mi => rows.map(_.slice(mi * sub, (mi + 1) * sub))))
+  }
+
+  def encodePortable(vec: Column, qcb: PqCodec.QCodebook): Column =
+    toColumn(graft.functions.PqEncodePortableExpr(toExpr(vec), qcb))
+
   /** Bounded deterministic training sample: the `n` corpus rows with the
     * smallest Mix64 sample coordinate (tie-broken by id) — a uniform draw
     * without replacement that is a pure function of the ids, the same

@@ -114,6 +114,30 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("portable encode: integer argmin, layout-invariant, codewords self-encode") {
+    val qcb = Pq.codebookPortable(emb, "vec_id", "embedding", m = 8, k = 16)
+    val codes = emb.select(col("vec_id"),
+        Pq.encodePortable(col("embedding"), qcb).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+    val codes2 = emb.repartition(11)
+      .select(col("vec_id"), Pq.encodePortable(col("embedding"), qcb).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes === codes2, "portable codes depend on partition layout")
+    // a sampled codeword vector quantizes to itself → distance 0 in every
+    // subspace → encodes to its own index (ties broken to a lower index
+    // only by an exact integer duplicate, which this corpus has none of)
+    val sampleIds = emb
+      .select(col("vec_id"),
+        graft.functions.Mix64.sampleCoord(col("vec_id").cast("long")).as("h"))
+      .orderBy("h", "vec_id").limit(16).select("vec_id")
+      .collect().map(_.getLong(0))
+    sampleIds.zipWithIndex.foreach { case (id, j) =>
+      assert(codes(id).forall(_ == j),
+        s"codeword vector $id (index $j) did not self-encode: ${codes(id)}")
+    }
+  }
+
   test("ADC rejects codes trained under a different codebook with a named error") {
     val cb16 = Pq.codebook(emb, "vec_id", "embedding", 8, 16)
     val cb32 = Pq.codebook(emb, "vec_id", "embedding", 8, 32)
