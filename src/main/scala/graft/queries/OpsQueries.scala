@@ -335,6 +335,23 @@ object OpsQueries {
     * dividend's sign: without it a negative key's residue (and the //)
     * would diverge from the JVM's unsigned semantics. Keys here are >= 0,
     * but the pattern must stay safe to reuse on signed keys. */
+  /** The KMV bottom-64 replay over `events` as shared CTEs (h/r/nd/kth) —
+    * used by q59's batch oracle and q94's streaming-replay oracle. */
+  private[queries] def kmvSql: String =
+    s"""h AS (
+       |  SELECT DISTINCT event_type,
+       |    (((((${java.lang.Long.toUnsignedString(Mix64.MulA)}::HUGEINT * user_id
+       |        + ${java.lang.Long.toUnsignedString(Mix64.AddB)}::HUGEINT)
+       |       % 18446744073709551616::HUGEINT)
+       |      + 18446744073709551616::HUGEINT)
+       |     % 18446744073709551616::HUGEINT) // 2)::BIGINT AS h
+       |  FROM events),
+       |r AS (SELECT event_type, h,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |      FROM h),
+       |nd AS (SELECT event_type, count(*) AS nd FROM h GROUP BY event_type),
+       |kth AS (SELECT event_type, h AS kth_min FROM r WHERE rn = 64)""".stripMargin
+
   private[queries] def coordSql(key: String): String =
     s"""((((${java.lang.Long.toUnsignedString(Mix64.MulA)}::HUGEINT * $key
        |    + ${java.lang.Long.toUnsignedString(Mix64.AddB)}::HUGEINT)
@@ -389,19 +406,7 @@ object OpsQueries {
     // row_number, estimate = 63·2^63/h_64 — ONE double division of exact
     // integers, so even the approximation matches bit-for-bit
     "q59_kmv_distinct" ->
-      s"""WITH h AS (
-         |  SELECT DISTINCT event_type,
-         |    (((((${java.lang.Long.toUnsignedString(Mix64.MulA)}::HUGEINT * user_id
-         |        + ${java.lang.Long.toUnsignedString(Mix64.AddB)}::HUGEINT)
-         |       % 18446744073709551616::HUGEINT)
-         |      + 18446744073709551616::HUGEINT)
-         |     % 18446744073709551616::HUGEINT) // 2)::BIGINT AS h
-         |  FROM events),
-         |r AS (SELECT event_type, h,
-         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-         |      FROM h),
-         |nd AS (SELECT event_type, count(*) AS nd FROM h GROUP BY event_type),
-         |kth AS (SELECT event_type, h AS kth_min FROM r WHERE rn = 64),
+      s"""WITH $kmvSql,
          |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
          |       FROM events GROUP BY event_type)
          |SELECT ex.event_type, ex.exact_users,

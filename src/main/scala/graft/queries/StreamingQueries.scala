@@ -101,6 +101,43 @@ object StreamingQueries {
       s.table("q92_sessions")
         .select("user_id", "session_start_us", "session_end_us", "n_events")
         .orderBy("user_id", "session_start_us")
+    }),
+
+    // STREAMING KMV distinct-count vs q59's SQL replay: events stream
+    // through SketchStream.distinctSketch (mapGroupsWithState, bottom-64
+    // Mix64 hashes as state) in four micro-batches; the memory sink holds
+    // one update row per (group, batch), and because the sketch only ever
+    // GROWS toward the final state — n_kept non-decreasing, kth_min
+    // non-increasing, est non-decreasing — the stream-END sketch is the
+    // per-group (max n_kept, min kth_min, max est) aggregate of the
+    // updates. Oracle = the same bottom-64 replay in DuckDB SQL: the
+    // mergeable-sketch claim (stream ≡ batch ≡ SQL, any slicing) becomes
+    // a driver-checked row.
+    "q94_stream_kmv" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = eventsUs(s, dir).select(col("event_type"), col("user_id"))
+        .as[(String, Long)].collect().sortBy(r => (r._1, r._2))
+      s.catalog.dropTempView("q94_kmv") // re-entrant (bench reps)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)]
+      val sq = graft.streaming.SketchStream.distinctSketch(
+          mem.toDF().toDF("event_type", "user_id"), "user_id", "event_type", 64)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("q94_kmv").start()
+      try {
+        rows.grouped(rows.length / 4 + 1).foreach { b =>
+          mem.addData(b.toIndexedSeq: _*); sq.processAllAvailable()
+        }
+      } finally sq.stop()
+      s.table("q94_kmv")
+        .groupBy(col("group"))
+        .agg(max(col("n_kept")).as("kmv_kept"),
+          min(col("kth_min")).as("kth_min"),
+          max(col("est")).as("kmv_est"))
+        .select(col("group").as("event_type"), col("kmv_kept"),
+          col("kth_min"), col("kmv_est"))
+        .orderBy("event_type")
     }))
 
   /** q50 and q92 share one oracle: the batch gap-sessionization SQL is the
@@ -125,6 +162,19 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     "q92_stream_sessionize" -> sessionizeSql,
     "q50_sessionize" -> sessionizeSql,
+
+    // q59's bottom-64 replay minus the exact-count column (the streaming
+    // sketch state carries only the sketch)
+    "q94_stream_kmv" ->
+      s"""WITH ${OpsQueries.kmvSql}
+         |SELECT nd.event_type,
+         |  CAST(least(nd.nd, 64) AS INT) AS kmv_kept,
+         |  kth.kth_min,
+         |  CASE WHEN kth.kth_min IS NOT NULL
+         |       THEN CAST(63 * 9223372036854775808::HUGEINT AS DOUBLE) / CAST(kth.kth_min AS DOUBLE)
+         |       ELSE CAST(nd.nd AS DOUBLE) END AS kmv_est
+         |FROM nd LEFT JOIN kth USING (event_type)
+         |ORDER BY nd.event_type""".stripMargin,
 
     "q51_weekly_windows" ->
       """SELECT DATE '1970-01-01'
