@@ -260,6 +260,23 @@ object OpsQueries {
     // scan+filter. This is the static mixture-application step of a
     // DoReMi-style pipeline: q73 measures, q82 rebalances, q49/q77 are the
     // fixed-rate/fixed-count primitives underneath.
+    // deterministic train/val/test SPLIT assignment (80/10/10): the split
+    // is a pure function of doc_id via the Mix64 coordinate against two
+    // fixed thresholds — no RNG, no join, no state; any engine, any
+    // partitioning, any rerun assigns every document identically, and a
+    // document's split never changes when the corpus around it grows (the
+    // property a training pipeline actually needs from its split). One
+    // narrow scan; the per-(source, split) counts are the mixture audit.
+    "q95_split_assign" -> ((s, dir) => {
+      val c = Mix64.sampleCoord(col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          when(c < lit(Sampling.threshold(0.8)), "train")
+            .when(c < lit(Sampling.threshold(0.9)), "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
     "q82_mixture_rebalance" -> ((s, dir) => {
       import graft.text.TextAnalysis.tokenCountWs
       val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
@@ -365,6 +382,13 @@ object OpsQueries {
          |WHERE ${coordSql("event_id")}
          |      < $SampleCaseSql
          |ORDER BY event_id""".stripMargin,
+
+    "q95_split_assign" ->
+      s"""SELECT doc_id, source,
+         |  CASE WHEN ${coordSql("doc_id")} < ${Sampling.threshold(0.8)} THEN 'train'
+         |       WHEN ${coordSql("doc_id")} < ${Sampling.threshold(0.9)} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q44_bucketed_join" ->
       """SELECT c.c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -347,6 +347,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // PII detection + redaction — the scrub stage every public-corpus
+    // pipeline runs before training. The synthetic documents carry no PII
+    // (verified: no '@' or digits at any SF), so deterministic contacts are
+    // PLANTED from doc_id (the q70 fixture pattern: fake payload, real
+    // operator): every doc gains one email, every third doc an IPv4. Both
+    // patterns stay inside the regex subset Java and RE2 interpret
+    // identically (char classes, bounded repeats, \b, non-capturing
+    // groups); the redacted text is compared as md5 so the oracle checks
+    // byte-exact scrubbing, not just counts. One narrow codegen'd scan —
+    // at 100 TB this shape is scan-bound, exactly as a scrub pass must be.
+    "q96_pii_redact" -> ((s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+              lit(".0.7")))
+            .otherwise(lit(""))).as("text"))
+      planted.select(col("doc_id"),
+          regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+          regexp_count(col("text"), lit(ipRe)).as("n_ips"),
+          md5(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            ipRe, "<IP>")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q43_chunking" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -656,6 +685,22 @@ object TextQueries {
         |  tf.doc_id, tf.tf
         |FROM tf JOIN d USING (term)
         |ORDER BY term, pos""".stripMargin,
+
+    "q96_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7'
+        |         ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ips,
+        |  md5(regexp_replace(
+        |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+        |FROM planted ORDER BY doc_id""".stripMargin,
 
     "q43_chunking" ->
       """SELECT doc_id, CAST(i AS INT) AS chunk_idx,
