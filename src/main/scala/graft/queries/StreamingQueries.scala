@@ -67,7 +67,7 @@ object StreamingQueries {
     }),
 
     // STREAMING sessionization against q50's DuckDB oracle: the events
-    // table replays through MemoryStream in four event-time micro-batches
+    // table replays through MemoryStream in event-time micro-batches
     // into Streams.sessionizeTicks (flatMapGroupsWithState, exact µs), a
     // far-future flush tick per user closes every real session (the flush
     // sessions themselves stay open in state and never emit), and the
@@ -90,7 +90,11 @@ object StreamingQueries {
         .writeStream.outputMode("append").format("memory")
         .queryName("q92_sessions").start()
       try {
-        rows.grouped(rows.length / 4 + 1).foreach { b =>
+        // two data slices + the flush batch: cross-batch state is exercised
+        // (sessions span the slice boundary) at three micro-batches' cost —
+        // ARBITRARY slicing equivalence is StreamsSpec's job, the oracle row
+        // proves stream-end ≡ batch SQL
+        rows.grouped(rows.length / 2 + 1).foreach { b =>
           mem.addData(b.map(r => Streams.TickEvent(r._1, r._2)).toIndexedSeq: _*)
           sq.processAllAvailable()
         }
@@ -105,7 +109,7 @@ object StreamingQueries {
 
     // STREAMING KMV distinct-count vs q59's SQL replay: events stream
     // through SketchStream.distinctSketch (mapGroupsWithState, bottom-64
-    // Mix64 hashes as state) in four micro-batches; the memory sink holds
+    // Mix64 hashes as state) in two micro-batches; the memory sink holds
     // one update row per (group, batch), and because the sketch only ever
     // GROWS toward the final state — n_kept non-decreasing, kth_min
     // non-increasing, est non-decreasing — the stream-END sketch is the
@@ -126,7 +130,7 @@ object StreamingQueries {
         .writeStream.outputMode("update").format("memory")
         .queryName("q94_kmv").start()
       try {
-        rows.grouped(rows.length / 4 + 1).foreach { b =>
+        rows.grouped(rows.length / 2 + 1).foreach { b =>
           mem.addData(b.toIndexedSeq: _*); sq.processAllAvailable()
         }
       } finally sq.stop()
