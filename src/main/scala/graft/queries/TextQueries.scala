@@ -347,6 +347,38 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // BEST-QUALITY keep policy over near-dup components: q28/q29 keep the
+    // min-id representative (the reproducibility default); real curation
+    // usually keeps the BEST member — here argmax quality (q31's bit-exact
+    // formula), ties to the lowest id. Components from the same LSH
+    // candidate graph; the policy is one narrow window over (id, component,
+    // quality) triples — text never rides the component shuffle, so
+    // changing keep policy costs nothing at 100 TB.
+    "q97_dedup_best_keep" -> ((s, dir) => {
+      import graft.dedup.Dedup
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.ngramJaccardPairsLsh(docs,
+        col("doc_id"), col("text"), n = 3, m = 32, bands = 16, threshold = 0.5)
+      val comp = Dedup.connectedComponents(
+        docs.select(col("doc_id")), col("doc_id"),
+        edges, col("a_id"), col("b_id"))
+      val scored = docs
+        .select(col("doc_id"), textStats(col("text")).as("st"),
+          punctRatio(col("text")).as("pr"), digitRatio(col("text")).as("dr"))
+        .select(col("doc_id"),
+          qualityScoreFrom(col("st"), col("pr"), col("dr")).as("quality"))
+      val joined = comp.join(scored, comp("id") === scored("doc_id"))
+        .select(col("id"), col("component"), col("quality"))
+      val w = Window.partitionBy("component")
+        .orderBy(col("quality").desc, col("id"))
+      val best = joined.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("component"), col("id").as("keep_id"))
+      joined.join(best, Seq("component"))
+        .select(col("id").as("doc_id"), col("keep_id"))
+        .orderBy("doc_id")
+    }),
+
     // PII detection + redaction — the scrub stage every public-corpus
     // pipeline runs before training. The synthetic documents carry no PII
     // (verified: no '@' or digits at any SF), so deterministic contacts are
@@ -685,6 +717,60 @@ object TextQueries {
         |  tf.doc_id, tf.tf
         |FROM tf JOIN d USING (term)
         |ORDER BY term, pos""".stripMargin,
+
+    // q28's recursive-CTE components + q31's quality formula; keep =
+    // row_number over (quality DESC, doc_id) per component
+    "q97_dedup_best_keep" ->
+      s"""WITH RECURSIVE sh_docs AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+         |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh_docs a JOIN sh_docs b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         |und AS (SELECT a AS x, b AS n FROM pairs UNION ALL SELECT b AS x, a AS n FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS x, doc_id AS n FROM documents
+         |  UNION
+         |  SELECT r.x, u.n FROM reach r JOIN und u ON r.n = u.x),
+         |comp AS (SELECT x AS doc_id, min(n) AS component FROM reach GROUP BY x),
+         |base AS (
+         |  SELECT doc_id, text, length(text) AS n,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rawtoks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / n END AS punct_ratio,
+         |    CASE WHEN n = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / n END AS digit_ratio,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_filter(toks, x -> list_contains($StopwordsSql, x)))::DOUBLE / len(toks) END AS stopword_ratio,
+         |    CASE WHEN len(rawtoks) = 0 THEN 0.0
+         |         ELSE list_aggregate(list_transform(rawtoks, x -> length(x)), 'sum')::DOUBLE / len(rawtoks) END AS mean_word_len
+         |  FROM base),
+         |q AS (
+         |  SELECT doc_id,
+         |    least(stopword_ratio * 4.0, 1.0) * 0.3
+         |      + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.25
+         |      + greatest(1.0 - digit_ratio * 5.0, 0.0) * 0.25
+         |      + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 8.0 THEN 1.0
+         |              WHEN mean_word_len > 0.0 THEN 0.5 ELSE 0.0 END) * 0.2 AS quality
+         |  FROM m),
+         |best AS (
+         |  SELECT component, doc_id AS keep_id FROM (
+         |    SELECT c.component, c.doc_id,
+         |      row_number() OVER (PARTITION BY c.component
+         |        ORDER BY q.quality DESC, c.doc_id) AS rn
+         |    FROM comp c JOIN q USING (doc_id)) t
+         |  WHERE rn = 1)
+         |SELECT c.doc_id, b.keep_id
+         |FROM comp c JOIN best b USING (component)
+         |ORDER BY c.doc_id""".stripMargin,
 
     "q96_pii_redact" ->
       """WITH planted AS (
