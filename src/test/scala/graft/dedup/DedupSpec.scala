@@ -219,4 +219,28 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotIter == expected)
   }
+
+  test("q97 best-quality keep: keeper maximizes (quality, -id) within its component") {
+    import graft.text.TextAnalysis._
+    val dir = "/root/testdata/sf0.001"
+    val keep = graft.SparkEntry.queries("q97_dedup_best_keep")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), textStats(col("text")).as("st"),
+        punctRatio(col("text")).as("pr"), digitRatio(col("text")).as("dr"))
+      .select(col("doc_id"),
+        qualityScoreFrom(col("st"), col("pr"), col("dr")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // keep_id is a fixpoint (keepers keep themselves), and within every
+    // keep-group the keeper has max quality (ties -> lowest id)
+    keep.foreach { case (id, k) => assert(keep(k) == k, s"keeper $k of $id not a fixpoint") }
+    keep.groupBy(_._2).foreach { case (k, members) =>
+      members.keys.foreach { id =>
+        assert(quality(k) > quality(id) || (quality(k) == quality(id) && k <= id),
+          s"keeper $k (q=${quality(k)}) not best in group vs $id (q=${quality(id)})")
+      }
+    }
+    // singletons (no near-dup partner) keep themselves
+    assert(keep.count { case (id, k) => id == k } > keep.size / 2)
+  }
 }

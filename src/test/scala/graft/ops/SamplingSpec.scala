@@ -28,6 +28,29 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("q95 split assignment: 80/10/10 fractions, deterministic, growth-stable") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q95_split_assign")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val n = got.size.toDouble
+    val frac = got.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.06, s"train ${frac("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.05)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.05)
+    // a document's split is a pure function of its id: assigning over a
+    // SHRUNK corpus (half the docs) gives every surviving doc the same
+    // split — ingest order and corpus growth can never move a document
+    val c = graft.functions.Mix64.sampleCoord(col("doc_id"))
+    val sub = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"),
+        when(c < lit(Sampling.threshold(0.8)), "train")
+          .when(c < lit(Sampling.threshold(0.9)), "val")
+          .otherwise("test").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    sub.foreach { case (id, s) => assert(got(id) == s, s"doc $id moved") }
+  }
+
   test("stratified: per-stratum rates and default rate both apply") {
     val df = keys.withColumn("s",
       when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c"))

