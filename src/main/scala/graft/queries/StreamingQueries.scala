@@ -86,9 +86,19 @@ object StreamingQueries {
       s.catalog.dropTempView("q92_sessions") // re-entrant (bench reps)
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[Streams.TickEvent]
-      val sq = Streams.sessionizeTicks(mem.toDS(), GapUs)
-        .writeStream.outputMode("append").format("memory")
-        .queryName("q92_sessions").start()
+      // state partitions sized to the group cardinality for the replay —
+      // a streaming query pins its state partitioning at START from this
+      // conf, and 32 near-empty state stores per micro-batch are pure
+      // overhead at replay scale (at 100 TB size this UP, not down).
+      // Restored right after start; queries in this registry run
+      // sequentially, so the scoped change cannot leak into another plan.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val sq =
+        try Streams.sessionizeTicks(mem.toDS(), GapUs)
+          .writeStream.outputMode("append").format("memory")
+          .queryName("q92_sessions").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try {
         // two data slices + the flush batch: cross-batch state is exercised
         // (sessions span the slice boundary) at three micro-batches' cost —
@@ -125,10 +135,15 @@ object StreamingQueries {
       s.catalog.dropTempView("q94_kmv") // re-entrant (bench reps)
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, Long)]
-      val sq = graft.streaming.SketchStream.distinctSketch(
-          mem.toDF().toDF("event_type", "user_id"), "user_id", "event_type", 64)
-        .writeStream.outputMode("update").format("memory")
-        .queryName("q94_kmv").start()
+      // 5 event-type groups → 8 state partitions (see q92's note)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val sq =
+        try graft.streaming.SketchStream.distinctSketch(
+            mem.toDF().toDF("event_type", "user_id"), "user_id", "event_type", 64)
+          .writeStream.outputMode("update").format("memory")
+          .queryName("q94_kmv").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try {
         rows.grouped(rows.length / 2 + 1).foreach { b =>
           mem.addData(b.toIndexedSeq: _*); sq.processAllAvailable()
