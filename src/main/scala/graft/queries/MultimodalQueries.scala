@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
@@ -29,20 +30,56 @@ object MultimodalQueries {
   def payloadByte(docId: Long, frame: Int, i: Int): Byte =
     ((docId * 31 + frame * 17 + i.toLong * 7) % 256).toByte
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q70_multimodal_features" -> ((s, dir) => {
-      import s.implicits._
-      val assets = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id")).as[Long]
-        .map { id =>
-          val nFrames = (id % 3 + 1).toInt // 1..3 → exercises video sampling
-          val frames = Array.tabulate(nFrames) { f =>
-            Array.tabulate(C * H * W)(i => payloadByte(id, f, i))
-          }
-          (s"asset_$id", id,
-            Multimodal.FakeCodec.encode(if (nFrames > 1) 1 else 0, C, H, W, frames))
+  /** The q70 fixture corpus: deterministic GRFT containers from doc_id. */
+  private def assetsOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val nFrames = (id % 3 + 1).toInt // 1..3 → exercises video sampling
+        val frames = Array.tabulate(nFrames) { f =>
+          Array.tabulate(C * H * W)(i => payloadByte(id, f, i))
         }
-        .toDF("asset_id", "doc_id", "content")
+        (s"asset_$id", id,
+          Multimodal.FakeCodec.encode(if (nFrames > 1) 1 else 0, C, H, W, frames))
+      }
+      .toDF("asset_id", "doc_id", "content")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // FRAME-LEVEL exact dedup — the image-dedup stage of a multimodal
+    // pipeline: decode → canonical content hash per frame → keep the
+    // first (asset_id, frame_idx) per hash. The payload class is
+    // (doc_id·31 + f·17) mod 256, so the corpus carries REAL duplicates
+    // (≥26 frames per class at sf0.1) and the dedup does work. The hash
+    // input is the RECONSTRUCTED byte sequence (round(pixel·255) — exact
+    // for the b/255f decode), so the oracle compare also re-verifies the
+    // codec round-trip byte-for-byte. Only (asset_id, frame_idx, md5)
+    // triples ride the shuffle — pixels never do.
+    "q98_frame_dedup" -> ((s, dir) => {
+      val frames = Multimodal.decodeFrames(assetsOf(s, dir)).toDF()
+      val hashed = frames.select(col("asset_id"), col("frame_idx"),
+        md5(concat_ws(",",
+          transform(col("pixels"), p => round(p * 255).cast("int").cast("string"))))
+          .as("frame_md5"))
+      val w = Window.partitionBy("frame_md5")
+        .orderBy(col("asset_id"), col("frame_idx"))
+      hashed
+        .withColumn("rn", row_number().over(w))
+        .withColumn("keep_asset", first(col("asset_id")).over(
+          Window.partitionBy("frame_md5").orderBy(col("asset_id"), col("frame_idx"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("keep_frame", first(col("frame_idx")).over(
+          Window.partitionBy("frame_md5").orderBy(col("asset_id"), col("frame_idx"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("asset_id"), col("frame_idx"), col("frame_md5"),
+          col("keep_asset"), col("keep_frame"),
+          (col("rn") === 1).cast("int").as("kept"))
+        .orderBy("asset_id", "frame_idx")
+    }),
+
+    "q70_multimodal_features" -> ((s, dir) => {
+      val assets = assetsOf(s, dir)
       val frames = Multimodal.decodeFrames(assets)
       val sampled = Multimodal.sampleFrames(frames, stride = 2)
       val feats = Multimodal.extractFeatures(sampled, thumb = 4)
@@ -62,6 +99,33 @@ object MultimodalQueries {
     * channel ch occupies payload indices [ch·256, ch·256+256); thumbnail
     * source pixel of thumb (r,c,ch) is payload index ch·256 + 4r·16 + 4c. */
   val oracle: Map[String, String] = Map(
+    // payload bytes regenerated arithmetically; hash input is the same
+    // canonical comma-joined byte string the engine reconstructs from the
+    // decoded floats, so any codec drift breaks the md5 compare
+    "q98_frame_dedup" ->
+      """WITH fr AS (
+        |  SELECT doc_id, 'asset_' || CAST(doc_id AS VARCHAR) AS asset_id,
+        |    CAST(f AS INT) AS frame_idx
+        |  FROM documents, range(0, 3) t(f) WHERE f <= doc_id % 3),
+        |h AS (
+        |  SELECT asset_id, frame_idx,
+        |    md5(array_to_string(list_transform(range(0, 768),
+        |      i -> CAST((doc_id*31 + frame_idx*17 + i*7) % 256 AS VARCHAR)), ',')) AS frame_md5
+        |  FROM fr),
+        |r AS (
+        |  SELECT asset_id, frame_idx, frame_md5,
+        |    row_number() OVER (PARTITION BY frame_md5
+        |      ORDER BY asset_id, frame_idx) AS rn,
+        |    first_value(asset_id) OVER (PARTITION BY frame_md5
+        |      ORDER BY asset_id, frame_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keep_asset,
+        |    first_value(frame_idx) OVER (PARTITION BY frame_md5
+        |      ORDER BY asset_id, frame_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keep_frame
+        |  FROM h)
+        |SELECT asset_id, frame_idx, frame_md5, keep_asset, keep_frame,
+        |  CAST(rn = 1 AS INT) AS kept
+        |FROM r ORDER BY asset_id, frame_idx""".stripMargin,
     "q70_multimodal_features" ->
       """WITH fr AS (
         |  SELECT doc_id, 'asset_' || CAST(doc_id AS VARCHAR) AS asset_id, CAST(f AS INT) AS frame_idx
