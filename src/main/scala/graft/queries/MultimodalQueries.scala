@@ -59,9 +59,7 @@ object MultimodalQueries {
     "q98_frame_dedup" -> ((s, dir) => {
       val frames = Multimodal.decodeFrames(assetsOf(s, dir)).toDF()
       val hashed = frames.select(col("asset_id"), col("frame_idx"),
-        md5(concat_ws(",",
-          transform(col("pixels"), p => round(p * 255).cast("int").cast("string"))))
-          .as("frame_md5"))
+        md5(graft.functions.PixelCsv.pixelCsv(col("pixels"))).as("frame_md5"))
       val w = Window.partitionBy("frame_md5")
         .orderBy(col("asset_id"), col("frame_idx"))
       hashed
