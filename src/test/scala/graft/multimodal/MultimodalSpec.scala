@@ -56,4 +56,26 @@ class MultimodalSpec extends SparkSpec {
     // identity resize
     assert(resizeNearest(px, 1, 4, 4, 4, 4).toSeq == px.toSeq)
   }
+
+  test("pixel_csv native expression ≡ HOF formulation, round-trips every byte") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // all 256 byte values through the decode encoding (b/255f), plus edges
+    val arrays = Seq(
+      Array.tabulate(256)(b => b / 255.0f),
+      Array(0.0f, 1.0f),
+      Array.tabulate(768)(i => (i * 7 % 256) / 255.0f))
+    val df = arrays.toDF("pixels")
+      .select(
+        graft.functions.PixelCsv.pixelCsv(col("pixels")).as("native"),
+        concat_ws(",",
+          transform(col("pixels"), p => round(p * 255).cast("int").cast("string")))
+          .as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1))
+    }
+    // the full-byte-range row reconstructs 0..255 exactly
+    val full = df.collect()(0).getString(0).split(",").map(_.toInt)
+    assert(full.toSeq == (0 until 256))
+  }
 }
