@@ -157,6 +157,46 @@ object StreamingQueries {
         .select(col("group").as("event_type"), col("kmv_kept"),
           col("kth_min"), col("kmv_est"))
         .orderBy("event_type")
+    }),
+
+    // STREAMING histogram-quantile monitoring vs a SQL replay: the
+    // fixed-range histogram sketch (bin counts as mapGroupsWithState
+    // state) over event values, [0, 512) in 64 bins — power-of-two width,
+    // so every binOf/edge computation is EXACT in double and the DuckDB
+    // twin cannot round differently. Bin counts are order-free sums, so
+    // the stream-end state is the batch binning whatever the slicing; the
+    // final update per group is the one with max n (n strictly increases
+    // on every update a group receives).
+    "q99_stream_histogram" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = eventsUs(s, dir)
+        .select(col("event_type"), col("value").cast("double"))
+        .as[(String, Double)].collect().sortBy(r => (r._1, r._2))
+      s.catalog.dropTempView("q99_hist") // re-entrant (bench reps)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Double)]
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // 5 groups (q92's note)
+      val sq =
+        try graft.streaming.SketchStream.histogramSketch(
+            mem.toDF().toDF("event_type", "value"), "value", "event_type",
+            lo = 0.0, hi = 512.0, nBins = 64)
+          .writeStream.outputMode("update").format("memory")
+          .queryName("q99_hist").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        rows.grouped(rows.length / 2 + 1).foreach { b =>
+          mem.addData(b.toIndexedSeq: _*); sq.processAllAvailable()
+        }
+      } finally sq.stop()
+      val w = Window.partitionBy("group").orderBy(col("n").desc)
+      s.table("q99_hist")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("group").as("event_type"), col("n"), col("n_clamped"),
+          col("p50_est"), col("p95_est"))
+        .orderBy("event_type")
     }))
 
   /** q50 and q92 share one oracle: the batch gap-sessionization SQL is the
@@ -181,6 +221,34 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     "q92_stream_sessionize" -> sessionizeSql,
     "q50_sessionize" -> sessionizeSql,
+
+    // the fixed-range binning replayed relationally; the quantile estimate
+    // is the right edge of the first bin whose cumulative count reaches
+    // ceil(q·n) — same walk as the sketch, all arithmetic exact
+    "q99_stream_histogram" ->
+      """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+        |b AS (SELECT event_type,
+        |        least(greatest(CAST(floor(((v - 0.0) / 512.0) * 64) AS INT), 0), 63) AS bin,
+        |        CASE WHEN v < 0.0 OR v >= 512.0 THEN 1 ELSE 0 END AS clamped
+        |      FROM v),
+        |c AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY event_type, bin),
+        |n AS (SELECT event_type, sum(c) AS n FROM c GROUP BY event_type),
+        |cl AS (SELECT event_type, sum(clamped) AS n_clamped FROM b GROUP BY event_type),
+        |cum AS (SELECT event_type, bin,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        |        FROM c),
+        |est AS (
+        |  SELECT n.event_type,
+        |    (SELECT min(bin) FROM cum
+        |     WHERE cum.event_type = n.event_type AND cum.cum >= ceil(0.5 * n.n)) AS b50,
+        |    (SELECT min(bin) FROM cum
+        |     WHERE cum.event_type = n.event_type AND cum.cum >= ceil(0.95 * n.n)) AS b95
+        |  FROM n)
+        |SELECT n.event_type, n.n, cl.n_clamped,
+        |  0.0 + (CAST(least(e.b50, 63) + 1 AS DOUBLE) * 512.0) / 64 AS p50_est,
+        |  0.0 + (CAST(least(e.b95, 63) + 1 AS DOUBLE) * 512.0) / 64 AS p95_est
+        |FROM n JOIN cl USING (event_type) JOIN est e ON e.event_type = n.event_type
+        |ORDER BY n.event_type""".stripMargin,
 
     // q59's bottom-64 replay minus the exact-count column (the streaming
     // sketch state carries only the sketch)
