@@ -56,7 +56,7 @@ object Bench {
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      def rep(): Double = {
         val t0 = System.nanoTime()
         val ok =
           try { materialize(fn(spark, sfDir)); true }
@@ -67,6 +67,19 @@ object Bench {
         // a failed query reports -1, never a plausible-looking elapsed time
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      var times = (1 to reps).map(_ => rep())
+      // SPREAD GUARD: one GC pause / host-load spike inside a 3-rep window
+      // can put an outlier on either side of the median (r7's artifact of
+      // record had q11 at 7.46 s vs sub-1 s siblings). If the successful
+      // reps spread more than 3×, take two extra reps and use the median
+      // of all five — a single spike then can't be the reported number.
+      val firstGood = times.filter(_ >= 0.0)
+      if (firstGood.length >= 2 && firstGood.max / firstGood.min.max(1e-9) > 3.0) {
+        System.err.println(
+          f"[bench] $name reps spread ${firstGood.max / firstGood.min}%.1fx " +
+            "(>3x): running 2 extra reps")
+        times = times ++ (1 to 2).map(_ => rep())
+      }
       // median of the successful reps; -1 only if every rep failed
       val good = times.filter(_ >= 0.0).sorted
       name -> (if (good.isEmpty) -1.0 else good(good.length / 2))
@@ -75,7 +88,10 @@ object Bench {
     // the line's head (metric/value) because 91 full query names at nanosecond
     // precision overflowed the window. Keep the whole line comfortably inside
     // it: per-query keys are the unique qNN prefix, values round to ms.
-    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f"" interpolator honors the JVM default locale, and a
+    // comma-decimal locale would emit {"value":48,912} — unparseable JSON.
+    def ms(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val shortKey: Map[String, String] = {
       val pref = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
       if (pref.values.toSeq.distinct.length == pref.size) pref

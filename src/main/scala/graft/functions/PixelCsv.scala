@@ -29,11 +29,15 @@ case class PixelCsvExpr(child: Expression)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(FloatType, _) =>
+      // containsNull=false only: a null element would read as float 0 via
+      // ArrayData.getFloat and silently serialize as byte 0 in the canonical
+      // CSV/md5. Decoded pixel arrays are non-null by construction; anything
+      // else must be rejected at analysis, not absorbed at eval.
+      case ArrayType(FloatType, false) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"pixel_csv requires ARRAY<FLOAT>, got ${other.catalogString}")
+          s"pixel_csv requires ARRAY<FLOAT> with non-null elements, got ${other.catalogString}")
     }
 
   override def nullSafeEval(input: Any): Any = {

@@ -354,7 +354,10 @@ object OpsQueries {
     * but the pattern must stay safe to reuse on signed keys. */
   /** The KMV bottom-64 replay over `events` as shared CTEs (h/r/nd/kth) —
     * used by q59's batch oracle and q94's streaming-replay oracle. */
-  private[queries] def kmvSql: String =
+  /** @param where optional SQL predicate filtering the events rows the
+    *              bottom-64 replay reads (q94 caps its streaming replay
+    *              feed; the oracle must see the same sample) */
+  private[queries] def kmvSql(where: String = ""): String =
     s"""h AS (
        |  SELECT DISTINCT event_type,
        |    (((((${java.lang.Long.toUnsignedString(Mix64.MulA)}::HUGEINT * user_id
@@ -362,7 +365,7 @@ object OpsQueries {
        |       % 18446744073709551616::HUGEINT)
        |      + 18446744073709551616::HUGEINT)
        |     % 18446744073709551616::HUGEINT) // 2)::BIGINT AS h
-       |  FROM events),
+       |  FROM events${if (where.isEmpty) "" else s" WHERE $where"}),
        |r AS (SELECT event_type, h,
        |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
        |      FROM h),
@@ -430,7 +433,7 @@ object OpsQueries {
     // row_number, estimate = 63·2^63/h_64 — ONE double division of exact
     // integers, so even the approximation matches bit-for-bit
     "q59_kmv_distinct" ->
-      s"""WITH $kmvSql,
+      s"""WITH ${kmvSql()},
          |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
          |       FROM events GROUP BY event_type)
          |SELECT ex.event_type, ex.exact_users,

@@ -10,9 +10,12 @@ import graft.functions.{Kmv, MisraGries}
 case class KmvUpdate(group: String, n_kept: Int, kth_min: Option[Long], est: Double)
 
 /** Per-batch Misra–Gries update for one group: candidate terms (sorted)
-  * with their lower-bound counts. */
+  * with their lower-bound counts, plus the running total item count `n`.
+  * `n` is strictly increasing across a group's updates — it is the
+  * monotone stream-end selector (the summary itself is order-sensitive,
+  * so no field OF it can be), and the n/(k+1) guarantee threshold. */
 case class MgUpdate(group: String, n_counters: Int,
-    candidates: Seq[String], cnt_lower: Seq[Long])
+    candidates: Seq[String], cnt_lower: Seq[Long], n: Long)
 
 /** Per-batch histogram update for one group: running count and quantile
   * estimates off the fixed-range histogram. */
@@ -138,19 +141,23 @@ object SketchStream {
       .select(col(byCol).as("g"), col(itemCol).as("item"))
       .as[(String, String)]
       .groupByKey(_._1)
-      .mapGroupsWithState[Array[(String, Long)], MgUpdate](GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState[(Long, Array[(String, Long)]), MgUpdate](
+        GroupStateTimeout.NoTimeout()) {
         (group: String, it: Iterator[(String, String)],
-         state: GroupState[Array[(String, Long)]]) =>
+         state: GroupState[(Long, Array[(String, Long)])]) =>
+          val (n0, saved) = state.getOption.getOrElse((0L, Array.empty[(String, Long)]))
           val buf = scala.collection.mutable.HashMap.empty[UTF8String, Long]
-          state.getOption.foreach(_.foreach { case (t, c) =>
-            buf.update(UTF8String.fromString(t), c)
-          })
+          saved.foreach { case (t, c) => buf.update(UTF8String.fromString(t), c) }
+          var n = n0
           it.foreach { case (_, term) =>
-            if (term != null) MisraGries.add(buf, UTF8String.fromString(term), 1L, k)
+            if (term != null) {
+              MisraGries.add(buf, UTF8String.fromString(term), 1L, k)
+              n += 1
+            }
           }
           val arr = buf.toArray.map { case (t, c) => (t.toString, c) }.sortBy(_._1)
-          state.update(arr)
-          MgUpdate(group, arr.length, arr.map(_._1).toSeq, arr.map(_._2).toSeq)
+          state.update((n, arr))
+          MgUpdate(group, arr.length, arr.map(_._1).toSeq, arr.map(_._2).toSeq, n)
       }
   }
 }

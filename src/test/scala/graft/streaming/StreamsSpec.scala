@@ -309,13 +309,17 @@ class StreamsSpec extends SparkSpec {
       }
       val last = spark.table(name).collect()
         .map(r => (r.getString(0), r.getInt(1),
-          r.getSeq[String](2), r.getSeq[Long](3)))
+          r.getSeq[String](2), r.getSeq[Long](3), r.getLong(4)))
         .zipWithIndex.groupBy(_._1._1)
         .map { case (_, vs) => vs.maxBy(_._2)._1 }
       sq.stop()
-      last.foreach { case (g, n, cands, lowers) =>
+      last.foreach { case (g, n, cands, lowers, nTotal) =>
         assert(n <= k, s"$g state exceeded $k counters")
         val nGroup = terms.count(_._1 == g).toLong
+        // the carried running total is the stream-end monotone selector and
+        // the guarantee denominator — it must equal the true items-seen
+        // count under every slicing
+        assert(nTotal === nGroup, s"$g carried n $nTotal != $nGroup")
         exact.collect { case ((gg, t), c) if gg == g && c > nGroup / (k + 1) => t }
           .foreach(t => assert(cands.contains(t),
             s"slicing $cut lost heavy term $t in $g: $cands"))
