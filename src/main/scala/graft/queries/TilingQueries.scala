@@ -15,30 +15,35 @@ import graft.tiling.{PairRow, TileJobs}
   */
 object TilingQueries {
 
-  /** Deterministic synthetic pair set: `nPairs` HR 30×30 / LR 10×10 4-band
-    * images with a dense centerline band, pixels from xxhash64 — pure
-    * column expressions until the tiling flatMap. */
-  private def syntheticPairs(s: SparkSession, nPairs: Int) = {
-    import s.implicits._
+  /** Deterministic synthetic HR 30×30 / LR 10×10 4-band pair images with a
+    * dense centerline band, pixels from xxhash64 of `seed` — pure column
+    * expressions until the tiling flatMap. Keyed form so the E3 composed
+    * pipeline (q101) can raster-ize the rows of a REAL pair table. */
+  private def synthesizePairs(df: DataFrame, pairId: Column, seed: Column) = {
+    import df.sparkSession.implicits._
     val nb = 4; val hrH = 30; val hrW = 30; val lrH = 10; val lrW = 10
-    def pix(seed: Column, n: Int, tag: String): Column =
+    def pix(n: Int, tag: String): Column =
       transform(sequence(lit(0), lit(n - 1)),
         i => ((pmod(xxhash64(seed, i, lit(tag)), lit(1000)) + 1).cast("double") / 1000.0).cast("float"))
     // centerline: rows 14–16 of the 30×30 grid hit where hash parity says so
-    def mask(seed: Column): Column =
+    def mask: Column =
       transform(sequence(lit(0), lit(hrH * hrW - 1)), i => {
         val r = (i / hrW).cast("int"); val c = pmod(i, lit(hrW)).cast("int")
         when(r.between(14, 16) && c.between(4, 25) &&
           pmod(xxhash64(seed, i), lit(2)) === 0, 1.0f).otherwise(0.0f)
       })
-    s.range(nPairs.toLong).select(
-      concat(lit("pair_"), col("id")).as("pair_id"),
+    df.select(
+      pairId.as("pair_id"),
       lit(nb).as("n_bands"),
-      lit(hrH).as("hr_h"), lit(hrW).as("hr_w"), pix(col("id"), nb * hrH * hrW, "hr").as("hr_pixels"),
-      lit(lrH).as("lr_h"), lit(lrW).as("lr_w"), pix(col("id"), nb * lrH * lrW, "lr").as("lr_pixels"),
-      lit(hrH).as("mask_h"), lit(hrW).as("mask_w"), mask(col("id")).as("mask_pixels"))
+      lit(hrH).as("hr_h"), lit(hrW).as("hr_w"), pix(nb * hrH * hrW, "hr").as("hr_pixels"),
+      lit(lrH).as("lr_h"), lit(lrW).as("lr_w"), pix(nb * lrH * lrW, "lr").as("lr_pixels"),
+      lit(hrH).as("mask_h"), lit(hrW).as("mask_w"), mask.as("mask_pixels"))
       .as[PairRow]
   }
+
+  private def syntheticPairs(s: SparkSession, nPairs: Int) =
+    synthesizePairs(s.range(nPairs.toLong).toDF(),
+      concat(lit("pair_"), col("id")), col("id"))
 
   /** 64 deterministic 12×10 centerline masks whose hit pattern is pure
     * integer arithmetic — mirrorable in SQL without materializing arrays
@@ -118,6 +123,53 @@ object TilingQueries {
         .withColumn("ok", TileJobs.qualityOkDF(
           col("hr_nz"), col("lr_nz"), col("lr_nodata"), col("hr_inf"), hrN = 64, lrN = 16))
         .orderBy("p_partkey")
+    }),
+
+    // THE REFERENCE'S HEADLINE DATAFLOW AS ONE DRIVER-CHECKED ROW: the E1
+    // catalog build → E2 pair dict → E3 tiling kernels composed end to end,
+    // reduced to per-stage (count, md5) summary rows. Inputs are the
+    // goldens' own data names (the committed reference CSVs — the same
+    // anchor GoldenCatalogSpec pins byte-for-byte); the E3 stage
+    // raster-izes the REAL pair-table rows (pair_id = data_1, pixels
+    // seeded from it) through the faithful greedy kernel chain, so a
+    // change anywhere in CatalogBuilder → Pairing → TileJobs moves a
+    // count or an md5. The oracle pins the constants — exactly what a
+    // golden is: the expected values committed next to the code that must
+    // keep producing them. Every md5 aggregates a sort_array'd row list,
+    // so it is independent of partitioning and arrival order.
+    "q101_e3_pipeline" -> ((s, _) => {
+      val refDir = "/root/reference/data_pair"
+      def names(f: String) =
+        s.read.option("header", true).csv(s"$refDir/$f")
+          .where(col("data") =!= "0").select("data")
+      val (edge, nBins) = graft.catalog.WeekBins.Ref2023
+      val sCat = graft.catalog.CatalogBuilder.build(names("S_out.csv"),
+        graft.catalog.DateParse.s2AcqDate, "./2023/crop/S2_bis_crop", edge, nBins)
+      val lCat = graft.catalog.CatalogBuilder.build(names("L_out.csv"),
+        graft.catalog.DateParse.hlsAcqDate, "./2023/crop/L8_bis_crop", edge, nBins)
+      val pairs = graft.pairing.Pairing.pathsPair(lCat, sCat, includePlaceholders = true)
+      val tiles = TileJobs.tilePairs(
+        synthesizePairs(pairs, col("data_1"), xxhash64(col("data_1"))),
+        TileJobs.Config(batch = 6, scale = 3))
+      def summary(stage: String, df: DataFrame, rowStr: Column): DataFrame =
+        df.agg(count(lit(1)).as("n"),
+          md5(concat_ws(";", sort_array(collect_list(rowStr)))).as("md5"))
+          .select(lit(stage).as("stage"), col("n"), col("md5"))
+      def scalarRow(stage: String, v: Long): DataFrame =
+        s.range(1).select(lit(stage).as("stage"), lit(v).as("n"), lit("").as("md5"))
+      val catRow = concat_ws(",", col("class"), col("path"), col("data"))
+      summary("1_s_catalog", sCat, catRow)
+        .unionByName(summary("2_l_catalog", lCat, catRow))
+        .unionByName(scalarRow("3_pairs_metric_faithful",
+          graft.catalog.CatalogBuilder.pairsMetricFaithful(lCat, sCat)))
+        .unionByName(scalarRow("4_join_cardinality",
+          graft.catalog.CatalogBuilder.joinCardinality(lCat, sCat, includePlaceholders = true)))
+        .unionByName(summary("5_pair_dict", pairs,
+          concat_ws("|", col("data_1"), concat_ws(",", col("data_2")))))
+        .unionByName(summary("6_tiles", tiles.toDF(), concat_ws(",",
+          col("pair_id"), col("tile_id"), col("r"), col("c"),
+          crc32(to_json(struct(col("hr")))), crc32(to_json(struct(col("lr")))))))
+        .orderBy("stage")
     }))
 
   private val CandCte =
@@ -126,7 +178,25 @@ object TilingQueries {
       |  FROM range(0, 64) m(mask_id), range(0, 120) t(i)
       |  WHERE (t.i * 7 + m.mask_id * 13) % 11 = 0)""".stripMargin
 
+  /** q101's golden constants: stage → (count, md5). The counts are the
+    * reference's own published numbers (114/88 catalog rows, 386 faithful
+    * pairs, 202 join cardinality, 86 pair-dict keys); the md5s pin the
+    * exact row contents the composed pipeline must keep producing —
+    * verified against the committed reference CSVs (GoldenCatalogSpec) and
+    * the numpy tiling oracle (TilingSpec) before being recorded here. */
+  private val E3Golden: Seq[(String, Long, String)] = Seq(
+    ("1_s_catalog", 114L, "fa575c718338308d911b601d06e068c8"),
+    ("2_l_catalog", 88L, "23fb96c9d642459668fd2451a7a7ad94"),
+    ("3_pairs_metric_faithful", 386L, ""),
+    ("4_join_cardinality", 202L, ""),
+    ("5_pair_dict", 86L, "2ba341145337d1eda9c464e7231c5b0f"),
+    ("6_tiles", 1880L, "23e5dfb7954a693585467f4c4024d5ed"))
+
   val oracle: Map[String, String] = Map(
+    "q101_e3_pipeline" -> E3Golden.map { case (stage, n, m) =>
+      s"SELECT '$stage' AS stage, CAST($n AS BIGINT) AS n, '$m' AS md5"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY stage"),
+
     "q62_candidates_df" ->
       s"""WITH $CandCte
          |SELECT mask_id, r, c FROM cand ORDER BY mask_id, r, c""".stripMargin,
