@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Mix64
-import graft.ops.{Bucketing, Layout, Quantiles, Sampling, Skew}
+import graft.ops.{Bucketing, Layout, Quantiles, Sampling, Skew, Temporal}
 
 /** Driver-visible registrations for the scale-infrastructure operators
   * (graft.ops). The row-level ANSWERS are plain-SQL-expressible and carry
@@ -250,6 +250,24 @@ object OpsQueries {
         .orderBy("o_orderkey")
     }),
 
+    // SCD2 DIMENSION BUILD: each user's event stream read as a change log
+    // of their "state" (last event_type) → versioned validity intervals
+    // [valid_from, valid_to) with consecutive same-state changes
+    // compressed away — the dimension shape point-in-time-correct feature
+    // joins need (a fact must see the version live AT ITS TIME, never a
+    // later one). All three windows share one (user_id, t_us, event_id)
+    // order → ONE key Exchange, linear sweep per key (TemporalSpec pins
+    // the single-Exchange plan). Exact integer µs.
+    "q102_scd2" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumnRenamed("ts", "ts_ns")
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("state"), expr("ts_ns div 1000").as("t_us"))
+      Temporal.scd2(e, keys = Seq("user_id"), tsCol = "t_us",
+          tieBreak = "event_id", attrs = Seq("state"))
+        .orderBy("user_id", "version")
+    }),
+
     // MIXTURE REBALANCING: derive per-source keep rates from the data
     // (equalize token mass — every source downsampled to the smallest
     // source's mass) and apply the deterministic hash-threshold sample in
@@ -473,6 +491,27 @@ object OpsQueries {
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
         |FROM orders WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // replays scd2's exact order of operations: compress (null-safe state
+    // compare, first row kept) → close intervals with lead → drop
+    // zero-width tie versions → renumber survivors. valid_from is
+    // strictly increasing within a user after the zero-width drop, so
+    // ORDER BY valid_from is the same total order the Spark windows use.
+    "q102_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type AS state,
+        |                  epoch_us(ts) AS t_us FROM events),
+        |p AS (SELECT *, lag(state) OVER w AS prev_state,
+        |             row_number() OVER w AS rn
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |c AS (SELECT user_id, event_id, state, t_us FROM p
+        |      WHERE rn = 1 OR state IS DISTINCT FROM prev_state),
+        |v AS (SELECT user_id, state, t_us AS valid_from, lead(t_us) OVER w AS valid_to
+        |      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |nz AS (SELECT * FROM v WHERE valid_to IS NULL OR valid_from < valid_to)
+        |SELECT user_id, state, valid_from, valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from) AS INT) AS version,
+        |  valid_to IS NULL AS is_current
+        |FROM nz ORDER BY user_id, version""".stripMargin,
 
     // same token count as q30, same Mix64 coordinate as q49; the only
     // floats are one exact-integer division and one power-of-two scale
