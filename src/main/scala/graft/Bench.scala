@@ -51,11 +51,17 @@ object Bench {
     // "regressions" judged in r5/r6 were this ramp plus host load, not the
     // queries). The warm pass also pages the parquet files once, so timed
     // reps measure the operator, not the ramp.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    // builder-side iteration only (the driver leaves it unset → full
+    // registry): comma-separated query names to warm + time in isolation
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    selected.foreach { case (_, fn) =>
       try materialize(fn(spark, sfDir)) catch { case _: Exception => () }
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       def rep(): Double = {
         val t0 = System.nanoTime()
         val ok =

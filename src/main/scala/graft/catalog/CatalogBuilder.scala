@@ -75,24 +75,32 @@ object CatalogBuilder {
     * main_function_original.py:64–70): Σ over L *rows* of
     * count_L(class) × count_S(class) = Σ_c L_c² · S_c, `"0"` classes included.
     * Golden catalogs give 386. */
-  def pairsMetricFaithful(l: DataFrame, s: DataFrame): Long = {
+  def pairsMetricFaithful(l: DataFrame, s: DataFrame): Long =
+    scalar(pairsMetricFaithfulDF(l, s))
+
+  /** Lazy one-row form of [[pairsMetricFaithful]] (column `pairs`, null →
+    * 0 folded in) — composable into a larger plan with no driver action. */
+  def pairsMetricFaithfulDF(l: DataFrame, s: DataFrame): DataFrame = {
     val lc = l.groupBy("class").agg(count(lit(1)).as("lcnt"))
     val sc = s.groupBy("class").agg(count(lit(1)).as("scnt"))
-    val r = lc.join(sc, Seq("class"))
-      .agg(sum(col("lcnt") * col("lcnt") * col("scnt")).as("pairs"))
-      .collect()(0)
-    if (r.isNullAt(0)) 0L else r.getLong(0)
+    lc.join(sc, Seq("class"))
+      .agg(coalesce(sum(col("lcnt") * col("lcnt") * col("scnt")), lit(0L)).as("pairs"))
   }
 
   /** Honest class-join cardinality: Σ_c L_c · S_c; optionally excluding the
     * `"0"` placeholder class (quirk Q2). Golden: 202 with, 190 without. */
-  def joinCardinality(l: DataFrame, s: DataFrame, includePlaceholders: Boolean): Long = {
+  def joinCardinality(l: DataFrame, s: DataFrame, includePlaceholders: Boolean): Long =
+    scalar(joinCardinalityDF(l, s, includePlaceholders))
+
+  /** Lazy one-row form of [[joinCardinality]] (column `pairs`). */
+  def joinCardinalityDF(l: DataFrame, s: DataFrame, includePlaceholders: Boolean): DataFrame = {
     val filt: DataFrame => DataFrame =
       df => if (includePlaceholders) df else df.where(col("class") =!= "0")
     val lc = filt(l).groupBy("class").agg(count(lit(1)).as("lcnt"))
     val sc = filt(s).groupBy("class").agg(count(lit(1)).as("scnt"))
-    val r = lc.join(sc, Seq("class"))
-      .agg(sum(col("lcnt") * col("scnt")).as("pairs")).collect()(0)
-    if (r.isNullAt(0)) 0L else r.getLong(0)
+    lc.join(sc, Seq("class"))
+      .agg(coalesce(sum(col("lcnt") * col("scnt")), lit(0L)).as("pairs"))
   }
+
+  private def scalar(df: DataFrame): Long = df.collect()(0).getLong(0)
 }

@@ -137,6 +137,14 @@ object TilingQueries {
     // golden is: the expected values committed next to the code that must
     // keep producing them. Every md5 aggregates a sort_array'd row list,
     // so it is independent of partitioning and arrival order.
+    //
+    // Bench price (~3.8 s/rep): intrinsic to composing six stage branches
+    // over two catalog sub-plans — each branch re-derives its inputs
+    // (Spark does no cross-branch CSE) and each catalog build is ~8 tiny
+    // exchanges. Checkpoint-materializing the 114-row catalogs was tried
+    // and does NOT help (the builds themselves are the floor, the
+    // re-reads were never the cost); the plan is fully lazy instead —
+    // one materialization job, no driver-side actions inside the query.
     "q101_e3_pipeline" -> ((s, _) => {
       val refDir = "/root/reference/data_pair"
       def names(f: String) =
@@ -155,15 +163,18 @@ object TilingQueries {
         df.agg(count(lit(1)).as("n"),
           md5(concat_ws(";", sort_array(collect_list(rowStr)))).as("md5"))
           .select(lit(stage).as("stage"), col("n"), col("md5"))
-      def scalarRow(stage: String, v: Long): DataFrame =
-        s.range(1).select(lit(stage).as("stage"), lit(v).as("n"), lit("").as("md5"))
+      // the scalar metrics join the plan as LAZY one-row aggregates — a
+      // registered query runs no driver-side action of its own; the whole
+      // six-stage union materializes as one job
+      def scalarRow(stage: String, v: DataFrame): DataFrame =
+        v.select(lit(stage).as("stage"), col("pairs").as("n"), lit("").as("md5"))
       val catRow = concat_ws(",", col("class"), col("path"), col("data"))
       summary("1_s_catalog", sCat, catRow)
         .unionByName(summary("2_l_catalog", lCat, catRow))
         .unionByName(scalarRow("3_pairs_metric_faithful",
-          graft.catalog.CatalogBuilder.pairsMetricFaithful(lCat, sCat)))
+          graft.catalog.CatalogBuilder.pairsMetricFaithfulDF(lCat, sCat)))
         .unionByName(scalarRow("4_join_cardinality",
-          graft.catalog.CatalogBuilder.joinCardinality(lCat, sCat, includePlaceholders = true)))
+          graft.catalog.CatalogBuilder.joinCardinalityDF(lCat, sCat, includePlaceholders = true)))
         .unionByName(summary("5_pair_dict", pairs,
           concat_ws("|", col("data_1"), concat_ws(",", col("data_2")))))
         .unionByName(summary("6_tiles", tiles.toDF(), concat_ws(",",
