@@ -55,6 +55,11 @@ object Bench {
     // registry): comma-separated query names to warm + time in isolation
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    only.foreach { names => // typo'd/empty names must fail loudly, not
+      val unknown = names -- SparkEntry.queries.keySet // print an empty
+      require(unknown.isEmpty, // "all-fast" artifact
+        s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${unknown.mkString(",")}")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     selected.foreach { case (_, fn) =>

@@ -37,7 +37,8 @@ object Temporal {
     * @param changes  change log; one row per observed state
     * @param keys     dimension key columns
     * @param tsCol    change-time column (orderable; exact integer µs, not
-    *                 floats/doubles)
+    *                 floats/doubles); rows with a NULL change time are
+    *                 dropped — they have no position on the timeline
     * @param tieBreak column ordering equal-time changes of one key (the
     *                 LAST in tie order wins the instant; earlier ties
     *                 become zero-width `[t, t)` versions, dropped)
@@ -51,10 +52,27 @@ object Temporal {
     require(keys.nonEmpty && attrs.nonEmpty, "keys and attrs must be non-empty")
     require(!attrs.contains(tsCol) && !keys.contains(tsCol),
       s"$tsCol cannot be both the change time and a key/attribute")
+    require(tieBreak != tsCol,
+      "tieBreak must be a different column from the change time — ordering " +
+        "by (t, t) leaves equal-time changes with no deterministic winner")
+    // the output appends these names (and the compress step uses _scd_prev);
+    // an input column with the same name would be silently clobbered by
+    // withColumn — e.g. re-versioning a table that already IS an SCD2
+    val reserved =
+      Seq("valid_from", "valid_to", "version", "is_current", "_scd_prev")
+    val clash = changes.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with scd2 output names " +
+        s"(${reserved.mkString(",")}) — rename or drop them first")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col(tieBreak))
     val state = struct(attrs.map(col): _*)
     val compressed = changes
+      // a null change time has no place on the timeline: it would sort
+      // first, take valid_to = the first real change, and then be dropped
+      // by the zero-width filter's three-valued `null < x` — silent,
+      // order-dependent data loss. Drop such rows explicitly instead.
+      .where(col(tsCol).isNotNull)
       .withColumn("_scd_prev", lag(state, 1).over(w))
       // first row of a key: lag is null (a STRUCT value itself is never
       // null here, so null unambiguously means "no previous row")

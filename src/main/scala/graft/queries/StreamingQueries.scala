@@ -349,11 +349,14 @@ object StreamingQueries {
 
     // the MG guarantee as SQL: exact over-threshold terms (cnt·(k+1) > n,
     // exact integers) with the TRUE the Spark side must reproduce via
-    // array_contains against the stream-end candidate set
+    // array_contains against the stream-end candidate set. The double-mod
+    // ((x % 16) + 16) % 16 mirrors Spark's pmod on SIGNED keys (DuckDB %
+    // keeps the dividend's sign) — user_id is non-negative in the test
+    // data, but the pattern must stay safe to reuse on signed keys
     "q100_stream_heavy" ->
       s"""WITH t AS (SELECT event_type,
-        |    CASE WHEN user_id % 16 < 8 THEN 'hot'
-        |         ELSE CAST(user_id % 16 AS VARCHAR) END AS term
+        |    CASE WHEN ((user_id % 16) + 16) % 16 < 8 THEN 'hot'
+        |         ELSE CAST(((user_id % 16) + 16) % 16 AS VARCHAR) END AS term
         |  FROM events WHERE ${replayWhereSql("event_id")}),
         |n AS (SELECT event_type, count(*) AS n FROM t GROUP BY event_type),
         |c AS (SELECT event_type, term, count(*) AS cnt FROM t GROUP BY event_type, term)

@@ -143,8 +143,10 @@ object TilingQueries {
     // (Spark does no cross-branch CSE) and each catalog build is ~8 tiny
     // exchanges. Checkpoint-materializing the 114-row catalogs was tried
     // and does NOT help (the builds themselves are the floor, the
-    // re-reads were never the cost); the plan is fully lazy instead —
-    // one materialization job, no driver-side actions inside the query.
+    // re-reads were never the cost); the scalar metrics join the plan
+    // lazily instead of via driver collects. One eager job remains at
+    // construction: Pairing.pathsPair's rdd.zipWithIndex computes its
+    // partition offsets with sc.runJob (catalog-sized, documented there).
     "q101_e3_pipeline" -> ((s, _) => {
       val refDir = "/root/reference/data_pair"
       def names(f: String) =
@@ -163,9 +165,8 @@ object TilingQueries {
         df.agg(count(lit(1)).as("n"),
           md5(concat_ws(";", sort_array(collect_list(rowStr)))).as("md5"))
           .select(lit(stage).as("stage"), col("n"), col("md5"))
-      // the scalar metrics join the plan as LAZY one-row aggregates — a
-      // registered query runs no driver-side action of its own; the whole
-      // six-stage union materializes as one job
+      // the scalar metrics join the plan as LAZY one-row aggregates
+      // instead of driver-side collects (see the bench-price note above)
       def scalarRow(stage: String, v: DataFrame): DataFrame =
         v.select(lit(stage).as("stage"), col("pairs").as("n"), lit("").as("md5"))
       val catRow = concat_ws(",", col("class"), col("path"), col("data"))

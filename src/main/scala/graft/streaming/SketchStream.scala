@@ -131,7 +131,12 @@ object SketchStream {
     * borderline counters. What IS slicing-invariant — and what consumers
     * may rely on — is the guarantee: any term whose true count so far
     * exceeds n/(k+1) is in the candidate set, and every emitted count is a
-    * lower bound (pinned in StreamsSpec under multiple slicings). */
+    * lower bound (pinned in StreamsSpec under multiple slicings).
+    *
+    * State-schema note: round 8 widened the state from the counter array
+    * to (running n, counters) — a checkpointed query from an earlier
+    * build cannot restore across this change (Spark rejects the state
+    * schema); restart such a job from a fresh checkpoint. */
   def heavyHittersSketch(events: DataFrame, itemCol: String, byCol: String,
                          k: Int): Dataset[MgUpdate] = {
     val spark = events.sparkSession

@@ -62,6 +62,27 @@ class TemporalSpec extends SparkSpec {
     assert(rows.toSeq === Seq((Some("A"), 1L), (None, 2L), (Some("A"), 4L)))
   }
 
+  test("rejects tieBreak == tsCol and reserved-name collisions; drops null change times") {
+    intercept[IllegalArgumentException] {
+      Temporal.scd2(log, Seq("k"), "t", tieBreak = "t", Seq("state"))
+    }
+    intercept[IllegalArgumentException] { // re-versioning an SCD2 output
+      Temporal.scd2(log.withColumnRenamed("state", "is_current"),
+        Seq("k"), "t", "tie", Seq("is_current"))
+    }
+    // a null change time must not swallow a NEIGHBORING version via the
+    // three-valued zero-width filter — the null row itself is dropped
+    val withNullTs = Seq((1L, "k", 1L, "A"), (2L, "k", 10L, "B"))
+      .toDF("tie", "k", "t", "state")
+      .union(Seq(("x", "k", "C")).toDF("tie2", "k2", "state2")
+        .select(lit(3L).as("tie"), $"k2".as("k"),
+          lit(null).cast("long").as("t"), $"state2".as("state")))
+    val rows = Temporal.scd2(withNullTs, Seq("k"), "t", "tie", Seq("state"))
+      .orderBy("version").select("state", "valid_from").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === Seq(("A", 1L), ("B", 10L)))
+  }
+
   test("all three windows ride ONE key Exchange") {
     val plan = build.queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
