@@ -40,12 +40,17 @@ object Temporal {
     *                 floats/doubles); rows with a NULL change time are
     *                 dropped — they have no position on the timeline
     * @param tieBreak column ordering equal-time changes of one key (the
-    *                 LAST in tie order wins the instant; earlier ties
-    *                 become zero-width `[t, t)` versions, dropped)
+    *                 LAST in tie order wins the instant; losing ties are
+    *                 discarded BEFORE compression — they were never
+    *                 observable, so they must not anchor a version)
     * @param attrs    the versioned attribute columns
     * @return keys ++ attrs ++ (valid_from = tsCol's name, valid_to
     *         — null on each key's current version —, version 1..n,
-    *         is_current); zero-width versions removed
+    *         is_current). Maximally compressed: no two consecutive
+    *         versions of a key carry equal attrs, which makes the output
+    *         IDEMPOTENT as a change log — rebuilding from the dimension's
+    *         own (valid_from, attrs) rows reproduces it exactly, the
+    *         property [[scd2Apply]] rests on.
     */
   def scd2(changes: DataFrame, keys: Seq[String], tsCol: String,
            tieBreak: String, attrs: Seq[String]): DataFrame = {
@@ -64,32 +69,78 @@ object Temporal {
     require(clash.isEmpty,
       s"input columns ${clash.mkString(",")} collide with scd2 output names " +
         s"(${reserved.mkString(",")}) — rename or drop them first")
+    // every window below shares this partitioning (and a prefix of this
+    // order), so the whole build rides ONE hash Exchange on the key
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col(tieBreak))
     val state = struct(attrs.map(col): _*)
-    val compressed = changes
+    changes
       // a null change time has no place on the timeline: it would sort
-      // first, take valid_to = the first real change, and then be dropped
-      // by the zero-width filter's three-valued `null < x` — silent,
-      // order-dependent data loss. Drop such rows explicitly instead.
+      // first and anchor a version at null — silent, order-dependent
+      // nonsense. Drop such rows explicitly instead.
       .where(col(tsCol).isNotNull)
+      // equal-time ties FIRST: keep only the last row of each (key, ts)
+      // run — the losing ties were never observable, and discarding them
+      // BEFORE compression is what makes the output maximally compressed
+      // (a tie surviving to the interval step would close as zero-width
+      // and could leave two adjacent versions with equal attrs)
+      .withColumn("_scd_next_ts", lead(col(tsCol), 1).over(w))
+      .where(col("_scd_next_ts").isNull || col("_scd_next_ts") =!= col(tsCol))
+      // change-point compression: ts values are now distinct per key
       .withColumn("_scd_prev", lag(state, 1).over(w))
       // first row of a key: lag is null (a STRUCT value itself is never
       // null here, so null unambiguously means "no previous row")
       .where(col("_scd_prev").isNull || !(state <=> col("_scd_prev")))
-      .drop("_scd_prev")
-    compressed
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
-      // equal-time ties: every tie but the last closes instantly as
-      // [t, t) — an interval no fact time can fall into; drop it, THEN
-      // number versions, so the visible history is gapless 1..n. (A
-      // dropped tie can leave two consecutive versions with equal attrs
-      // — correct for every lookup, just not re-compressed.)
-      .where(col("valid_to").isNull || col(tsCol) < col("valid_to"))
       .withColumn("version", row_number().over(w))
       .withColumn("is_current", col("valid_to").isNull)
       .select((keys ++ attrs).map(col) ++ Seq(
         col(tsCol).as("valid_from"), col("valid_to"),
         col("version"), col("is_current")): _*)
+  }
+
+  /** Incremental SCD2 maintenance: apply a new change batch to an existing
+    * [[scd2]] output WITHOUT rebuilding the whole dimension. Keys absent
+    * from the batch pass through untouched (their rows never shuffle);
+    * touched keys are re-derived from (their current versions read back as
+    * a change log) ∪ (the new changes) — the daily-dimension-feed pattern,
+    * the same touched-keys-only discipline as [[Layout.upsert]].
+    *
+    * Equal-time rule: a new change at an existing version's `valid_from`
+    * REPLACES that version (later knowledge wins the instant — the old
+    * version becomes zero-width and is dropped by [[scd2]]'s tie rule).
+    *
+    * Append-case equivalence (pinned in TemporalSpec): when every new
+    * change is at-or-after its key's current `valid_from`,
+    * `scd2Apply(scd2(A), B) ≡ scd2(A ∪ B)`. For LATE changes that land
+    * strictly before a key's current version the two can differ — [[scd2]]
+    * compression is lossy (a restated value carries no information at
+    * build time, but would re-anchor an interval once a late change
+    * interleaves); that history is unrecoverable from the dimension alone,
+    * which is inherent to SCD2, not to this implementation.
+    *
+    * @param dim        an [[scd2]] output (same keys/attrs)
+    * @param newChanges change batch shaped like [[scd2]]'s `changes`
+    * @return same shape as [[scd2]], with `tsCol`'s name = `valid_from`
+    */
+  def scd2Apply(dim: DataFrame, newChanges: DataFrame, keys: Seq[String],
+                tsCol: String, tieBreak: String, attrs: Seq[String]): DataFrame = {
+    val touchedKeys = newChanges.select(keys.map(col): _*).distinct()
+    val untouched = dim.join(broadcast(touchedKeys), keys, "left_anti")
+    // current versions as a change log: valid_from is strictly increasing
+    // within a key, so old rows need no tie order among THEMSELVES; the
+    // (src, tie) struct only has to put new changes after old versions at
+    // equal times (0 < 1) and order new-vs-new ties by the caller's column
+    val tbType = newChanges.schema(tieBreak).dataType
+    val oldLog = dim.join(broadcast(touchedKeys), keys, "left_semi")
+      .select(keys.map(col) ++ Seq(col("valid_from").as(tsCol),
+        struct(lit(0).as("src"), lit(null).cast(tbType).as("tb")).as("_scd_tie")) ++
+        attrs.map(col): _*)
+    val newLog = newChanges
+      .select(keys.map(col) ++ Seq(col(tsCol),
+        struct(lit(1).as("src"), col(tieBreak).as("tb")).as("_scd_tie")) ++
+        attrs.map(col): _*)
+    val rebuilt = scd2(oldLog.unionByName(newLog), keys, tsCol, "_scd_tie", attrs)
+    untouched.unionByName(rebuilt)
   }
 }

@@ -268,6 +268,29 @@ object OpsQueries {
         .orderBy("user_id", "version")
     }),
 
+    // INCREMENTAL SCD2 MAINTENANCE: build the dimension from the first
+    // half of the month, apply the second half as a change batch touching
+    // only affected keys (Temporal.scd2Apply — the daily-dimension-feed
+    // pattern; untouched keys never shuffle). The apply path must
+    // reproduce the full rebuild EXACTLY (scd2's output is idempotent as
+    // a change log — maximally compressed, losing ties discarded), so the
+    // oracle is q102's full-rebuild SQL verbatim: any divergence between
+    // incremental and batch maintenance is a red row.
+    "q103_scd2_apply" -> ((s, dir) => {
+      val splitUs = 1705363200000000L // 2024-01-16T00:00:00Z, mid-corpus
+      val e = events(s, dir)
+        .withColumnRenamed("ts", "ts_ns")
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("state"), expr("ts_ns div 1000").as("t_us"))
+      val dim = Temporal.scd2(e.where(col("t_us") < splitUs),
+        keys = Seq("user_id"), tsCol = "t_us",
+        tieBreak = "event_id", attrs = Seq("state"))
+      Temporal.scd2Apply(dim, e.where(col("t_us") >= splitUs),
+          keys = Seq("user_id"), tsCol = "t_us",
+          tieBreak = "event_id", attrs = Seq("state"))
+        .orderBy("user_id", "version")
+    }),
+
     // MIXTURE REBALANCING: derive per-source keep rates from the data
     // (equalize token mass — every source downsampled to the smallest
     // source's mass) and apply the deterministic hash-threshold sample in
@@ -397,6 +420,30 @@ object OpsQueries {
        |  + 18446744073709551616::HUGEINT)
        | % 18446744073709551616::HUGEINT) // 4294967296""".stripMargin
 
+  /** Replays scd2's exact order of operations over the events change log:
+    * discard losing equal-time ties (last (t_us, event_id) of each ts-run
+    * wins) → change-point compression (null-safe state compare, first row
+    * kept) → close intervals with lead → number versions. After the
+    * tie-keep, t_us is distinct per user, so ORDER BY t_us is the Spark
+    * windows' order. Shared by q102 (batch build) and q103 (incremental
+    * apply) — the apply path must land on the rebuild exactly. */
+  private val Scd2Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type AS state,
+      |                  epoch_us(ts) AS t_us FROM events),
+      |k AS (SELECT * FROM (SELECT *, lead(t_us) OVER w AS next_ts
+      |        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id))
+      |      WHERE next_ts IS NULL OR next_ts <> t_us),
+      |c AS (SELECT * FROM (SELECT user_id, state, t_us,
+      |          lag(state) OVER w AS prev_state, row_number() OVER w AS rn
+      |        FROM k WINDOW w AS (PARTITION BY user_id ORDER BY t_us))
+      |      WHERE rn = 1 OR state IS DISTINCT FROM prev_state),
+      |v AS (SELECT user_id, state, t_us AS valid_from, lead(t_us) OVER w AS valid_to,
+      |             CAST(row_number() OVER w AS INT) AS version
+      |      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY t_us))
+      |SELECT user_id, state, valid_from, valid_to, version,
+      |  valid_to IS NULL AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q49_stratified_sample" ->
       s"""SELECT event_id, event_type, user_id FROM events
@@ -492,26 +539,11 @@ object OpsQueries {
         |FROM orders WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin,
 
-    // replays scd2's exact order of operations: compress (null-safe state
-    // compare, first row kept) → close intervals with lead → drop
-    // zero-width tie versions → renumber survivors. valid_from is
-    // strictly increasing within a user after the zero-width drop, so
-    // ORDER BY valid_from is the same total order the Spark windows use.
-    "q102_scd2" ->
-      """WITH e AS (SELECT user_id, event_id, event_type AS state,
-        |                  epoch_us(ts) AS t_us FROM events),
-        |p AS (SELECT *, lag(state) OVER w AS prev_state,
-        |             row_number() OVER w AS rn
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
-        |c AS (SELECT user_id, event_id, state, t_us FROM p
-        |      WHERE rn = 1 OR state IS DISTINCT FROM prev_state),
-        |v AS (SELECT user_id, state, t_us AS valid_from, lead(t_us) OVER w AS valid_to
-        |      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
-        |nz AS (SELECT * FROM v WHERE valid_to IS NULL OR valid_from < valid_to)
-        |SELECT user_id, state, valid_from, valid_to,
-        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from) AS INT) AS version,
-        |  valid_to IS NULL AS is_current
-        |FROM nz ORDER BY user_id, version""".stripMargin,
+    "q102_scd2" -> Scd2Sql,
+
+    // the apply path (q103) must land on the batch rebuild exactly, so
+    // its oracle IS the rebuild SQL — one source of truth, zero drift
+    "q103_scd2_apply" -> Scd2Sql,
 
     // same token count as q30, same Mix64 coordinate as q49; the only
     // floats are one exact-integer division and one power-of-two scale

@@ -89,6 +89,49 @@ class TemporalSpec extends SparkSpec {
     assert(exchanges === 1, plan.take(800))
   }
 
+  test("output is maximally compressed and idempotent as a change log") {
+    val dim = build
+    assert(dim.selectExpr("k", "state",
+      "lag(state) over (partition by k order by version) as prev")
+      .where($"prev".isNotNull && $"state" === $"prev").isEmpty)
+    // rebuild from the dimension's own rows — must reproduce it exactly
+    val relog = dim.select($"k", $"valid_from".as("t"),
+      $"version".cast("long").as("tie"), $"state")
+    val rebuilt = Temporal.scd2(relog, Seq("k"), "t", "tie", Seq("state"))
+    assert(rebuilt.exceptAll(dim).isEmpty && dim.exceptAll(rebuilt).isEmpty)
+  }
+
+  test("scd2Apply(scd2(A), B) ≡ scd2(A ∪ B) when B appends at-or-after A") {
+    val a = log // ts ≤ 40
+    // B: a restatement (compressed), real changes, a new key, and a
+    // same-instant REPLACEMENT of k2's t=40 version (new knowledge wins)
+    val b = Seq(
+      ("k1", 50L, 10L, "B"), ("k1", 60L, 11L, "C"),
+      ("k2", 40L, 12L, "D"), ("k4", 7L, 13L, "Q"))
+      .toDF("k", "t", "tie", "state")
+    val applied = Temporal.scd2Apply(Temporal.scd2(a, Seq("k"), "t", "tie",
+        Seq("state")), b, Seq("k"), "t", "tie", Seq("state"))
+    val rebuilt = Temporal.scd2(a.unionByName(b), Seq("k"), "t", "tie", Seq("state"))
+    assert(applied.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(applied).isEmpty)
+    // the replacement took: k2@40 is D (not the dimension's old B)
+    val k2 = applied.where($"k" === "k2").orderBy("version")
+      .select("state", "valid_from").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(k2.toSeq === Seq(("C", 10L), ("D", 40L)))
+  }
+
+  test("scd2Apply leaves untouched keys byte-identical and never reshuffles them") {
+    val b = Seq(("k1", 99L, 50L, "Z")).toDF("k", "t", "tie", "state")
+    val dim = build
+    val applied = Temporal.scd2Apply(dim, b, Seq("k"), "t", "tie", Seq("state"))
+    val untouched = applied.where($"k" =!= "k1")
+    val orig = dim.where($"k" =!= "k1")
+    assert(untouched.exceptAll(orig).isEmpty && orig.exceptAll(untouched).isEmpty)
+    // scale shape: the touched-key routing joins are broadcasts — the
+    // untouched branch must not hash-Exchange the dimension
+    val plan = applied.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan.take(800))
+  }
+
   test("point-in-time lookup via as-of join on valid_from sees the right version") {
     val facts = Seq((100L, "k1", 15L), (101L, "k1", 30L), (102L, "k2", 10L),
       (103L, "k2", 9L), (104L, "k3", 999L))
