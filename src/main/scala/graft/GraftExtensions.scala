@@ -20,7 +20,8 @@ import graft.functions._
   * seed), winnow_fingerprints(s, k, w), winnow_fingerprints_portable(s, k,
   * w), sample_coord(key), text_stats(s), repetition_stats(s), zval(x, y),
   * kmv_distinct(key, k), bloom_build(key, bits, hashes),
-  * bloom_might_contain(bitset, key, hashes), misra_gries(item, k).
+  * bloom_might_contain(bitset, key, hashes), misra_gries(item, k),
+  * count_min(term, depth, width).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -84,7 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("bloom_might_contain", "bloom_might_contain(bitset, key, numHashes) - Bloom membership probe",
       es => BloomMightContain(es(0), es(1), intLit(es(2), "numHashes"))),
     ("misra_gries", "misra_gries(item, k) - bounded heavy-hitter candidates (aggregate)",
-      es => MisraGriesAgg(es(0), intLit(es(1), "k")).toAggregateExpression()))
+      es => MisraGriesAgg(es(0), intLit(es(1), "k")).toAggregateExpression()),
+    ("count_min", "count_min(term, depth, width) - Count-Min frequency sketch matrix (aggregate)",
+      es => CountMinAgg(es(0), intLit(es(1), "depth"),
+        intLit(es(2), "width")).toAggregateExpression()))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

@@ -291,6 +291,35 @@ object OpsQueries {
         .orderBy("user_id", "version")
     }),
 
+    // COUNT-MIN frequency sketch, approximation oracle-checked as data
+    // (the q59/q71 discipline): a 4×32 portable-bucket matrix per
+    // event_type over user_id%256 terms — 256 terms into 32 buckets, so
+    // collisions are guaranteed and the estimates genuinely differ from
+    // exact. Every (group, term) row carries the exact count, the CM
+    // estimate (min over the term's 4 cells), and the no-underestimate
+    // guarantee bit the oracle pins to a TRUE literal. The sketch side
+    // shuffles 128 longs per group (mergeable matrix partials — the term
+    // dictionary never rides the sketch shuffle); the exact side is the
+    // plain GROUP BY it is being compared against.
+    "q104_count_min" -> ((s, dir) => {
+      val depth = 4; val width = 32
+      val termed = events(s, dir)
+        .select(col("event_type"), pmod(col("user_id"), lit(256)).as("term"))
+      val sketch = termed.groupBy("event_type")
+        .agg(graft.functions.CountMin.countMin(col("term"), depth, width).as("cm"))
+      val exact = termed.groupBy("event_type", "term")
+        .agg(count(lit(1)).as("exact_cnt"))
+      val est = (0 until depth).map { r =>
+        element_at(col("cm"),
+          (lit(r * width) + pmod(graft.functions.Mix64.sampleCoord(
+            col("term") * lit(131L) + lit(r.toLong)), lit(width)) + 1).cast("int"))
+      }.reduce(least(_, _))
+      exact.join(broadcast(sketch), "event_type")
+        .select(col("event_type"), col("term"), col("exact_cnt"),
+          est.as("est"), (est >= col("exact_cnt")).as("no_underestimate"))
+        .orderBy("event_type", "term")
+    }),
+
     // MIXTURE REBALANCING: derive per-source keep rates from the data
     // (equalize token mass — every source downsampled to the smallest
     // source's mass) and apply the deterministic hash-threshold sample in
@@ -538,6 +567,27 @@ object OpsQueries {
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
         |FROM orders WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // replays every CM cell: bucket(term, r) = the Mix64 coordinate of
+    // term·131 + r mod 32 (double-mod-normalized like q49/q100); a cell
+    // is the sum of exact counts of ALL terms landing in it, the estimate
+    // the min over a term's 4 cells. The guarantee bit is a literal TRUE
+    // — any underestimate in the Spark sketch is a hash mismatch.
+    "q104_count_min" ->
+      s"""WITH t AS (SELECT event_type, ((user_id % 256) + 256) % 256 AS term FROM events),
+         |ex AS (SELECT event_type, term, count(*) AS exact_cnt FROM t GROUP BY 1, 2),
+         |tb AS (SELECT ex.*, r.r,
+         |         (${coordSql("(ex.term * 131 + r.r)")}) % 32 AS bucket
+         |       FROM ex CROSS JOIN range(0, 4) r(r)),
+         |cells AS (SELECT event_type, r, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cell
+         |          FROM tb GROUP BY 1, 2, 3),
+         |est AS (SELECT tb.event_type, tb.term, min(c.cell) AS est
+         |        FROM tb JOIN cells c ON c.event_type = tb.event_type
+         |         AND c.r = tb.r AND c.bucket = tb.bucket
+         |        GROUP BY 1, 2)
+         |SELECT e.event_type, e.term, e.exact_cnt, est.est, TRUE AS no_underestimate
+         |FROM ex e JOIN est ON est.event_type = e.event_type AND est.term = e.term
+         |ORDER BY e.event_type, e.term""".stripMargin,
 
     "q102_scd2" -> Scd2Sql,
 
