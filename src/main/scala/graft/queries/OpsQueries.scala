@@ -442,6 +442,29 @@ object OpsQueries {
        |nd AS (SELECT event_type, count(*) AS nd FROM h GROUP BY event_type),
        |kth AS (SELECT event_type, h AS kth_min FROM r WHERE rn = 64)""".stripMargin
 
+  /** Count-Min replay shared by q104 (batch) and q105 (stream-end state
+    * over the capped rows): bucket(term, r) = the Mix64 coordinate of
+    * term·131 + r mod 32 (double-mod-normalized like q49/q100); a cell is
+    * the sum of exact counts of ALL terms landing in it, the estimate the
+    * min over a term's 4 cells. The guarantee bit is a literal TRUE — any
+    * underestimate in the Spark sketch is a hash mismatch. */
+  private[queries] def countMinSql(where: String = ""): String =
+    s"""WITH t AS (SELECT event_type, ((user_id % 256) + 256) % 256 AS term
+       |  FROM events${if (where.isEmpty) "" else s" WHERE $where"}),
+       |ex AS (SELECT event_type, term, count(*) AS exact_cnt FROM t GROUP BY 1, 2),
+       |tb AS (SELECT ex.*, r.r,
+       |         (${coordSql("(ex.term * 131 + r.r)")}) % 32 AS bucket
+       |       FROM ex CROSS JOIN range(0, 4) r(r)),
+       |cells AS (SELECT event_type, r, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cell
+       |          FROM tb GROUP BY 1, 2, 3),
+       |est AS (SELECT tb.event_type, tb.term, min(c.cell) AS est
+       |        FROM tb JOIN cells c ON c.event_type = tb.event_type
+       |         AND c.r = tb.r AND c.bucket = tb.bucket
+       |        GROUP BY 1, 2)
+       |SELECT e.event_type, e.term, e.exact_cnt, est.est, TRUE AS no_underestimate
+       |FROM ex e JOIN est ON est.event_type = e.event_type AND est.term = e.term
+       |ORDER BY e.event_type, e.term""".stripMargin
+
   private[queries] def coordSql(key: String): String =
     s"""((((${java.lang.Long.toUnsignedString(Mix64.MulA)}::HUGEINT * $key
        |    + ${java.lang.Long.toUnsignedString(Mix64.AddB)}::HUGEINT)
@@ -568,26 +591,7 @@ object OpsQueries {
         |FROM orders WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin,
 
-    // replays every CM cell: bucket(term, r) = the Mix64 coordinate of
-    // term·131 + r mod 32 (double-mod-normalized like q49/q100); a cell
-    // is the sum of exact counts of ALL terms landing in it, the estimate
-    // the min over a term's 4 cells. The guarantee bit is a literal TRUE
-    // — any underestimate in the Spark sketch is a hash mismatch.
-    "q104_count_min" ->
-      s"""WITH t AS (SELECT event_type, ((user_id % 256) + 256) % 256 AS term FROM events),
-         |ex AS (SELECT event_type, term, count(*) AS exact_cnt FROM t GROUP BY 1, 2),
-         |tb AS (SELECT ex.*, r.r,
-         |         (${coordSql("(ex.term * 131 + r.r)")}) % 32 AS bucket
-         |       FROM ex CROSS JOIN range(0, 4) r(r)),
-         |cells AS (SELECT event_type, r, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cell
-         |          FROM tb GROUP BY 1, 2, 3),
-         |est AS (SELECT tb.event_type, tb.term, min(c.cell) AS est
-         |        FROM tb JOIN cells c ON c.event_type = tb.event_type
-         |         AND c.r = tb.r AND c.bucket = tb.bucket
-         |        GROUP BY 1, 2)
-         |SELECT e.event_type, e.term, e.exact_cnt, est.est, TRUE AS no_underestimate
-         |FROM ex e JOIN est ON est.event_type = e.event_type AND est.term = e.term
-         |ORDER BY e.event_type, e.term""".stripMargin,
+    "q104_count_min" -> countMinSql(),
 
     "q102_scd2" -> Scd2Sql,
 

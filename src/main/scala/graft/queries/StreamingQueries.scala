@@ -22,7 +22,8 @@ object StreamingQueries {
 
   private val GapUs = 30L * 60 * 1000 * 1000 // 30-minute session gap
 
-  /** Replay-feed cap for the STREAMING oracle rows (q92/q94/q99/q100): keep
+  /** Replay-feed cap for the STREAMING oracle rows (q92/q94/q99/q100/q105):
+    * keep
     * rows whose Mix64 sample coordinate is below 2^30 (≈25%). The
     * MemoryStream replay harness ships its rows inside the task binary —
     * at sf0.1 the full events table is ~2.4 MiB per batch, tripping
@@ -237,6 +238,54 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // STREAMING Count-Min: the q104 sketch as bounded mapGroupsWithState
+    // state (128 longs per group forever), replayed over the capped rows.
+    // Cell counts are order-free sums, so the stream-end matrix IS the
+    // batch sketch of the same rows under any slicing; the final state is
+    // selected by the monotone (max n, max_by(cm, n)) shape and per-term
+    // estimates read off it exactly as in q104 — stream ≡ batch ≡ SQL,
+    // including the no-underestimate guarantee bit.
+    "q105_stream_cm" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val depth = 4; val width = 32
+      val termed = eventsUs(s, dir).where(replayFilter("event_id"))
+        .select(col("event_type"), pmod(col("user_id"), lit(256)).as("term"))
+      val rows = termed.as[(String, Long)].collect().sortBy(r => (r._1, r._2))
+      require(rows.nonEmpty, s"q105_stream_cm: no events at $dir")
+      s.catalog.dropTempView("q105_cm") // re-entrant (bench reps)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)]
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // 5 groups (q92's note)
+      val sq =
+        try graft.streaming.SketchStream.countMinSketch(
+            mem.toDF().toDF("event_type", "term"), "term", "event_type",
+            depth, width)
+          .writeStream.outputMode("update").format("memory")
+          .queryName("q105_cm").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        rows.grouped(rows.length / 2 + 1).foreach { b =>
+          mem.addData(b.toIndexedSeq: _*); sq.processAllAvailable()
+        }
+      } finally sq.stop()
+      val sketch = s.table("q105_cm")
+        .groupBy(col("group"))
+        .agg(expr("max_by(cm, n)").as("cm"))
+      val exact = termed.groupBy(col("event_type"), col("term"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      val est = (0 until depth).map { r =>
+        element_at(col("cm"),
+          (lit(r * width) + pmod(graft.functions.Mix64.sampleCoord(
+            col("term") * lit(131L) + lit(r.toLong)), lit(width)) + 1).cast("int"))
+      }.reduce(least(_, _))
+      exact.join(broadcast(sketch), exact("event_type") === sketch("group"))
+        .select(col("event_type"), col("term"), col("exact_cnt"),
+          est.as("est"), (est >= col("exact_cnt")).as("no_underestimate"))
+        .orderBy("event_type", "term")
+    }),
+
     // STREAMING Misra–Gries heavy hitters, driver-checked via its
     // GUARANTEE: the MG summary itself is slicing-order-sensitive (which
     // borderline counters survive depends on micro-batch cuts — pinned in
@@ -364,6 +413,12 @@ object StreamingQueries {
         |FROM c JOIN n USING (event_type)
         |WHERE c.cnt * 5 > n.n
         |ORDER BY event_type, term""".stripMargin,
+
+    // q104's full Count-Min replay over the capped rows — the stream-end
+    // matrix must equal the batch sketch, so the oracle is the same
+    // generator with the replay WHERE on both sides
+    "q105_stream_cm" ->
+      OpsQueries.countMinSql(replayWhereSql("event_id")),
 
     // q59's bottom-64 replay minus the exact-count column (the streaming
     // sketch state carries only the sketch)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.functions.{Kmv, MisraGries}
+import graft.functions.{CountMin, Kmv, MisraGries}
 
 /** Per-batch KMV update for one group. `est` is exact below saturation. */
 case class KmvUpdate(group: String, n_kept: Int, kth_min: Option[Long], est: Double)
@@ -21,6 +21,11 @@ case class MgUpdate(group: String, n_counters: Int,
   * estimates off the fixed-range histogram. */
 case class HistUpdate(group: String, n: Long, n_clamped: Long,
     p50_est: Double, p95_est: Double)
+
+/** Per-batch Count-Min update for one group: the running cell matrix
+  * (row-major depth×width) and the running item count `n` — strictly
+  * increasing per update, the monotone stream-end selector. */
+case class CmUpdate(group: String, n: Long, cm: Seq[Long])
 
 /** Streaming distinct-count sketching: the [[graft.functions.KmvDistinct]]
   * bottom-k estimator maintained as `mapGroupsWithState` state, one bounded
@@ -163,6 +168,42 @@ object SketchStream {
           val arr = buf.toArray.map { case (t, c) => (t.toString, c) }.sortBy(_._1)
           state.update((n, arr))
           MgUpdate(group, arr.length, arr.map(_._1).toSeq, arr.map(_._2).toSeq, n)
+      }
+  }
+
+  /** Streaming Count-Min: the [[graft.functions.CountMinAgg]] cell matrix
+    * as per-group state — depth·width longs per group FOREVER, folded with
+    * the SAME [[CountMin.bucket]] as the batch aggregate. Cell counts are
+    * order-free sums (like KMV minima and histogram bins, unlike the
+    * MG summary), so the stream-end matrix is exactly the batch sketch of
+    * the same rows under any micro-batch slicing — estimates read off the
+    * final matrix carry the identical no-underestimate guarantee (q105
+    * pins stream ≡ batch ≡ SQL through q104's oracle shape). */
+  def countMinSketch(events: DataFrame, termCol: String, byCol: String,
+                     depth: Int, width: Int): Dataset[CmUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(byCol).as("g"), col(termCol).cast("long").as("term"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Array[Long]), CmUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (group: String, it: Iterator[(String, Long)],
+         state: GroupState[(Long, Array[Long])]) =>
+          val (n0, cm) = state.getOption.getOrElse(
+            (0L, new Array[Long](depth * width)))
+          var n = n0
+          it.foreach { case (_, t) =>
+            var r = 0
+            while (r < depth) {
+              cm(r * width + CountMin.bucket(t, r, width)) += 1L
+              r += 1
+            }
+            n += 1
+          }
+          state.update((n, cm))
+          CmUpdate(group, n, cm.toSeq)
       }
   }
 }

@@ -399,6 +399,33 @@ class StreamsSpec extends SparkSpec {
     assert(rows.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("streaming Count-Min ≡ batch sketch matrix over the same rows (any slicing)") {
+    val depth = 4; val width = 32
+    val rows = spark.read.parquet(sf("events"))
+      .select(col("event_type"), pmod(col("user_id"), lit(256)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = rows.toDF("event_type", "term")
+      .groupBy("event_type")
+      .agg(graft.functions.CountMin.countMin(col("term"), depth, width).as("cm"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    for (cuts <- Seq(Seq(rows), Seq(rows.take(333), rows.slice(333, 700), rows.drop(700)))) {
+      val mem = MemoryStream[(String, Long)]
+      val sq = SketchStream
+        .countMinSketch(mem.toDF().toDF("event_type", "term"), "term", "event_type",
+          depth, width)
+        .writeStream.outputMode("update").format("memory").queryName("cms").start()
+      cuts.foreach { slice => mem.addData(slice: _*); sq.processAllAvailable() }
+      val got = spark.table("cms").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+        .groupBy(_._1).map { case (g, vs) => g -> vs.maxBy(_._2)._3 }
+      sq.stop(); spark.catalog.dropTempView("cms")
+      assert(got.keySet === expected.keySet)
+      got.foreach { case (g, cm) => assert(cm === expected(g), s"group $g (cuts ${cuts.size})") }
+    }
+  }
+
   test("batch sessionization: gap splits, out-of-order safe") {
     val df = Seq(
       (1L, ts("2024-01-01 10:02:00")), // arrives out of order
