@@ -30,12 +30,31 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * normalization; see the q104 oracle).
   */
 object CountMin {
-  /** Row-r bucket of a term (portable; width must be a power of two). */
+  /** Row-r bucket of a term (portable; width must be a power of two).
+    *
+    * Domain note: the JVM computes term·131 + r with wrap-mod-2^64
+    * semantics, which the HUGEINT oracle replays exactly; but the
+    * COLUMN-side estimate read ([[estimateCol]]) computes the same key
+    * with ANSI arithmetic, which THROWS past |term| ≈ 2^63/131. Keep
+    * bucketed terms within that range (hash raw 64-bit ids down first). */
   def bucket(term: Long, r: Int, width: Int): Int =
     (Mix64.hash(term * 131L + r) % width).toInt
 
   def countMin(term: Column, depth: Int, width: Int): Column =
     toColumn(CountMinAgg(toExpr(term), depth, width).toAggregateExpression())
+
+  /** Read a term's estimate off a sketch matrix column: min over the
+    * term's depth cells — the ONE definition of the estimate path, shared
+    * by q104 (batch), q105 (stream-end state) and the specs, and mirrored
+    * by the countMinSql oracle generator. */
+  def estimateCol(cm: Column, term: Column, depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.functions.{element_at, least, lit, pmod}
+    (0 until depth).map { r =>
+      element_at(cm, (lit(r * width) +
+        pmod(Mix64.sampleCoord(term * lit(131L) + lit(r.toLong)), lit(width)) +
+        1).cast("int"))
+    }.reduce(least(_, _))
+  }
 }
 
 /** term (BIGINT) → array<long> of depth·width cell counts (row-major). */

@@ -63,8 +63,8 @@ object Temporal {
     // the output appends these names (and the compress step uses _scd_prev);
     // an input column with the same name would be silently clobbered by
     // withColumn — e.g. re-versioning a table that already IS an SCD2
-    val reserved =
-      Seq("valid_from", "valid_to", "version", "is_current", "_scd_prev")
+    val reserved = Seq("valid_from", "valid_to", "version", "is_current",
+      "_scd_prev", "_scd_next_ts")
     val clash = changes.columns.filter(reserved.contains)
     require(clash.isEmpty,
       s"input columns ${clash.mkString(",")} collide with scd2 output names " +
@@ -111,9 +111,14 @@ object Temporal {
     * version becomes zero-width and is dropped by [[scd2]]'s tie rule).
     *
     * Append-case equivalence (pinned in TemporalSpec): when every new
-    * change is at-or-after its key's current `valid_from`,
-    * `scd2Apply(scd2(A), B) ≡ scd2(A ∪ B)`. For LATE changes that land
-    * strictly before a key's current version the two can differ — [[scd2]]
+    * change is strictly after its key's current `valid_from` — or at it
+    * with a `tieBreak` that also wins the combined tie order (e.g. a
+    * monotone event id) — `scd2Apply(scd2(A), B) ≡ scd2(A ∪ B)`. A new
+    * change REPLACING an equal-time old version whose original tieBreak
+    * was larger is the new-knowledge-wins rule, which the full rebuild
+    * (ordering old and new rows by the raw tieBreak) does not share. For
+    * LATE changes that land strictly before a key's current version the
+    * two can also differ — [[scd2]]
     * compression is lossy (a restated value carries no information at
     * build time, but would re-anchor an interval once a late change
     * interleaves); that history is unrecoverable from the dimension alone,
@@ -125,6 +130,10 @@ object Temporal {
     */
   def scd2Apply(dim: DataFrame, newChanges: DataFrame, keys: Seq[String],
                 tsCol: String, tieBreak: String, attrs: Seq[String]): DataFrame = {
+    val tieClash = (dim.columns ++ newChanges.columns).filter(_ == "_scd_tie")
+    require(tieClash.isEmpty,
+      "_scd_tie is reserved by scd2Apply's old-vs-new tie ordering — " +
+        "rename that input column first")
     val touchedKeys = newChanges.select(keys.map(col): _*).distinct()
     val untouched = dim.join(broadcast(touchedKeys), keys, "left_anti")
     // current versions as a change log: valid_from is strictly increasing

@@ -302,18 +302,14 @@ object OpsQueries {
     // dictionary never rides the sketch shuffle); the exact side is the
     // plain GROUP BY it is being compared against.
     "q104_count_min" -> ((s, dir) => {
-      val depth = 4; val width = 32
+      val depth = CmDepth; val width = CmWidth
       val termed = events(s, dir)
         .select(col("event_type"), pmod(col("user_id"), lit(256)).as("term"))
       val sketch = termed.groupBy("event_type")
         .agg(graft.functions.CountMin.countMin(col("term"), depth, width).as("cm"))
       val exact = termed.groupBy("event_type", "term")
         .agg(count(lit(1)).as("exact_cnt"))
-      val est = (0 until depth).map { r =>
-        element_at(col("cm"),
-          (lit(r * width) + pmod(graft.functions.Mix64.sampleCoord(
-            col("term") * lit(131L) + lit(r.toLong)), lit(width)) + 1).cast("int"))
-      }.reduce(least(_, _))
+      val est = graft.functions.CountMin.estimateCol(col("cm"), col("term"), depth, width)
       exact.join(broadcast(sketch), "event_type")
         .select(col("event_type"), col("term"), col("exact_cnt"),
           est.as("est"), (est >= col("exact_cnt")).as("no_underestimate"))
@@ -448,13 +444,20 @@ object OpsQueries {
     * the sum of exact counts of ALL terms landing in it, the estimate the
     * min over a term's 4 cells. The guarantee bit is a literal TRUE — any
     * underestimate in the Spark sketch is a hash mismatch. */
-  private[queries] def countMinSql(where: String = ""): String =
+  /** q104/q105's sketch geometry — the query sides and the SQL generator
+    * read the SAME constants, so they cannot drift. */
+  private[queries] val CmDepth = 4
+  private[queries] val CmWidth = 32
+
+  private[queries] def countMinSql(where: String = "",
+                                   depth: Int = CmDepth,
+                                   width: Int = CmWidth): String =
     s"""WITH t AS (SELECT event_type, ((user_id % 256) + 256) % 256 AS term
        |  FROM events${if (where.isEmpty) "" else s" WHERE $where"}),
        |ex AS (SELECT event_type, term, count(*) AS exact_cnt FROM t GROUP BY 1, 2),
        |tb AS (SELECT ex.*, r.r,
-       |         (${coordSql("(ex.term * 131 + r.r)")}) % 32 AS bucket
-       |       FROM ex CROSS JOIN range(0, 4) r(r)),
+       |         (${coordSql("(ex.term::HUGEINT * 131 + r.r)")}) % $width AS bucket
+       |       FROM ex CROSS JOIN range(0, $depth) r(r)),
        |cells AS (SELECT event_type, r, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cell
        |          FROM tb GROUP BY 1, 2, 3),
        |est AS (SELECT tb.event_type, tb.term, min(c.cell) AS est

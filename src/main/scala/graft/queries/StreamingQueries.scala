@@ -248,7 +248,7 @@ object StreamingQueries {
     "q105_stream_cm" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val depth = 4; val width = 32
+      val depth = OpsQueries.CmDepth; val width = OpsQueries.CmWidth
       val termed = eventsUs(s, dir).where(replayFilter("event_id"))
         .select(col("event_type"), pmod(col("user_id"), lit(256)).as("term"))
       val rows = termed.as[(String, Long)].collect().sortBy(r => (r._1, r._2))
@@ -275,11 +275,7 @@ object StreamingQueries {
         .agg(expr("max_by(cm, n)").as("cm"))
       val exact = termed.groupBy(col("event_type"), col("term"))
         .agg(count(lit(1)).as("exact_cnt"))
-      val est = (0 until depth).map { r =>
-        element_at(col("cm"),
-          (lit(r * width) + pmod(graft.functions.Mix64.sampleCoord(
-            col("term") * lit(131L) + lit(r.toLong)), lit(width)) + 1).cast("int"))
-      }.reduce(least(_, _))
+      val est = graft.functions.CountMin.estimateCol(col("cm"), col("term"), depth, width)
       exact.join(broadcast(sketch), exact("event_type") === sketch("group"))
         .select(col("event_type"), col("term"), col("exact_cnt"),
           est.as("est"), (est >= col("exact_cnt")).as("no_underestimate"))

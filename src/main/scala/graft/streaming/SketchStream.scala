@@ -52,6 +52,10 @@ object SketchStream {
     import spark.implicits._
     events
       .select(col(byCol).as("g"), col(keyCol).cast("long").as("key"))
+      // null keys are skipped by the batch aggregate; a primitive-Long
+      // encoder would instead kill the query on the first null — filter
+      // so stream ≡ batch holds on feeds containing nulls
+      .where(col("key").isNotNull)
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[Array[Long], KmvUpdate](GroupStateTimeout.NoTimeout()) {
@@ -101,6 +105,7 @@ object SketchStream {
     def edge(bin: Long): Double = lo + ((bin + 1).toDouble * (hi - lo)) / nBins
     events
       .select(col(byCol).as("g"), col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull) // see distinctSketch's null note
       .as[(String, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[Array[Long], HistUpdate](GroupStateTimeout.NoTimeout()) {
@@ -185,6 +190,7 @@ object SketchStream {
     import spark.implicits._
     events
       .select(col(byCol).as("g"), col(termCol).cast("long").as("term"))
+      .where(col("term").isNotNull) // see distinctSketch's null note
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Array[Long]), CmUpdate](

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.functions.{CountMin, Mix64}
+import graft.functions.CountMin
 
 class CountMinSpec extends SparkSpec {
   import spark.implicits._
@@ -14,11 +14,8 @@ class CountMinSpec extends SparkSpec {
   private def estimates(terms: Seq[Long], d: Int = depth, w: Int = width) = {
     val df = terms.toDF("term")
     val cm = df.agg(CountMin.countMin($"term", d, w).as("cm"))
-    val est = (0 until d).map { r =>
-      element_at($"cm", (lit(r * w) + pmod(Mix64.sampleCoord(
-        $"term" * lit(131L) + lit(r.toLong)), lit(w)) + 1).cast("int"))
-    }.reduce(least(_, _))
-    df.distinct().crossJoin(broadcast(cm)).select($"term", est.as("est"))
+    df.distinct().crossJoin(broadcast(cm))
+      .select($"term", CountMin.estimateCol($"cm", $"term", d, w).as("est"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 

@@ -70,6 +70,15 @@ class TemporalSpec extends SparkSpec {
       Temporal.scd2(log.withColumnRenamed("state", "is_current"),
         Seq("k"), "t", "tie", Seq("is_current"))
     }
+    intercept[IllegalArgumentException] { // internal names are reserved too
+      Temporal.scd2(log.withColumnRenamed("state", "_scd_next_ts"),
+        Seq("k"), "t", "tie", Seq("_scd_next_ts"))
+    }
+    intercept[IllegalArgumentException] { // _scd_tie reserved by scd2Apply
+      Temporal.scd2Apply(build,
+        Seq(("k1", 99L, 50L, "Z")).toDF("k", "t", "_scd_tie", "state"),
+        Seq("k"), "t", "_scd_tie", Seq("state"))
+    }
     // a null change time must not swallow a NEIGHBORING version via the
     // three-valued zero-width filter — the null row itself is dropped
     val withNullTs = Seq((1L, "k", 1L, "A"), (2L, "k", 10L, "B"))
