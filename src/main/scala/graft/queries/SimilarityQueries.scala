@@ -37,6 +37,35 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // k-NN CLASSIFICATION over the IVF index — the auto-labeling step of
+    // a curation pipeline (propagate labels from a labeled seed corpus to
+    // incoming vectors): predicted = majority label among the ivf top-10,
+    // ties to the LOWEST label (max_by over the (votes, -label) struct —
+    // deterministic in both engines). Rides q41's scale shape (hash join
+    // on centroid_id; the only nested loop is the 16-row centroid
+    // assignment broadcast, whitelisted with q41's rationale in PlanSpec)
+    // and q41's oracle generator, so the classification is fully
+    // driver-checked: votes, prediction, and per-query correctness bit.
+    "q106_knn_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val topk = Ann.ivfTopK(emb.where(col("vec_id") < 20), emb,
+        "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val votes = topk
+        .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      votes.groupBy(col("query_id"))
+        .agg(expr("max_by(struct(label, votes), struct(votes, -label))").as("p"))
+        .select(col("query_id"), col("p.label").as("predicted"),
+          col("p.votes").as("votes"))
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("label").as("actual")), "query_id")
+        .select(col("query_id"), col("predicted"), col("votes"), col("actual"),
+          (col("predicted") === col("actual")).as("correct"))
+        .orderBy("query_id")
+    }),
+
     // hyperplane LSH signatures (rows-only; deterministic)
     "q42_hyperplane_sig" -> ((s, dir) =>
       t(s, dir, "embeddings")
@@ -221,6 +250,23 @@ object SimilarityQueries {
       s"""WITH $ivfSql
          |SELECT query_id, rank, neighbor_id FROM ivf
          |ORDER BY query_id, rank""".stripMargin,
+
+    // majority vote over the same ivf CTE; rn-ordering = (votes DESC,
+    // label ASC) is exactly the Spark side's max_by (votes, -label) struct
+    "q106_knn_classify" ->
+      s"""WITH $ivfSql,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |votes AS (SELECT i.query_id, l.label, count(*) AS votes
+         |          FROM ivf i JOIN lab l ON l.vec_id = i.neighbor_id
+         |          GROUP BY 1, 2),
+         |pred AS (SELECT query_id, label AS predicted, votes FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY votes DESC, label) AS rn FROM votes) t
+         |         WHERE rn = 1)
+         |SELECT p.query_id, p.predicted, p.votes, q.label AS actual,
+         |       p.predicted = q.label AS correct
+         |FROM pred p JOIN lab q ON q.vec_id = p.query_id
+         |ORDER BY p.query_id""".stripMargin,
 
     // integer-quantized per-subspace argmin (m=8 → sub=8, k=16): dims join
     // codeword dims 1:1 and group by subspace d//8, so d2 is the exact

@@ -261,8 +261,9 @@ class PlanSpec extends SparkSpec {
     // q79/q80's cross joins are the PQ compressed-domain scans: corpus rows
     // carry 8 ints, not vectors — the linear scan IS the operator (q80 also
     // embeds q40's labeled exact baseline)
+    // q106 embeds q41's IVF (same bounded centroid-assignment broadcast)
     val allowed = Set("q40_ann_topk", "q41_ann_ivf", "q47_ivf_recall",
-      "q79_ann_pq", "q80_pq_recall", "q84_ivfpq_recall")
+      "q79_ann_pq", "q80_pq_recall", "q84_ivfpq_recall", "q106_knn_classify")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
