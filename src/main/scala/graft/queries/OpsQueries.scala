@@ -480,11 +480,13 @@ object OpsQueries {
     * wins) → change-point compression (null-safe state compare, first row
     * kept) → close intervals with lead → number versions. After the
     * tie-keep, t_us is distinct per user, so ORDER BY t_us is the Spark
-    * windows' order. Shared by q102 (batch build) and q103 (incremental
-    * apply) — the apply path must land on the rebuild exactly. */
-  private val Scd2Sql: String =
-    """WITH e AS (SELECT user_id, event_id, event_type AS state,
-      |                  epoch_us(ts) AS t_us FROM events),
+    * windows' order. Shared by q102 (batch build), q103 (incremental
+    * apply) and q107 (streaming, over the capped replay rows) — every
+    * maintenance path must land on the same rebuild exactly. */
+  private[queries] def scd2Sql(where: String = ""): String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type AS state,
+      |                  epoch_us(ts) AS t_us FROM events${
+        if (where.isEmpty) "" else s" WHERE $where"}),
       |k AS (SELECT * FROM (SELECT *, lead(t_us) OVER w AS next_ts
       |        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id))
       |      WHERE next_ts IS NULL OR next_ts <> t_us),
@@ -596,11 +598,11 @@ object OpsQueries {
 
     "q104_count_min" -> countMinSql(),
 
-    "q102_scd2" -> Scd2Sql,
+    "q102_scd2" -> scd2Sql(),
 
     // the apply path (q103) must land on the batch rebuild exactly, so
     // its oracle IS the rebuild SQL — one source of truth, zero drift
-    "q103_scd2_apply" -> Scd2Sql,
+    "q103_scd2_apply" -> scd2Sql(),
 
     // same token count as q30, same Mix64 coordinate as q49; the only
     // floats are one exact-integer division and one power-of-two scale

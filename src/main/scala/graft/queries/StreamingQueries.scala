@@ -282,6 +282,58 @@ object StreamingQueries {
         .orderBy("event_type", "term")
     }),
 
+    // STREAMING SCD2: the q102 dimension build as a CDC consumer
+    // (TemporalStream.scd2Stream — one open version per key as state,
+    // closed versions emitted exactly when finalized). Stream-end
+    // dimension = distinct closed emissions ∪ the max-n open snapshot per
+    // key (closed rows are immutable and deterministic, so replay
+    // duplicates collapse under distinct; n is the monotone selector).
+    // The replay cuts micro-batches on (user, ts) boundaries — the
+    // delivery contract a key-partitioned change log provides. Oracle =
+    // the same scd2Sql rebuild as q102/q103 over the capped rows: all
+    // three maintenance paths land on the identical dimension.
+    "q107_stream_scd2" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = eventsUs(s, dir).where(replayFilter("event_id"))
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2, r._3))
+      require(rows.nonEmpty, s"q107_stream_scd2: no events at $dir")
+      var cut = rows.length / 2 // don't split a (user, ts) tie run
+      while (cut > 0 && cut < rows.length &&
+        rows(cut)._1 == rows(cut - 1)._1 && rows(cut)._2 == rows(cut - 1)._2) cut += 1
+      s.catalog.dropTempView("q107_scd2") // re-entrant (bench reps)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String)]
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val sq =
+        try graft.streaming.TemporalStream.scd2Stream(
+            mem.toDF().toDF("user_id", "t_us", "event_id", "state"),
+            "user_id", "t_us", "event_id", "state")
+          .writeStream.outputMode("update").format("memory")
+          .queryName("q107_scd2").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        Seq(rows.take(cut), rows.drop(cut)).filter(_.nonEmpty).foreach { b =>
+          mem.addData(b.toIndexedSeq: _*); sq.processAllAvailable()
+        }
+      } finally sq.stop()
+      val tbl = s.table("q107_scd2")
+      val closed = tbl.where(col("valid_to").isNotNull)
+        .select("key", "state", "valid_from", "valid_to", "version").distinct()
+      val open = tbl.where(col("valid_to").isNull)
+        .groupBy(col("key"))
+        .agg(expr("max_by(struct(state, valid_from, version), n)").as("o"))
+        .select(col("key"), col("o.state").as("state"),
+          col("o.valid_from").as("valid_from"),
+          lit(null).cast("long").as("valid_to"), col("o.version").as("version"))
+      closed.unionByName(open)
+        .select(col("key").as("user_id"), col("state"), col("valid_from"),
+          col("valid_to"), col("version"), col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
     // STREAMING Misra–Gries heavy hitters, driver-checked via its
     // GUARANTEE: the MG summary itself is slicing-order-sensitive (which
     // borderline counters survive depends on micro-batch cuts — pinned in
@@ -415,6 +467,12 @@ object StreamingQueries {
     // generator with the replay WHERE on both sides
     "q105_stream_cm" ->
       OpsQueries.countMinSql(replayWhereSql("event_id")),
+
+    // the q102/q103 rebuild SQL over the capped rows: the streaming
+    // maintenance path must land on the same dimension as batch build
+    // and incremental apply
+    "q107_stream_scd2" ->
+      OpsQueries.scd2Sql(replayWhereSql("event_id")),
 
     // q59's bottom-64 replay minus the exact-count column (the streaming
     // sketch state carries only the sketch)

@@ -426,6 +426,53 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming SCD2 ≡ batch scd2 on real events under contract-safe slicings") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rows = spark.read.parquet(sf("events"))
+      .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._1, r._2, r._3)).toSeq
+    val expected = graft.ops.Temporal.scd2(
+        rows.toDF("user_id", "t_us", "event_id", "state"),
+        Seq("user_id"), "t_us", "event_id", Seq("state"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4))).toSet
+
+    def safeCut(target: Int): Int = {
+      var c = target
+      while (c > 0 && c < rows.length &&
+        rows(c)._1 == rows(c - 1)._1 && rows(c)._2 == rows(c - 1)._2) c += 1
+      c
+    }
+    implicit val sqlCtx = spark.sqlContext
+    for (cuts <- Seq(Seq(rows.length),
+        Seq(safeCut(rows.length / 3), safeCut(2 * rows.length / 3), rows.length))) {
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val sq = graft.streaming.TemporalStream.scd2Stream(
+          mem.toDF().toDF("user_id", "t_us", "event_id", "state"),
+          "user_id", "t_us", "event_id", "state")
+        .writeStream.outputMode("update").format("memory").queryName("scd2s").start()
+      (0 +: cuts).sliding(2).foreach { case Seq(a, b) =>
+        if (b > a) { mem.addData(rows.slice(a, b): _*); sq.processAllAvailable() }
+      }
+      val tbl = spark.table("scd2s")
+      val closed = tbl.where(col("valid_to").isNotNull)
+        .select("key", "state", "valid_from", "valid_to", "version").distinct()
+      val open = tbl.where(col("valid_to").isNull)
+        .groupBy(col("key"))
+        .agg(expr("max_by(struct(state, valid_from, version), n)").as("o"))
+        .select(col("key"), col("o.state").as("state"),
+          col("o.valid_from").as("valid_from"),
+          lit(null).cast("long").as("valid_to"), col("o.version").as("version"))
+      val got = closed.unionByName(open).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4))).toSet
+      sq.stop(); spark.catalog.dropTempView("scd2s")
+      assert(got === expected, s"cuts $cuts")
+    }
+  }
+
   test("batch sessionization: gap splits, out-of-order safe") {
     val df = Seq(
       (1L, ts("2024-01-01 10:02:00")), // arrives out of order
