@@ -319,16 +319,7 @@ object StreamingQueries {
           mem.addData(b.toIndexedSeq: _*); sq.processAllAvailable()
         }
       } finally sq.stop()
-      val tbl = s.table("q107_scd2")
-      val closed = tbl.where(col("valid_to").isNotNull)
-        .select("key", "state", "valid_from", "valid_to", "version").distinct()
-      val open = tbl.where(col("valid_to").isNull)
-        .groupBy(col("key"))
-        .agg(expr("max_by(struct(state, valid_from, version), n)").as("o"))
-        .select(col("key"), col("o.state").as("state"),
-          col("o.valid_from").as("valid_from"),
-          lit(null).cast("long").as("valid_to"), col("o.version").as("version"))
-      closed.unionByName(open)
+      graft.streaming.TemporalStream.scd2StreamEnd(s.table("q107_scd2"))
         .select(col("key").as("user_id"), col("state"), col("valid_from"),
           col("valid_to"), col("version"), col("valid_to").isNull.as("is_current"))
         .orderBy("user_id", "version")

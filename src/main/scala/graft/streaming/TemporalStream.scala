@@ -7,8 +7,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 /** One streaming SCD2 emission: a CLOSED version (`valid_to` set — final,
   * immutable, emitted exactly when its successor's instant is known) or
   * the group's OPEN version snapshot (`valid_to` None — re-emitted each
-  * batch; `n`, the running change count, is strictly increasing, so
-  * `max_by(_, n)` is the monotone stream-end selector). */
+  * batch; `n` counts ALL rows arrived for the key, kept or not — its only
+  * contract is strict monotonicity per emitting invocation, which makes
+  * `max_by(_, n)` the monotone stream-end selector). */
 case class Scd2StreamUpdate(key: Long, state: Option[String],
     valid_from: Long, valid_to: Option[Long], version: Int, n: Long)
 
@@ -34,9 +35,13 @@ case class Scd2StreamUpdate(key: Long, state: Option[String],
 object TemporalStream {
 
   /** @param events  streaming change log
-    * @param keyCol  BIGINT dimension key
+    * @param keyCol  BIGINT dimension key; null-key rows are DROPPED (the
+    *                batch build versions a null-key group — the one
+    *                documented stream/batch divergence, alongside null
+    *                tie-breaks, which batch keeps in tie order)
     * @param tsCol   BIGINT change time (exact integer µs)
-    * @param tieCol  BIGINT equal-time tie-break (last wins the instant)
+    * @param tieCol  BIGINT equal-time tie-break (last wins the instant;
+    *                null rows dropped, see keyCol)
     * @param attrCol STRING versioned attribute (null = a legal state) */
   def scd2Stream(events: DataFrame, keyCol: String, tsCol: String,
                  tieCol: String, attrCol: String): Dataset[Scd2StreamUpdate] = {
@@ -85,5 +90,24 @@ object TemporalStream {
           }
           out.result().iterator
       }
+  }
+
+  /** Stream-end dimension from an update-mode sink of [[scd2Stream]]
+    * emissions: distinct closed versions (immutable and deterministic, so
+    * task-replay duplicates collapse) ∪ the max-n open snapshot per key.
+    * The ONE definition of the read-out — q107 and StreamsSpec both use
+    * it, so the driver-checked reconstruction and the stream≡batch pin
+    * can never drift apart. Columns: (key, state, valid_from, valid_to,
+    * version). */
+  def scd2StreamEnd(sink: DataFrame): DataFrame = {
+    val closed = sink.where(col("valid_to").isNotNull)
+      .select("key", "state", "valid_from", "valid_to", "version").distinct()
+    val open = sink.where(col("valid_to").isNull)
+      .groupBy(col("key"))
+      .agg(expr("max_by(struct(state, valid_from, version), n)").as("o"))
+      .select(col("key"), col("o.state").as("state"),
+        col("o.valid_from").as("valid_from"),
+        lit(null).cast("long").as("valid_to"), col("o.version").as("version"))
+    closed.unionByName(open)
   }
 }

@@ -427,7 +427,6 @@ class StreamsSpec extends SparkSpec {
   }
 
   test("streaming SCD2 ≡ batch scd2 on real events under contract-safe slicings") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rows = spark.read.parquet(sf("events"))
       .select(col("user_id"), expr("ts div 1000").as("t_us"),
         col("event_id"), col("event_type"))
@@ -456,16 +455,8 @@ class StreamsSpec extends SparkSpec {
       (0 +: cuts).sliding(2).foreach { case Seq(a, b) =>
         if (b > a) { mem.addData(rows.slice(a, b): _*); sq.processAllAvailable() }
       }
-      val tbl = spark.table("scd2s")
-      val closed = tbl.where(col("valid_to").isNotNull)
-        .select("key", "state", "valid_from", "valid_to", "version").distinct()
-      val open = tbl.where(col("valid_to").isNull)
-        .groupBy(col("key"))
-        .agg(expr("max_by(struct(state, valid_from, version), n)").as("o"))
-        .select(col("key"), col("o.state").as("state"),
-          col("o.valid_from").as("valid_from"),
-          lit(null).cast("long").as("valid_to"), col("o.version").as("version"))
-      val got = closed.unionByName(open).collect()
+      val got = graft.streaming.TemporalStream
+        .scd2StreamEnd(spark.table("scd2s")).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
           if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4))).toSet
       sq.stop(); spark.catalog.dropTempView("scd2s")
