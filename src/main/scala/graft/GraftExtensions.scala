@@ -88,7 +88,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => MisraGriesAgg(es(0), intLit(es(1), "k")).toAggregateExpression()),
     ("count_min", "count_min(term, depth, width) - Count-Min frequency sketch matrix (aggregate)",
       es => CountMinAgg(es(0), intLit(es(1), "depth"),
-        intLit(es(2), "width")).toAggregateExpression()))
+        intLit(es(2), "width")).toAggregateExpression()),
+    ("hll", "hll(key) - HyperLogLog register array (aggregate, m=64)",
+      es => HllAgg(es.head).toAggregateExpression()))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

@@ -316,6 +316,26 @@ object OpsQueries {
         .orderBy("event_type", "term")
     }),
 
+    // HYPERLOGLOG distinct-count sketch, approximation oracle-checked as
+    // data (the q59/q104 discipline): 64 max-rank registers per event_type
+    // over user_id, flattened to (group, bucket, register) rows so EVERY
+    // register is driver-checked, with the group-level harmonic indicator
+    // (an exact BIGINT — see graft.functions.Hll), the resulting estimate
+    // (one double division of exact integers — bit-portable) and the exact
+    // distinct count riding on each row. The sketch side shuffles 64 ints
+    // per group forever (mergeable max registers — the key universe never
+    // rides the shuffle); compare q59's KMV which keeps k hashes. At
+    // 100 TB this is the distinct-count shape that works: constant state,
+    // map-side combine, no count(DISTINCT) expand-shuffle.
+    "q108_hll" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"), col("user_id"))
+      val sketch = ev.groupBy("event_type")
+        .agg(graft.functions.Hll.hll(col("user_id")).as("regs"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      hllReadout(sketch, exact)
+    }),
+
     // MIXTURE REBALANCING: derive per-source keep rates from the data
     // (equalize token mass — every source downsampled to the smallest
     // source's mass) and apply the deterministic hash-threshold sample in
@@ -468,6 +488,83 @@ object OpsQueries {
        |FROM ex e JOIN est ON est.event_type = e.event_type AND est.term = e.term
        |ORDER BY e.event_type, e.term""".stripMargin
 
+  /** Shared HLL read-out (q108 batch, q109 stream-end state): flatten the
+    * register array to (group, bucket, register) rows and ride the
+    * group-level stats — n_zero, the exact-integer harmonic indicator
+    * Σ 2^(RankCap−M_j), the estimate αm²·2^RankCap / ind (ONE double
+    * division of exact integers) and the exact distinct count — on every
+    * row. `sketch` must expose (event_type, regs: array<int>); `exact`
+    * must expose (event_type, exact_users). */
+  private[queries] def hllReadout(sketch: DataFrame, exact: DataFrame): DataFrame = {
+    import graft.functions.Hll
+    val flat = sketch.select(col("event_type"),
+      posexplode(col("regs")).as(Seq("bucket", "register")))
+    val g = flat.groupBy("event_type").agg(
+      sum(when(col("register") === 0, 1L).otherwise(0L)).as("n_zero"),
+      sum(expr(s"shiftleft(cast(1 as bigint), ${Hll.RankCap} - register)")).as("ind"))
+    flat.join(broadcast(g), "event_type").join(broadcast(exact), "event_type")
+      .select(col("event_type"), col("bucket"), col("register"),
+        col("n_zero"), col("ind"),
+        (lit(Hll.EstNum) / col("ind").cast("double")).as("est"),
+        col("exact_users"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** HLL replay shared by q108 (batch) and q109 (stream-end state over
+    * the capped rows): the splitmix64-style finalizer (Hll.mix) replayed
+    * in normalized HUGEINT — xor and >> exist on HUGEINT, and both
+    * multipliers are < 2^63 so z·C < 2^127 never overflows — then
+    * bucket = top 6 bits, rank = 59 − bitlen of the low 58 bits (bitlen
+    * by exact integer comparison against the 58 powers of two — no float
+    * log), capped at 48; registers max-aggregated per bucket with
+    * empties materialized as 0 via the bucket range cross join. The
+    * estimate numerator is Double.toString of the ONE Scala-computed
+    * constant (shortest round-trip repr) — the engines never re-derive
+    * it. Registers depend only on DISTINCT (group, key): max over
+    * duplicates is idempotent, so the src DISTINCT is semantics-free. */
+  private[queries] def hllSql(where: String = ""): String = {
+    import graft.functions.Hll
+    val M64 = "18446744073709551616::HUGEINT"
+    val shift = BigInt(1) << (64 - Hll.P) // 2^58
+    val powers = (0 until (64 - Hll.P))
+      .map(b => s"${BigInt(1) << b}::HUGEINT").mkString("[", ", ", "]")
+    val gamma = java.lang.Long.toUnsignedString(Mix64.MulA)
+    val c1 = java.lang.Long.toUnsignedString(Hll.MulC1)
+    val c2 = java.lang.Long.toUnsignedString(Hll.MulC2)
+    s"""WITH src AS (SELECT DISTINCT event_type, user_id FROM events${
+         if (where.isEmpty) "" else s" WHERE $where"}),
+       |z0 AS (SELECT event_type,
+       |         ((((user_id::HUGEINT % $M64) + $M64) % $M64)
+       |          + ${gamma}::HUGEINT) % $M64 AS z
+       |       FROM src),
+       |z1 AS (SELECT event_type, (xor(z, z >> 30) * ${c1}::HUGEINT) % $M64 AS z FROM z0),
+       |z2 AS (SELECT event_type, (xor(z, z >> 27) * ${c2}::HUGEINT) % $M64 AS z FROM z1),
+       |h AS (SELECT event_type, xor(z, z >> 31) AS hu FROM z2),
+       |rr AS (SELECT event_type, hu // ${shift}::HUGEINT AS bucket,
+       |         LEAST(${64 - Hll.P + 1} - len(list_filter($powers,
+       |           pw -> (hu % ${shift}::HUGEINT) >= pw)), ${Hll.RankCap}) AS rank
+       |       FROM h),
+       |regs AS (SELECT g.event_type, b.b AS bucket,
+       |           CAST(coalesce(max(rr.rank), 0) AS INT) AS register
+       |         FROM (SELECT DISTINCT event_type FROM src) g
+       |         CROSS JOIN range(0, ${Hll.M}) b(b)
+       |         LEFT JOIN rr ON rr.event_type = g.event_type AND rr.bucket = b.b
+       |         GROUP BY 1, 2),
+       |gs AS (SELECT event_type,
+       |         CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |         CAST(sum(1::BIGINT << (${Hll.RankCap} - register)) AS BIGINT) AS ind
+       |       FROM regs GROUP BY 1),
+       |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+       |       FROM src GROUP BY 1)
+       |SELECT r.event_type, CAST(r.bucket AS INT) AS bucket, r.register,
+       |  gs.n_zero, gs.ind,
+       |  CAST('${java.lang.Double.toString(Hll.EstNum)}' AS DOUBLE)
+       |    / CAST(gs.ind AS DOUBLE) AS est,
+       |  ex.exact_users
+       |FROM regs r JOIN gs USING (event_type) JOIN ex USING (event_type)
+       |ORDER BY r.event_type, r.bucket""".stripMargin
+  }
+
   private[queries] def coordSql(key: String): String =
     s"""((((${java.lang.Long.toUnsignedString(Mix64.MulA)}::HUGEINT * $key
        |    + ${java.lang.Long.toUnsignedString(Mix64.AddB)}::HUGEINT)
@@ -597,6 +694,8 @@ object OpsQueries {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q104_count_min" -> countMinSql(),
+
+    "q108_hll" -> hllSql(),
 
     "q102_scd2" -> scd2Sql(),
 

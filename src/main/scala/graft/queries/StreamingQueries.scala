@@ -282,6 +282,47 @@ object StreamingQueries {
         .orderBy("event_type", "term")
     }),
 
+    // STREAMING HyperLogLog: the q108 sketch as bounded mapGroupsWithState
+    // state (64 ints per group forever), replayed over the capped rows.
+    // Registers are max-merged — idempotent AND order-free, so the
+    // stream-end array IS the batch sketch of the same rows under any
+    // slicing (and even under duplicate delivery, a property none of the
+    // count-based sketches have); the final state is selected by the
+    // monotone (max_by(regs, n)) shape and the read-out — every register,
+    // the exact-integer indicator, the estimate — is q108's, so
+    // stream ≡ batch ≡ SQL bit-for-bit.
+    "q109_stream_hll" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val keyed = eventsUs(s, dir).where(replayFilter("event_id"))
+        .select(col("event_type"), col("user_id"))
+      val rows = keyed.as[(String, Long)].collect().sortBy(r => (r._1, r._2))
+      require(rows.nonEmpty, s"q109_stream_hll: no events at $dir")
+      s.catalog.dropTempView("q109_hll") // re-entrant (bench reps)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)]
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // 5 groups (q92's note)
+      val sq =
+        try graft.streaming.SketchStream.hllSketch(
+            mem.toDF().toDF("event_type", "user_id"), "user_id", "event_type")
+          .writeStream.outputMode("update").format("memory")
+          .queryName("q109_hll").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        rows.grouped(rows.length / 2 + 1).foreach { b =>
+          mem.addData(b.toIndexedSeq: _*); sq.processAllAvailable()
+        }
+      } finally sq.stop()
+      val sketch = s.table("q109_hll")
+        .groupBy(col("group"))
+        .agg(expr("max_by(regs, n)").as("regs"))
+        .select(col("group").as("event_type"), col("regs"))
+      val exact = keyed.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      OpsQueries.hllReadout(sketch, exact)
+    }),
+
     // STREAMING SCD2: the q102 dimension build as a CDC consumer
     // (TemporalStream.scd2Stream — one open version per key as state,
     // closed versions emitted exactly when finalized). Stream-end
@@ -458,6 +499,12 @@ object StreamingQueries {
     // generator with the replay WHERE on both sides
     "q105_stream_cm" ->
       OpsQueries.countMinSql(replayWhereSql("event_id")),
+
+    // q108's full HLL replay over the capped rows — the stream-end
+    // register array must equal the batch sketch, so the oracle is the
+    // same generator with the replay WHERE on both sides
+    "q109_stream_hll" ->
+      OpsQueries.hllSql(replayWhereSql("event_id")),
 
     // the q102/q103 rebuild SQL over the capped rows: the streaming
     // maintenance path must land on the same dimension as batch build

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.functions.{CountMin, Kmv, MisraGries}
+import graft.functions.{CountMin, Hll, Kmv, MisraGries}
 
 /** Per-batch KMV update for one group. `est` is exact below saturation. */
 case class KmvUpdate(group: String, n_kept: Int, kth_min: Option[Long], est: Double)
@@ -26,6 +26,11 @@ case class HistUpdate(group: String, n: Long, n_clamped: Long,
   * (row-major depth×width) and the running item count `n` — strictly
   * increasing per update, the monotone stream-end selector. */
 case class CmUpdate(group: String, n: Long, cm: Seq[Long])
+
+/** Per-batch HyperLogLog update for one group: the running register array
+  * (indexed by bucket) and the running item count `n` — strictly
+  * increasing per update, the monotone stream-end selector. */
+case class HllUpdate(group: String, n: Long, regs: Seq[Int])
 
 /** Streaming distinct-count sketching: the [[graft.functions.KmvDistinct]]
   * bottom-k estimator maintained as `mapGroupsWithState` state, one bounded
@@ -210,6 +215,37 @@ object SketchStream {
           }
           state.update((n, cm))
           CmUpdate(group, n, cm.toSeq)
+      }
+  }
+
+  /** Streaming HyperLogLog: the [[graft.functions.HllAgg]] register array
+    * as per-group state — Hll.M ints per group FOREVER, folded with the
+    * SAME [[Hll.add]] as the batch aggregate. Registers are max-merged
+    * (idempotent + commutative + associative — duplicates and slicing are
+    * both free), so the stream-end array is exactly the batch sketch of
+    * the same rows under any micro-batch slicing; q109 pins
+    * stream ≡ batch ≡ SQL through q108's oracle shape. `n` counts folded
+    * rows — strictly increasing per update, the monotone stream-end
+    * selector (the q94/q105 pattern). */
+  def hllSketch(events: DataFrame, keyCol: String,
+                byCol: String): Dataset[HllUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(byCol).as("g"), col(keyCol).cast("long").as("key"))
+      .where(col("key").isNotNull) // see distinctSketch's null note
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Array[Int]), HllUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (group: String, it: Iterator[(String, Long)],
+         state: GroupState[(Long, Array[Int])]) =>
+          val (n0, regs) = state.getOption.getOrElse(
+            (0L, new Array[Int](Hll.M)))
+          var n = n0
+          it.foreach { case (_, key) => Hll.add(regs, key); n += 1 }
+          state.update((n, regs))
+          HllUpdate(group, n, regs.toSeq)
       }
   }
 }
