@@ -336,6 +336,47 @@ object OpsQueries {
       hllReadout(sketch, exact)
     }),
 
+    // HLL RE-AGGREGATION: the property that makes sketches the 100 TB
+    // distinct-count answer — per-group sketches (q108's) roll up to the
+    // global sketch by elementwise max WITHOUT touching raw keys again
+    // (store sketches at the finest granularity once, answer every
+    // coarser COUNT DISTINCT from 64-int arrays). The query emits the
+    // merged-from-groups register next to the directly-computed global
+    // register on every row, so merge ≡ direct is itself a driver-checked
+    // bit equality, plus the global estimate/exact (q108's read-out
+    // shape). Scale: the roll-up input is #groups × 64 ints — the second
+    // aggregation never sees a key.
+    "q110_hll_merge" -> ((s, dir) => {
+      import graft.functions.Hll
+      val ev = events(s, dir).select(col("event_type"), col("user_id"))
+      val merged = ev.groupBy("event_type")
+        .agg(Hll.hll(col("user_id")).as("regs"))
+        .select(posexplode(col("regs")).as(Seq("bucket", "register")))
+        .groupBy("bucket").agg(max("register").as("reg_merged"))
+      val direct = ev.agg(Hll.hll(col("user_id")).as("regs"))
+        .select(posexplode(col("regs")).as(Seq("bucket", "reg_direct")))
+      // constant-key equi-joins (not crossJoin) so the single-row global
+      // frames attach via BroadcastHashJoin — the registry-wide PlanSpec
+      // sweep rejects nested-loop plans by name. The key must be
+      // NON-FOLDABLE (pmod(col, 1) ≡ 0, but Catalyst can't prove it):
+      // a lit(1) key constant-folds out of the join condition and the
+      // plan degenerates to the nested-loop join this is avoiding.
+      val j = merged.join(broadcast(direct), "bucket")
+        .withColumn("k", pmod(col("bucket"), lit(1)))
+      val g = j.agg(
+        sum(when(col("reg_merged") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(expr(s"shiftleft(cast(1 as bigint), ${Hll.RankCap} - reg_merged)")).as("ind"))
+        .withColumn("k", pmod(col("n_zero"), lit(1)).cast("int"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+        .withColumn("k", pmod(col("exact_users"), lit(1)).cast("int"))
+      j.join(broadcast(g), "k").join(broadcast(exact), "k")
+        .select(col("bucket"), col("reg_merged"), col("reg_direct"),
+          col("n_zero"), col("ind"),
+          (lit(Hll.EstNum) / col("ind").cast("double")).as("est"),
+          col("exact_users"))
+        .orderBy("bucket")
+    }),
+
     // MIXTURE REBALANCING: derive per-source keep rates from the data
     // (equalize token mass — every source downsampled to the smallest
     // source's mass) and apply the deterministic hash-threshold sample in
@@ -565,6 +606,50 @@ object OpsQueries {
        |ORDER BY r.event_type, r.bucket""".stripMargin
   }
 
+  /** q110's oracle: the global (ungrouped) HLL replay. In SQL the
+    * merged-from-groups and direct global sketches are definitionally the
+    * same relation (max over all rows), so the register is emitted twice —
+    * the Spark side must land BOTH its roll-up path and its direct path on
+    * exactly these values, which is what pins mergeability as data. */
+  private[queries] def hllMergeSql(): String = {
+    import graft.functions.Hll
+    val M64 = "18446744073709551616::HUGEINT"
+    val shift = BigInt(1) << (64 - Hll.P)
+    val powers = (0 until (64 - Hll.P))
+      .map(b => s"${BigInt(1) << b}::HUGEINT").mkString("[", ", ", "]")
+    val gamma = java.lang.Long.toUnsignedString(Mix64.MulA)
+    val c1 = java.lang.Long.toUnsignedString(Hll.MulC1)
+    val c2 = java.lang.Long.toUnsignedString(Hll.MulC2)
+    s"""WITH src AS (SELECT DISTINCT user_id FROM events),
+       |z0 AS (SELECT ((((user_id::HUGEINT % $M64) + $M64) % $M64)
+       |               + ${gamma}::HUGEINT) % $M64 AS z FROM src),
+       |z1 AS (SELECT (xor(z, z >> 30) * ${c1}::HUGEINT) % $M64 AS z FROM z0),
+       |z2 AS (SELECT (xor(z, z >> 27) * ${c2}::HUGEINT) % $M64 AS z FROM z1),
+       |h AS (SELECT xor(z, z >> 31) AS hu FROM z2),
+       |rr AS (SELECT hu // ${shift}::HUGEINT AS bucket,
+       |         LEAST(${64 - Hll.P + 1} - len(list_filter($powers,
+       |           pw -> (hu % ${shift}::HUGEINT) >= pw)), ${Hll.RankCap}) AS rank
+       |       FROM h),
+       |regs AS (SELECT b.b AS bucket,
+       |           CAST(coalesce(max(rr.rank), 0) AS INT) AS register
+       |         FROM range(0, ${Hll.M}) b(b)
+       |         LEFT JOIN rr ON rr.bucket = b.b
+       |         GROUP BY 1),
+       |gs AS (SELECT
+       |         CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |         CAST(sum(1::BIGINT << (${Hll.RankCap} - register)) AS BIGINT) AS ind
+       |       FROM regs),
+       |ex AS (SELECT count(DISTINCT user_id) AS exact_users FROM src)
+       |SELECT CAST(r.bucket AS INT) AS bucket,
+       |  r.register AS reg_merged, r.register AS reg_direct,
+       |  gs.n_zero, gs.ind,
+       |  CAST('${java.lang.Double.toString(Hll.EstNum)}' AS DOUBLE)
+       |    / CAST(gs.ind AS DOUBLE) AS est,
+       |  ex.exact_users
+       |FROM regs r CROSS JOIN gs CROSS JOIN ex
+       |ORDER BY r.bucket""".stripMargin
+  }
+
   private[queries] def coordSql(key: String): String =
     s"""((((${java.lang.Long.toUnsignedString(Mix64.MulA)}::HUGEINT * $key
        |    + ${java.lang.Long.toUnsignedString(Mix64.AddB)}::HUGEINT)
@@ -696,6 +781,8 @@ object OpsQueries {
     "q104_count_min" -> countMinSql(),
 
     "q108_hll" -> hllSql(),
+
+    "q110_hll_merge" -> hllMergeSql(),
 
     "q102_scd2" -> scd2Sql(),
 

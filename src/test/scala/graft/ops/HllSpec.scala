@@ -72,6 +72,17 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("per-group sketches roll up to the direct global sketch (q110 shape)") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L), ("c", 9L))
+      .toDF("g", "key")
+    val perGroup = df.groupBy("g").agg(Hll.hll($"key").as("regs"))
+      .collect().map(_.getSeq[Int](1).toArray)
+    val merged = new Array[Int](Hll.M)
+    perGroup.foreach(Hll.merge(merged, _))
+    val direct = df.agg(Hll.hll($"key")).head().getSeq[Int](0).toArray
+    assert(merged === direct)
+  }
+
   test("nulls are ignored") {
     val regs = Seq[Option[Long]](Some(1L), None, Some(2L)).toDF("key")
       .agg(Hll.hll($"key")).head().getSeq[Int](0)
