@@ -610,7 +610,11 @@ object OpsQueries {
     * merged-from-groups and direct global sketches are definitionally the
     * same relation (max over all rows), so the register is emitted twice —
     * the Spark side must land BOTH its roll-up path and its direct path on
-    * exactly these values, which is what pins mergeability as data. */
+    * exactly these values, which is what pins mergeability as data. The
+    * `nonempty` guard on the bucket manufacture keeps the empty-input
+    * answer at 0 rows on both engines (Spark's merged side groups by
+    * event_type first, so an empty corpus yields no buckets — an
+    * unconditioned range(0, m) would yield 64). */
   private[queries] def hllMergeSql(): String = {
     import graft.functions.Hll
     val M64 = "18446744073709551616::HUGEINT"
@@ -632,7 +636,8 @@ object OpsQueries {
        |       FROM h),
        |regs AS (SELECT b.b AS bucket,
        |           CAST(coalesce(max(rr.rank), 0) AS INT) AS register
-       |         FROM range(0, ${Hll.M}) b(b)
+       |         FROM (SELECT DISTINCT 1 FROM src) nonempty
+       |         CROSS JOIN range(0, ${Hll.M}) b(b)
        |         LEFT JOIN rr ON rr.bucket = b.b
        |         GROUP BY 1),
        |gs AS (SELECT
