@@ -355,21 +355,25 @@ object OpsQueries {
         .groupBy("bucket").agg(max("register").as("reg_merged"))
       val direct = ev.agg(Hll.hll(col("user_id")).as("regs"))
         .select(posexplode(col("regs")).as(Seq("bucket", "reg_direct")))
-      // constant-key equi-joins (not crossJoin) so the single-row global
-      // frames attach via BroadcastHashJoin — the registry-wide PlanSpec
-      // sweep rejects nested-loop plans by name. The key must be
-      // NON-FOLDABLE (pmod(col, 1) ≡ 0, but Catalyst can't prove it):
-      // a lit(1) key constant-folds out of the join condition and the
-      // plan degenerates to the nested-loop join this is avoiding.
+      // global stats via an unpartitioned window over the 64-row joined
+      // register frame — a groupBy+re-join would re-execute the merged
+      // AND direct sketch pipelines (two corpus scans each, .explain-
+      // verified). The remaining single-row exact frame attaches via a
+      // NON-FOLDABLE constant key (pmod(col, 1) ≡ 0, but Catalyst can't
+      // prove it): a lit(1) key constant-folds out of the join condition
+      // and the plan degenerates to the nested-loop join the
+      // registry-wide PlanSpec sweep rejects.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
       val j = merged.join(broadcast(direct), "bucket")
+        .withColumn("n_zero",
+          sum(when(col("reg_merged") === 0, 1L).otherwise(0L)).over(w))
+        .withColumn("ind",
+          sum(expr(s"shiftleft(cast(1 as bigint), ${Hll.RankCap} - reg_merged)")).over(w))
         .withColumn("k", pmod(col("bucket"), lit(1)))
-      val g = j.agg(
-        sum(when(col("reg_merged") === 0, 1L).otherwise(0L)).as("n_zero"),
-        sum(expr(s"shiftleft(cast(1 as bigint), ${Hll.RankCap} - reg_merged)")).as("ind"))
-        .withColumn("k", pmod(col("n_zero"), lit(1)).cast("int"))
       val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
         .withColumn("k", pmod(col("exact_users"), lit(1)).cast("int"))
-      j.join(broadcast(g), "k").join(broadcast(exact), "k")
+      j.join(broadcast(exact), "k")
         .select(col("bucket"), col("reg_merged"), col("reg_direct"),
           col("n_zero"), col("ind"),
           (lit(Hll.EstNum) / col("ind").cast("double")).as("est"),
@@ -538,12 +542,20 @@ object OpsQueries {
     * must expose (event_type, exact_users). */
   private[queries] def hllReadout(sketch: DataFrame, exact: DataFrame): DataFrame = {
     import graft.functions.Hll
+    import org.apache.spark.sql.expressions.Window
     val flat = sketch.select(col("event_type"),
       posexplode(col("regs")).as(Seq("bucket", "register")))
-    val g = flat.groupBy("event_type").agg(
-      sum(when(col("register") === 0, 1L).otherwise(0L)).as("n_zero"),
-      sum(expr(s"shiftleft(cast(1 as bigint), ${Hll.RankCap} - register)")).as("ind"))
-    flat.join(broadcast(g), "event_type").join(broadcast(exact), "event_type")
+    // group stats via a window over the exploded registers (#groups × 64
+    // rows), NOT a groupBy+self-join: `flat` referenced twice would
+    // re-execute the whole corpus scan + sketch aggregation — .explain
+    // showed the doubled pipeline before this shape
+    val w = Window.partitionBy("event_type")
+    flat
+      .withColumn("n_zero",
+        sum(when(col("register") === 0, 1L).otherwise(0L)).over(w))
+      .withColumn("ind",
+        sum(expr(s"shiftleft(cast(1 as bigint), ${Hll.RankCap} - register)")).over(w))
+      .join(broadcast(exact), "event_type")
       .select(col("event_type"), col("bucket"), col("register"),
         col("n_zero"), col("ind"),
         (lit(Hll.EstNum) / col("ind").cast("double")).as("est"),
