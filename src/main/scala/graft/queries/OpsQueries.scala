@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Mix64
@@ -381,6 +381,52 @@ object OpsQueries {
         .orderBy("bucket")
     }),
 
+    // HLL SET ALGEBRA: union/intersection estimates between every pair of
+    // event types FROM THE STORED SKETCHES ALONE — union = elementwise
+    // register max (exactly the sketch of the union, not an
+    // approximation-of-an-approximation), intersection by
+    // inclusion-exclusion (est_a + est_b − est_union, parenthesized
+    // identically in both engines so the double arithmetic is
+    // bit-portable). This is the overlap-analytics shape at 100 TB:
+    // cross-slice user overlap from #groups × 64 ints, the corpus read
+    // once for the sketches (+ once here for the exact baseline the
+    // estimates are compared against). The pair enumeration is a
+    // dimension×dimension join (≤ #groups², groups are a 5-row dim) —
+    // whitelisted by name in PlanSpec's quadratic sweep like the IVF
+    // centroid joins. HOF ind-folds run on 64-int arrays × 10 pair rows —
+    // interpreted eval is irrelevant off the corpus path.
+    "q111_hll_setops" -> ((s, dir) => {
+      import graft.functions.Hll
+      val ev = events(s, dir).select(col("event_type"), col("user_id"))
+      val sketch = ev.groupBy("event_type").agg(Hll.hll(col("user_id")).as("regs"))
+      val a = sketch.select(col("event_type").as("type_a"), col("regs").as("regs_a"))
+      val b = sketch.select(col("event_type").as("type_b"), col("regs").as("regs_b"))
+      val pairs = a.join(broadcast(b), col("type_a") < col("type_b"))
+      def indOf(regs: String) = expr(
+        s"""aggregate($regs, cast(0 as bigint),
+           |  (acc, r) -> acc + shiftleft(cast(1 as bigint), ${Hll.RankCap} - r))""".stripMargin)
+      def estOf(ind: Column) = lit(Hll.EstNum) / ind.cast("double")
+      val withEst = pairs
+        .withColumn("regs_u", expr("zip_with(regs_a, regs_b, (x, y) -> greatest(x, y))"))
+        .select(col("type_a"), col("type_b"),
+          estOf(indOf("regs_a")).as("est_a"),
+          estOf(indOf("regs_b")).as("est_b"),
+          estOf(indOf("regs_u")).as("est_union"))
+        .withColumn("est_intersect",
+          (col("est_a") + col("est_b")) - col("est_union"))
+      val du = ev.distinct()
+      val exact = du.as("l").join(du.as("r"), "user_id")
+        .where(col("l.event_type") < col("r.event_type"))
+        .groupBy(col("l.event_type").as("type_a"),
+          col("r.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_both"))
+      withEst.join(broadcast(exact), Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
+          col("est_union"), col("est_intersect"),
+          coalesce(col("exact_both"), lit(0L)).as("exact_both"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // MIXTURE REBALANCING: derive per-source keep rates from the data
     // (equalize token mass — every source downsampled to the smallest
     // source's mass) and apply the deterministic hash-threshold sample in
@@ -667,6 +713,73 @@ object OpsQueries {
        |ORDER BY r.bucket""".stripMargin
   }
 
+  /** q111's oracle: per-group registers (hllSql's grouped shape), pair
+    * self-join on the type dimension, union registers by per-bucket max
+    * over the pair's rows, inclusion-exclusion with the SAME
+    * parenthesization as the Spark side ((est_a + est_b) - est_union) so
+    * the double arithmetic is bit-identical, and the exact overlap from a
+    * user_id self-join of the distinct (type, user) relation. */
+  private[queries] def hllSetopsSql(): String = {
+    import graft.functions.Hll
+    val M64 = "18446744073709551616::HUGEINT"
+    val shift = BigInt(1) << (64 - Hll.P)
+    val powers = (0 until (64 - Hll.P))
+      .map(b => s"${BigInt(1) << b}::HUGEINT").mkString("[", ", ", "]")
+    val gamma = java.lang.Long.toUnsignedString(Mix64.MulA)
+    val c1 = java.lang.Long.toUnsignedString(Hll.MulC1)
+    val c2 = java.lang.Long.toUnsignedString(Hll.MulC2)
+    val en = s"CAST('${java.lang.Double.toString(Hll.EstNum)}' AS DOUBLE)"
+    s"""WITH src AS (SELECT DISTINCT event_type, user_id FROM events),
+       |z0 AS (SELECT event_type, user_id,
+       |         ((((user_id::HUGEINT % $M64) + $M64) % $M64)
+       |          + ${gamma}::HUGEINT) % $M64 AS z
+       |       FROM src),
+       |z1 AS (SELECT event_type, (xor(z, z >> 30) * ${c1}::HUGEINT) % $M64 AS z FROM z0),
+       |z2 AS (SELECT event_type, (xor(z, z >> 27) * ${c2}::HUGEINT) % $M64 AS z FROM z1),
+       |h AS (SELECT event_type, xor(z, z >> 31) AS hu FROM z2),
+       |rr AS (SELECT event_type, hu // ${shift}::HUGEINT AS bucket,
+       |         LEAST(${64 - Hll.P + 1} - len(list_filter($powers,
+       |           pw -> (hu % ${shift}::HUGEINT) >= pw)), ${Hll.RankCap}) AS rank
+       |       FROM h),
+       |types AS (SELECT DISTINCT event_type FROM src),
+       |regs AS (SELECT g.event_type, b.b AS bucket,
+       |           CAST(coalesce(max(rr.rank), 0) AS INT) AS register
+       |         FROM types g
+       |         CROSS JOIN range(0, ${Hll.M}) b(b)
+       |         LEFT JOIN rr ON rr.event_type = g.event_type AND rr.bucket = b.b
+       |         GROUP BY 1, 2),
+       |gind AS (SELECT event_type,
+       |           CAST(sum(1::BIGINT << (${Hll.RankCap} - register)) AS BIGINT) AS ind
+       |         FROM regs GROUP BY 1),
+       |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+       |          FROM types a JOIN types b ON a.event_type < b.event_type),
+       |uregs AS (SELECT p.type_a, p.type_b, r.bucket, max(r.register) AS register
+       |          FROM pairs p JOIN regs r
+       |            ON r.event_type = p.type_a OR r.event_type = p.type_b
+       |          GROUP BY 1, 2, 3),
+       |uind AS (SELECT type_a, type_b,
+       |           CAST(sum(1::BIGINT << (${Hll.RankCap} - register)) AS BIGINT) AS ind
+       |         FROM uregs GROUP BY 1, 2),
+       |exact AS (SELECT l.event_type AS type_a, r.event_type AS type_b,
+       |            count(*) AS exact_both
+       |          FROM src l JOIN src r
+       |            ON l.user_id = r.user_id AND l.event_type < r.event_type
+       |          GROUP BY 1, 2)
+       |SELECT p.type_a, p.type_b,
+       |  $en / CAST(ia.ind AS DOUBLE) AS est_a,
+       |  $en / CAST(ib.ind AS DOUBLE) AS est_b,
+       |  $en / CAST(u.ind AS DOUBLE) AS est_union,
+       |  ($en / CAST(ia.ind AS DOUBLE) + $en / CAST(ib.ind AS DOUBLE))
+       |    - $en / CAST(u.ind AS DOUBLE) AS est_intersect,
+       |  coalesce(e.exact_both, 0) AS exact_both
+       |FROM pairs p
+       |JOIN gind ia ON ia.event_type = p.type_a
+       |JOIN gind ib ON ib.event_type = p.type_b
+       |JOIN uind u ON u.type_a = p.type_a AND u.type_b = p.type_b
+       |LEFT JOIN exact e ON e.type_a = p.type_a AND e.type_b = p.type_b
+       |ORDER BY p.type_a, p.type_b""".stripMargin
+  }
+
   private[queries] def coordSql(key: String): String =
     s"""((((${java.lang.Long.toUnsignedString(Mix64.MulA)}::HUGEINT * $key
        |    + ${java.lang.Long.toUnsignedString(Mix64.AddB)}::HUGEINT)
@@ -800,6 +913,8 @@ object OpsQueries {
     "q108_hll" -> hllSql(),
 
     "q110_hll_merge" -> hllMergeSql(),
+
+    "q111_hll_setops" -> hllSetopsSql(),
 
     "q102_scd2" -> scd2Sql(),
 

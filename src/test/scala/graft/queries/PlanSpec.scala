@@ -262,8 +262,11 @@ class PlanSpec extends SparkSpec {
     // carry 8 ints, not vectors — the linear scan IS the operator (q80 also
     // embeds q40's labeled exact baseline)
     // q106 embeds q41's IVF (same bounded centroid-assignment broadcast)
+    // q111's pair enumeration is the ≤ #groups² self-join of the 5-row
+    // type DIMENSION (sketch algebra runs on stored sketches, never data)
     val allowed = Set("q40_ann_topk", "q41_ann_ivf", "q47_ivf_recall",
-      "q79_ann_pq", "q80_pq_recall", "q84_ivfpq_recall", "q106_knn_classify")
+      "q79_ann_pq", "q80_pq_recall", "q84_ivfpq_recall", "q106_knn_classify",
+      "q111_hll_setops")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
