@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Product-quantization codec: [[PqEncodeExpr]] maps a D-dim float vector to
   * M sub-codebook indices (argmin L2 per subspace, ties to the lowest index)
@@ -195,4 +195,53 @@ case class PqAdcExpr(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): PqAdcExpr = copy(left = l, right = r)
+}
+
+/** PORTABLE twin of [[PqAdcExpr]]: (query array<float>, codes array<int>)
+  * → the EXACT integer ADC squared L2 distance Σ_mi Σ_d (qv−qc)² between
+  * the quantized query (floor(x·2^20) per component — exact in double)
+  * and the integer codebook entries the codes select. Every arithmetic
+  * step is integer, so candidate generation ranked by this distance
+  * (ties → id) is a total order DuckDB replays bit-for-bit — the
+  * candidate stage of the re-rank retrieval shape (q112) carries a full
+  * oracle, unlike the float-cosine [[PqAdcExpr]] scan. Bound: per-sub
+  * d2 < sub·(2·2^20)² ≈ 2^45 for unit-scale inputs; the sum over m
+  * subspaces stays far below 2^63. */
+case class PqAdcPortableExpr(left: Expression, right: Expression,
+    codebook: PqCodec.QCodebook)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc_portable_d2"
+
+  private val m = codebook.length
+  private val sub = codebook(0)(0).length
+  private val Q = 1048576.0 // 2^20
+
+  override def nullSafeEval(q: Any, codes: Any): Any = {
+    val qv = q.asInstanceOf[ArrayData]
+    val cd = codes.asInstanceOf[ArrayData]
+    require(qv.numElements() == m * sub && cd.numElements() == m,
+      s"pq_adc_portable_d2 expects ${m * sub}-dim query and $m codes")
+    var total = 0L
+    var mi = 0
+    while (mi < m) {
+      val j = cd.getInt(mi)
+      require(j >= 0 && j < codebook(mi).length,
+        s"pq_adc_portable_d2: code $j at subspace $mi out of range " +
+          s"[0, ${codebook(mi).length}) — codes trained under a different codebook?")
+      val c = codebook(mi)(j)
+      var di = 0
+      while (di < sub) {
+        val diff = math.floor(qv.getFloat(mi * sub + di).toDouble * Q).toLong - c(di)
+        total += diff * diff
+        di += 1
+      }
+      mi += 1
+    }
+    total
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdcPortableExpr = copy(left = l, right = r)
 }

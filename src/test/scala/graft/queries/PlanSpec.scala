@@ -264,9 +264,12 @@ class PlanSpec extends SparkSpec {
     // q106 embeds q41's IVF (same bounded centroid-assignment broadcast)
     // q111's pair enumeration is the ≤ #groups² self-join of the 5-row
     // type DIMENSION (sketch algebra runs on stored sketches, never data)
+    // q112/q113's candidate stage is the labeled compressed-domain PQ scan
+    // (corpus rows carry 8 ints) — q79's rationale; the re-rank itself is
+    // a hash join on neighbor_id
     val allowed = Set("q40_ann_topk", "q41_ann_ivf", "q47_ivf_recall",
       "q79_ann_pq", "q80_pq_recall", "q84_ivfpq_recall", "q106_knn_classify",
-      "q111_hll_setops")
+      "q111_hll_setops", "q112_pq_rerank", "q113_rerank_recall")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>

@@ -165,4 +165,23 @@ class PqSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pq2 === pq, "PQ result depends on partition layout")
   }
+
+  test("candidate+re-rank beats the raw ADC ranking and is layout-invariant") {
+    val q = emb.where(col("vec_id") < 20)
+    val bf = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(qs: org.apache.spark.sql.DataFrame,
+            cs: org.apache.spark.sql.DataFrame) =
+      Pq.rerankTopK(qs, cs, "vec_id", "embedding",
+          k = 10, nCand = 200, m = 8, kCent = 128)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = run(q, emb)
+    val recall = (bf & rr).size.toDouble / bf.size
+    // q113's measured value at this SF is 0.99; the floor leaves margin
+    assert(recall >= 0.8, f"re-rank recall@10 $recall%.2f below floor")
+    assert(run(q.repartition(7), emb.repartition(5)) === rr,
+      "re-rank result depends on partition layout")
+  }
 }
