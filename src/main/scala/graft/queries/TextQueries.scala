@@ -457,7 +457,56 @@ object TextQueries {
       t(s, dir, "documents").select(
         col("doc_id"),
         contentFingerprint(col("text")).as("content_fp"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // EXACT DUPLICATED-SPAN detection — substring-level dedup at word
+    // granularity (the "remove repeated 50-grams" curation stage; cf. the
+    // suffix-array dedup of Lee et al., re-expressed as a set problem
+    // Spark can shuffle): an 8-token span is duplicated iff its gram
+    // occurs in ≥ 2 DISTINCT docs (within-doc repetition is q57's
+    // signal, not this one). Per doc we report span counts plus the
+    // TOKEN COVERAGE of duplicated spans — the union of their [pos,
+    // pos+7] windows via an (doc_id, token_pos) distinct, which is how
+    // overlapping spans merge without any sequential interval walk —
+    // and the resulting cut fraction in exact-integer ppm. Scale shape:
+    // two hash shuffles, both narrow — (gram, doc_id) pairs for the
+    // distinct-doc count (map-side combinable), then (doc_id, pos)
+    // ints for coverage; document text never shuffles. At 100 TB the
+    // join key would be xxhash64(gram) (8 B vs ~50 B strings) with the
+    // dup-gram side typically small enough to broadcast; raw strings
+    // here keep the oracle an exact string-equality replay.
+    "q114_span_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          greatest(size(col("ws")) - 7, lit(0)).cast("long").as("n_spans"),
+          col("ws"))
+      val spans = base.where(col("n_spans") > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(1L), col("n_spans"))).as("pos"), col("ws"))
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", slice(col("ws"), col("pos").cast("int"), lit(8)))
+            .as("gram"))
+      val dup = spans.select("gram", "doc_id").distinct()
+        .groupBy("gram").agg(count(lit(1)).as("nd"))
+        .where(col("nd") >= 2).select("gram")
+      val dspans = spans.join(dup, "gram").select("doc_id", "pos")
+      val nDup = dspans.groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+      val cov = dspans
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + 7)).as("tp"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("dup_tokens"))
+      base.select("doc_id", "n_tokens", "n_spans")
+        .join(nDup, Seq("doc_id"), "left")
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+        .withColumn("cut_ppm", expr("dup_tokens * 1000000 div n_tokens"))
+        .orderBy("doc_id")
+    }))
 
   private val StopwordsSql =
     graft.text.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -855,6 +904,37 @@ object TextQueries {
         |  FROM base b JOIN packed p ON b.shard = p.shard AND b.rn = p.rn + 1)
         |SELECT shard, doc_id, n_tok, pack_idx FROM packed
         |ORDER BY shard, doc_id""".stripMargin,
+
+    // same 8-token spans via list slicing; coverage = distinct (doc_id,
+    // token_pos) after expanding each dup span's window — overlapping
+    // spans union without an interval walk on either side. generate_series
+    // is empty when the doc has < 8 tokens (n_spans = 0 rows filtered),
+    // matching the Spark-side where-guard; // is exact BIGINT division
+    // like Spark's div.
+    "q114_span_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |                CAST(greatest(len(ws) - 7, 0) AS BIGINT) AS n_spans, ws
+        |         FROM d),
+        |sp AS (SELECT doc_id, ws, unnest(generate_series(1, n_spans)) AS pos
+        |       FROM base WHERE n_spans > 0),
+        |grams AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+7], ' ') AS gram
+        |          FROM sp),
+        |dup AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM grams)
+        |        GROUP BY gram HAVING count(*) >= 2),
+        |ds AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        |nd AS (SELECT doc_id, count(*) AS n_dup_spans FROM ds GROUP BY doc_id),
+        |cov AS (SELECT doc_id, count(*) AS dup_tokens FROM
+        |          (SELECT DISTINCT doc_id, tp FROM
+        |            (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tp
+        |             FROM ds))
+        |        GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, b.n_spans,
+        |       coalesce(nd.n_dup_spans, 0) AS n_dup_spans,
+        |       coalesce(cov.dup_tokens, 0) AS dup_tokens,
+        |       coalesce(cov.dup_tokens, 0) * 1000000 // b.n_tokens AS cut_ppm
+        |FROM base b LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q35_content_fp" ->
       """SELECT doc_id,

@@ -131,6 +131,30 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("q114 span dedup: cross-doc 8-gram spans, overlap union, short-doc edge") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q114docs").toString
+    Seq(
+      (1L, "a b c d e f g h x1 y1"), // shares its first 8-gram with doc 2,
+      (2L, "z a b c d e f g h w"),   //   all three with doc 5
+      (3L, "p q r s t u v w x y"),   // unique — no duplicated span
+      (4L, "short doc"),             // < 8 tokens — zero spans
+      (5L, "a b c d e f g h x1 y1")  // exact copy of doc 1
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("q114_span_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // doc 1 ≡ doc 5: all 3 spans duplicated; coverage is the UNION of the
+    // overlapping windows (10 tokens, not 3·8=24) — cut_ppm = 1e6
+    assert(got(1L) == ((10L, 3L, 3L, 10L, 1000000L)))
+    assert(got(5L) == ((10L, 3L, 3L, 10L, 1000000L)))
+    // doc 2 shares exactly one 8-gram (at pos 2): coverage 8 of 10 tokens
+    assert(got(2L) == ((10L, 3L, 1L, 8L, 800000L)))
+    // unique doc and sub-8-token doc both report zeros
+    assert(got(3L) == ((10L, 3L, 0L, 0L, 0L)))
+    assert(got(4L) == ((2L, 0L, 0L, 0L, 0L)))
+  }
+
   test("q96 PII redaction: every planted contact found, redacted text is clean") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.SparkEntry.queries("q96_pii_redact")(spark, dir).collect()
