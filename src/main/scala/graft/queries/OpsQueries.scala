@@ -510,7 +510,42 @@ object OpsQueries {
         .select(col("event_id"), col("user_id"),
           expr("ts_ns div 1000 div 86400000000").as("day"))
         .withColumn("zval", graft.functions.ZOrder.zval(col("user_id"), col("day")))
-        .orderBy("event_id")))
+        .orderBy("event_id")),
+
+    // DATA-QUALITY AUDIT (the ingestion gate): Audit.verify batches all
+    // of a table's constraint metrics into ONE scan — completeness (null
+    // counts), domain and range violation counts, key uniqueness as
+    // count − countDistinct — and referential integrity rides a left-anti
+    // join audited as its own frame (at 100 TB: broadcast when the dim
+    // fits, shuffle anti-join otherwise; either way only keys move).
+    // Output is the audit report itself — (check_name, metric, passed) —
+    // the artifact a pipeline gates promotion on.
+    "q115_data_audit" -> ((s, dir) => {
+      import graft.ops.Audit, Audit.Check
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val liAudit = Audit.verify(li, Seq(
+        Check("li_rowcount", count(lit(1)), _ > 0),
+        Check("li_qty_range_viol",
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)), _ === 0),
+        Check("li_returnflag_domain_viol",
+          sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+            .otherwise(0L)), _ === 0),
+        Check("li_shipdate_nulls",
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)), _ === 0)))
+      val ordAudit = Audit.verify(ord, Seq(
+        Check("ord_pk_dups",
+          count(lit(1)) - countDistinct(col("o_orderkey")), _ === 0),
+        Check("ord_totalprice_nonpos",
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)), _ === 0)))
+      val refAudit = Audit.verify(
+        ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti"),
+        Seq(Check("ord_custkey_orphans", count(lit(1)), _ === 0)))
+      liAudit.unionByName(ordAudit).unionByName(refAudit)
+        .orderBy("check_name")
+    }))
 
   /** q49's per-stratum rates — thresholds are derived through the same
     * Sampling.threshold floor on both sides. */
@@ -1025,7 +1060,44 @@ object OpsQueries {
     "q66_zorder" ->
       s"""SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day,
          |  ${zvalSql("user_id", "(epoch_us(ts) // 86400000000)")} AS zval
-         |FROM events ORDER BY event_id""".stripMargin)
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    // each branch replays one Check verbatim; CAST to BIGINT mirrors the
+    // Spark side's metric.cast("long") (DuckDB's sum(CASE) is HUGEINT)
+    "q115_data_audit" ->
+      """SELECT check_name, metric, passed FROM (
+        |  SELECT 'li_rowcount' AS check_name, CAST(count(*) AS BIGINT) AS metric,
+        |         count(*) > 0 AS passed FROM lineitem
+        |  UNION ALL
+        |  SELECT 'li_qty_range_viol',
+        |         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+        |         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'li_returnflag_domain_viol',
+        |         CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT),
+        |         sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'li_shipdate_nulls',
+        |         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'ord_pk_dups',
+        |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+        |         count(*) - count(DISTINCT o_orderkey) = 0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'ord_totalprice_nonpos',
+        |         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |         sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'ord_custkey_orphans', CAST(count(*) AS BIGINT), count(*) = 0
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NULL)
+        |ORDER BY check_name""".stripMargin)
 
   /** Σ_b ((x>>b)&1)·2^(2b) + ((y>>b)&1)·2^(2b+1) — [[ZOrder.interleave]]
     * unrolled as DuckDB SQL (inputs here are < 2^16, matching the mask). */
