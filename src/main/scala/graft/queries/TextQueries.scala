@@ -506,7 +506,46 @@ object TextQueries {
           coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
         .withColumn("cut_ppm", expr("dup_tokens * 1000000 div n_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // MODEL-BASED quality filtering: apply a linear classifier head to
+    // per-doc integer features (see QcWeights above) — q31 is the
+    // heuristic score, this is the trained-model shape that replaces it
+    // in production curation. One narrow projection per doc, the native
+    // one-pass textStats expression for the features, exact-integer
+    // logit so the keep/drop decision replays bit-for-bit anywhere.
+    "q116_quality_classifier" -> ((s, dir) => {
+      val feats = t(s, dir, "documents")
+        .select(col("doc_id"), textStats(col("text")).as("st"),
+          length(col("text")).cast("long").as("n_chars"))
+        .select(col("doc_id"),
+          col("st.ws_tokens").cast("long").as("n_tokens"),
+          col("st.stop_hits").cast("long").as("stop_hits"),
+          col("st.len_sum").as("len_sum"),
+          col("n_chars"))
+      val logit = QcWeights.map { case (f, w) => col(f) * lit(w) }
+        .foldLeft(lit(QcBias))(_ + _)
+      feats.withColumn("logit_micro", logit)
+        .withColumn("keep", col("logit_micro") >= 0)
+        .orderBy("doc_id")
     }))
+
+  /** q116's linear quality head: integer micro-unit weights over the
+    * one-pass [[graft.functions.TextStats]] features plus n_chars. A
+    * stand-in for a TRAINED head (the fastText/logistic quality-filter
+    * stage of a curation pipeline): the operator is the scoring shape —
+    * a broadcast weight vector dotted against per-doc integer features
+    * in one narrow codegen'd projection, no shuffle, and a decision
+    * that is exact-integer portable (keep ⇔ logit_micro ≥ 0; no
+    * sigmoid needed — it is monotone in the logit). Swapping in real
+    * trained weights changes only these constants. Both the Spark plan
+    * and the DuckDB oracle are generated from this one table. */
+  private val QcBias = -55000L
+  private val QcWeights: Seq[(String, Long)] = Seq(
+    "stop_hits" -> 9000L,   // stopword mass — the strongest fluency signal
+    "n_tokens"  -> 500L,
+    "len_sum"   -> -120L,   // penalize long-token (gibberish/url) mass
+    "n_chars"   -> 80L)
 
   private val StopwordsSql =
     graft.text.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -935,6 +974,28 @@ object TextQueries {
         |       coalesce(cov.dup_tokens, 0) * 1000000 // b.n_tokens AS cut_ppm
         |FROM base b LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // features replay q30/q31's tokenization (nonempty \s+ split; stop
+    // hits lowercased; len_sum over raw tokens, coalesced to 0 for the
+    // empty doc where DuckDB's list_aggregate('sum') is NULL); the logit
+    // terms are generated from the SAME QcWeights table as the plan
+    "q116_quality_classifier" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, length(text) AS nc,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rawtoks
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(rawtoks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(toks, x -> list_contains($StopwordsSql, x))) AS BIGINT) AS stop_hits,
+         |    CAST(coalesce(list_aggregate(list_transform(rawtoks, x -> length(x)), 'sum'), 0) AS BIGINT) AS len_sum,
+         |    CAST(nc AS BIGINT) AS n_chars
+         |  FROM base)
+         |SELECT doc_id, n_tokens, stop_hits, len_sum, n_chars,
+         |  CAST(($QcBias) + ${QcWeights.map { case (f, w) => s"($w) * $f" }.mkString(" + ")} AS BIGINT) AS logit_micro,
+         |  (($QcBias) + ${QcWeights.map { case (f, w) => s"($w) * $f" }.mkString(" + ")}) >= 0 AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "q35_content_fp" ->
       """SELECT doc_id,

@@ -155,6 +155,33 @@ class TextSpec extends SparkSpec {
     assert(got(4L) == ((2L, 0L, 0L, 0L, 0L)))
   }
 
+  test("q116 quality classifier: exact integer logit, fluent kept, gibberish dropped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q116docs").toString
+    val fluent = "the cat sat on the mat and it was happy to be in the sun"
+    val gibber = "zxqwv kjhgfdsapoiuy mnbvcxzlkjhgfdsa qwertyuiopasdfghjklzx"
+    Seq((1L, fluent), (2L, gibber), (3L, "")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("q116_quality_classifier")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6)))).toMap
+    // fluent: 14 tokens, 8 stop hits ("the"×3, on, and, it, was, to, be,
+    // in = 10 actually — compute from the real list), len_sum = chars
+    // minus 13 spaces; assert the logit IS the dot product of the
+    // emitted features (internal consistency, weights as deployed)
+    got.foreach { case (id, (nTok, stop, lenSum, nChars, logit, keep)) =>
+      val expect = -55000L + 9000L * stop + 500L * nTok - 120L * lenSum + 80L * nChars
+      assert(logit == expect, s"doc $id logit")
+      assert(keep == (logit >= 0), s"doc $id keep flag")
+    }
+    // the decision discriminates: stopword-rich prose in, gibberish out
+    assert(got(1L)._6, "fluent doc kept")
+    assert(!got(2L)._6, "gibberish doc dropped")
+    // empty doc: all features zero, keep = (bias >= 0) = false
+    assert(got(3L) == ((0L, 0L, 0L, 0L, -55000L, false)))
+  }
+
   test("q96 PII redaction: every planted contact found, redacted text is clean") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.SparkEntry.queries("q96_pii_redact")(spark, dir).collect()
