@@ -545,7 +545,32 @@ object OpsQueries {
         Seq(Check("ord_custkey_orphans", count(lit(1)), _ === 0)))
       liAudit.unionByName(ordAudit).unionByName(refAudit)
         .orderBy("check_name")
-    }))
+    }),
+
+    // SHARD MANIFEST (the dataset-publishing step): deterministic shard
+    // assignment — shard = Mix64(doc_id) mod 16, a pure function of the
+    // key, so the layout is stable across runs, engines and cluster
+    // sizes — plus a per-shard integrity record: doc/token counts, key
+    // range, and an ORDER-FREE content checksum (bit_xor of the portable
+    // per-doc rolling fingerprint). XOR is commutative and bounded, so
+    // the checksum needs no sort and no big state whatever the shard
+    // size; a consumer re-derives the manifest from the shipped data and
+    // compares — corruption or loss shows as a checksum/count mismatch.
+    // One scan, map-side-combinable aggregates, a 16-group shuffle.
+    "q117_shard_manifest" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .select(
+          (Mix64.sampleCoord(col("doc_id")) % 16).as("shard"),
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          graft.text.TextAnalysis.contentFingerprint(col("text")).as("fp"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          expr("bit_xor(fp)").as("content_xor"),
+          min("doc_id").as("min_doc_id"),
+          max("doc_id").as("max_doc_id"))
+        .orderBy("shard")))
 
   /** q49's per-stratum rates — thresholds are derived through the same
     * Sampling.threshold floor on both sides. */
@@ -1097,7 +1122,30 @@ object OpsQueries {
         |  SELECT 'ord_custkey_orphans', CAST(count(*) AS BIGINT), count(*) = 0
         |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         |  WHERE c.c_custkey IS NULL)
-        |ORDER BY check_name""".stripMargin)
+        |ORDER BY check_name""".stripMargin,
+
+    // shard = the Mix64 coordinate mod 16; fp replays q35's rolling-31
+    // HUGEINT hash (ASCII corpus) converted to signed before the BIGINT
+    // bit_xor — XOR of identical bit patterns is representation-blind,
+    // but the signed conversion keeps every emitted value Spark-equal
+    "q117_shard_manifest" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, CAST(${coordSql("doc_id")} % 16 AS BIGINT) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    list_reduce(
+         |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+         |        list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS HUGEINT))),
+         |      (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS hh
+         |  FROM documents),
+         |f AS (SELECT doc_id, shard, n_tok,
+         |    CAST(CASE WHEN hh >= 9223372036854775808::HUGEINT
+         |              THEN hh - 18446744073709551616::HUGEINT ELSE hh END AS BIGINT) AS fp
+         |  FROM h)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  bit_xor(fp) AS content_xor,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |FROM f GROUP BY shard ORDER BY shard""".stripMargin)
 
   /** Σ_b ((x>>b)&1)·2^(2b) + ((y>>b)&1)·2^(2b+1) — [[ZOrder.interleave]]
     * unrolled as DuckDB SQL (inputs here are < 2^16, matching the mask). */
