@@ -558,19 +558,65 @@ object OpsQueries {
     // compares — corruption or loss shows as a checksum/count mismatch.
     // One scan, map-side-combinable aggregates, a 16-group shuffle.
     "q117_shard_manifest" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .select(
-          (Mix64.sampleCoord(col("doc_id")) % 16).as("shard"),
-          col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"),
-          graft.text.TextAnalysis.contentFingerprint(col("text")).as("fp"))
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tok")).as("n_tokens"),
-          expr("bit_xor(fp)").as("content_xor"),
-          min("doc_id").as("min_doc_id"),
-          max("doc_id").as("max_doc_id"))
-        .orderBy("shard")))
+      manifestOf(t(s, dir, "documents")).orderBy("shard")),
+
+    // INCREMENTAL manifest maintenance, proven as data (the q110
+    // merge≡direct discipline): every manifest statistic is a
+    // commutative monoid — counts add, XOR xors (its own inverse: a
+    // retracted doc XORs back OUT), min/max combine — so publishing a
+    // delta batch updates the manifest from #shards rows + the DELTA
+    // alone, never re-reading the corpus. The query computes the full
+    // manifest NEXT TO base⊕delta (base = doc_id mod 4 ≠ 0, delta =
+    // the rest — a pure predicate split, no driver round trip) and
+    // emits their equality per shard as a driver-checked bit.
+    "q118_manifest_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val full = manifestOf(docs)
+      def named(df: DataFrame, p: String): DataFrame = df.select(
+        col("shard"), col("n_docs").as(s"${p}_docs"),
+        col("n_tokens").as(s"${p}_tokens"), col("content_xor").as(s"${p}_xor"),
+        col("min_doc_id").as(s"${p}_min"), col("max_doc_id").as(s"${p}_max"))
+      val base = named(manifestOf(docs.where(col("doc_id") % 4 =!= 0)), "b")
+      val delta = named(manifestOf(docs.where(col("doc_id") % 4 === 0)), "d")
+      def comb(b: Column, d: Column, both: Column): Column =
+        when(b.isNull, d).when(d.isNull, b).otherwise(both)
+      val applied = base.join(delta, Seq("shard"), "full_outer")
+        .select(col("shard"),
+          (coalesce(col("b_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L)))
+            .as("a_docs"),
+          (coalesce(col("b_tokens"), lit(0L)) + coalesce(col("d_tokens"), lit(0L)))
+            .as("a_tokens"),
+          coalesce(col("b_xor"), lit(0L)).bitwiseXOR(coalesce(col("d_xor"), lit(0L)))
+            .as("a_xor"),
+          comb(col("b_min"), col("d_min"), least(col("b_min"), col("d_min")))
+            .as("a_min"),
+          comb(col("b_max"), col("d_max"), greatest(col("b_max"), col("d_max")))
+            .as("a_max"))
+      full.join(applied, "shard")
+        .select(col("shard"), col("n_docs"), col("n_tokens"), col("content_xor"),
+          col("min_doc_id"), col("max_doc_id"), col("a_docs"), col("a_tokens"),
+          col("a_xor"), col("a_min"), col("a_max"),
+          (col("n_docs") === col("a_docs") && col("n_tokens") === col("a_tokens")
+            && col("content_xor") === col("a_xor")
+            && col("min_doc_id") === col("a_min")
+            && col("max_doc_id") === col("a_max")).as("incremental_ok"))
+        .orderBy("shard")
+    }))
+
+  /** q117/q118's per-shard manifest: Mix64 shard of the key, doc/token
+    * counts, key range, and the order-free bit_xor content checksum. */
+  private def manifestOf(docs: DataFrame): DataFrame =
+    docs.select(
+        (Mix64.sampleCoord(col("doc_id")) % 16).as("shard"),
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        graft.text.TextAnalysis.contentFingerprint(col("text")).as("fp"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        expr("bit_xor(fp)").as("content_xor"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
 
   /** q49's per-stratum rates — thresholds are derived through the same
     * Sampling.threshold floor on both sides. */
@@ -1129,23 +1175,56 @@ object OpsQueries {
     // bit_xor — XOR of identical bit patterns is representation-blind,
     // but the signed conversion keeps every emitted value Spark-equal
     "q117_shard_manifest" ->
-      s"""WITH h AS (
-         |  SELECT doc_id, CAST(${coordSql("doc_id")} % 16 AS BIGINT) AS shard,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-         |    list_reduce(
-         |      list_prepend(CAST(1125899906842597 AS HUGEINT),
-         |        list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS HUGEINT))),
-         |      (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS hh
-         |  FROM documents),
-         |f AS (SELECT doc_id, shard, n_tok,
-         |    CAST(CASE WHEN hh >= 9223372036854775808::HUGEINT
-         |              THEN hh - 18446744073709551616::HUGEINT ELSE hh END AS BIGINT) AS fp
-         |  FROM h)
-         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-         |  bit_xor(fp) AS content_xor,
-         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
-         |FROM f GROUP BY shard ORDER BY shard""".stripMargin)
+      s"${manifestSql("")} ORDER BY shard",
+
+    // base⊕delta replayed with the same monoid combines; the NULL-side
+    // CASEs mirror the Spark when-chain exactly (a shard missing from
+    // one side inherits the other side's min/max unchanged)
+    "q118_manifest_apply" ->
+      s"""WITH f AS (${manifestSql("")}),
+         |b AS (${manifestSql("WHERE doc_id % 4 <> 0")}),
+         |d AS (${manifestSql("WHERE doc_id % 4 = 0")}),
+         |applied AS (
+         |  SELECT shard,
+         |    coalesce(b.n_docs, 0) + coalesce(d.n_docs, 0) AS a_docs,
+         |    coalesce(b.n_tokens, 0) + coalesce(d.n_tokens, 0) AS a_tokens,
+         |    xor(coalesce(b.content_xor, 0), coalesce(d.content_xor, 0)) AS a_xor,
+         |    CASE WHEN b.min_doc_id IS NULL THEN d.min_doc_id
+         |         WHEN d.min_doc_id IS NULL THEN b.min_doc_id
+         |         ELSE least(b.min_doc_id, d.min_doc_id) END AS a_min,
+         |    CASE WHEN b.max_doc_id IS NULL THEN d.max_doc_id
+         |         WHEN d.max_doc_id IS NULL THEN b.max_doc_id
+         |         ELSE greatest(b.max_doc_id, d.max_doc_id) END AS a_max
+         |  FROM b FULL OUTER JOIN d USING (shard))
+         |SELECT f.shard, f.n_docs, f.n_tokens, f.content_xor,
+         |  f.min_doc_id, f.max_doc_id,
+         |  a.a_docs, a.a_tokens, a.a_xor, a.a_min, a.a_max,
+         |  (f.n_docs = a.a_docs AND f.n_tokens = a.a_tokens
+         |   AND f.content_xor = a.a_xor AND f.min_doc_id = a.a_min
+         |   AND f.max_doc_id = a.a_max) AS incremental_ok
+         |FROM f JOIN applied a USING (shard)
+         |ORDER BY shard""".stripMargin)
+
+  /** The q117 manifest as DuckDB SQL over `documents` with an optional
+    * row predicate — q118 instantiates it three times (full/base/delta). */
+  private def manifestSql(where: String): String =
+    s"""SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  bit_xor(fp) AS content_xor,
+       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+       |FROM (
+       |  SELECT doc_id, shard, n_tok,
+       |    CAST(CASE WHEN hh >= 9223372036854775808::HUGEINT
+       |              THEN hh - 18446744073709551616::HUGEINT ELSE hh END AS BIGINT) AS fp
+       |  FROM (
+       |    SELECT doc_id, CAST(${coordSql("doc_id")} % 16 AS BIGINT) AS shard,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |      list_reduce(
+       |        list_prepend(CAST(1125899906842597 AS HUGEINT),
+       |          list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS HUGEINT))),
+       |        (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS hh
+       |    FROM documents $where))
+       |GROUP BY shard""".stripMargin
 
   /** Σ_b ((x>>b)&1)·2^(2b) + ((y>>b)&1)·2^(2b+1) — [[ZOrder.interleave]]
     * unrolled as DuckDB SQL (inputs here are < 2^16, matching the mask). */

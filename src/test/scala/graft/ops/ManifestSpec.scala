@@ -23,6 +23,33 @@ class ManifestSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q118 manifest apply: every statistic recombines; XOR retracts a doc exactly") {
+    import org.apache.spark.sql.functions._
+    // the driver-checked bit at sf0.001: base⊕delta lands on the full
+    // manifest for every shard
+    val ok = graft.SparkEntry.queries("q118_manifest_apply")(spark, sfDir)
+      .agg(min(col("incremental_ok"))).head().getBoolean(0)
+    assert(ok, "base⊕delta must equal the directly-computed manifest")
+    // XOR is its own inverse: manifest(corpus − doc) = manifest(corpus)
+    // with the removed doc's fingerprint XORed back OUT — the retraction
+    // path a GDPR delete or a recalled batch takes, no corpus re-read
+    val dir = java.nio.file.Files.createTempDirectory("q118r").toString
+    val docs = (1L to 100L).map(i => (i, s"retract test doc $i"))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val dropDir = java.nio.file.Files.createTempDirectory("q118s").toString
+    docs.filterNot(_._1 == 7L).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dropDir/documents.parquet")
+    val fp7 = Seq(docs(6)).toDF("doc_id", "text")
+      .select(graft.text.TextAnalysis.contentFingerprint(col("text")))
+      .head().getLong(0)
+    val sh7 = graft.functions.Mix64.hash(7L) % 16
+    val before = manifest(dir)(sh7)
+    val after = manifest(dropDir)(sh7)
+    assert(after._1 == before._1 - 1, "doc count decrements")
+    assert(after._3 == (before._3 ^ fp7), "checksum retracts via XOR")
+  }
+
   test("q117 manifest: single-doc corruption flips exactly that shard's checksum") {
     val base = java.nio.file.Files.createTempDirectory("q117a").toString
     val edit = java.nio.file.Files.createTempDirectory("q117b").toString
