@@ -514,21 +514,39 @@ object TextQueries {
     // in production curation. One narrow projection per doc, the native
     // one-pass textStats expression for the features, exact-integer
     // logit so the keep/drop decision replays bit-for-bit anywhere.
-    "q116_quality_classifier" -> ((s, dir) => {
-      val feats = t(s, dir, "documents")
-        .select(col("doc_id"), textStats(col("text")).as("st"),
-          length(col("text")).cast("long").as("n_chars"))
-        .select(col("doc_id"),
-          col("st.ws_tokens").cast("long").as("n_tokens"),
-          col("st.stop_hits").cast("long").as("stop_hits"),
-          col("st.len_sum").as("len_sum"),
-          col("n_chars"))
-      val logit = QcWeights.map { case (f, w) => col(f) * lit(w) }
-        .foldLeft(lit(QcBias))(_ + _)
-      feats.withColumn("logit_micro", logit)
+    "q116_quality_classifier" -> ((s, dir) =>
+      qcScored(s, dir)
         .withColumn("keep", col("logit_micro") >= 0)
-        .orderBy("doc_id")
-    }))
+        .orderBy("doc_id")),
+
+    // CURRICULUM ORDERING: a global easy→hard rank over the classifier
+    // logit — the training-order stage. Materializing a total order
+    // over 100 TB is exactly where `row_number() over (order by …)`
+    // dies (every row through ONE task); Ranking.globalRank ships the
+    // scalable shape instead — range repartition + in-partition sort +
+    // per-partition offsets, one long per partition through the driver.
+    // (doc_id breaks logit ties, making the order total and the rank
+    // deterministic at any partition count.)
+    "q119_curriculum_order" -> ((s, dir) =>
+      graft.ops.Ranking.globalRank(
+          qcScored(s, dir).select(col("doc_id"), col("logit_micro")),
+          "rank", col("logit_micro").desc, col("doc_id"))
+        .orderBy("rank")))
+
+  /** q116/q119's per-doc features + exact-integer logit. */
+  private def qcScored(s: SparkSession, dir: String): DataFrame = {
+    val feats = t(s, dir, "documents")
+      .select(col("doc_id"), textStats(col("text")).as("st"),
+        length(col("text")).cast("long").as("n_chars"))
+      .select(col("doc_id"),
+        col("st.ws_tokens").cast("long").as("n_tokens"),
+        col("st.stop_hits").cast("long").as("stop_hits"),
+        col("st.len_sum").as("len_sum"),
+        col("n_chars"))
+    val logit = QcWeights.map { case (f, w) => col(f) * lit(w) }
+      .foldLeft(lit(QcBias))(_ + _)
+    feats.withColumn("logit_micro", logit)
+  }
 
   /** q116's linear quality head: integer micro-unit weights over the
     * one-pass [[graft.functions.TextStats]] features plus n_chars. A
@@ -549,6 +567,25 @@ object TextQueries {
 
   private val StopwordsSql =
     graft.text.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** q116/q119's shared feature CTEs (same tokenization as q30/q31) and
+    * the logit expression, both generated from QcBias/QcWeights. */
+  private lazy val QcFeaturesCteSql: String =
+    s"""base AS (
+       |  SELECT doc_id, length(text) AS nc,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rawtoks
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(len(rawtoks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(toks, x -> list_contains($StopwordsSql, x))) AS BIGINT) AS stop_hits,
+       |    CAST(coalesce(list_aggregate(list_transform(rawtoks, x -> length(x)), 'sum'), 0) AS BIGINT) AS len_sum,
+       |    CAST(nc AS BIGINT) AS n_chars
+       |  FROM base)""".stripMargin
+
+  private lazy val QcLogitSql: String =
+    s"($QcBias) + ${QcWeights.map { case (f, w) => s"($w) * $f" }.mkString(" + ")}"
 
   /** The langid candidate-struct list, mirroring TextAnalysis.langId: one
     * struct (score, lang) per non-empty profile, argmax via struct max —
@@ -980,22 +1017,20 @@ object TextQueries {
     // empty doc where DuckDB's list_aggregate('sum') is NULL); the logit
     // terms are generated from the SAME QcWeights table as the plan
     "q116_quality_classifier" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, length(text) AS nc,
-         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
-         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rawtoks
-         |  FROM documents),
-         |f AS (
-         |  SELECT doc_id,
-         |    CAST(len(rawtoks) AS BIGINT) AS n_tokens,
-         |    CAST(len(list_filter(toks, x -> list_contains($StopwordsSql, x))) AS BIGINT) AS stop_hits,
-         |    CAST(coalesce(list_aggregate(list_transform(rawtoks, x -> length(x)), 'sum'), 0) AS BIGINT) AS len_sum,
-         |    CAST(nc AS BIGINT) AS n_chars
-         |  FROM base)
+      s"""WITH $QcFeaturesCteSql
          |SELECT doc_id, n_tokens, stop_hits, len_sum, n_chars,
-         |  CAST(($QcBias) + ${QcWeights.map { case (f, w) => s"($w) * $f" }.mkString(" + ")} AS BIGINT) AS logit_micro,
-         |  (($QcBias) + ${QcWeights.map { case (f, w) => s"($w) * $f" }.mkString(" + ")}) >= 0 AS keep
+         |  CAST($QcLogitSql AS BIGINT) AS logit_micro,
+         |  ($QcLogitSql) >= 0 AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    // rank replays globalRank's contract directly: row_number over the
+    // identical total order (logit DESC, doc_id)
+    "q119_curriculum_order" ->
+      s"""WITH $QcFeaturesCteSql
+         |SELECT doc_id, logit_micro,
+         |  CAST(row_number() OVER (ORDER BY logit_micro DESC, doc_id) AS BIGINT) AS rank
+         |FROM (SELECT doc_id, CAST($QcLogitSql AS BIGINT) AS logit_micro FROM f)
+         |ORDER BY rank""".stripMargin,
 
     "q35_content_fp" ->
       """SELECT doc_id,
