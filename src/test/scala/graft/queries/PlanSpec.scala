@@ -251,6 +251,20 @@ class PlanSpec extends SparkSpec {
       s"anti-join is not broadcast:\n${p.take(800)}")
   }
 
+  test("q117 manifest: one scan of documents feeds a partial-aggregated rollup") {
+    val p = plan("q117_shard_manifest")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(600))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, // partial + final
+      s"manifest agg is not map-side combinable:\n${p.take(800)}")
+  }
+
+  test("q119 curriculum rank plans WITHOUT a window operator (the one-task shape)") {
+    // the operator's whole point: a global rank with no WindowExec — an
+    // unpartitioned row_number would move the corpus through one task
+    val p = plan("q119_curriculum_order")
+    assert(!p.contains("Window"), p.take(800))
+  }
+
   test("REGISTRY-WIDE: no cartesian or nested-loop join in any query plan " +
       "(q40 is the documented exact-baseline exception)") {
     // the blanket guard behind every per-query pin: a future registration
