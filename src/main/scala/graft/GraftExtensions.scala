@@ -21,7 +21,7 @@ import graft.functions._
   * w), sample_coord(key), text_stats(s), repetition_stats(s), zval(x, y),
   * kmv_distinct(key, k), bloom_build(key, bits, hashes),
   * bloom_might_contain(bitset, key, hashes), misra_gries(item, k),
-  * count_min(term, depth, width).
+  * count_min(term, depth, width), hll(key).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

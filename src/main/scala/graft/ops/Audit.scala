@@ -39,10 +39,13 @@ object Audit {
     val agged = df.agg(
       checks.head.metric.cast("long").as(checks.head.name),
       checks.tail.map(c => c.metric.cast("long").as(c.name)): _*)
+    // backtick-quote when re-resolving: a check name with a '.' must read
+    // as one column, not a struct-field path
+    def quoted(name: String): Column = col("`" + name.replace("`", "``") + "`")
     // unpivot the 1×N aggregate row to N rows; the explode is over an
     // N-element literal-shaped array — driver-free and codegen-friendly
     val rows = agged.select(explode(array(checks.map(c =>
-      struct(lit(c.name).as("check_name"), col(c.name).as("metric"))): _*)).as("c"))
+      struct(lit(c.name).as("check_name"), quoted(c.name).as("metric"))): _*)).as("c"))
       .select(col("c.check_name").as("check_name"), col("c.metric").as("metric"))
     val passed = checks.tail.foldLeft(
         when(col("check_name") === checks.head.name,

@@ -24,6 +24,8 @@ object Ranking {
 
   def globalRank(df: DataFrame, rankName: String, order: Column*): DataFrame = {
     require(order.nonEmpty, "globalRank needs at least one order column")
+    require(!df.columns.contains(rankName),
+      s"globalRank: output column '$rankName' already exists in the input")
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions.max(1)
     val ranged = df.repartitionByRange(parts, order: _*)

@@ -715,19 +715,17 @@ object OpsQueries {
       .orderBy("event_type", "bucket")
   }
 
-  /** HLL replay shared by q108 (batch) and q109 (stream-end state over
-    * the capped rows): the splitmix64-style finalizer (Hll.mix) replayed
-    * in normalized HUGEINT — xor and >> exist on HUGEINT, and both
-    * multipliers are < 2^63 so z·C < 2^127 never overflows — then
-    * bucket = top 6 bits, rank = 59 − bitlen of the low 58 bits (bitlen
-    * by exact integer comparison against the 58 powers of two — no float
-    * log), capped at 48; registers max-aggregated per bucket with
-    * empties materialized as 0 via the bucket range cross join. The
-    * estimate numerator is Double.toString of the ONE Scala-computed
-    * constant (shortest round-trip repr) — the engines never re-derive
-    * it. Registers depend only on DISTINCT (group, key): max over
-    * duplicates is idempotent, so the src DISTINCT is semantics-free. */
-  private[queries] def hllSql(where: String = ""): String = {
+  /** The mix/bucket/rank replay chain shared VERBATIM by the three HLL
+    * oracles (q108/q109, q110, q111): the splitmix64-style finalizer
+    * (Hll.mix) replayed in normalized HUGEINT — xor and >> exist on
+    * HUGEINT, and both multipliers are < 2^63 so z·C < 2^127 never
+    * overflows — then bucket = top 6 bits, rank = 59 − bitlen of the low
+    * 58 bits (bitlen by exact integer comparison against the 58 powers of
+    * two — no float log), capped at 48. ONE generator so a future hash
+    * change (the exact scenario that motivated the splitmix64 switch)
+    * cannot drift the three oracles apart. Emits CTEs z0…rr reading from
+    * `src`; `grouped` carries event_type through the chain. */
+  private def hllRankCtesSql(grouped: Boolean): String = {
     import graft.functions.Hll
     val M64 = "18446744073709551616::HUGEINT"
     val shift = BigInt(1) << (64 - Hll.P) // 2^58
@@ -736,19 +734,40 @@ object OpsQueries {
     val gamma = java.lang.Long.toUnsignedString(Mix64.MulA)
     val c1 = java.lang.Long.toUnsignedString(Hll.MulC1)
     val c2 = java.lang.Long.toUnsignedString(Hll.MulC2)
-    s"""WITH src AS (SELECT DISTINCT event_type, user_id FROM events${
-         if (where.isEmpty) "" else s" WHERE $where"}),
-       |z0 AS (SELECT event_type,
-       |         ((((user_id::HUGEINT % $M64) + $M64) % $M64)
-       |          + ${gamma}::HUGEINT) % $M64 AS z
-       |       FROM src),
-       |z1 AS (SELECT event_type, (xor(z, z >> 30) * ${c1}::HUGEINT) % $M64 AS z FROM z0),
-       |z2 AS (SELECT event_type, (xor(z, z >> 27) * ${c2}::HUGEINT) % $M64 AS z FROM z1),
-       |h AS (SELECT event_type, xor(z, z >> 31) AS hu FROM z2),
-       |rr AS (SELECT event_type, hu // ${shift}::HUGEINT AS bucket,
+    val g = if (grouped) "event_type, " else ""
+    s"""z0 AS (SELECT $g((((user_id::HUGEINT % $M64) + $M64) % $M64)
+       |               + ${gamma}::HUGEINT) % $M64 AS z FROM src),
+       |z1 AS (SELECT $g(xor(z, z >> 30) * ${c1}::HUGEINT) % $M64 AS z FROM z0),
+       |z2 AS (SELECT $g(xor(z, z >> 27) * ${c2}::HUGEINT) % $M64 AS z FROM z1),
+       |h AS (SELECT ${g}xor(z, z >> 31) AS hu FROM z2),
+       |rr AS (SELECT ${g}hu // ${shift}::HUGEINT AS bucket,
        |         LEAST(${64 - Hll.P + 1} - len(list_filter($powers,
        |           pw -> (hu % ${shift}::HUGEINT) >= pw)), ${Hll.RankCap}) AS rank
-       |       FROM h),
+       |       FROM h)""".stripMargin
+  }
+
+  /** The register→indicator sum shared by the three HLL oracles. */
+  private def hllIndSql: String = {
+    import graft.functions.Hll
+    s"CAST(sum(1::BIGINT << (${Hll.RankCap} - register)) AS BIGINT)"
+  }
+
+  /** The estimate numerator: Double.toString of the ONE Scala-computed
+    * constant (shortest round-trip repr) — the engines never re-derive it. */
+  private def hllEstNumSql: String =
+    s"CAST('${java.lang.Double.toString(graft.functions.Hll.EstNum)}' AS DOUBLE)"
+
+  /** HLL replay shared by q108 (batch) and q109 (stream-end state over
+    * the capped rows): the [[hllRankCtesSql]] chain, registers
+    * max-aggregated per bucket with empties materialized as 0 via the
+    * bucket range cross join. Registers depend only on DISTINCT (group,
+    * key): max over duplicates is idempotent, so the src DISTINCT is
+    * semantics-free. */
+  private[queries] def hllSql(where: String = ""): String = {
+    import graft.functions.Hll
+    s"""WITH src AS (SELECT DISTINCT event_type, user_id FROM events${
+         if (where.isEmpty) "" else s" WHERE $where"}),
+       |${hllRankCtesSql(grouped = true)},
        |regs AS (SELECT g.event_type, b.b AS bucket,
        |           CAST(coalesce(max(rr.rank), 0) AS INT) AS register
        |         FROM (SELECT DISTINCT event_type FROM src) g
@@ -757,14 +776,13 @@ object OpsQueries {
        |         GROUP BY 1, 2),
        |gs AS (SELECT event_type,
        |         CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
-       |         CAST(sum(1::BIGINT << (${Hll.RankCap} - register)) AS BIGINT) AS ind
+       |         $hllIndSql AS ind
        |       FROM regs GROUP BY 1),
        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
        |       FROM src GROUP BY 1)
        |SELECT r.event_type, CAST(r.bucket AS INT) AS bucket, r.register,
        |  gs.n_zero, gs.ind,
-       |  CAST('${java.lang.Double.toString(Hll.EstNum)}' AS DOUBLE)
-       |    / CAST(gs.ind AS DOUBLE) AS est,
+       |  $hllEstNumSql / CAST(gs.ind AS DOUBLE) AS est,
        |  ex.exact_users
        |FROM regs r JOIN gs USING (event_type) JOIN ex USING (event_type)
        |ORDER BY r.event_type, r.bucket""".stripMargin
@@ -781,23 +799,8 @@ object OpsQueries {
     * unconditioned range(0, m) would yield 64). */
   private[queries] def hllMergeSql(): String = {
     import graft.functions.Hll
-    val M64 = "18446744073709551616::HUGEINT"
-    val shift = BigInt(1) << (64 - Hll.P)
-    val powers = (0 until (64 - Hll.P))
-      .map(b => s"${BigInt(1) << b}::HUGEINT").mkString("[", ", ", "]")
-    val gamma = java.lang.Long.toUnsignedString(Mix64.MulA)
-    val c1 = java.lang.Long.toUnsignedString(Hll.MulC1)
-    val c2 = java.lang.Long.toUnsignedString(Hll.MulC2)
     s"""WITH src AS (SELECT DISTINCT user_id FROM events),
-       |z0 AS (SELECT ((((user_id::HUGEINT % $M64) + $M64) % $M64)
-       |               + ${gamma}::HUGEINT) % $M64 AS z FROM src),
-       |z1 AS (SELECT (xor(z, z >> 30) * ${c1}::HUGEINT) % $M64 AS z FROM z0),
-       |z2 AS (SELECT (xor(z, z >> 27) * ${c2}::HUGEINT) % $M64 AS z FROM z1),
-       |h AS (SELECT xor(z, z >> 31) AS hu FROM z2),
-       |rr AS (SELECT hu // ${shift}::HUGEINT AS bucket,
-       |         LEAST(${64 - Hll.P + 1} - len(list_filter($powers,
-       |           pw -> (hu % ${shift}::HUGEINT) >= pw)), ${Hll.RankCap}) AS rank
-       |       FROM h),
+       |${hllRankCtesSql(grouped = false)},
        |regs AS (SELECT b.b AS bucket,
        |           CAST(coalesce(max(rr.rank), 0) AS INT) AS register
        |         FROM (SELECT DISTINCT 1 FROM src) nonempty
@@ -806,14 +809,13 @@ object OpsQueries {
        |         GROUP BY 1),
        |gs AS (SELECT
        |         CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
-       |         CAST(sum(1::BIGINT << (${Hll.RankCap} - register)) AS BIGINT) AS ind
+       |         $hllIndSql AS ind
        |       FROM regs),
        |ex AS (SELECT count(DISTINCT user_id) AS exact_users FROM src)
        |SELECT CAST(r.bucket AS INT) AS bucket,
        |  r.register AS reg_merged, r.register AS reg_direct,
        |  gs.n_zero, gs.ind,
-       |  CAST('${java.lang.Double.toString(Hll.EstNum)}' AS DOUBLE)
-       |    / CAST(gs.ind AS DOUBLE) AS est,
+       |  $hllEstNumSql / CAST(gs.ind AS DOUBLE) AS est,
        |  ex.exact_users
        |FROM regs r CROSS JOIN gs CROSS JOIN ex
        |ORDER BY r.bucket""".stripMargin
@@ -827,26 +829,9 @@ object OpsQueries {
     * user_id self-join of the distinct (type, user) relation. */
   private[queries] def hllSetopsSql(): String = {
     import graft.functions.Hll
-    val M64 = "18446744073709551616::HUGEINT"
-    val shift = BigInt(1) << (64 - Hll.P)
-    val powers = (0 until (64 - Hll.P))
-      .map(b => s"${BigInt(1) << b}::HUGEINT").mkString("[", ", ", "]")
-    val gamma = java.lang.Long.toUnsignedString(Mix64.MulA)
-    val c1 = java.lang.Long.toUnsignedString(Hll.MulC1)
-    val c2 = java.lang.Long.toUnsignedString(Hll.MulC2)
-    val en = s"CAST('${java.lang.Double.toString(Hll.EstNum)}' AS DOUBLE)"
+    val en = hllEstNumSql
     s"""WITH src AS (SELECT DISTINCT event_type, user_id FROM events),
-       |z0 AS (SELECT event_type, user_id,
-       |         ((((user_id::HUGEINT % $M64) + $M64) % $M64)
-       |          + ${gamma}::HUGEINT) % $M64 AS z
-       |       FROM src),
-       |z1 AS (SELECT event_type, (xor(z, z >> 30) * ${c1}::HUGEINT) % $M64 AS z FROM z0),
-       |z2 AS (SELECT event_type, (xor(z, z >> 27) * ${c2}::HUGEINT) % $M64 AS z FROM z1),
-       |h AS (SELECT event_type, xor(z, z >> 31) AS hu FROM z2),
-       |rr AS (SELECT event_type, hu // ${shift}::HUGEINT AS bucket,
-       |         LEAST(${64 - Hll.P + 1} - len(list_filter($powers,
-       |           pw -> (hu % ${shift}::HUGEINT) >= pw)), ${Hll.RankCap}) AS rank
-       |       FROM h),
+       |${hllRankCtesSql(grouped = true)},
        |types AS (SELECT DISTINCT event_type FROM src),
        |regs AS (SELECT g.event_type, b.b AS bucket,
        |           CAST(coalesce(max(rr.rank), 0) AS INT) AS register
@@ -855,7 +840,7 @@ object OpsQueries {
        |         LEFT JOIN rr ON rr.event_type = g.event_type AND rr.bucket = b.b
        |         GROUP BY 1, 2),
        |gind AS (SELECT event_type,
-       |           CAST(sum(1::BIGINT << (${Hll.RankCap} - register)) AS BIGINT) AS ind
+       |           $hllIndSql AS ind
        |         FROM regs GROUP BY 1),
        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
        |          FROM types a JOIN types b ON a.event_type < b.event_type),
@@ -864,7 +849,7 @@ object OpsQueries {
        |            ON r.event_type = p.type_a OR r.event_type = p.type_b
        |          GROUP BY 1, 2, 3),
        |uind AS (SELECT type_a, type_b,
-       |           CAST(sum(1::BIGINT << (${Hll.RankCap} - register)) AS BIGINT) AS ind
+       |           $hllIndSql AS ind
        |         FROM uregs GROUP BY 1, 2),
        |exact AS (SELECT l.event_type AS type_a, r.event_type AS type_b,
        |            count(*) AS exact_both

@@ -402,7 +402,7 @@ object SimilarityQueries {
     * — integers with id tie-breaks, a bit-portable total order — then the
     * shortlist re-ranks by float cosine under q40's rank-only argument.
     * Exposes CTEs `e` (double vectors) and `rer` (query_id, neighbor_id,
-    * rank over the 50 candidates). */
+    * rank over the RerankCand-sized shortlist). */
   private def rerankSql: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |dv AS (

@@ -39,6 +39,48 @@ object StreamingQueries {
   private def replayWhereSql(key: String) =
     s"${OpsQueries.coordSql(key)} < $ReplayCap"
 
+  /** The MemoryStream replay harness shared by every streaming oracle row
+    * (q92/q94/q99/q100/q105/q107/q109): drop the sink view (re-entrant for
+    * bench reps), start `build` over a fresh MemoryStream, feed the given
+    * micro-batches with a barrier after each, stop, return the sink table.
+    * ONE copy so a harness-level fix (r7's stream-end selection bug was
+    * hunted through per-query copies of exactly this block) lands once.
+    *
+    * State partitions are sized to the replay's group cardinality: a
+    * streaming query pins its state partitioning at START from the
+    * shuffle-partitions conf, and 32 near-empty state stores per
+    * micro-batch are pure overhead at replay scale (at 100 TB size this
+    * UP, not down). Restored right after start; queries in this registry
+    * run sequentially, so the scoped change cannot leak into another plan.
+    *
+    * The driver-side row feed is the REPLAY HARNESS, not the operator —
+    * production reads Kafka/files. */
+  private def replay[T: org.apache.spark.sql.Encoder](
+      s: SparkSession, viewName: String, mode: String, batches: Seq[Seq[T]])(
+      build: org.apache.spark.sql.Dataset[T] => org.apache.spark.sql.Dataset[_])
+      : DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    s.catalog.dropTempView(viewName)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val sq =
+      try build(mem.toDS())
+        .writeStream.outputMode(mode).format("memory")
+        .queryName(viewName).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try batches.filter(_.nonEmpty).foreach { b =>
+      mem.addData(b: _*); sq.processAllAvailable()
+    } finally sq.stop()
+    s.table(viewName)
+  }
+
+  /** Default replay slicing: two micro-batches — cross-batch state is
+    * exercised at two batches' cost; ARBITRARY slicing equivalence is
+    * StreamsSpec's job, the oracle rows prove stream-end ≡ batch SQL. */
+  private def halves[T](rows: Array[T]): Seq[Seq[T]] =
+    rows.grouped(rows.length / 2 + 1).map(_.toIndexedSeq).toSeq
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // gap-based sessionization (batch form of Streams.sessionize)
     "q50_sessionize" -> ((s, dir) => {
@@ -90,13 +132,10 @@ object StreamingQueries {
     // sessions themselves stay open in state and never emit), and the
     // memory-sink table — the stream-end result — is compared against the
     // BATCH gap-sessionization SQL. This promotes the StreamsSpec
-    // stream≡batch claim to a driver-checked oracle row. The driver-side
-    // collect is the REPLAY HARNESS feeding MemoryStream (bounded: (long,
-    // long) pairs), not part of the operator — production reads Kafka/files.
+    // stream≡batch claim to a driver-checked oracle row.
     "q92_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.Streams
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       // cap by USER (not row): sessionization needs every event of a
       // sampled user, and the session structure of kept users is unchanged
       val rows = eventsUs(s, dir).where(replayFilter("user_id"))
@@ -104,36 +143,11 @@ object StreamingQueries {
         .as[(Long, Long)].collect().sortBy(r => (r._2, r._1))
       require(rows.nonEmpty, s"q92_stream_sessionize: no events at $dir")
       val flushT = rows.map(_._2).max + 10 * GapUs
-      s.catalog.dropTempView("q92_sessions") // re-entrant (bench reps)
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[Streams.TickEvent]
-      // state partitions sized to the group cardinality for the replay —
-      // a streaming query pins its state partitioning at START from this
-      // conf, and 32 near-empty state stores per micro-batch are pure
-      // overhead at replay scale (at 100 TB size this UP, not down).
-      // Restored right after start; queries in this registry run
-      // sequentially, so the scoped change cannot leak into another plan.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val sq =
-        try Streams.sessionizeTicks(mem.toDS(), GapUs)
-          .writeStream.outputMode("append").format("memory")
-          .queryName("q92_sessions").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        // two data slices + the flush batch: cross-batch state is exercised
-        // (sessions span the slice boundary) at three micro-batches' cost —
-        // ARBITRARY slicing equivalence is StreamsSpec's job, the oracle row
-        // proves stream-end ≡ batch SQL
-        rows.grouped(rows.length / 2 + 1).foreach { b =>
-          mem.addData(b.map(r => Streams.TickEvent(r._1, r._2)).toIndexedSeq: _*)
-          sq.processAllAvailable()
-        }
-        mem.addData(rows.map(_._1).distinct
-          .map(u => Streams.TickEvent(u, flushT)).toIndexedSeq: _*)
-        sq.processAllAvailable()
-      } finally sq.stop()
-      s.table("q92_sessions")
+      // the two data slices + a flush batch closing every real session
+      val batches = halves(rows.map(r => Streams.TickEvent(r._1, r._2))) :+
+        rows.map(_._1).distinct.toIndexedSeq.map(u => Streams.TickEvent(u, flushT))
+      replay(s, "q92_sessions", "append", batches)(
+          Streams.sessionizeTicks(_, GapUs))
         .select("user_id", "session_start_us", "session_end_us", "n_events")
         .orderBy("user_id", "session_start_us")
     }),
@@ -150,31 +164,15 @@ object StreamingQueries {
     // a driver-checked row.
     "q94_stream_kmv" -> ((s, dir) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       // cap by USER: the KMV state is a set of user-hash minima, so a
       // user-keyed sample replays exactly (every row of a kept user kept)
       val rows = eventsUs(s, dir).where(replayFilter("user_id"))
         .select(col("event_type"), col("user_id"))
         .as[(String, Long)].collect().sortBy(r => (r._1, r._2))
       require(rows.nonEmpty, s"q94_stream_kmv: no events at $dir")
-      s.catalog.dropTempView("q94_kmv") // re-entrant (bench reps)
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, Long)]
-      // 5 event-type groups → 8 state partitions (see q92's note)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val sq =
-        try graft.streaming.SketchStream.distinctSketch(
-            mem.toDF().toDF("event_type", "user_id"), "user_id", "event_type", 64)
-          .writeStream.outputMode("update").format("memory")
-          .queryName("q94_kmv").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        rows.grouped(rows.length / 2 + 1).foreach { b =>
-          mem.addData(b.toIndexedSeq: _*); sq.processAllAvailable()
-        }
-      } finally sq.stop()
-      s.table("q94_kmv")
+      replay(s, "q94_kmv", "update", halves(rows))(ds =>
+          graft.streaming.SketchStream.distinctSketch(
+            ds.toDF("event_type", "user_id"), "user_id", "event_type", 64))
         .groupBy(col("group"))
         .agg(max(col("n_kept")).as("kmv_kept"),
           min(col("kth_min")).as("kth_min"),
@@ -194,29 +192,15 @@ object StreamingQueries {
     // on every update a group receives).
     "q99_stream_histogram" -> ((s, dir) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       // cap by ROW (event_id is unique): bin counts are per-row sums
       val rows = eventsUs(s, dir).where(replayFilter("event_id"))
         .select(col("event_type"), col("value").cast("double"))
         .as[(String, Double)].collect().sortBy(r => (r._1, r._2))
       require(rows.nonEmpty, s"q99_stream_histogram: no events at $dir")
-      s.catalog.dropTempView("q99_hist") // re-entrant (bench reps)
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, Double)]
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8") // 5 groups (q92's note)
-      val sq =
-        try graft.streaming.SketchStream.histogramSketch(
-            mem.toDF().toDF("event_type", "value"), "value", "event_type",
-            lo = 0.0, hi = 512.0, nBins = 64)
-          .writeStream.outputMode("update").format("memory")
-          .queryName("q99_hist").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        rows.grouped(rows.length / 2 + 1).foreach { b =>
-          mem.addData(b.toIndexedSeq: _*); sq.processAllAvailable()
-        }
-      } finally sq.stop()
+      val sink = replay(s, "q99_hist", "update", halves(rows))(ds =>
+        graft.streaming.SketchStream.histogramSketch(
+          ds.toDF("event_type", "value"), "value", "event_type",
+          lo = 0.0, hi = 512.0, nBins = 64))
       // Stream-end selection by MONOTONE AGGREGATES (q94's shape), not a
       // row_number pick: under micro-batch/task replay the update-mode
       // memory sink may hold duplicate or extra update rows, and a
@@ -227,7 +211,7 @@ object StreamingQueries {
       // (within a group n strictly increases per update, and replayed
       // duplicates of one update carry identical estimates — ties are
       // value-identical, so the pick is deterministic either way).
-      s.table("q99_hist")
+      sink
         .groupBy(col("group"))
         .agg(max(col("n")).as("n"),
           max(col("n_clamped")).as("n_clamped"),
@@ -247,30 +231,14 @@ object StreamingQueries {
     // including the no-underestimate guarantee bit.
     "q105_stream_cm" -> ((s, dir) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val depth = OpsQueries.CmDepth; val width = OpsQueries.CmWidth
       val termed = eventsUs(s, dir).where(replayFilter("event_id"))
         .select(col("event_type"), pmod(col("user_id"), lit(256)).as("term"))
       val rows = termed.as[(String, Long)].collect().sortBy(r => (r._1, r._2))
       require(rows.nonEmpty, s"q105_stream_cm: no events at $dir")
-      s.catalog.dropTempView("q105_cm") // re-entrant (bench reps)
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, Long)]
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8") // 5 groups (q92's note)
-      val sq =
-        try graft.streaming.SketchStream.countMinSketch(
-            mem.toDF().toDF("event_type", "term"), "term", "event_type",
-            depth, width)
-          .writeStream.outputMode("update").format("memory")
-          .queryName("q105_cm").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        rows.grouped(rows.length / 2 + 1).foreach { b =>
-          mem.addData(b.toIndexedSeq: _*); sq.processAllAvailable()
-        }
-      } finally sq.stop()
-      val sketch = s.table("q105_cm")
+      val sketch = replay(s, "q105_cm", "update", halves(rows))(ds =>
+          graft.streaming.SketchStream.countMinSketch(
+            ds.toDF("event_type", "term"), "term", "event_type", depth, width))
         .groupBy(col("group"))
         .agg(expr("max_by(cm, n)").as("cm"))
       val exact = termed.groupBy(col("event_type"), col("term"))
@@ -293,28 +261,13 @@ object StreamingQueries {
     // stream ≡ batch ≡ SQL bit-for-bit.
     "q109_stream_hll" -> ((s, dir) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val keyed = eventsUs(s, dir).where(replayFilter("event_id"))
         .select(col("event_type"), col("user_id"))
       val rows = keyed.as[(String, Long)].collect().sortBy(r => (r._1, r._2))
       require(rows.nonEmpty, s"q109_stream_hll: no events at $dir")
-      s.catalog.dropTempView("q109_hll") // re-entrant (bench reps)
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, Long)]
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8") // 5 groups (q92's note)
-      val sq =
-        try graft.streaming.SketchStream.hllSketch(
-            mem.toDF().toDF("event_type", "user_id"), "user_id", "event_type")
-          .writeStream.outputMode("update").format("memory")
-          .queryName("q109_hll").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        rows.grouped(rows.length / 2 + 1).foreach { b =>
-          mem.addData(b.toIndexedSeq: _*); sq.processAllAvailable()
-        }
-      } finally sq.stop()
-      val sketch = s.table("q109_hll")
+      val sketch = replay(s, "q109_hll", "update", halves(rows))(ds =>
+          graft.streaming.SketchStream.hllSketch(
+            ds.toDF("event_type", "user_id"), "user_id", "event_type"))
         .groupBy(col("group"))
         .agg(expr("max_by(regs, n)").as("regs"))
         .select(col("group").as("event_type"), col("regs"))
@@ -335,7 +288,6 @@ object StreamingQueries {
     // three maintenance paths land on the identical dimension.
     "q107_stream_scd2" -> ((s, dir) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = eventsUs(s, dir).where(replayFilter("event_id"))
         .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
         .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2, r._3))
@@ -343,24 +295,12 @@ object StreamingQueries {
       var cut = rows.length / 2 // don't split a (user, ts) tie run
       while (cut > 0 && cut < rows.length &&
         rows(cut)._1 == rows(cut - 1)._1 && rows(cut)._2 == rows(cut - 1)._2) cut += 1
-      s.catalog.dropTempView("q107_scd2") // re-entrant (bench reps)
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Long, Long, String)]
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val sq =
-        try graft.streaming.TemporalStream.scd2Stream(
-            mem.toDF().toDF("user_id", "t_us", "event_id", "state"),
-            "user_id", "t_us", "event_id", "state")
-          .writeStream.outputMode("update").format("memory")
-          .queryName("q107_scd2").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        Seq(rows.take(cut), rows.drop(cut)).filter(_.nonEmpty).foreach { b =>
-          mem.addData(b.toIndexedSeq: _*); sq.processAllAvailable()
-        }
-      } finally sq.stop()
-      graft.streaming.TemporalStream.scd2StreamEnd(s.table("q107_scd2"))
+      val batches = Seq(rows.take(cut).toIndexedSeq, rows.drop(cut).toIndexedSeq)
+      val sink = replay(s, "q107_scd2", "update", batches)(ds =>
+        graft.streaming.TemporalStream.scd2Stream(
+          ds.toDF("user_id", "t_us", "event_id", "state"),
+          "user_id", "t_us", "event_id", "state").toDF())
+      graft.streaming.TemporalStream.scd2StreamEnd(sink)
         .select(col("key").as("user_id"), col("state"), col("valid_from"),
           col("valid_to"), col("version"), col("valid_to").isNull.as("is_current"))
         .orderBy("user_id", "version")
@@ -383,7 +323,6 @@ object StreamingQueries {
     // Stream-end selection rides the monotone n (q94/q99's shape).
     "q100_stream_heavy" -> ((s, dir) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val k = 4
       // row cap (event_id) BEFORE deriving terms: the exact-count side and
       // the replay feed both read `termed`, so both see the same sample
@@ -393,23 +332,9 @@ object StreamingQueries {
             .otherwise(pmod(col("user_id"), lit(16)).cast("string")).as("term"))
       val rows = termed.as[(String, String)].collect().sortBy(r => (r._1, r._2))
       require(rows.nonEmpty, s"q100_stream_heavy: no events at $dir")
-      s.catalog.dropTempView("q100_mg") // re-entrant (bench reps)
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, String)]
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8") // 5 groups (q92's note)
-      val sq =
-        try graft.streaming.SketchStream.heavyHittersSketch(
-            mem.toDF().toDF("event_type", "term"), "term", "event_type", k)
-          .writeStream.outputMode("update").format("memory")
-          .queryName("q100_mg").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        rows.grouped(rows.length / 2 + 1).foreach { b =>
-          mem.addData(b.toIndexedSeq: _*); sq.processAllAvailable()
-        }
-      } finally sq.stop()
-      val streamEnd = s.table("q100_mg")
+      val streamEnd = replay(s, "q100_mg", "update", halves(rows))(ds =>
+          graft.streaming.SketchStream.heavyHittersSketch(
+            ds.toDF("event_type", "term"), "term", "event_type", k))
         .groupBy(col("group"))
         .agg(max(col("n")).as("n"),
           expr("max_by(candidates, n)").as("candidates"))

@@ -469,12 +469,13 @@ object TextQueries {
     // pos+7] windows via an (doc_id, token_pos) distinct, which is how
     // overlapping spans merge without any sequential interval walk —
     // and the resulting cut fraction in exact-integer ppm. Scale shape:
-    // two hash shuffles, both narrow — (gram, doc_id) pairs for the
-    // distinct-doc count (map-side combinable), then (doc_id, pos)
-    // ints for coverage; document text never shuffles. At 100 TB the
-    // join key would be xxhash64(gram) (8 B vs ~50 B strings) with the
-    // dup-gram side typically small enough to broadcast; raw strings
-    // here keep the oracle an exact string-equality replay.
+    // two narrow shuffles — spans partitioned by gram ONCE (the dup test
+    // is a min≠max window, two longs of state per gram, no distinct+
+    // self-join re-deriving the spans pipeline per side), then (doc_id,
+    // pos/tp) ints for the per-doc stats; document text never shuffles.
+    // At 100 TB the window key would be xxhash64(gram) (8 B vs ~50 B
+    // strings); raw strings here keep the oracle an exact string-
+    // equality replay.
     "q114_span_dedup" -> ((s, dir) => {
       val base = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -488,19 +489,25 @@ object TextQueries {
         .select(col("doc_id"), col("pos"),
           concat_ws(" ", slice(col("ws"), col("pos").cast("int"), lit(8)))
             .as("gram"))
-      val dup = spans.select("gram", "doc_id").distinct()
-        .groupBy("gram").agg(count(lit(1)).as("nd"))
-        .where(col("nd") >= 2).select("gram")
-      val dspans = spans.join(dup, "gram").select("doc_id", "pos")
-      val nDup = dspans.groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
-      val cov = dspans
-        .select(col("doc_id"),
+      // "gram in ≥2 distinct docs" as ONE window over gram — min(doc) ≠
+      // max(doc) — instead of distinct+agg+self-join: the spans pipeline
+      // runs once (a self-join would re-derive it per side; Spark does no
+      // cross-branch CSE) and the window state is two longs per gram, not
+      // a per-gram doc set. Both per-doc stats then fold into one
+      // aggregation over the exploded windows (pos is unique per (doc,
+      // pos) span row, so countDistinct(pos) counts dup spans exactly).
+      val gramW = Window.partitionBy("gram")
+      val dspans = spans
+        .withColumn("dup", min("doc_id").over(gramW) =!= max("doc_id").over(gramW))
+        .where(col("dup")).select("doc_id", "pos")
+      val stats = dspans
+        .select(col("doc_id"), col("pos"),
           explode(sequence(col("pos"), col("pos") + 7)).as("tp"))
-        .distinct()
-        .groupBy("doc_id").agg(count(lit(1)).as("dup_tokens"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("pos")).as("n_dup_spans"),
+          countDistinct(col("tp")).as("dup_tokens"))
       base.select("doc_id", "n_tokens", "n_spans")
-        .join(nDup, Seq("doc_id"), "left")
-        .join(cov, Seq("doc_id"), "left")
+        .join(stats, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"), col("n_spans"),
           coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
           coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))

@@ -148,7 +148,14 @@ object TilingQueries {
     // construction: Pairing.pathsPair's rdd.zipWithIndex computes its
     // partition offsets with sc.runJob (catalog-sized, documented there).
     "q101_e3_pipeline" -> ((s, _) => {
-      val refDir = "/root/reference/data_pair"
+      // the ONE registry row whose input lives outside the data dir by
+      // design: its job is pinning the dataflow against the reference's
+      // committed goldens. Overridable for other checkouts; absence fails
+      // with a named message, not an opaque CSV-read error.
+      val refDir = sys.env.getOrElse("GRAFT_REF_DIR", "/root/reference/data_pair")
+      require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(refDir)),
+        s"q101_e3_pipeline needs the reference goldens at $refDir " +
+          "(set GRAFT_REF_DIR to the data_pair dir of the reference checkout)")
       def names(f: String) =
         s.read.option("header", true).csv(s"$refDir/$f")
           .where(col("data") =!= "0").select("data")

@@ -77,6 +77,12 @@ object TemporalStream {
               case Some((f, a, v, n)) if a == attrs => // compression
                 st = Some((f, a, v, n))
               case Some((f, a, v, n)) =>
+                // a late change (ts < open valid_from) breaks the delivery
+                // contract; closing the open version at ts would emit an
+                // inverted interval — fail loudly, don't corrupt the dim
+                require(ts > f, s"scd2Stream: out-of-order change for key=$key " +
+                  s"(ts=$ts < open valid_from=$f); late data needs the batch " +
+                  "Temporal.scd2Apply path")
                 out += Scd2StreamUpdate(key, a, f, Some(ts), v, n)
                 st = Some((ts, attrs, v + 1, n))
             }

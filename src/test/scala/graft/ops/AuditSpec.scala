@@ -47,6 +47,14 @@ class AuditSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Audit.verify(df, Seq.empty) }
   }
 
+  test("audit: a dotted check name reads as one column, not a field path") {
+    val df = Seq(1L, 2L).toDF("k")
+    val got = Audit.verify(df, Seq(
+      Check("li.qty_range", count(lit(1)), _ === 2)
+    )).collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(("li.qty_range", 2L, true)))
+  }
+
   test("audit: N checks cost ONE scan of the input") {
     val df = spark.read.parquet(sf("lineitem"))
     val plan = Audit.verify(df, Seq(

@@ -32,5 +32,9 @@ class RankingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Ranking.globalRank(df, "rank")
     }
+    // output-name collision is rejected up front, not at first downstream use
+    intercept[IllegalArgumentException] {
+      Ranking.globalRank(df, "v", col("v"))
+    }
   }
 }

@@ -464,6 +464,29 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming SCD2 rejects a late change instead of corrupting the dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val sq = graft.streaming.TemporalStream.scd2Stream(
+        mem.toDF().toDF("user_id", "t_us", "event_id", "state"),
+        "user_id", "t_us", "event_id", "state")
+      .writeStream.outputMode("update").format("memory").queryName("scd2late").start()
+    try {
+      mem.addData((1L, 100L, 1L, "A")); sq.processAllAvailable()
+      // ts=50 arrives after the open version started at 100: closing at 50
+      // would emit an inverted interval — the operator must fail loudly
+      mem.addData((1L, 50L, 2L, "B"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        sq.processAllAvailable()
+      }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(msgs.exists(_.contains("out-of-order change")), msgs.mkString("\n"))
+    } finally {
+      sq.stop(); spark.catalog.dropTempView("scd2late")
+    }
+  }
+
   test("batch sessionization: gap splits, out-of-order safe") {
     val df = Seq(
       (1L, ts("2024-01-01 10:02:00")), // arrives out of order
