@@ -22,8 +22,7 @@ object StreamingQueries {
 
   private val GapUs = 30L * 60 * 1000 * 1000 // 30-minute session gap
 
-  /** Replay-feed cap for the STREAMING oracle rows (q92/q94/q99/q100/q105):
-    * keep
+  /** Replay-feed cap for ALL the streaming oracle rows: keep
     * rows whose Mix64 sample coordinate is below 2^30 (≈25%). The
     * MemoryStream replay harness ships its rows inside the task binary —
     * at sf0.1 the full events table is ~2.4 MiB per batch, tripping
@@ -345,6 +344,59 @@ object StreamingQueries {
         .select(col("event_type"), col("term"), col("cnt"),
           array_contains(col("candidates"), col("term")).as("in_candidates"))
         .orderBy("event_type", "term")
+    }),
+
+    // STREAMING stream-stream attribution join vs q54's SQL replay: the
+    // last streaming operator without a driver-checked oracle row. Clicks
+    // and purchases replay as TWO MemoryStreams in event-time order (the
+    // delivery a watermarked source provides — StreamsSpec pins the
+    // slicing-invariance claim); the append-mode inner join emits each
+    // click→purchase match exactly when both sides have arrived, and with
+    // in-order delivery the 1 h watermark can never evict a click some
+    // in-range purchase still needs (such a purchase would itself be
+    // behind the watermark). Matches are unique by (click_id,
+    // purchase_id) and deterministic, so task-replay duplicates collapse
+    // under distinct — the multiplicity-proof read-out shape.
+    "q120_stream_attribution" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // cap by USER: matches are within-user, so a user-keyed sample
+      // preserves exactly the kept users' match set
+      val evs = eventsUs(s, dir).where(replayFilter("user_id"))
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("ts_us")).as("ts"), col("event_type"))
+        .as[(Long, Long, java.sql.Timestamp, String)]
+        .collect().sortBy(e => (e._3.getTime, e._1))
+      require(evs.nonEmpty, s"q120_stream_attribution: no events at $dir")
+      s.catalog.dropTempView("q120_attr")
+      val mkStream = () => org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val clicks = mkStream(); val purchases = mkStream()
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      // 2, not replay()'s 8: a stream-stream join maintains FOUR state
+      // stores per partition (two sides × two stores), so partition count
+      // multiplies state-file I/O 4× vs the single-store sketch replays —
+      // and the join state is keyed by user (thousands of keys), balanced
+      // at any small partition count
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      val sq =
+        try graft.streaming.Streams.attributionJoin(
+            clicks.toDF().toDF("event_id", "user_id", "ts"),
+            purchases.toDF().toDF("event_id", "user_id", "ts"),
+            maxGap = "6 hours", watermarkDelay = "1 hour")
+          .writeStream.outputMode("append").format("memory")
+          .queryName("q120_attr").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try evs.grouped(evs.length / 2 + 1).foreach { b =>
+        clicks.addData(b.filter(_._4 == "click")
+          .map(e => (e._1, e._2, e._3)).toIndexedSeq: _*)
+        purchases.addData(b.filter(_._4 == "purchase")
+          .map(e => (e._1, e._2, e._3)).toIndexedSeq: _*)
+        sq.processAllAvailable()
+      } finally sq.stop()
+      s.table("q120_attr").distinct()
+        .orderBy("user_id", "click_id", "purchase_id")
     }))
 
   /** q50 and q92 share one oracle body: the batch gap-sessionization SQL is
@@ -455,6 +507,18 @@ object StreamingQueries {
         |    + CAST(floor(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7.0) * 7 AS INT) AS week_start,
         |  event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY week_start, event_type""".stripMargin,
+
+    // q54's join over the user-capped rows: the stream-end match set of
+    // the two-stream replay must equal the batch join of the same sample
+    "q120_stream_attribution" ->
+      s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 21600000000::BIGINT
+        |WHERE ${replayWhereSql("c.user_id")}
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
 
     // same-user purchases at most 6 h after a click; DuckDB's µs-truncated
     // NANOS timestamps equal Spark's ts_ns div 1000 exactly
