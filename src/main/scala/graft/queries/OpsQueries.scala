@@ -23,12 +23,11 @@ object OpsQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) — readable only with the nanosAsLong
-    * flag (see RefQueries.events); these queries never touch ts. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** events.ts is TIMESTAMP(MICROS) NTZ; queries that need event time
+    * derive exact integer µs via unix_micros(cast(ts as timestamp)) — the
+    * session pins UTC, so the cast is the identity (see RefQueries.events). */
+  private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-  }
 
   /** Table-name suffix derived from the data dir (specs reuse this to
     * compute the exact table names for cleanup — never hardcode them). */
@@ -98,8 +97,7 @@ object OpsQueries {
     // window). Exact integer µs; single key-shuffle sweep — see AsOfJoin.
     "q56_asof_join" -> ((s, dir) => {
       val e = events(s, dir)
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
       val purchases = e.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_us"))
       val clicks = e.where(col("event_type") === "click")
@@ -169,8 +167,7 @@ object OpsQueries {
     // window span → each interval lands in ≤ 3 buckets.
     "q74_range_join" -> ((s, dir) => {
       val e = events(s, dir)
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("t_us", expr("ts_ns div 1000"))
+        .withColumn("t_us", unix_micros(col("ts").cast("timestamp")))
       val points = e.select(col("event_id"), col("t_us"))
       val win = 300000000L // ±5 min in µs
       val intervals = e.where(col("event_type") === "error")
@@ -190,8 +187,7 @@ object OpsQueries {
     // it duplicate-free without a distinct. Overlap span in exact µs.
     "q78_interval_overlap" -> ((s, dir) => {
       val e = events(s, dir)
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("t_us", expr("ts_ns div 1000"))
+        .withColumn("t_us", unix_micros(col("ts").cast("timestamp")))
       val errW = 300000000L // ±5 min
       val purW = 60000000L  // ±1 min
       val errors = e.where(col("event_type") === "error")
@@ -260,9 +256,9 @@ object OpsQueries {
     // the single-Exchange plan). Exact integer µs.
     "q102_scd2" -> ((s, dir) => {
       val e = events(s, dir)
-        .withColumnRenamed("ts", "ts_ns")
         .select(col("user_id"), col("event_id"),
-          col("event_type").as("state"), expr("ts_ns div 1000").as("t_us"))
+          col("event_type").as("state"),
+          unix_micros(col("ts").cast("timestamp")).as("t_us"))
       Temporal.scd2(e, keys = Seq("user_id"), tsCol = "t_us",
           tieBreak = "event_id", attrs = Seq("state"))
         .orderBy("user_id", "version")
@@ -279,9 +275,9 @@ object OpsQueries {
     "q103_scd2_apply" -> ((s, dir) => {
       val splitUs = 1705363200000000L // 2024-01-16T00:00:00Z, mid-corpus
       val e = events(s, dir)
-        .withColumnRenamed("ts", "ts_ns")
         .select(col("user_id"), col("event_id"),
-          col("event_type").as("state"), expr("ts_ns div 1000").as("t_us"))
+          col("event_type").as("state"),
+          unix_micros(col("ts").cast("timestamp")).as("t_us"))
       val dim = Temporal.scd2(e.where(col("t_us") < splitUs),
         keys = Seq("user_id"), tsCol = "t_us",
         tieBreak = "event_id", attrs = Seq("state"))
@@ -506,9 +502,8 @@ object OpsQueries {
     // box tightening); codegen'd bit interleave, narrow projection
     "q66_zorder" -> ((s, dir) =>
       events(s, dir)
-        .withColumnRenamed("ts", "ts_ns")
         .select(col("event_id"), col("user_id"),
-          expr("ts_ns div 1000 div 86400000000").as("day"))
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
         .withColumn("zval", graft.functions.ZOrder.zval(col("user_id"), col("day")))
         .orderBy("event_id")),
 

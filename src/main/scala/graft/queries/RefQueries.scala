@@ -35,19 +35,19 @@ object RefQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * cannot represent (µs timestamps) and by default refuses to read. Read it
-    * EXACTLY as int64 nanos (legacy nanosAsLong flag) and expose:
-    *   - `ts_ns`  BIGINT — exact epoch nanoseconds (DuckDB: epoch_ns(ts));
-    *   - `d`      DATE   — the event day (ns→µs via integer `div`, so no
-    *                       double-precision loss at 1.7e18 magnitudes).
+  /** The `events` table stores `ts` as parquet TIMESTAMP(MICROS) without a
+    * timezone (Spark: TIMESTAMP_NTZ). All downstream time arithmetic is
+    * exact-integer, so expose:
+    *   - `ts_ns`  BIGINT — exact epoch nanoseconds (µs × 1000; every session
+    *              pins spark.sql.session.timeZone=UTC, so the NTZ→TZ cast is
+    *              the identity and equals DuckDB's epoch_us(ts) × 1000);
+    *   - `d`      DATE   — the event day.
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("d", to_date(timestamp_micros(expr("ts_ns div 1000"))))
-  }
 
   /** Exact decimal product of a money double and (1 - discount double):
     * cast each operand to DECIMAL first so the multiply is exact and
@@ -131,7 +131,7 @@ object RefQueries {
 
     // O23 — first match per group
     "q08_first_match" -> ((s, dir) =>
-      // µs-truncated (ts_ns div 1000): DuckDB 1.x reads ns-parquet as µs
+      // exact µs (ts_ns div 1000), matching DuckDB's epoch_us(ts)
       // TIMESTAMP, and the fixed datasets have no same-µs collisions per
       // user, so min/min_by agree exactly across engines.
       events(s, dir).groupBy("user_id")
@@ -382,7 +382,6 @@ object RefQueries {
 
     // JSON path extraction over the events props column + grouped stats
     "q36_props_json" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       t(s, dir, "events")
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -413,10 +412,9 @@ object RefQueries {
     // pivot — weekly event counts, one column per event type (explicit
     // value list so the output schema is deterministic)
     "q39_pivot" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val types = Seq("click", "error", "purchase", "signup", "view")
       t(s, dir, "events")
-        .withColumn("d", to_date(timestamp_micros(expr("ts div 1000"))))
+        .withColumn("d", to_date(col("ts")))
         .select(WeekBins.epochWeek(col("d")).as("week"), col("event_type"))
         .groupBy("week")
         .pivot("event_type", types)

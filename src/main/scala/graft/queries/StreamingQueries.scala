@@ -11,14 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries {
 
-  /** Exact µs event time (events.ts is TIMESTAMP(NANOS) — see
-    * RefQueries.events). */
-  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Exact µs event time (events.ts is TIMESTAMP(MICROS) NTZ; the session
+    * pins UTC, so the NTZ→TZ cast is the identity — see RefQueries.events). */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-  }
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .drop("ts")
 
   private val GapUs = 30L * 60 * 1000 * 1000 // 30-minute session gap
 
@@ -520,8 +518,8 @@ object StreamingQueries {
         |WHERE ${replayWhereSql("c.user_id")}
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
 
-    // same-user purchases at most 6 h after a click; DuckDB's µs-truncated
-    // NANOS timestamps equal Spark's ts_ns div 1000 exactly
+    // same-user purchases at most 6 h after a click; DuckDB's epoch_us(ts)
+    // equals Spark's unix_micros µs exactly (both read the same µs parquet)
     "q54_attribution_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us

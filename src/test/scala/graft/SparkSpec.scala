@@ -17,10 +17,6 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      // testdata events.ts is TIMESTAMP(NANOS); set once here so suites
-      // that read it don't flip a shared-session conf mid-run (test
-      // outcomes must not depend on suite execution order)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -174,7 +174,8 @@ class PlanSpec extends SparkSpec {
     // compilation behind exchanges, hiding codegen from explain) — the
     // generated Java must call the static interleave
     val df = spark.read.parquet(s"$dir/events.parquet")
-      .selectExpr("event_id", "user_id", "ts div 1000 div 86400000000 as day")
+      .selectExpr("event_id", "user_id",
+        "unix_micros(cast(ts as timestamp)) div 86400000000 as day")
       .withColumn("zval", graft.functions.ZOrder.zval(
         org.apache.spark.sql.functions.col("user_id"),
         org.apache.spark.sql.functions.col("day")))

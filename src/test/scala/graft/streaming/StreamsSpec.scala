@@ -177,7 +177,7 @@ class StreamsSpec extends SparkSpec {
   test("stateful streaming sessionization ≡ batch sessionization on real events (sf0.001)") {
     implicit val sqlCtx = spark.sqlContext
     val evs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .selectExpr("user_id", "timestamp_micros(ts div 1000) AS ts")
+      .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
       .collect()
       .map(r => SessionEvent(r.getLong(0), r.getTimestamp(1), "e"))
       .sortBy(_.ts.getTime) // arrival order = event time (no late data)
@@ -209,7 +209,7 @@ class StreamsSpec extends SparkSpec {
   test("stream-stream attribution join ≡ batch join on real events (sf0.001)") {
     implicit val sqlCtx = spark.sqlContext
     val evs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .selectExpr("event_id", "user_id", "timestamp_micros(ts div 1000) AS ts", "event_type")
+      .selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
       .where("event_type IN ('click', 'purchase')")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
@@ -428,7 +428,7 @@ class StreamsSpec extends SparkSpec {
 
   test("streaming SCD2 ≡ batch scd2 on real events under contract-safe slicings") {
     val rows = spark.read.parquet(sf("events"))
-      .select(col("user_id"), expr("ts div 1000").as("t_us"),
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("t_us"),
         col("event_id"), col("event_type"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .sortBy(r => (r._1, r._2, r._3)).toSeq
