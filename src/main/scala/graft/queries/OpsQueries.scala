@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Mix64
-import graft.ops.{Bucketing, Layout, Quantiles, Sampling, Skew, Temporal}
+import graft.ops.{Bucketing, Deletion, Layout, Quantiles, Sampling, Skew, Temporal}
 
 /** Driver-visible registrations for the scale-infrastructure operators
   * (graft.ops). The row-level ANSWERS are plain-SQL-expressible and carry
@@ -28,6 +28,12 @@ object OpsQueries {
     * session pins UTC, so the cast is the identity (see RefQueries.events). */
   private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
+
+  /** q121's deletion-request rate: the deterministic share of users whose
+    * Mix64 coordinate files a request (both engines derive the threshold
+    * through the same Sampling.threshold floor). Defined BEFORE the query
+    * and oracle maps — those vals capture it at object-init time. */
+  private val DeleteRate = 0.02
 
   /** Table-name suffix derived from the data dir (specs reuse this to
     * compute the exact table names for cleanup — never hardcode them). */
@@ -596,6 +602,36 @@ object OpsQueries {
             && col("min_doc_id") === col("a_min")
             && col("max_doc_id") === col("a_max")).as("incremental_ok"))
         .orderBy("shard")
+    }),
+
+    // RIGHT-TO-BE-FORGOTTEN propagation: a deterministic ~2% of users file
+    // deletion requests; the sweep must scrub the fact table AND every
+    // derived table (daily rollup, per-type profile) and prove it — one
+    // audit row per table with before/after counts and an order-free
+    // survivor checksum (sum of Mix64 coords of surviving row keys) that
+    // the DuckDB oracle recomputes independently. Request list broadcast,
+    // one scan per table, counts+checksum as one partial-agg — no corpus
+    // shuffle (PlanSpec pins the broadcast-join shape).
+    "q121_delete_propagate" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t_us"), col("event_type"))
+      val requests = e.select(col("user_id"))
+        .where(Mix64.sampleCoord(col("user_id")) <
+          lit(Sampling.threshold(DeleteRate)))
+        .distinct()
+      val daily = e.groupBy(col("user_id"),
+          expr("t_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val profile = e.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      Deletion.propagate(Seq(
+          Deletion.Subject("events", e, col("user_id"), col("event_id")),
+          Deletion.Subject("user_daily", daily, col("user_id"),
+            expr("user_id * 131072 + day")),
+          Deletion.Subject("user_profile", profile, col("user_id"),
+            expr("user_id * 1024 + ascii(event_type)"))),
+          requests)
+        .orderBy("tbl")
     }))
 
   /** q117/q118's per-shard manifest: Mix64 shard of the key, doc/token
@@ -1183,7 +1219,44 @@ object OpsQueries {
          |   AND f.content_xor = a.a_xor AND f.min_doc_id = a.a_min
          |   AND f.max_doc_id = a.a_max) AS incremental_ok
          |FROM f JOIN applied a USING (shard)
-         |ORDER BY shard""".stripMargin)
+         |ORDER BY shard""".stripMargin,
+
+    // each audit CTE replays one Subject: left join against the request
+    // list, FILTERed aggregates for after-count and survivor checksum
+    // (sum of Mix64 coords of surviving row keys — order-free, so any
+    // divergence in WHICH rows survived flips the value)
+    "q121_delete_propagate" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type
+         |           FROM events),
+         |req AS (SELECT DISTINCT user_id FROM e
+         |        WHERE ${coordSql("user_id")} < ${Sampling.threshold(DeleteRate)}),
+         |ev AS (
+         |  SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS rows_before,
+         |    CAST(count(*) FILTER (r.user_id IS NULL) AS BIGINT) AS rows_after,
+         |    CAST(coalesce(sum(${coordSql("e.event_id")})
+         |      FILTER (r.user_id IS NULL), 0) AS BIGINT) AS survivor_checksum
+         |  FROM e LEFT JOIN req r ON e.user_id = r.user_id),
+         |d0 AS (SELECT user_id, t_us // 86400000000 AS day, count(*) AS n
+         |       FROM e GROUP BY 1, 2),
+         |da AS (
+         |  SELECT 'user_daily' AS tbl, CAST(count(*) AS BIGINT) AS rows_before,
+         |    CAST(count(*) FILTER (r.user_id IS NULL) AS BIGINT) AS rows_after,
+         |    CAST(coalesce(sum(${coordSql("(d0.user_id * 131072 + d0.day)")})
+         |      FILTER (r.user_id IS NULL), 0) AS BIGINT) AS survivor_checksum
+         |  FROM d0 LEFT JOIN req r ON d0.user_id = r.user_id),
+         |p0 AS (SELECT user_id, event_type, count(*) AS n
+         |       FROM e GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT 'user_profile' AS tbl, CAST(count(*) AS BIGINT) AS rows_before,
+         |    CAST(count(*) FILTER (r.user_id IS NULL) AS BIGINT) AS rows_after,
+         |    CAST(coalesce(sum(${coordSql("(p0.user_id * 1024 + ascii(p0.event_type))")})
+         |      FILTER (r.user_id IS NULL), 0) AS BIGINT) AS survivor_checksum
+         |  FROM p0 LEFT JOIN req r ON p0.user_id = r.user_id)
+         |SELECT tbl, rows_before, rows_after,
+         |  rows_before - rows_after AS rows_deleted, survivor_checksum
+         |FROM (SELECT * FROM ev UNION ALL SELECT * FROM da
+         |      UNION ALL SELECT * FROM pr)
+         |ORDER BY tbl""".stripMargin)
 
   /** The q117 manifest as DuckDB SQL over `documents` with an optional
     * row predicate — q118 instantiates it three times (full/base/delta). */

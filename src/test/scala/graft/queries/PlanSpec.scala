@@ -259,6 +259,16 @@ class PlanSpec extends SparkSpec {
       s"manifest agg is not map-side combinable:\n${p.take(800)}")
   }
 
+  test("q121 delete propagation: every request join is broadcast, no sort-merge") {
+    // the corpus side must never shuffle FOR THE JOIN (the rollup
+    // aggregations shuffle their groups — that is theirs); all three
+    // audit branches join the request list as a broadcast hash join
+    val p = plan("q121_delete_propagate")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      s"request join fell back to sort-merge:\n${p.take(800)}")
+  }
+
   test("q119 curriculum rank plans WITHOUT a window operator (the one-task shape)") {
     // the operator's whole point: a global rank with no WindowExec — an
     // unpartitioned row_number would move the corpus through one task
