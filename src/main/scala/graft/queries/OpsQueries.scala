@@ -33,7 +33,7 @@ object OpsQueries {
     * Mix64 coordinate files a request (both engines derive the threshold
     * through the same Sampling.threshold floor). Defined BEFORE the query
     * and oracle maps — those vals capture it at object-init time. */
-  private val DeleteRate = 0.02
+  private[queries] val DeleteRate = 0.02
 
   /** Table-name suffix derived from the data dir (specs reuse this to
     * compute the exact table names for cleanup — never hardcode them). */
@@ -632,6 +632,44 @@ object OpsQueries {
             expr("user_id * 1024 + ascii(event_type)"))),
           requests)
         .orderBy("tbl")
+    }),
+
+    // RETRACTION-AWARE INCREMENTAL MAINTENANCE: deletion composed with
+    // the q118 monoid discipline. A maintained per-day rollup (count +
+    // exact decimal value mass) absorbs a deletion batch by SUBTRACTING
+    // the deleted users' contribution — computed from their events alone
+    // (broadcast semi join), never rescanning the corpus — and the query
+    // emits incremental-vs-full-rebuild equality per day as a
+    // driver-checked bit (full outer + null-safe compare, so a day
+    // present on only one side is a red row, not a silent skip).
+    "q123_rollup_retract" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
+          col("value").cast("decimal(18,2)").as("v"))
+      val requests = e.select(col("user_id")).distinct()
+        .where(Mix64.sampleCoord(col("user_id")) <
+          lit(Sampling.threshold(DeleteRate)))
+      def rollup(df: DataFrame, n: String, m: String): DataFrame =
+        df.groupBy("day").agg(count(lit(1)).as(n), sum(col("v")).as(m))
+      val full = rollup(e, "n", "mass")
+      val delta = rollup(
+        e.join(broadcast(requests), Seq("user_id"), "left_semi"), "dn", "dmass")
+      val incremental = full.join(delta, Seq("day"), "left_outer")
+        .select(col("day"),
+          (col("n") - coalesce(col("dn"), lit(0L))).as("inc_n"),
+          (col("mass") - coalesce(col("dmass"), lit(java.math.BigDecimal.ZERO)
+            .cast("decimal(18,2)"))).as("inc_mass"))
+        .where(col("inc_n") > 0)
+      val rebuild = rollup(Deletion.scrub(e, col("user_id"), requests),
+        "rb_n", "rb_mass")
+      incremental.join(rebuild, Seq("day"), "full_outer")
+        .select(col("day"),
+          col("rb_n"), col("rb_mass").cast("double").as("rb_mass"),
+          col("inc_n"), col("inc_mass").cast("double").as("inc_mass"),
+          (col("rb_n") <=> col("inc_n") &&
+            col("rb_mass") <=> col("inc_mass")).as("retract_ok"))
+        .orderBy("day")
     }))
 
   /** q117/q118's per-shard manifest: Mix64 shard of the key, doc/token
@@ -1256,7 +1294,33 @@ object OpsQueries {
          |  rows_before - rows_after AS rows_deleted, survivor_checksum
          |FROM (SELECT * FROM ev UNION ALL SELECT * FROM da
          |      UNION ALL SELECT * FROM pr)
-         |ORDER BY tbl""".stripMargin)
+         |ORDER BY tbl""".stripMargin,
+
+    // decimal value mass throughout (exact subtraction, double only at
+    // the output boundary — the BASELINE float-parity technique); the
+    // equality bits replay Spark's null-safe <=> as IS NOT DISTINCT FROM
+    "q123_rollup_retract" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+         |req AS (SELECT DISTINCT user_id FROM e
+         |        WHERE ${coordSql("user_id")} < ${Sampling.threshold(DeleteRate)}),
+         |f AS (SELECT day, CAST(count(*) AS BIGINT) AS n, sum(v) AS mass
+         |      FROM e GROUP BY day),
+         |d AS (SELECT day, CAST(count(*) AS BIGINT) AS dn, sum(v) AS dmass
+         |      FROM e WHERE user_id IN (SELECT user_id FROM req) GROUP BY day),
+         |inc AS (SELECT f.day, f.n - coalesce(d.dn, 0) AS inc_n,
+         |          f.mass - coalesce(d.dmass, CAST(0 AS DECIMAL(18,2))) AS inc_mass
+         |        FROM f LEFT JOIN d USING (day)
+         |        WHERE f.n - coalesce(d.dn, 0) > 0),
+         |rb AS (SELECT day, CAST(count(*) AS BIGINT) AS rb_n, sum(v) AS rb_mass
+         |       FROM e WHERE user_id NOT IN (SELECT user_id FROM req)
+         |       GROUP BY day)
+         |SELECT day, rb_n, CAST(rb_mass AS DOUBLE) AS rb_mass,
+         |  inc_n, CAST(inc_mass AS DOUBLE) AS inc_mass,
+         |  (rb_n IS NOT DISTINCT FROM inc_n
+         |   AND rb_mass IS NOT DISTINCT FROM inc_mass) AS retract_ok
+         |FROM inc FULL OUTER JOIN rb USING (day)
+         |ORDER BY day""".stripMargin)
 
   /** The q117 manifest as DuckDB SQL over `documents` with an optional
     * row predicate — q118 instantiates it three times (full/base/delta). */

@@ -31,6 +31,11 @@ object StreamingQueries {
     * Production reads Kafka/files and needs no cap; this bounds only the
     * test-harness feed. */
   private val ReplayCap = 1L << 30
+
+  /** q122's tombstone effective time: 2024-01-16T00:00:00Z (mid-corpus,
+    * the q103 split instant) — every requested user's deletion is filed
+    * at this µs on both the stream and the oracle side. */
+  private val TombUs = 1705363200000000L
   private def replayFilter(key: String) =
     graft.functions.Mix64.sampleCoord(col(key).cast("long")) < ReplayCap
   private def replayWhereSql(key: String) =
@@ -395,6 +400,35 @@ object StreamingQueries {
       } finally sq.stop()
       s.table("q120_attr").distinct()
         .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
+    // STREAMING TOMBSTONE FILTER: q121's right-to-be-forgotten sweep as a
+    // stream (ComplianceStream.tombstoneFilter — one long of state per
+    // user). The q121 request users file tombstones at the mid-corpus
+    // instant; the replay feeds events+tombstones in event-time order
+    // (tombstones first within an equal µs — the compacted-log delivery
+    // contract), and every event at/after its user's tombstone is
+    // suppressed. Survivors are unique by event_id, so the append-mode
+    // read-out dedups task-replay duplicates with distinct. Oracle = the
+    // batch survivor rule (not requested OR before the tombstone) as one
+    // WHERE clause.
+    "q122_stream_tombstone" -> ((s, dir) => {
+      import s.implicits._
+      val e = eventsUs(s, dir).where(replayFilter("user_id"))
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+        .as[(Long, Long, Long)].collect()
+      require(e.nonEmpty, s"q122_stream_tombstone: no events at $dir")
+      val thr = graft.ops.Sampling.threshold(OpsQueries.DeleteRate)
+      val tombs = e.map(_._1).distinct
+        .filter(u => graft.functions.Mix64.hash(u) < thr)
+        .map(u => graft.streaming.TombstoneRow(u, TombUs, 0L, is_tomb = true))
+      val rows = (e.map { case (u, t, id) =>
+          graft.streaming.TombstoneRow(u, t, id, is_tomb = false) } ++ tombs)
+        .sortBy(r => (r.ts_us, !r.is_tomb, r.event_id))
+      replay(s, "q122_tomb", "append", halves(rows))(
+          graft.streaming.ComplianceStream.tombstoneFilter)
+        .distinct()
+        .orderBy("user_id", "ts_us", "event_id")
     }))
 
   /** q50 and q92 share one oracle body: the batch gap-sessionization SQL is
@@ -527,5 +561,16 @@ object StreamingQueries {
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 21600000000::BIGINT
-        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin)
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    // the batch survivor rule over the same capped sample: an event
+    // survives iff its user filed no request OR it precedes the tombstone
+    "q122_stream_tombstone" ->
+      s"""SELECT user_id, epoch_us(ts) AS ts_us, event_id
+         |FROM events
+         |WHERE ${replayWhereSql("user_id")}
+         |  AND NOT (${OpsQueries.coordSql("user_id")}
+         |             < ${graft.ops.Sampling.threshold(OpsQueries.DeleteRate)}
+         |           AND epoch_us(ts) >= $TombUs)
+         |ORDER BY user_id, ts_us, event_id""".stripMargin)
 }

@@ -269,6 +269,21 @@ class PlanSpec extends SparkSpec {
       s"request join fell back to sort-merge:\n${p.take(800)}")
   }
 
+  test("q123 retraction: the corpus-side request joins are broadcast (semi + anti)") {
+    // the one acceptable SortMergeJoin is the final FullOuter equality
+    // check between the two per-DAY rollups (cardinality = #days, and
+    // Spark cannot broadcast a full outer); the joins that touch corpus
+    // rows — semi/anti against the request list on user_id — must be
+    // broadcast
+    val p = plan("q123_rollup_retract")
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(p).isDefined, p.take(800))
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined, p.take(800))
+    val smj = "SortMergeJoin \\[[^\\]]*\\], \\[[^\\]]*\\], (\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(smj.forall(_ == "FullOuter"),
+      s"unexpected sort-merge join kinds $smj:\n${p.take(800)}")
+  }
+
   test("q119 curriculum rank plans WITHOUT a window operator (the one-task shape)") {
     // the operator's whole point: a global rank with no WindowExec — an
     // unpartitioned row_number would move the corpus through one task

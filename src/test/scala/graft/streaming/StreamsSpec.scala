@@ -13,6 +13,55 @@ class StreamsSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  // ------------------------------------------------- tombstone filter
+
+  /** Run tombstoneFilter over the rows split into `cuts` micro-batches and
+    * return the survivor set from the append sink. */
+  private def runTombstone(rows: Seq[TombstoneRow],
+                           cuts: Seq[Seq[TombstoneRow]]): Set[(Long, Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TombstoneRow]
+    spark.catalog.dropTempView("tomb_sink")
+    val sq = ComplianceStream.tombstoneFilter(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tomb_sink").start()
+    try cuts.filter(_.nonEmpty).foreach { b =>
+      mem.addData(b: _*); sq.processAllAvailable()
+    } finally sq.stop()
+    spark.table("tomb_sink").as[SurvivorRow].collect()
+      .map(s => (s.user_id, s.ts_us, s.event_id)).toSet
+  }
+
+  test("tombstone filter: survivor set is slicing-invariant and matches the batch rule") {
+    val ev = (r: (Long, Long, Long)) => TombstoneRow(r._1, r._2, r._3, is_tomb = false)
+    val rows = Seq( // event-time order, tombstone for user 1 at t=50
+      ev((1L, 10L, 1L)), ev((2L, 20L, 2L)), ev((1L, 30L, 3L)),
+      TombstoneRow(1L, 50L, 0L, is_tomb = true),
+      ev((1L, 50L, 4L)), // equal-µs event: covered by the tombstone
+      ev((2L, 60L, 5L)), ev((1L, 70L, 6L))
+    )
+    val expected = Set((1L, 10L, 1L), (2L, 20L, 2L), (1L, 30L, 3L), (2L, 60L, 5L))
+    for (cuts <- Seq(
+        Seq(rows),
+        rows.grouped(3).toSeq,
+        rows.map(Seq(_)))) {
+      assert(runTombstone(rows, cuts) == expected, s"cuts=${cuts.size}")
+    }
+  }
+
+  test("tombstone filter: an out-of-order arrival fails loudly, never leaks") {
+    val rows1 = Seq(TombstoneRow(1L, 100L, 1L, is_tomb = false))
+    val late = Seq(TombstoneRow(1L, 40L, 0L, is_tomb = true)) // should have covered t=100
+    val exc = intercept[Exception] {
+      runTombstone(rows1 ++ late, Seq(rows1, late))
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(exc).exists(_.getMessage != null) &&
+      causes(exc).exists(c => Option(c.getMessage).exists(_.contains("out-of-order"))),
+      exc.toString)
+  }
+
   test("streaming weekly histogram == batch weekly histogram (epoch-Thursday anchor)") {
     val rows = Seq(
       ("a", ts("2024-01-01 10:00:00")), // week starting Thu 2023-12-28
