@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Mix64
-import graft.ops.{Bucketing, Deletion, Layout, Quantiles, Sampling, Skew, Temporal}
+import graft.ops.{Bucketing, Deletion, Layout, Quantiles, Sampling, Skew, SnapshotDiff, Temporal}
 
 /** Driver-visible registrations for the scale-infrastructure operators
   * (graft.ops). The row-level ANSWERS are plain-SQL-expressible and carry
@@ -670,6 +670,28 @@ object OpsQueries {
           (col("rb_n") <=> col("inc_n") &&
             col("rb_mass") <=> col("inc_mass")).as("retract_ok"))
         .orderBy("day")
+    }),
+
+    // SNAPSHOT DIFF with bucket-fingerprint pruning (SnapshotDiff.diff):
+    // base = docs with doc_id%3≠0, current = docs with doc_id%5≠0 and a
+    // text edit on doc_id%7=0 — exercising added, removed AND changed.
+    // The ORACLE is the DIRECT full-outer diff comparing raw text, so it
+    // cross-checks the whole two-phase machinery: a fingerprint collision
+    // OR an unsoundly skipped bucket would be a red row, not a silent
+    // miss.
+    "q124_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = docs.where(col("doc_id") % 3 =!= 0)
+        .withColumn("fp",
+          graft.text.TextAnalysis.contentFingerprint(col("text")))
+      val cur = docs.where(col("doc_id") % 5 =!= 0)
+        .withColumn("edited",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit("!")))
+            .otherwise(col("text")))
+        .withColumn("fp",
+          graft.text.TextAnalysis.contentFingerprint(col("edited")))
+      SnapshotDiff.diff(base, cur, "doc_id", "fp", nBuckets = 64)
+        .orderBy("doc_id", "status")
     }))
 
   /** q117/q118's per-shard manifest: Mix64 shard of the key, doc/token
@@ -1320,7 +1342,22 @@ object OpsQueries {
          |  (rb_n IS NOT DISTINCT FROM inc_n
          |   AND rb_mass IS NOT DISTINCT FROM inc_mass) AS retract_ok
          |FROM inc FULL OUTER JOIN rb USING (day)
-         |ORDER BY day""".stripMargin)
+         |ORDER BY day""".stripMargin,
+
+    // the GROUND-TRUTH diff: no buckets, no fingerprints — raw text
+    // compared through a direct full outer join
+    "q124_snapshot_diff" ->
+      """WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |c AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 7 = 0 THEN text || '!' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 5 <> 0),
+        |j AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+        |        CASE WHEN b.doc_id IS NULL THEN 'added'
+        |             WHEN c.doc_id IS NULL THEN 'removed'
+        |             WHEN b.text <> c.text THEN 'changed' END AS status
+        |      FROM b FULL OUTER JOIN c ON b.doc_id = c.doc_id)
+        |SELECT doc_id, status FROM j WHERE status IS NOT NULL
+        |ORDER BY doc_id, status""".stripMargin)
 
   /** The q117 manifest as DuckDB SQL over `documents` with an optional
     * row predicate — q118 instantiates it three times (full/base/delta). */

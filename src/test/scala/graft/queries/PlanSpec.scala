@@ -284,6 +284,15 @@ class PlanSpec extends SparkSpec {
       s"unexpected sort-merge join kinds $smj:\n${p.take(800)}")
   }
 
+  test("q124 snapshot diff: the dirty-bucket filter is broadcast on both sides") {
+    // phase 2 must touch only dirty buckets: each snapshot side joins the
+    // (≤ nBuckets)-row dirty list via broadcast BEFORE the key-level
+    // full outer join
+    val p = plan("q124_snapshot_diff")
+    assert("BroadcastHashJoin \\[bucket".r.findAllIn(p).size >= 2,
+      s"dirty-bucket filters are not broadcast:\n${p.take(800)}")
+  }
+
   test("q119 curriculum rank plans WITHOUT a window operator (the one-task shape)") {
     // the operator's whole point: a global rank with no WindowExec — an
     // unpartitioned row_number would move the corpus through one task
