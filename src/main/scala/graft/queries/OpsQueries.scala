@@ -35,6 +35,15 @@ object OpsQueries {
     * and oracle maps — those vals capture it at object-init time. */
   private[queries] val DeleteRate = 0.02
 
+  /** q125's sketch width: wider than the q104/q105 frequency sketches
+    * (whose point is bounded-state counting under collision) because the
+    * inner-product estimator's error is ~‖a‖₁‖b‖₁/width — at the 256-term
+    * domain a width-256 sketch keeps the estimate within a small factor
+    * while still compressing nothing-to-hide test data; at a real 2^64
+    * key domain THIS is the whole point: d·w cells estimate a join size
+    * no per-key count could without shuffling the dictionary. */
+  private[queries] val JoinSizeWidth = 256
+
   /** Table-name suffix derived from the data dir (specs reuse this to
     * compute the exact table names for cleanup — never hardcode them). */
   private[graft] def suffix(dir: String): String =
@@ -692,6 +701,43 @@ object OpsQueries {
           graft.text.TextAnalysis.contentFingerprint(col("edited")))
       SnapshotDiff.diff(base, cur, "doc_id", "fp", nBuckets = 64)
         .orderBy("doc_id", "status")
+    }),
+
+    // JOIN-SIZE ESTIMATION via the Count-Min inner product — the classic
+    // "plan the join before running it" sketch application: |A ⋈ B| on a
+    // key = Σ_t a_t·b_t, estimated by min over depth rows of the row-wise
+    // sketch inner product Σ_w C[r][w]·P[r][w]. With increment-only cells
+    // the estimate can only overshoot (collisions add non-negative cross
+    // terms), emitted as a checked bit. Same Mix64 bucketing as
+    // q104/q105; the whole query is three aggregation levels over one
+    // scan — no join anywhere, exact and estimate ride the same cells.
+    "q125_join_size" -> ((s, dir) => {
+      val depth = CmDepth; val width = JoinSizeWidth
+      val t = events(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), pmod(col("user_id"), lit(256L)).as("term"))
+      val perTerm = t.groupBy("term").agg(
+        count(when(col("event_type") === "click", 1)).as("nc"),
+        count(when(col("event_type") === "purchase", 1)).as("np"))
+      val cells = perTerm
+        .select(col("term"), col("nc"), col("np"),
+          (col("nc") * col("np")).as("x"),
+          explode(array((0 until depth).map(r => lit(r.toLong)): _*)).as("r"))
+        .withColumn("bucket", pmod(
+          Mix64.sampleCoord(col("term") * lit(131L) + col("r")),
+          lit(width.toLong)))
+        .groupBy("r", "bucket")
+        .agg(sum("nc").as("c_cell"), sum("np").as("p_cell"),
+          sum("x").as("xb"))
+      cells.groupBy("r")
+        .agg(sum(col("c_cell") * col("p_cell")).as("prod"),
+          sum("xb").as("exact_r"), sum("c_cell").as("nc_r"),
+          sum("p_cell").as("np_r"))
+        .agg(max("nc_r").as("n_clicks"), max("np_r").as("n_purchases"),
+          max("exact_r").as("exact_size"), min("prod").as("est_size"))
+        .select(col("n_clicks"), col("n_purchases"), col("exact_size"),
+          col("est_size"),
+          (col("est_size") >= col("exact_size")).as("no_underestimate"))
     }))
 
   /** q117/q118's per-shard manifest: Mix64 shard of the key, doc/token
@@ -1357,7 +1403,33 @@ object OpsQueries {
         |             WHEN b.text <> c.text THEN 'changed' END AS status
         |      FROM b FULL OUTER JOIN c ON b.doc_id = c.doc_id)
         |SELECT doc_id, status FROM j WHERE status IS NOT NULL
-        |ORDER BY doc_id, status""".stripMargin)
+        |ORDER BY doc_id, status""".stripMargin,
+
+    // the same three aggregation levels, cells replayed with the
+    // countMinSql bucket convention (coordSql of term·131+r, mod a
+    // power-of-two width)
+    "q125_join_size" ->
+      s"""WITH t AS (SELECT event_type, ((user_id % 256) + 256) % 256 AS term
+         |           FROM events WHERE event_type IN ('click', 'purchase')),
+         |pt AS (SELECT term,
+         |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS nc,
+         |         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS np
+         |       FROM t GROUP BY term),
+         |cells AS (SELECT r.r,
+         |            (${coordSql("(pt.term * 131 + r.r)")}) % $JoinSizeWidth AS bucket,
+         |            CAST(sum(nc) AS BIGINT) AS c_cell,
+         |            CAST(sum(np) AS BIGINT) AS p_cell,
+         |            CAST(sum(nc * np) AS BIGINT) AS xb
+         |          FROM pt CROSS JOIN range(0, $CmDepth) r(r) GROUP BY 1, 2),
+         |byrow AS (SELECT r, CAST(sum(c_cell * p_cell) AS BIGINT) AS prod,
+         |            CAST(sum(xb) AS BIGINT) AS exact_r,
+         |            CAST(sum(c_cell) AS BIGINT) AS nc_r,
+         |            CAST(sum(p_cell) AS BIGINT) AS np_r
+         |          FROM cells GROUP BY r)
+         |SELECT max(nc_r) AS n_clicks, max(np_r) AS n_purchases,
+         |  max(exact_r) AS exact_size, min(prod) AS est_size,
+         |  min(prod) >= max(exact_r) AS no_underestimate
+         |FROM byrow""".stripMargin)
 
   /** The q117 manifest as DuckDB SQL over `documents` with an optional
     * row predicate — q118 instantiates it three times (full/base/delta). */

@@ -293,6 +293,14 @@ class PlanSpec extends SparkSpec {
       s"dirty-bucket filters are not broadcast:\n${p.take(800)}")
   }
 
+  test("q125 join-size estimate: aggregation-only plan, no join operator") {
+    // the estimator's point: exact and estimate ride one scan through
+    // three aggregation levels — the join whose size is being estimated
+    // is never executed
+    val p = plan("q125_join_size")
+    assert(!p.contains("Join"), p.take(800))
+  }
+
   test("q119 curriculum rank plans WITHOUT a window operator (the one-task shape)") {
     // the operator's whole point: a global rank with no WindowExec — an
     // unpartitioned row_number would move the corpus through one task
