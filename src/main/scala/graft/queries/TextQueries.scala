@@ -538,7 +538,59 @@ object TextQueries {
       graft.ops.Ranking.globalRank(
           qcScored(s, dir).select(col("doc_id"), col("logit_micro")),
           "rank", col("logit_micro").desc, col("doc_id"))
-        .orderBy("rank")))
+        .orderBy("rank")),
+
+    // DROP LEDGER — per-document lineage through the q91 curation chain:
+    // every corpus doc gets the FIRST stage that removed it
+    // (contaminated → low_quality → duplicate → sampled_out) or 'kept'.
+    // The "why was my document dropped" debugging primitive: the same
+    // verified stage predicates as q91, but evaluated as flags over the
+    // FULL corpus instead of as successive filters, so one scan prices
+    // the whole ledger; 'kept' here ≡ q91's output set (pinned in
+    // TextSpec). Stage populations compose exactly as the pipeline ran
+    // them: the md5 keep-min is taken over ELIGIBLE (clean, quality-pass)
+    // docs only, and mixture rates derive from the pre-sample survivors.
+    "q126_drop_ledger" -> ((s, dir) => {
+      import graft.functions.Mix64
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          split(col("text"), " ").as("ws"))
+      val bench = d.where(col("source") === "src0")
+        .select(explode(wordGrams4(col("ws"))).as("gram")).distinct()
+      val corpus = d.where(col("source") =!= "src0")
+      val contaminated = corpus
+        .select(col("doc_id"), explode(wordGrams4(col("ws"))).as("gram"))
+        .join(broadcast(bench), "gram")
+        .select(col("doc_id")).distinct().withColumn("is_cont", lit(true))
+      val flagged = corpus.join(contaminated, Seq("doc_id"), "left_outer")
+        .withColumn("is_cont", coalesce(col("is_cont"), lit(false)))
+        .select(col("doc_id"), col("source"), col("text"), col("is_cont"),
+          textStats(col("text")).as("st"),
+          punctRatio(col("text")).as("pr"), digitRatio(col("text")).as("dr"))
+        .select(col("doc_id"), col("source"), col("text"), col("is_cont"),
+          tokenCountWs(col("text")).cast("long").as("n_tok"),
+          qualityScoreFrom(col("st"), col("pr"), col("dr")).as("quality"))
+      val eligible = !col("is_cont") && col("quality") >= 0.5
+      val led = flagged
+        .withColumn("keep_id",
+          min(when(eligible, col("doc_id"))).over(Window.partitionBy(md5(col("text")))))
+        .withColumn("pre_sample", eligible && col("doc_id") === col("keep_id"))
+      val mass = led.where(col("pre_sample"))
+        .groupBy("source").agg(sum(col("n_tok")).as("mass"))
+      val minMass = min(col("mass")).over(Window.partitionBy())
+      val rates = mass
+        .withColumn("thr", floor((minMass.cast("double") / col("mass").cast("double"))
+          * lit(4294967296.0)).cast("long"))
+        .select("source", "thr")
+      led.join(broadcast(rates), Seq("source"), "left_outer")
+        .select(col("doc_id"),
+          when(col("is_cont"), "contaminated")
+            .when(col("quality") < 0.5, "low_quality")
+            .when(col("doc_id") =!= col("keep_id"), "duplicate")
+            .when(Mix64.sampleCoord(col("doc_id")) >= col("thr"), "sampled_out")
+            .otherwise("kept").as("verdict"))
+        .orderBy("doc_id")
+    }))
 
   /** q116/q119's per-doc features + exact-integer logit. */
   private def qcScored(s: SparkSession, dir: String): DataFrame = {
@@ -837,6 +889,67 @@ object TextQueries {
          |FROM ded JOIN r USING (source)
          |WHERE ${OpsQueries.coordSql("ded.doc_id")} < r.thr
          |ORDER BY ded.doc_id""".stripMargin,
+
+    // q91's chain re-expressed as per-doc verdicts: the stage populations
+    // compose identically (md5 keep-min over eligible docs, rates over
+    // pre-sample survivors) — so 'kept' here must equal q91's rows
+    "q126_drop_ledger" ->
+      s"""WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM documents),
+         |bench AS (
+         |  SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 2),
+         |    i -> array_to_string(ws[i:i+3], ' '))) AS gram
+         |  FROM d WHERE source = 'src0'),
+         |cont AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 2),
+         |      i -> array_to_string(ws[i:i+3], ' '))) AS gram
+         |    FROM d WHERE source <> 'src0') c
+         |  JOIN bench USING (gram)),
+         |base AS (
+         |  SELECT doc_id, source, text, length(text) AS n,
+         |    doc_id IN (SELECT doc_id FROM cont) AS is_cont,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rawtoks,
+         |    CAST(CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tok
+         |  FROM d WHERE source <> 'src0'),
+         |m AS (
+         |  SELECT doc_id, source, text, n_tok, is_cont,
+         |    CASE WHEN n = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / n END AS punct_ratio,
+         |    CASE WHEN n = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / n END AS digit_ratio,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_filter(toks, x -> list_contains($StopwordsSql, x)))::DOUBLE / len(toks) END AS stopword_ratio,
+         |    CASE WHEN len(rawtoks) = 0 THEN 0.0
+         |         ELSE list_aggregate(list_transform(rawtoks, x -> length(x)), 'sum')::DOUBLE / len(rawtoks) END AS mean_word_len
+         |  FROM base),
+         |scored AS (
+         |  SELECT doc_id, source, text, n_tok, is_cont,
+         |    least(stopword_ratio * 4.0, 1.0) * 0.3
+         |      + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.25
+         |      + greatest(1.0 - digit_ratio * 5.0, 0.0) * 0.25
+         |      + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 8.0 THEN 1.0
+         |              WHEN mean_word_len > 0.0 THEN 0.5 ELSE 0.0 END) * 0.2 AS quality
+         |  FROM m),
+         |qual AS (SELECT * FROM scored WHERE quality >= 0.5 AND NOT is_cont),
+         |keep AS (SELECT md5(text) AS h, min(doc_id) AS kid FROM qual GROUP BY md5(text)),
+         |ms AS (SELECT source, sum(n_tok) AS mass FROM qual q
+         |       JOIN keep k ON q.doc_id = k.kid GROUP BY source),
+         |r AS (SELECT source,
+         |        CAST(floor((CAST((SELECT min(mass) FROM ms) AS DOUBLE) / CAST(mass AS DOUBLE))
+         |             * 4294967296) AS BIGINT) AS thr
+         |      FROM ms)
+         |SELECT s.doc_id,
+         |  CASE WHEN s.is_cont THEN 'contaminated'
+         |       WHEN s.quality < 0.5 THEN 'low_quality'
+         |       WHEN s.doc_id <> k.kid THEN 'duplicate'
+         |       WHEN NOT (${OpsQueries.coordSql("s.doc_id")} < r.thr) THEN 'sampled_out'
+         |       ELSE 'kept' END AS verdict
+         |FROM scored s
+         |LEFT JOIN keep k ON md5(s.text) = k.h
+         |LEFT JOIN r ON r.source = s.source
+         |ORDER BY s.doc_id""".stripMargin,
 
     "q67_inverted_index" ->
       """WITH tf AS (

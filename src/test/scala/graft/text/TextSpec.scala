@@ -204,4 +204,22 @@ class TextSpec extends SparkSpec {
       .collect()(0)
     assert(leftover.getInt(0) == 0 && leftover.getInt(1) == 0)
   }
+
+  test("drop ledger 'kept' set ≡ the prep pipeline's output (q126 vs q91)") {
+    // the ledger is the pipeline re-expressed as per-doc verdicts; if the
+    // stage populations composed differently (keep-min over the wrong
+    // cohort, rates over the wrong survivors), the kept sets diverge
+    val kept = graft.SparkEntry.queries("q126_drop_ledger")(spark, sfDir)
+      .where(col("verdict") === "kept")
+      .select("doc_id").as[Long].collect().toSet
+    val piped = graft.SparkEntry.queries("q91_prep_pipeline")(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == piped,
+      s"ledger-only ${(kept -- piped).take(5)}, pipeline-only ${(piped -- kept).take(5)}")
+    // every corpus doc gets exactly one verdict
+    val n = graft.SparkEntry.queries("q126_drop_ledger")(spark, sfDir).count()
+    val corpus = spark.read.parquet(sf("documents"))
+      .where(col("source") =!= "src0").count()
+    assert(n == corpus)
+  }
 }
