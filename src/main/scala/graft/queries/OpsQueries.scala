@@ -738,6 +738,33 @@ object OpsQueries {
         .select(col("n_clicks"), col("n_purchases"), col("exact_size"),
           col("est_size"),
           (col("est_size") >= col("exact_size")).as("no_underestimate"))
+    }),
+
+    // TIME-DECAYED TRENDING: per-type freshness score with half-life
+    // decay. The portability trick: a power-of-two half-life makes every
+    // weight an exact dyadic rational — weight(k half-lives old) =
+    // 2^20 >> k in INTEGER micro-units — so the score is pure BIGINT
+    // arithmetic, bit-identical in DuckDB, no floating decay drift. The
+    // scale shape: counts quantize to (type, day) cells FIRST (map-side
+    // combinable, #types × #days rows), the reference day rides a window
+    // over that tiny rollup (the q91 minMass pattern — never the corpus),
+    // and the decay fold is an agg over the cells. k > 20 shifts to
+    // weight 0 — a natural horizon that also guards Java's shift-mod-64.
+    "q127_trending" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val maxDay = max(col("day"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy())
+      daily.withColumn("max_day", maxDay)
+        .withColumn("k", expr("(max_day - day) div 7"))
+        .withColumn("w", when(col("k") > 20, lit(0L))
+          .otherwise(expr("cast(shiftright(1048576, cast(k as int)) as bigint)")))
+        .groupBy("event_type")
+        .agg(sum(col("n") * col("w")).as("decay_micro"),
+          sum(col("n")).as("n_events"))
+        .orderBy(col("decay_micro").desc, col("event_type"))
     }))
 
   /** q117/q118's per-shard manifest: Mix64 shard of the key, doc/token
@@ -1429,7 +1456,24 @@ object OpsQueries {
          |SELECT max(nc_r) AS n_clicks, max(np_r) AS n_purchases,
          |  max(exact_r) AS exact_size, min(prod) AS est_size,
          |  min(prod) >= max(exact_r) AS no_underestimate
-         |FROM byrow""".stripMargin)
+         |FROM byrow""".stripMargin,
+
+    // the same integer decay fold: day cells, k half-lives, 2^20 >> k
+    "q127_trending" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ks AS (
+        |  SELECT event_type, n,
+        |    ((SELECT max(day) FROM daily) - day) // 7 AS k
+        |  FROM daily)
+        |SELECT event_type,
+        |  CAST(sum(n * (CASE WHEN k > 20 THEN 0 ELSE 1048576 >> k END)) AS BIGINT)
+        |    AS decay_micro,
+        |  CAST(sum(n) AS BIGINT) AS n_events
+        |FROM ks GROUP BY event_type
+        |ORDER BY decay_micro DESC, event_type""".stripMargin)
 
   /** The q117 manifest as DuckDB SQL over `documents` with an optional
     * row predicate — q118 instantiates it three times (full/base/delta). */

@@ -429,6 +429,29 @@ object StreamingQueries {
           graft.streaming.ComplianceStream.tombstoneFilter)
         .distinct()
         .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // STREAMING TRENDING (q127's decay fold as bounded per-group state —
+    // SketchStream.trendingSketch): day→count cells pruned at the decay
+    // horizon, so state stays ≤ 21 half-lives of days forever. Reference
+    // day is the group's own newest (one pass can't know the global max);
+    // the oracle replays that with a per-group window. Stream-end pick is
+    // the monotone max_by(_, n) (q94/q105 pattern).
+    "q128_stream_trending" -> ((s, dir) => {
+      import s.implicits._
+      val rows = eventsUs(s, dir).where(replayFilter("event_id"))
+        .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .as[(String, Long)].collect().sortBy(identity)
+      require(rows.nonEmpty, s"q128_stream_trending: no events at $dir")
+      val sink = replay(s, "q128_trend", "update", halves(rows))(ds =>
+        graft.streaming.SketchStream.trendingSketch(
+          ds.toDF("event_type", "day"), "day", "event_type",
+          halfLifeDays = 7L))
+      sink.groupBy(col("group").as("event_type"))
+        .agg(expr("max_by(decay_micro, n)").as("decay_micro"),
+          max(col("n")).as("n_events"))
+        .select("event_type", "decay_micro", "n_events")
+        .orderBy(col("decay_micro").desc, col("event_type"))
     }))
 
   /** q50 and q92 share one oracle body: the batch gap-sessionization SQL is
@@ -572,5 +595,23 @@ object StreamingQueries {
          |  AND NOT (${OpsQueries.coordSql("user_id")}
          |             < ${graft.ops.Sampling.threshold(OpsQueries.DeleteRate)}
          |           AND epoch_us(ts) >= $TombUs)
-         |ORDER BY user_id, ts_us, event_id""".stripMargin)
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // q127's integer decay fold over the capped rows, reference day per
+    // GROUP (the streaming operator's one-pass semantics)
+    "q128_stream_trending" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events WHERE ${replayWhereSql("event_id")} GROUP BY 1, 2),
+         |ks AS (
+         |  SELECT event_type, n,
+         |    (max(day) OVER (PARTITION BY event_type) - day) // 7 AS k
+         |  FROM daily)
+         |SELECT event_type,
+         |  CAST(sum(n * (CASE WHEN k > 20 THEN 0 ELSE 1048576 >> k END)) AS BIGINT)
+         |    AS decay_micro,
+         |  CAST(sum(n) AS BIGINT) AS n_events
+         |FROM ks GROUP BY event_type
+         |ORDER BY decay_micro DESC, event_type""".stripMargin)
 }

@@ -27,6 +27,13 @@ case class HistUpdate(group: String, n: Long, n_clamped: Long,
   * increasing per update, the monotone stream-end selector. */
 case class CmUpdate(group: String, n: Long, cm: Seq[Long])
 
+/** Per-batch trending update for one group: the decayed score and count
+  * read off the group's day-cell state at the CURRENT reference day. `n`
+  * is strictly increasing per update — the monotone stream-end selector
+  * (the score itself can move in either direction as the reference day
+  * advances). */
+case class TrendUpdate(group: String, n: Long, decay_micro: Long)
+
 /** Per-batch HyperLogLog update for one group: the running register array
   * (indexed by bucket) and the running item count `n` — strictly
   * increasing per update, the monotone stream-end selector. */
@@ -246,6 +253,53 @@ object SketchStream {
           it.foreach { case (_, key) => Hll.add(regs, key); n += 1 }
           state.update((n, regs))
           HllUpdate(group, n, regs.toSeq)
+      }
+  }
+
+  /** Streaming time-decayed trending (the q127 fold as per-group state):
+    * day-quantized counts with exact dyadic half-life weights
+    * (2^20 >> k micro-units, k = half-lives before the group's newest
+    * day). State per group is the day→count map PRUNED at the decay
+    * horizon — a day more than `horizonHalfLives` half-lives old weighs 0
+    * forever (the reference day only advances), so it is dropped and the
+    * state stays ≤ (horizon+1)·halfLifeDays entries no matter how long
+    * the stream runs: the decay horizon IS the state bound. Reference day
+    * is the group's OWN newest day (a one-pass stream cannot know the
+    * global maximum) — the batch twin replays that with a per-group
+    * window, and the score is a pure function of the day multiset, so
+    * stream-end ≡ batch under any slicing. */
+  def trendingSketch(events: DataFrame, dayCol: String, byCol: String,
+                     halfLifeDays: Long,
+                     horizonHalfLives: Int = 20): Dataset[TrendUpdate] = {
+    require(halfLifeDays >= 1, s"halfLifeDays $halfLifeDays must be >= 1")
+    require(horizonHalfLives >= 0 && horizonHalfLives <= 62,
+      s"horizonHalfLives $horizonHalfLives outside [0, 62]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(byCol).as("g"), col(dayCol).cast("long").as("day"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Map[Long, Long]), TrendUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (group: String, it: Iterator[(String, Long)],
+         state: GroupState[(Long, Long, Map[Long, Long])]) =>
+          var (n, maxDay, cells) = state.getOption
+            .getOrElse((0L, Long.MinValue, Map.empty[Long, Long]))
+          it.foreach { case (_, d) =>
+            n += 1
+            if (d > maxDay) maxDay = d
+            cells = cells.updated(d, cells.getOrElse(d, 0L) + 1L)
+          }
+          cells = cells.filter { case (d, _) =>
+            (maxDay - d) / halfLifeDays <= horizonHalfLives
+          }
+          state.update((n, maxDay, cells))
+          val score = cells.iterator.map { case (d, c) =>
+            val k = ((maxDay - d) / halfLifeDays).toInt
+            if (k > 20) 0L else c * (1048576L >> k)
+          }.sum
+          TrendUpdate(group, n, score)
       }
   }
 }

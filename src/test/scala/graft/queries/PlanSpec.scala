@@ -301,6 +301,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(800))
   }
 
+  test("q127 trending: the reference-day window runs over the day rollup, not the corpus") {
+    // one scan → partial+final day aggregation BEFORE any Window node:
+    // the unpartitioned max(day) window is over #types × #days rows
+    val p = plan("q127_trending")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(600))
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0, p.take(600))
+    // plans print top-down: the Window must sit ABOVE (before) the scan's
+    // aggregates, and at least one aggregate must feed it from below
+    assert("HashAggregate".r.findAllIn(p.substring(winIdx)).size >= 2,
+      s"day rollup does not feed the window from below:\n${p.take(800)}")
+  }
+
   test("q119 curriculum rank plans WITHOUT a window operator (the one-task shape)") {
     // the operator's whole point: a global rank with no WindowExec — an
     // unpartitioned row_number would move the corpus through one task

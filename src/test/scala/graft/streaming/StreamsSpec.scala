@@ -13,6 +13,34 @@ class StreamsSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  // ------------------------------------------------- trending sketch
+
+  test("streaming trending: slicing-invariant score, horizon days weigh zero") {
+    // type a: 3 events on day 100 (21 half-lives before day 250 → weight
+    // 0, pruned), 2 on day 250 (k=0 → 2^20 each); type b never advances
+    // past day 100 → its own reference day, full weight
+    val rows = Seq(("a", 100L), ("a", 100L), ("a", 100L),
+      ("a", 250L), ("a", 250L), ("b", 100L))
+    val expected = Map("a" -> ((5L, 2L * 1048576L)), "b" -> ((1L, 1048576L)))
+    implicit val sqlCtx = spark.sqlContext
+    for (cuts <- Seq(Seq(rows), rows.grouped(2).toSeq, rows.map(Seq(_)))) {
+      val mem = MemoryStream[(String, Long)]
+      spark.catalog.dropTempView("trend_sink")
+      val sq = SketchStream.trendingSketch(
+          mem.toDF().toDF("event_type", "day"), "day", "event_type",
+          halfLifeDays = 7L)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("trend_sink").start()
+      try cuts.foreach { b => mem.addData(b: _*); sq.processAllAvailable() }
+      finally sq.stop()
+      val got = spark.table("trend_sink").as[TrendUpdate].collect()
+        .groupBy(_.group)
+        .map { case (g, us) => g -> {
+          val last = us.maxBy(_.n); (last.n, last.decay_micro) } }
+      assert(got == expected, s"cuts=${cuts.size}: $got")
+    }
+  }
+
   // ------------------------------------------------- tombstone filter
 
   /** Run tombstoneFilter over the rows split into `cuts` micro-batches and
