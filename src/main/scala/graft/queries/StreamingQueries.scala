@@ -431,6 +431,39 @@ object StreamingQueries {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // MULTI-TOUCH ATTRIBUTION: q54 assigns every in-window click to the
+    // purchase; real attribution must SPLIT the credit. Linear multi-touch
+    // with an exact integer scheme: each of a purchase's n contributing
+    // clicks gets floor(2^20/n) micro-credits and the EARLIEST click
+    // (largest gap, ties to the lowest click id) absorbs the remainder —
+    // per-purchase credits sum to exactly 2^20, no float leakage, fully
+    // DuckDB-replayable. Plan: the q54 user-keyed join, then one window
+    // pass partitioned by purchase (state bounded per purchase).
+    "q129_multitouch" -> ((s, dir) => {
+      val e = eventsUs(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("click_us"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("purchase_us"))
+      val pairs = clicks.join(purchases, "user_id")
+        .withColumn("gap_us", col("purchase_us") - col("click_us"))
+        .where(col("gap_us") >= 0 && col("gap_us") <= 21600000000L)
+      val byPurchase = Window.partitionBy("purchase_id")
+      val ordered = Window.partitionBy("purchase_id")
+        .orderBy(col("gap_us").desc, col("click_id"))
+      pairs
+        .withColumn("n", count(lit(1)).over(byPurchase))
+        .withColumn("rk", row_number().over(ordered))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          (expr("1048576 div n") +
+            when(col("rk") === 1, expr("1048576 % n")).otherwise(lit(0L)))
+            .as("credit_micro"))
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // STREAMING TRENDING (q127's decay fold as bounded per-group state —
     // SketchStream.trendingSketch): day→count cells pruned at the decay
     // horizon, so state stays ≤ 21 half-lives of days forever. Reference
@@ -613,5 +646,27 @@ object StreamingQueries {
          |    AS decay_micro,
          |  CAST(sum(n) AS BIGINT) AS n_events
          |FROM ks GROUP BY event_type
-         |ORDER BY decay_micro DESC, event_type""".stripMargin)
+         |ORDER BY decay_micro DESC, event_type""".stripMargin,
+
+    // the q54 join + the same integer split: floor share to everyone,
+    // remainder to the earliest click (largest gap, ties to lowest id)
+    "q129_multitouch" ->
+      """WITH pairs AS (
+        |  SELECT c.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |    epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |  FROM events c JOIN events p
+        |    ON c.user_id = p.user_id
+        |   AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |   AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 21600000000::BIGINT),
+        |ranked AS (
+        |  SELECT user_id, purchase_id, click_id,
+        |    count(*) OVER (PARTITION BY purchase_id) AS n,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |                       ORDER BY gap_us DESC, click_id) AS rk
+        |  FROM pairs)
+        |SELECT user_id, purchase_id, click_id,
+        |  CAST(1048576 // n + CASE WHEN rk = 1 THEN 1048576 % n ELSE 0 END
+        |    AS BIGINT) AS credit_micro
+        |FROM ranked
+        |ORDER BY purchase_id, click_id""".stripMargin)
 }

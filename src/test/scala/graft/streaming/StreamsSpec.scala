@@ -13,6 +13,21 @@ class StreamsSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  // ------------------------------------------------- multi-touch credit
+
+  test("multi-touch credits: exact conservation, remainder to the earliest click") {
+    val out = graft.SparkEntry.queries("q129_multitouch")(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // per-purchase conservation: credits sum to exactly 2^20
+    out.groupBy(_._1).foreach { case (p, rows) =>
+      assert(rows.map(_._3).sum == 1048576L, s"purchase $p")
+      // at most one row carries more than the floor share
+      val floorShare = 1048576L / rows.length
+      assert(rows.count(_._3 > floorShare) <= 1, s"purchase $p")
+    }
+  }
+
   // ------------------------------------------------- trending sketch
 
   test("streaming trending: slicing-invariant score, horizon days weigh zero") {
