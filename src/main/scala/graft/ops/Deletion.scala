@@ -37,9 +37,12 @@ object Deletion {
 
   /** One audit row per subject table:
     * `(tbl, rows_before, rows_after, rows_deleted, survivor_checksum)`
-    * where the checksum is the sum of the Mix64 coordinate of each
-    * SURVIVING row's key — an order-free fingerprint a second engine can
-    * recompute to verify the sweep touched exactly the requested subjects.
+    * where the checksum is the sum of the low 20 bits of each SURVIVING
+    * row's Mix64 key coordinate — an order-free fingerprint a second
+    * engine can recompute to verify the sweep touched exactly the
+    * requested subjects. 20 bits per row keeps the BIGINT sum exact (no
+    * ANSI overflow) to ~8.8×10^12 rows per table — comfortably past the
+    * 100 TB row counts this operator is sized for.
     * Computed in ONE scan per table: a broadcast left join marks deleted
     * rows, and before/after/checksum fold into a single global aggregate
     * (count, conditional count, conditional sum — all partial-aggregable). */
@@ -49,7 +52,8 @@ object Deletion {
     subjects.map { sub =>
       sub.df
         .select(sub.subjectKey.as("__subject"),
-          Mix64.sampleCoord(sub.rowKey.cast("long")).as("__row_coord"))
+          pmod(Mix64.sampleCoord(sub.rowKey.cast("long")), lit(1048576L))
+            .as("__row_coord"))
         .join(req, col("__subject") === col("__del_key"), "left")
         .agg(
           count(lit(1)).as("rows_before"),

@@ -47,10 +47,12 @@ object SnapshotDiff {
     def signature(df: DataFrame, p: String): DataFrame =
       df.groupBy("bucket").agg(count(lit(1)).as(s"${p}_n"),
         expr("bit_xor(fp)").as(s"${p}_x"),
-        // a plain sum(fp) overflows ANSI BIGINT; the Mix64 coordinate is
-        // in [0, 2^32) — overflow-safe — and re-mixes, so the third
-        // signature component is independent of the XOR's bit algebra
-        sum(Mix64.sampleCoord(col("fp"))).as(s"${p}_s"))
+        // a plain sum(fp) overflows ANSI BIGINT; summing the low 20 bits
+        // of the re-mixed Mix64 coordinate keeps the BIGINT sum exact to
+        // ~8.8e12 rows PER BUCKET (far past any realistic bucket), and
+        // the re-mix keeps the component independent of the XOR's bit
+        // algebra
+        sum(pmod(Mix64.sampleCoord(col("fp")), lit(1048576L))).as(s"${p}_s"))
     val b = sided(base)
     val c = sided(cur)
     val dirty = signature(b, "b").join(signature(c, "c"), Seq("bucket"), "full_outer")

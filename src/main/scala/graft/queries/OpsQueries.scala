@@ -25,9 +25,12 @@ object OpsQueries {
 
   /** events.ts is TIMESTAMP(MICROS) NTZ; queries that need event time
     * derive exact integer µs via unix_micros(cast(ts as timestamp)) — the
-    * session pins UTC, so the cast is the identity (see RefQueries.events). */
-  private def events(s: SparkSession, dir: String): DataFrame =
+    * UTC re-pin makes the cast the identity even on a foreign session
+    * (see RefQueries.events). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     t(s, dir, "events")
+  }
 
   /** q121's deletion-request rate: the deterministic share of users whose
     * Mix64 coordinate files a request (both engines derive the threshold
@@ -1356,8 +1359,9 @@ object OpsQueries {
 
     // each audit CTE replays one Subject: left join against the request
     // list, FILTERed aggregates for after-count and survivor checksum
-    // (sum of Mix64 coords of surviving row keys — order-free, so any
-    // divergence in WHICH rows survived flips the value)
+    // (sum of the low 20 bits of surviving row keys' Mix64 coords —
+    // order-free and overflow-bounded, so any divergence in WHICH rows
+    // survived flips the value)
     "q121_delete_propagate" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type
          |           FROM events),
@@ -1366,7 +1370,7 @@ object OpsQueries {
          |ev AS (
          |  SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS rows_before,
          |    CAST(count(*) FILTER (r.user_id IS NULL) AS BIGINT) AS rows_after,
-         |    CAST(coalesce(sum(${coordSql("e.event_id")})
+         |    CAST(coalesce(sum((${coordSql("e.event_id")}) % 1048576)
          |      FILTER (r.user_id IS NULL), 0) AS BIGINT) AS survivor_checksum
          |  FROM e LEFT JOIN req r ON e.user_id = r.user_id),
          |d0 AS (SELECT user_id, t_us // 86400000000 AS day, count(*) AS n
@@ -1374,7 +1378,7 @@ object OpsQueries {
          |da AS (
          |  SELECT 'user_daily' AS tbl, CAST(count(*) AS BIGINT) AS rows_before,
          |    CAST(count(*) FILTER (r.user_id IS NULL) AS BIGINT) AS rows_after,
-         |    CAST(coalesce(sum(${coordSql("(d0.user_id * 131072 + d0.day)")})
+         |    CAST(coalesce(sum((${coordSql("(d0.user_id * 131072 + d0.day)")}) % 1048576)
          |      FILTER (r.user_id IS NULL), 0) AS BIGINT) AS survivor_checksum
          |  FROM d0 LEFT JOIN req r ON d0.user_id = r.user_id),
          |p0 AS (SELECT user_id, event_type, count(*) AS n
@@ -1382,7 +1386,7 @@ object OpsQueries {
          |pr AS (
          |  SELECT 'user_profile' AS tbl, CAST(count(*) AS BIGINT) AS rows_before,
          |    CAST(count(*) FILTER (r.user_id IS NULL) AS BIGINT) AS rows_after,
-         |    CAST(coalesce(sum(${coordSql("(p0.user_id * 1024 + ascii(p0.event_type))")})
+         |    CAST(coalesce(sum((${coordSql("(p0.user_id * 1024 + ascii(p0.event_type))")}) % 1048576)
          |      FILTER (r.user_id IS NULL), 0) AS BIGINT) AS survivor_checksum
          |  FROM p0 LEFT JOIN req r ON p0.user_id = r.user_id)
          |SELECT tbl, rows_before, rows_after,

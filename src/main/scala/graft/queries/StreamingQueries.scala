@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries {
 
-  /** Exact µs event time (events.ts is TIMESTAMP(MICROS) NTZ; the session
-    * pins UTC, so the NTZ→TZ cast is the identity — see RefQueries.events). */
-  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+  /** Exact µs event time (events.ts is TIMESTAMP(MICROS) NTZ; the UTC
+    * re-pin makes the NTZ→TZ cast the identity even on a foreign
+    * session — see RefQueries.events). */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
       .drop("ts")
+  }
 
   private val GapUs = 30L * 60 * 1000 * 1000 // 30-minute session gap
 

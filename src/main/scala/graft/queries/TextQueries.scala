@@ -310,24 +310,9 @@ object TextQueries {
     // are individually bit-portable, so the composition is too.
     "q91_prep_pipeline" -> ((s, dir) => {
       import graft.functions.Mix64
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"),
-          split(col("text"), " ").as("ws"))
-      val bench = d.where(col("source") === "src0")
-        .select(explode(wordGrams4(col("ws"))).as("gram")).distinct()
-      val corpus = d.where(col("source") =!= "src0")
-      val contaminated = corpus
-        .select(col("doc_id"), explode(wordGrams4(col("ws"))).as("gram"))
-        .join(broadcast(bench), "gram")
-        .select("doc_id").distinct()
+      val (corpus, contaminated) = contaminationSplit(s, dir)
       val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
-      val scored = clean
-        .select(col("doc_id"), col("source"), col("text"),
-          textStats(col("text")).as("st"),
-          punctRatio(col("text")).as("pr"), digitRatio(col("text")).as("dr"))
-        .select(col("doc_id"), col("source"), col("text"),
-          tokenCountWs(col("text")).cast("long").as("n_tok"),
-          qualityScoreFrom(col("st"), col("pr"), col("dr")).as("quality"))
+      val scored = withQuality(clean, carry = Seq.empty)
         .where(col("quality") >= 0.5)
       val deduped = graft.dedup.Dedup.exactDedup(
         scored, col("text"), col("doc_id"))
@@ -552,24 +537,12 @@ object TextQueries {
     // docs only, and mixture rates derive from the pre-sample survivors.
     "q126_drop_ledger" -> ((s, dir) => {
       import graft.functions.Mix64
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"),
-          split(col("text"), " ").as("ws"))
-      val bench = d.where(col("source") === "src0")
-        .select(explode(wordGrams4(col("ws"))).as("gram")).distinct()
-      val corpus = d.where(col("source") =!= "src0")
-      val contaminated = corpus
-        .select(col("doc_id"), explode(wordGrams4(col("ws"))).as("gram"))
-        .join(broadcast(bench), "gram")
-        .select(col("doc_id")).distinct().withColumn("is_cont", lit(true))
-      val flagged = corpus.join(contaminated, Seq("doc_id"), "left_outer")
-        .withColumn("is_cont", coalesce(col("is_cont"), lit(false)))
-        .select(col("doc_id"), col("source"), col("text"), col("is_cont"),
-          textStats(col("text")).as("st"),
-          punctRatio(col("text")).as("pr"), digitRatio(col("text")).as("dr"))
-        .select(col("doc_id"), col("source"), col("text"), col("is_cont"),
-          tokenCountWs(col("text")).cast("long").as("n_tok"),
-          qualityScoreFrom(col("st"), col("pr"), col("dr")).as("quality"))
+      val (corpus, contaminated) = contaminationSplit(s, dir)
+      val flagged = withQuality(
+        corpus.join(contaminated.withColumn("is_cont", lit(true)),
+            Seq("doc_id"), "left_outer")
+          .withColumn("is_cont", coalesce(col("is_cont"), lit(false))),
+        carry = Seq("is_cont"))
       val eligible = !col("is_cont") && col("quality") >= 0.5
       val led = flagged
         .withColumn("keep_id",
@@ -591,6 +564,36 @@ object TextQueries {
             .otherwise("kept").as("verdict"))
         .orderBy("doc_id")
     }))
+
+  /** Shared by q91/q126 (the ONE construction of the curation cohort —
+    * a drift here would break the ledger≡pipeline invariant TextSpec
+    * pins): the corpus (non-benchmark docs, with text) and the distinct
+    * contaminated doc_ids (any 4-gram shared with src0, broadcast probe). */
+  private def contaminationSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        split(col("text"), " ").as("ws"))
+    val bench = d.where(col("source") === "src0")
+      .select(explode(wordGrams4(col("ws"))).as("gram")).distinct()
+    val corpus = d.where(col("source") =!= "src0")
+    val contaminated = corpus
+      .select(col("doc_id"), explode(wordGrams4(col("ws"))).as("gram"))
+      .join(broadcast(bench), "gram")
+      .select(col("doc_id")).distinct()
+    (corpus, contaminated)
+  }
+
+  /** q91/q126's quality projection: (doc_id, source, text) plus any
+    * carried flag columns → + n_tok + the exact q31 quality score. */
+  private def withQuality(df: DataFrame, carry: Seq[String]): DataFrame = {
+    val keep = (Seq("doc_id", "source", "text") ++ carry).map(col)
+    df.select(keep :+ textStats(col("text")).as("st")
+        :+ punctRatio(col("text")).as("pr")
+        :+ digitRatio(col("text")).as("dr"): _*)
+      .select(keep
+        :+ tokenCountWs(col("text")).cast("long").as("n_tok")
+        :+ qualityScoreFrom(col("st"), col("pr"), col("dr")).as("quality"): _*)
+  }
 
   /** q116/q119's per-doc features + exact-integer logit. */
   private def qcScored(s: SparkSession, dir: String): DataFrame = {
@@ -626,6 +629,55 @@ object TextQueries {
 
   private val StopwordsSql =
     graft.text.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** The decontamination CTEs shared by the q91 and q126 oracles (one
+    * text — a formula tweak can no longer miss a copy): documents with
+    * split words, the distinct benchmark 4-grams, and the contaminated
+    * corpus doc_ids. */
+  private lazy val contCtesSql: String =
+    """d AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM documents),
+      |bench AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 2),
+      |    i -> array_to_string(ws[i:i+3], ' '))) AS gram
+      |  FROM d WHERE source = 'src0'),
+      |cont AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 2),
+      |      i -> array_to_string(ws[i:i+3], ' '))) AS gram
+      |    FROM d WHERE source <> 'src0') c
+      |  JOIN bench USING (gram))""".stripMargin
+
+  /** The base→m→scored quality chain shared by the q91 and q126 oracles:
+    * token ratios and the exact q31 quality score over rows of
+    * `fromSql` (which must expose doc_id, source, text and any columns
+    * named in `carry` — e.g. ", is_cont" — that ride the chain). */
+  private def qualityCtesSql(fromSql: String, carry: String): String =
+    s"""base AS (
+       |  SELECT doc_id, source, text$carry, length(text) AS n,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rawtoks,
+       |    CAST(CASE WHEN trim(text) = '' THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tok
+       |  FROM $fromSql),
+       |m AS (
+       |  SELECT doc_id, source, text, n_tok$carry,
+       |    CASE WHEN n = 0 THEN 0.0
+       |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / n END AS punct_ratio,
+       |    CASE WHEN n = 0 THEN 0.0
+       |         ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / n END AS digit_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE len(list_filter(toks, x -> list_contains($StopwordsSql, x)))::DOUBLE / len(toks) END AS stopword_ratio,
+       |    CASE WHEN len(rawtoks) = 0 THEN 0.0
+       |         ELSE list_aggregate(list_transform(rawtoks, x -> length(x)), 'sum')::DOUBLE / len(rawtoks) END AS mean_word_len
+       |  FROM base),
+       |scored AS (
+       |  SELECT doc_id, source, text, n_tok$carry,
+       |    least(stopword_ratio * 4.0, 1.0) * 0.3
+       |      + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.25
+       |      + greatest(1.0 - digit_ratio * 5.0, 0.0) * 0.25
+       |      + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 8.0 THEN 1.0
+       |              WHEN mean_word_len > 0.0 THEN 0.5 ELSE 0.0 END) * 0.2 AS quality
+       |  FROM m)""".stripMargin
 
   /** q116/q119's shared feature CTEs (same tokenization as q30/q31) and
     * the logit expression, both generated from QcBias/QcWeights. */
@@ -835,48 +887,14 @@ object TextQueries {
         |ORDER BY d.doc_id""".stripMargin,
 
     // the four verified stage oracles concatenated as CTEs (q75's grams,
-    // q31/q55's quality+dedup, q82's rates) — one replayable chain
+    // q31/q55's quality+dedup, q82's rates) — one replayable chain,
+    // shared with q126 through contCtesSql/qualityCtesSql
     "q91_prep_pipeline" ->
-      s"""WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM documents),
-         |bench AS (
-         |  SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 2),
-         |    i -> array_to_string(ws[i:i+3], ' '))) AS gram
-         |  FROM d WHERE source = 'src0'),
-         |cont AS (
-         |  SELECT DISTINCT doc_id FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 2),
-         |      i -> array_to_string(ws[i:i+3], ' '))) AS gram
-         |    FROM d WHERE source <> 'src0') c
-         |  JOIN bench USING (gram)),
+      s"""WITH $contCtesSql,
          |clean AS (SELECT doc_id, source, text FROM d
          |          WHERE source <> 'src0'
          |            AND doc_id NOT IN (SELECT doc_id FROM cont)),
-         |base AS (
-         |  SELECT doc_id, source, text, length(text) AS n,
-         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
-         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rawtoks,
-         |    CAST(CASE WHEN trim(text) = '' THEN 0
-         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tok
-         |  FROM clean),
-         |m AS (
-         |  SELECT doc_id, source, text, n_tok,
-         |    CASE WHEN n = 0 THEN 0.0
-         |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / n END AS punct_ratio,
-         |    CASE WHEN n = 0 THEN 0.0
-         |         ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / n END AS digit_ratio,
-         |    CASE WHEN len(toks) = 0 THEN 0.0
-         |         ELSE len(list_filter(toks, x -> list_contains($StopwordsSql, x)))::DOUBLE / len(toks) END AS stopword_ratio,
-         |    CASE WHEN len(rawtoks) = 0 THEN 0.0
-         |         ELSE list_aggregate(list_transform(rawtoks, x -> length(x)), 'sum')::DOUBLE / len(rawtoks) END AS mean_word_len
-         |  FROM base),
-         |scored AS (
-         |  SELECT doc_id, source, text, n_tok,
-         |    least(stopword_ratio * 4.0, 1.0) * 0.3
-         |      + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.25
-         |      + greatest(1.0 - digit_ratio * 5.0, 0.0) * 0.25
-         |      + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 8.0 THEN 1.0
-         |              WHEN mean_word_len > 0.0 THEN 0.5 ELSE 0.0 END) * 0.2 AS quality
-         |  FROM m),
+         |${qualityCtesSql("clean", "")},
          |qual AS (SELECT * FROM scored WHERE quality >= 0.5),
          |keep AS (SELECT min(doc_id) AS kid FROM qual GROUP BY md5(text)),
          |ded AS (SELECT q.* FROM qual q JOIN keep k ON q.doc_id = k.kid),
@@ -892,46 +910,15 @@ object TextQueries {
 
     // q91's chain re-expressed as per-doc verdicts: the stage populations
     // compose identically (md5 keep-min over eligible docs, rates over
-    // pre-sample survivors) — so 'kept' here must equal q91's rows
+    // pre-sample survivors) — so 'kept' here must equal q91's rows; the
+    // shared CTE builders make the two chains ONE text
     "q126_drop_ledger" ->
-      s"""WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM documents),
-         |bench AS (
-         |  SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 2),
-         |    i -> array_to_string(ws[i:i+3], ' '))) AS gram
-         |  FROM d WHERE source = 'src0'),
-         |cont AS (
-         |  SELECT DISTINCT doc_id FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 2),
-         |      i -> array_to_string(ws[i:i+3], ' '))) AS gram
-         |    FROM d WHERE source <> 'src0') c
-         |  JOIN bench USING (gram)),
-         |base AS (
-         |  SELECT doc_id, source, text, length(text) AS n,
-         |    doc_id IN (SELECT doc_id FROM cont) AS is_cont,
-         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
-         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rawtoks,
-         |    CAST(CASE WHEN trim(text) = '' THEN 0
-         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tok
-         |  FROM d WHERE source <> 'src0'),
-         |m AS (
-         |  SELECT doc_id, source, text, n_tok, is_cont,
-         |    CASE WHEN n = 0 THEN 0.0
-         |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / n END AS punct_ratio,
-         |    CASE WHEN n = 0 THEN 0.0
-         |         ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / n END AS digit_ratio,
-         |    CASE WHEN len(toks) = 0 THEN 0.0
-         |         ELSE len(list_filter(toks, x -> list_contains($StopwordsSql, x)))::DOUBLE / len(toks) END AS stopword_ratio,
-         |    CASE WHEN len(rawtoks) = 0 THEN 0.0
-         |         ELSE list_aggregate(list_transform(rawtoks, x -> length(x)), 'sum')::DOUBLE / len(rawtoks) END AS mean_word_len
-         |  FROM base),
-         |scored AS (
-         |  SELECT doc_id, source, text, n_tok, is_cont,
-         |    least(stopword_ratio * 4.0, 1.0) * 0.3
-         |      + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.25
-         |      + greatest(1.0 - digit_ratio * 5.0, 0.0) * 0.25
-         |      + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 8.0 THEN 1.0
-         |              WHEN mean_word_len > 0.0 THEN 0.5 ELSE 0.0 END) * 0.2 AS quality
-         |  FROM m),
+      s"""WITH $contCtesSql,
+         |${qualityCtesSql(
+             "(SELECT doc_id, source, text, " +
+               "doc_id IN (SELECT doc_id FROM cont) AS is_cont " +
+               "FROM d WHERE source <> 'src0')",
+             ", is_cont")},
          |qual AS (SELECT * FROM scored WHERE quality >= 0.5 AND NOT is_cont),
          |keep AS (SELECT md5(text) AS h, min(doc_id) AS kid FROM qual GROUP BY md5(text)),
          |ms AS (SELECT source, sum(n_tok) AS mass FROM qual q

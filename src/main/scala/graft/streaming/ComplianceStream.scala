@@ -40,14 +40,17 @@ object ComplianceStream {
     rows
       .groupByKey(_.user_id)
       // state = (earliest tombstone ts — MaxValue sentinel for none, last
-      // processed ts for the delivery-contract guard)
-      .flatMapGroupsWithState[(Long, Long), SurvivorRow](
+      // processed ts for the delivery-contract guard, last EMITTED event
+      // ts — the retraction guard: a tombstone covering an already-emitted
+      // event cannot be honored, so it must fail, not leak)
+      .flatMapGroupsWithState[(Long, Long, Long), SurvivorRow](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
-        (user: Long, it: Iterator[TombstoneRow], state: GroupState[(Long, Long)]) =>
+        (user: Long, it: Iterator[TombstoneRow],
+         state: GroupState[(Long, Long, Long)]) =>
           val batch = it.toArray.sortBy(r => (r.ts_us, !r.is_tomb, r.event_id))
-          var (minTomb, lastTs) = state.getOption
-            .getOrElse((Long.MaxValue, Long.MinValue))
+          var (minTomb, lastTs, lastEmit) = state.getOption
+            .getOrElse((Long.MaxValue, Long.MinValue, Long.MinValue))
           val out = Seq.newBuilder[SurvivorRow]
           batch.foreach { r =>
             require(r.ts_us >= lastTs,
@@ -55,11 +58,23 @@ object ComplianceStream {
                 s"(ts=${r.ts_us} < last=$lastTs); late data needs the batch " +
                 "Deletion.scrub path")
             lastTs = r.ts_us
-            if (r.is_tomb) minTomb = math.min(minTomb, r.ts_us)
-            else if (r.ts_us < minTomb)
+            if (r.is_tomb) {
+              // an EQUAL-time tombstone in a later micro-batch than the
+              // event it covers passes the ts-nondecreasing guard but
+              // would retract an already-emitted row — fail loudly (in
+              // one batch the tombstones-first sort makes this unreachable)
+              require(r.ts_us > lastEmit,
+                s"tombstoneFilter: tombstone at ts=${r.ts_us} for user=$user " +
+                  s"covers an already-emitted event (last emitted ts=$lastEmit); " +
+                  "an append stream cannot retract — use the batch " +
+                  "Deletion.scrub path")
+              minTomb = math.min(minTomb, r.ts_us)
+            } else if (r.ts_us < minTomb) {
               out += SurvivorRow(user, r.ts_us, r.event_id)
+              lastEmit = r.ts_us
+            }
           }
-          state.update((minTomb, lastTs))
+          state.update((minTomb, lastTs, lastEmit))
           out.result().iterator
       }
   }

@@ -295,9 +295,12 @@ object SketchStream {
             (maxDay - d) / halfLifeDays <= horizonHalfLives
           }
           state.update((n, maxDay, cells))
+          // after the horizon prune k <= horizonHalfLives <= 62, so the
+          // shift is well-defined and 2^20 >> k underflows to exactly 0
+          // past 20 half-lives — the same zero the batch fold's k > 20
+          // guard produces, with no second cutoff literal to drift
           val score = cells.iterator.map { case (d, c) =>
-            val k = ((maxDay - d) / halfLifeDays).toInt
-            if (k > 20) 0L else c * (1048576L >> k)
+            c * (1048576L >> ((maxDay - d) / halfLifeDays).toInt)
           }.sum
           TrendUpdate(group, n, score)
       }

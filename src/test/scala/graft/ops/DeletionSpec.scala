@@ -32,10 +32,10 @@ class DeletionSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     // fact: user 10 owns events 1,2 → 5 before, 3 after
     assert(got("fact")._1 == 5L && got("fact")._2 == 3L && got("fact")._3 == 2L)
-    assert(got("fact")._4 == Seq(3L, 4L, 5L).map(Mix64.hash).sum)
+    assert(got("fact")._4 == Seq(3L, 4L, 5L).map(Mix64.hash(_) % 1048576L).sum)
     // per_user: 3 users before, 2 after
     assert(got("per_user") == ((3L, 2L, 1L,
-      Seq(20L, 30L).map(Mix64.hash).sum)))
+      Seq(20L, 30L).map(Mix64.hash(_) % 1048576L).sum)))
   }
 
   test("propagate checksum == coord-sum over the scrubbed frame") {
@@ -44,7 +44,8 @@ class DeletionSpec extends SparkSpec {
       Seq(Subject("fact", fact, col("user_id"), col("event_id"))), req)
       .collect().head
     val scrubSum = Deletion.scrub(fact, col("user_id"), req)
-      .agg(sum(Mix64.sampleCoord(col("event_id")))).as[Long].collect().head
+      .agg(sum(pmod(Mix64.sampleCoord(col("event_id")), lit(1048576L))))
+      .as[Long].collect().head
     assert(audit.getLong(4) == scrubSum)
   }
 

@@ -92,6 +92,22 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("tombstone filter: an equal-ts tombstone in a LATER batch fails loudly, never leaks") {
+    // ts-nondecreasing (contract-compliant) delivery, but the tombstone
+    // covers an event already emitted in the previous batch — append
+    // output cannot retract, so this must error, not leak
+    val b1 = Seq(TombstoneRow(1L, 100L, 1L, is_tomb = false))
+    val b2 = Seq(TombstoneRow(1L, 100L, 0L, is_tomb = true))
+    val exc = intercept[Exception] { runTombstone(b1 ++ b2, Seq(b1, b2)) }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(exc).exists(c =>
+      Option(c.getMessage).exists(_.contains("already-emitted"))), exc.toString)
+    // ...but the same pair INSIDE one batch is fine: tombstone sorts first
+    val both = b2 ++ b1
+    assert(runTombstone(both, Seq(both)).isEmpty)
+  }
+
   test("tombstone filter: an out-of-order arrival fails loudly, never leaks") {
     val rows1 = Seq(TombstoneRow(1L, 100L, 1L, is_tomb = false))
     val late = Seq(TombstoneRow(1L, 40L, 0L, is_tomb = true)) // should have covered t=100
