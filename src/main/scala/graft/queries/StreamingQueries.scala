@@ -434,6 +434,27 @@ object StreamingQueries {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // COHORT RETENTION: users bucketed by first-active epoch week, counted
+    // in each later week they return — the analytics matrix behind every
+    // "week-N retention" chart. The scale shape: ONE corpus shuffle on
+    // user_id computes cohort (min week) AND the distinct active-week set
+    // together (collect_set bounded by #weeks, not #events); the SQL
+    // oracle's self-join on user disappears — cohort and weeks ride the
+    // same aggregation, and the (cohort, offset) rollup is a second
+    // #users-row shuffle.
+    "q130_retention" -> ((s, dir) => {
+      val uw = eventsUs(s, dir)
+        .select(col("user_id"), expr("ts_us div 604800000000").as("week"))
+      uw.groupBy("user_id")
+        .agg(min(col("week")).as("cohort_week"),
+          collect_set(col("week")).as("weeks"))
+        .select(col("cohort_week"), explode(col("weeks")).as("week"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // MULTI-TOUCH ATTRIBUTION: q54 assigns every in-window click to the
     // purchase; real attribution must SPLIT the credit. Linear multi-touch
     // with an exact integer scheme: each of a purchase's n contributing
@@ -650,6 +671,17 @@ object StreamingQueries {
          |  CAST(sum(n) AS BIGINT) AS n_events
          |FROM ks GROUP BY event_type
          |ORDER BY decay_micro DESC, event_type""".stripMargin,
+
+    // the matrix replayed with the join the Spark side avoids
+    "q130_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |              epoch_us(ts) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+        |SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     // the q54 join + the same integer split: floor share to everyone,
     // remainder to the earliest click (largest gap, ties to lowest id)

@@ -315,6 +315,15 @@ class PlanSpec extends SparkSpec {
       s"day rollup does not feed the window from below:\n${p.take(800)}")
   }
 
+  test("q130 retention: join-free — cohort and active weeks ride one user aggregation") {
+    // the SQL formulation self-joins on user; the Spark shape computes
+    // min-week and the distinct week set in the SAME groupBy, so the
+    // corpus shuffles once on user_id and no join appears at all
+    val p = plan("q130_retention")
+    assert(!p.contains("Join"), p.take(800))
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(600))
+  }
+
   test("q119 curriculum rank plans WITHOUT a window operator (the one-task shape)") {
     // the operator's whole point: a global rank with no WindowExec — an
     // unpartitioned row_number would move the corpus through one task
