@@ -434,6 +434,35 @@ object StreamingQueries {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // DISTRIBUTION DRIFT: the data-monitoring primitive behind every
+    // training-data freshness gate — has the value distribution shifted
+    // between the early and late halves of the corpus? Per (type, bin)
+    // proportions in EXACT integer micro-units (count·2^20 div total —
+    // no float division to drift between engines; the /8.0 binning is an
+    // exact power-of-two scale, IEEE-identical everywhere), drift flagged
+    // at |Δp| > 5%. One scan → (type, bin) cells; the per-type totals
+    // ride a window over the ≤ #types·16-row rollup, never the corpus.
+    "q131_dist_drift" -> ((s, dir) => {
+      val splitUs = 1705363200000000L // 2024-01-16T00:00:00Z, mid-corpus
+      val cells = eventsUs(s, dir)
+        .select(col("event_type"), (col("ts_us") >= splitUs).as("late"),
+          least(lit(15L), greatest(lit(0L),
+            floor(col("value") / 8.0).cast("long"))).as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(count(when(!col("late"), 1)).as("a"),
+          count(when(col("late"), 1)).as("b"))
+      val w = Window.partitionBy("event_type")
+      cells
+        .withColumn("na", sum(col("a")).over(w))
+        .withColumn("nb", sum(col("b")).over(w))
+        .select(col("event_type"), col("bin"),
+          expr("a * 1048576 div na").as("p_early_micro"),
+          expr("b * 1048576 div nb").as("p_late_micro"),
+          (abs(expr("a * 1048576 div na") - expr("b * 1048576 div nb"))
+            > 52428).as("drifted"))
+        .orderBy("event_type", "bin")
+    }),
+
     // COHORT RETENTION: users bucketed by first-active epoch week, counted
     // in each later week they return — the analytics matrix behind every
     // "week-N retention" chart. The scale shape: ONE corpus shuffle on
@@ -671,6 +700,26 @@ object StreamingQueries {
          |  CAST(sum(n) AS BIGINT) AS n_events
          |FROM ks GROUP BY event_type
          |ORDER BY decay_micro DESC, event_type""".stripMargin,
+
+    // same exact-integer proportions; window totals over the bin cells
+    "q131_dist_drift" ->
+      """WITH b AS (SELECT event_type,
+        |    epoch_us(ts) >= 1705363200000000 AS late,
+        |    least(15, greatest(0, CAST(floor(value / 8.0) AS BIGINT))) AS bin
+        |  FROM events),
+        |cells AS (SELECT event_type, bin,
+        |    CAST(count(*) FILTER (NOT late) AS BIGINT) AS a,
+        |    CAST(count(*) FILTER (late) AS BIGINT) AS b
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT event_type, bin, a, b,
+        |    CAST(sum(a) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+        |    CAST(sum(b) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+        |  FROM cells)
+        |SELECT event_type, bin,
+        |  CAST(a * 1048576 // na AS BIGINT) AS p_early_micro,
+        |  CAST(b * 1048576 // nb AS BIGINT) AS p_late_micro,
+        |  abs(a * 1048576 // na - b * 1048576 // nb) > 52428 AS drifted
+        |FROM t ORDER BY event_type, bin""".stripMargin,
 
     // the matrix replayed with the join the Spark side avoids
     "q130_retention" ->

@@ -13,6 +13,22 @@ class StreamsSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  // ------------------------------------------------- distribution drift
+
+  test("dist drift: per-type micro-proportions conserve to 2^20 minus floor loss") {
+    val rows = graft.SparkEntry.queries("q131_dist_drift")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, bins) =>
+      for ((sumP, side) <- Seq((bins.map(_._2).sum, "early"),
+                               (bins.map(_._3).sum, "late"))) {
+        // each bin's floor division loses < 1 micro-unit
+        assert(sumP <= 1048576L && sumP > 1048576L - bins.length,
+          s"$t/$side: $sumP over ${bins.length} bins")
+      }
+    }
+  }
+
   // ------------------------------------------------- multi-touch credit
 
   test("multi-touch credits: exact conservation, remainder to the earliest click") {
