@@ -753,6 +753,29 @@ object OpsQueries {
     // over that tiny rollup (the q91 minMass pattern — never the corpus),
     // and the decay fold is an agg over the cells. k > 20 shifts to
     // weight 0 — a natural horizon that also guards Java's shift-mod-64.
+    // SKEW ADVISOR — the data-driven half of Skew.saltedAgg: which keys
+    // are hot, and how many salt buckets would balance them at a given
+    // parallelism? For the top-10 keys by frequency (TakeOrdered — heaps
+    // per partition, never a global sort) emit the exact-integer share
+    // (freq·2^20 div total) and salt_buckets = ceil(freq·P / total), the
+    // factor by which the key exceeds a balanced 1/P share at P=32. The
+    // 1-row global total attaches to the 10-row top set as an explicit
+    // broadcast cross join — the scalar-subquery shape, bounded by
+    // construction (whitelisted by name in PlanSpec's cartesian sweep);
+    // no corpus-wide window anywhere.
+    "q132_skew_advisor" -> ((s, dir) => {
+      val p = 32L
+      val e = events(s, dir)
+      val top = e.groupBy("user_id").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("user_id")).limit(10)
+      val total = e.agg(count(lit(1)).as("total"))
+      top.crossJoin(broadcast(total))
+        .select(col("user_id"), col("freq"),
+          expr("freq * 1048576 div total").as("share_micro"),
+          expr(s"(freq * $p + total - 1) div total").as("salt_buckets"))
+        .orderBy(col("freq").desc, col("user_id"))
+    }),
+
     "q127_trending" -> ((s, dir) => {
       val daily = events(s, dir)
         .select(col("event_type"),
@@ -1461,6 +1484,19 @@ object OpsQueries {
          |  max(exact_r) AS exact_size, min(prod) AS est_size,
          |  min(prod) >= max(exact_r) AS no_underestimate
          |FROM byrow""".stripMargin,
+
+    // same top-10 + exact-integer share and ceil salt factor
+    "q132_skew_advisor" ->
+      """WITH f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS freq
+        |           FROM events GROUP BY user_id),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events),
+        |top AS (SELECT user_id, freq FROM f
+        |        ORDER BY freq DESC, user_id LIMIT 10)
+        |SELECT t.user_id, t.freq,
+        |  CAST(t.freq * 1048576 // tot.total AS BIGINT) AS share_micro,
+        |  CAST((t.freq * 32 + tot.total - 1) // tot.total AS BIGINT) AS salt_buckets
+        |FROM top t CROSS JOIN tot
+        |ORDER BY freq DESC, user_id""".stripMargin,
 
     // the same integer decay fold: day cells, k half-lives, 2^20 >> k
     "q127_trending" ->

@@ -324,6 +324,16 @@ class PlanSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(600))
   }
 
+  test("q132 skew advisor: top-k via TakeOrdered, 1-row total broadcast to it") {
+    // the constant-key equality folds to `true`, so the total attaches as
+    // a BroadcastNestedLoopJoin with a ONE-row build side — the same plan
+    // a scalar subquery broadcast produces; bounded by construction
+    // (whitelisted by name in the registry-wide sweep below)
+    val p = plan("q132_skew_advisor")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("q119 curriculum rank plans WITHOUT a window operator (the one-task shape)") {
     // the operator's whole point: a global rank with no WindowExec — an
     // unpartitioned row_number would move the corpus through one task
@@ -347,9 +357,12 @@ class PlanSpec extends SparkSpec {
     // q112/q113's candidate stage is the labeled compressed-domain PQ scan
     // (corpus rows carry 8 ints) — q79's rationale; the re-rank itself is
     // a hash join on neighbor_id
+    // q132's NLJ is the 1-row global-total broadcast onto the 10-row
+    // top-k — the scalar-subquery shape, bounded by construction
     val allowed = Set("q40_ann_topk", "q41_ann_ivf", "q47_ivf_recall",
       "q79_ann_pq", "q80_pq_recall", "q84_ivfpq_recall", "q106_knn_classify",
-      "q111_hll_setops", "q112_pq_rerank", "q113_rerank_recall")
+      "q111_hll_setops", "q112_pq_rerank", "q113_rerank_recall",
+      "q132_skew_advisor")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
