@@ -74,6 +74,30 @@ object DedupQueries {
           n = 3, m = 32, bands = 8, minEstSim = 0.3)
         .orderBy("a_id", "b_id")),
 
+    // FUZZY DECONTAMINATION: q75 catches exact 4-gram overlap with the
+    // benchmark; paraphrased/lightly-edited contamination slips through.
+    // Reuse the portable MinHash-LSH pairs over the WHOLE corpus and keep
+    // only CROSS-set candidates (one side src0, the other not) — each
+    // contaminated corpus doc reports its best benchmark similarity and
+    // match count. Same banded buckets as q48: never an all-pairs scan;
+    // the source lookup is two id-keyed hash joins over the (few) pairs.
+    "q133_fuzzy_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairsPortable(docs, col("doc_id"), col("text"),
+        n = 3, m = 32, bands = 8, minEstSim = 0.3)
+      val src = docs.select(col("doc_id"), (col("source") === "src0").as("is_bench"))
+      pairs
+        .join(src.toDF("a_id", "a_bench"), "a_id")
+        .join(src.toDF("b_id", "b_bench"), "b_id")
+        .where(col("a_bench") =!= col("b_bench"))
+        .select(when(col("a_bench"), col("b_id")).otherwise(col("a_id")).as("doc_id"),
+          col("est_sim"))
+        .groupBy("doc_id")
+        .agg(max(col("est_sim")).as("max_est_sim"),
+          count(lit(1)).as("n_bench_matches"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash fingerprints + banded near-dup pairs (no oracle)
     "q23_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
@@ -253,6 +277,20 @@ object DedupQueries {
     "q48_minhash_portable" ->
       s"""WITH ${portableLshPairsSql("documents")}
          |SELECT a_id, b_id, est_sim FROM lsh_pairs ORDER BY a_id, b_id""".stripMargin,
+
+    // the same lsh_pairs chain, filtered to cross-set (benchmark vs
+    // corpus) candidates and rolled up per contaminated doc
+    "q133_fuzzy_decontaminate" ->
+      s"""WITH ${portableLshPairsSql("documents")},
+         |src AS (SELECT doc_id, source = 'src0' AS is_bench FROM documents)
+         |SELECT CASE WHEN a.is_bench THEN p.b_id ELSE p.a_id END AS doc_id,
+         |  max(p.est_sim) AS max_est_sim,
+         |  CAST(count(*) AS BIGINT) AS n_bench_matches
+         |FROM lsh_pairs p
+         |JOIN src a ON a.doc_id = p.a_id
+         |JOIN src b ON b.doc_id = p.b_id
+         |WHERE a.is_bench <> b.is_bench
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // the same LSH chain replayed over exact survivors, then the decision
     // join (md5 + min-id rep; smallest qualifying partner)
