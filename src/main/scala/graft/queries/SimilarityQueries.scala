@@ -27,6 +27,31 @@ object SimilarityQueries {
   private val RerankCand = 200
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EMBEDDING HEALTH AUDIT — the ingestion gate for the vector column
+    // (q115's discipline applied to embeddings): per label, vector count,
+    // wrong-dimension count, and min/max/mean squared norm in the exact
+    // q93 integer quantization (floor(x·2^20)² sums — float→double cast
+    // and the 2^20 scale are both exact, so every statistic is
+    // bit-portable). Two aggregation levels over one explode — no joins,
+    // no windows. A zero-length embedding would vanish in the explode
+    // (the synthetic table is fixed 64-dim; a production gate would
+    // add a size(embedding)=0 pre-check).
+    "q134_embedding_audit" -> ((s, dir) => {
+      val q = 1048576L // 2^20
+      val perVec = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), explode(col("embedding")).as("x"))
+        .withColumn("q", floor(col("x").cast("double") * q).cast("long"))
+        .groupBy("vec_id", "label")
+        .agg(count(lit(1)).as("dim"), sum(col("q") * col("q")).as("norm2_q"))
+      perVec.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          count(when(col("dim") =!= 64, 1)).as("n_bad_dim"),
+          min(col("norm2_q")).as("min_norm2_q"),
+          max(col("norm2_q")).as("max_norm2_q"),
+          expr("sum(norm2_q) div count(1)").as("mean_norm2_q"))
+        .orderBy("label")
+    }),
+
     // exact cosine top-10 for the first 20 vectors as queries
     "q40_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -267,6 +292,22 @@ object SimilarityQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // same two-level fold over unnested components, same 2^20 floor
+    "q134_embedding_audit" ->
+      """WITH pv AS (
+        |  SELECT vec_id, label, CAST(count(*) AS BIGINT) AS dim,
+        |    CAST(sum(q * q) AS BIGINT) AS norm2_q
+        |  FROM (SELECT vec_id, label,
+        |          CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) AS q
+        |        FROM (SELECT vec_id, label, unnest(embedding) AS x
+        |              FROM embeddings))
+        |  GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(count(*) FILTER (dim <> 64) AS BIGINT) AS n_bad_dim,
+        |  min(norm2_q) AS min_norm2_q, max(norm2_q) AS max_norm2_q,
+        |  CAST(sum(norm2_q) // count(*) AS BIGINT) AS mean_norm2_q
+        |FROM pv GROUP BY label ORDER BY label""".stripMargin,
+
     // plane components c(j,i) = signed top-32 of splitmix64(42 ^ j<<32 ^ i);
     // quantization floor(x·2^20) is exact in double; integer dot sums are
     // order-free so GROUP BY may reassociate freely (see HyperplanePortable)
