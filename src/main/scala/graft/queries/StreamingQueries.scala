@@ -434,6 +434,58 @@ object StreamingQueries {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // STREAMING ABANDONMENT (Streams.abandonedClicks — the left-outer
+    // twin of q120's stream-stream join): clicks with no same-user
+    // purchase within 6 h emit with a null match once the watermark
+    // passes their window — the "abandoned cart" feed. The replay feeds
+    // the q120 user-keyed sample in event-time order, then a far-future
+    // sentinel pair (user −1) advances BOTH watermarks past every real
+    // window so stream end flushes all verdicts; the sentinel itself
+    // stays buffered (its own window never closes) and is filtered from
+    // the read-out. Unmatched clicks are unique, so distinct collapses
+    // task-replay duplicates. Oracle = the batch NOT EXISTS over the
+    // same sample.
+    "q135_stream_abandoned" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = eventsUs(s, dir).where(replayFilter("user_id"))
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("ts_us")).as("ts"), col("event_type"))
+        .as[(Long, Long, java.sql.Timestamp, String)]
+        .collect().sortBy(e => (e._3.getTime, e._1))
+      require(evs.nonEmpty, s"q135_stream_abandoned: no events at $dir")
+      val flush = new java.sql.Timestamp(
+        evs.map(_._3.getTime).max + 8L * 3600 * 1000)
+      s.catalog.dropTempView("q135_abandon")
+      val mkStream = () => org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val clicks = mkStream(); val purchases = mkStream()
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2") // see q120
+      val sq =
+        try graft.streaming.Streams.abandonedClicks(
+            clicks.toDF().toDF("event_id", "user_id", "ts"),
+            purchases.toDF().toDF("event_id", "user_id", "ts"),
+            maxGap = "6 hours", watermarkDelay = "1 hour")
+          .writeStream.outputMode("append").format("memory")
+          .queryName("q135_abandon").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        evs.grouped(evs.length / 2 + 1).foreach { b =>
+          clicks.addData(b.filter(_._4 == "click")
+            .map(e => (e._1, e._2, e._3)).toIndexedSeq: _*)
+          purchases.addData(b.filter(_._4 == "purchase")
+            .map(e => (e._1, e._2, e._3)).toIndexedSeq: _*)
+          sq.processAllAvailable()
+        }
+        clicks.addData((-1L, -1L, flush)); purchases.addData((-1L, -1L, flush))
+        sq.processAllAvailable()
+      } finally sq.stop()
+      s.table("q135_abandon").where(col("user_id") =!= -1L)
+        .distinct().orderBy("user_id", "click_id")
+    }),
+
     // DISTRIBUTION DRIFT: the data-monitoring primitive behind every
     // training-data freshness gate — has the value distribution shifted
     // between the early and late halves of the corpus? Per (type, bin)
@@ -700,6 +752,20 @@ object StreamingQueries {
          |  CAST(sum(n) AS BIGINT) AS n_events
          |FROM ks GROUP BY event_type
          |ORDER BY decay_micro DESC, event_type""".stripMargin,
+
+    // batch truth for the left-outer stream: a click is abandoned iff no
+    // same-user purchase lands in its (0, 6 h] window
+    "q135_stream_abandoned" ->
+      s"""SELECT c.user_id, c.event_id AS click_id
+         |FROM events c
+         |WHERE ${replayWhereSql("c.user_id")}
+         |  AND c.event_type = 'click'
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM events p
+         |    WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+         |      AND epoch_us(p.ts) - epoch_us(c.ts)
+         |          BETWEEN 0 AND 21600000000::BIGINT)
+         |ORDER BY user_id, click_id""".stripMargin,
 
     // same exact-integer proportions; window totals over the bin cells
     "q131_dist_drift" ->

@@ -183,6 +183,34 @@ object Streams {
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
   }
 
+  /** Abandonment detection — the LEFT OUTER twin of [[attributionJoin]]:
+    * clicks with NO same-user purchase inside `(click_ts, click_ts +
+    * maxGap]` emit with a null purchase side once the watermark passes
+    * the window's end (the engine can only then prove no match is
+    * coming), so the output is the "abandoned cart" feed. Same bounded
+    * state as the inner join: both sides watermarked, the condition
+    * time-bounds the buffered range. Batch DataFrames run the identical
+    * plan (left outer + filter) for oracles and backfills.
+    *
+    * Inputs need (event_id, user_id, ts: TIMESTAMP). Output:
+    * (user_id, click_id) of unmatched clicks. */
+  def abandonedClicks(clicks: DataFrame, purchases: DataFrame,
+                      maxGap: String, watermarkDelay: String = "1 hour"): DataFrame = {
+    def side(df: DataFrame, role: String): DataFrame = {
+      val named = df.select(col("event_id").as(s"${role}_id"),
+        col("user_id").as(s"${role}_user"), col("ts").as(s"${role}_ts"))
+      if (named.isStreaming) named.withWatermark(s"${role}_ts", watermarkDelay)
+      else named
+    }
+    side(clicks, "click").join(side(purchases, "purchase"),
+        col("click_user") === col("purchase_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxGap"),
+        "left_outer")
+      .where(col("purchase_id").isNull)
+      .select(col("click_user").as("user_id"), col("click_id"))
+  }
+
   /** Stream-static enrichment: the unbounded stream broadcast-joins a
     * bounded dimension table — the standard fact-enrichment shape. The
     * static side is re-readable per micro-batch (so a dim refresh is

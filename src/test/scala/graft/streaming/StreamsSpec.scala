@@ -13,6 +13,35 @@ class StreamsSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  // ------------------------------------------------- abandoned clicks
+
+  test("abandoned clicks: unmatched-only after watermark, matched never emits") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = ts("2024-01-01 10:00:00").getTime
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    spark.catalog.dropTempView("abandon_sink")
+    val sq = Streams.abandonedClicks(
+        clicks.toDF().toDF("event_id", "user_id", "ts"),
+        purchases.toDF().toDF("event_id", "user_id", "ts"),
+        maxGap = "6 hours", watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("abandon_sink").start()
+    try {
+      // user 1: click converted inside 6 h; user 2: click abandoned
+      clicks.addData((10L, 1L, new Timestamp(t0)), (20L, 2L, new Timestamp(t0)))
+      purchases.addData((11L, 1L, new Timestamp(t0 + 3600 * 1000)))
+      sq.processAllAvailable()
+      // flush: advance both watermarks past every real window
+      val far = new Timestamp(t0 + 48L * 3600 * 1000)
+      clicks.addData((-1L, -1L, far)); purchases.addData((-1L, -1L, far))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val got = spark.table("abandon_sink").where(col("user_id") =!= -1L)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 20L)), got.toString)
+  }
+
   // ------------------------------------------------- distribution drift
 
   test("dist drift: per-type micro-proportions conserve to 2^20 minus floor loss") {
