@@ -38,6 +38,16 @@ object OpsQueries {
     * and oracle maps — those vals capture it at object-init time. */
   private[queries] val DeleteRate = 0.02
 
+  /** 2024-01-16T00:00:00Z — the mid-corpus split instant shared by every
+    * query that halves the events table (q103's incremental batch, q122's
+    * tombstones, q131's drift halves). ONE constant, interpolated into
+    * the oracles, so the Spark side and the SQL can never drift apart. */
+  private[queries] val MidCorpusUs = 1705363200000000L
+
+  /** q132's assumed parallelism P: salt_buckets = ceil(freq·P / total),
+    * interpolated into BOTH the Spark side and the oracle SQL. */
+  private val SkewP = 32L
+
   /** q125's sketch width: wider than the q104/q105 frequency sketches
     * (whose point is bounded-state counting under collision) because the
     * inner-product estimator's error is ~‖a‖₁‖b‖₁/width — at the 256-term
@@ -291,7 +301,7 @@ object OpsQueries {
     // oracle is q102's full-rebuild SQL verbatim: any divergence between
     // incremental and batch maintenance is a red row.
     "q103_scd2_apply" -> ((s, dir) => {
-      val splitUs = 1705363200000000L // 2024-01-16T00:00:00Z, mid-corpus
+      val splitUs = MidCorpusUs
       val e = events(s, dir)
         .select(col("user_id"), col("event_id"),
           col("event_type").as("state"),
@@ -764,7 +774,6 @@ object OpsQueries {
     // construction (whitelisted by name in PlanSpec's cartesian sweep);
     // no corpus-wide window anywhere.
     "q132_skew_advisor" -> ((s, dir) => {
-      val p = 32L
       val e = events(s, dir)
       val top = e.groupBy("user_id").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("user_id")).limit(10)
@@ -772,7 +781,7 @@ object OpsQueries {
       top.crossJoin(broadcast(total))
         .select(col("user_id"), col("freq"),
           expr("freq * 1048576 div total").as("share_micro"),
-          expr(s"(freq * $p + total - 1) div total").as("salt_buckets"))
+          expr(s"(freq * $SkewP + total - 1) div total").as("salt_buckets"))
         .orderBy(col("freq").desc, col("user_id"))
     }),
 
@@ -1487,16 +1496,16 @@ object OpsQueries {
 
     // same top-10 + exact-integer share and ceil salt factor
     "q132_skew_advisor" ->
-      """WITH f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS freq
-        |           FROM events GROUP BY user_id),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events),
-        |top AS (SELECT user_id, freq FROM f
-        |        ORDER BY freq DESC, user_id LIMIT 10)
-        |SELECT t.user_id, t.freq,
-        |  CAST(t.freq * 1048576 // tot.total AS BIGINT) AS share_micro,
-        |  CAST((t.freq * 32 + tot.total - 1) // tot.total AS BIGINT) AS salt_buckets
-        |FROM top t CROSS JOIN tot
-        |ORDER BY freq DESC, user_id""".stripMargin,
+      s"""WITH f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS freq
+         |           FROM events GROUP BY user_id),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events),
+         |top AS (SELECT user_id, freq FROM f
+         |        ORDER BY freq DESC, user_id LIMIT 10)
+         |SELECT t.user_id, t.freq,
+         |  CAST(t.freq * 1048576 // tot.total AS BIGINT) AS share_micro,
+         |  CAST((t.freq * $SkewP + tot.total - 1) // tot.total AS BIGINT) AS salt_buckets
+         |FROM top t CROSS JOIN tot
+         |ORDER BY freq DESC, user_id""".stripMargin,
 
     // the same integer decay fold: day cells, k half-lives, 2^20 >> k
     "q127_trending" ->

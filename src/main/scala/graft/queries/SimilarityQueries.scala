@@ -33,16 +33,18 @@ object SimilarityQueries {
     // q93 integer quantization (floor(x·2^20)² sums — float→double cast
     // and the 2^20 scale are both exact, so every statistic is
     // bit-portable). Two aggregation levels over one explode — no joins,
-    // no windows. A zero-length embedding would vanish in the explode
-    // (the synthetic table is fixed 64-dim; a production gate would
-    // add a size(embedding)=0 pre-check).
+    // no windows. explode_OUTER + a non-null count keep NULL/empty
+    // embeddings visible: they fold to dim = 0 and land in n_bad_dim —
+    // the worst corruption class must not vanish from its own gate.
     "q134_embedding_audit" -> ((s, dir) => {
       val q = 1048576L // 2^20
       val perVec = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), explode(col("embedding")).as("x"))
+        .select(col("vec_id"), col("label"),
+          explode_outer(col("embedding")).as("x"))
         .withColumn("q", floor(col("x").cast("double") * q).cast("long"))
         .groupBy("vec_id", "label")
-        .agg(count(lit(1)).as("dim"), sum(col("q") * col("q")).as("norm2_q"))
+        .agg(count(col("x")).as("dim"),
+          coalesce(sum(col("q") * col("q")), lit(0L)).as("norm2_q"))
       perVec.groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
           count(when(col("dim") =!= 64, 1)).as("n_bad_dim"),
@@ -292,16 +294,19 @@ object SimilarityQueries {
   }
 
   val oracle: Map[String, String] = Map(
-    // same two-level fold over unnested components, same 2^20 floor
+    // the per-vector fold via list ops (no unnest — a NULL/empty
+    // embedding must stay a row with dim 0, mirroring explode_outer),
+    // same 2^20 floor
     "q134_embedding_audit" ->
       """WITH pv AS (
-        |  SELECT vec_id, label, CAST(count(*) AS BIGINT) AS dim,
-        |    CAST(sum(q * q) AS BIGINT) AS norm2_q
-        |  FROM (SELECT vec_id, label,
-        |          CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) AS q
-        |        FROM (SELECT vec_id, label, unnest(embedding) AS x
-        |              FROM embeddings))
-        |  GROUP BY 1, 2)
+        |  SELECT vec_id, label,
+        |    CAST(coalesce(len(embedding), 0) AS BIGINT) AS dim,
+        |    CAST(coalesce(list_aggregate(
+        |      list_transform(
+        |        list_transform(embedding,
+        |          x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)),
+        |        q -> q * q), 'sum'), 0) AS BIGINT) AS norm2_q
+        |  FROM embeddings)
         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
         |  CAST(count(*) FILTER (dim <> 64) AS BIGINT) AS n_bad_dim,
         |  min(norm2_q) AS min_norm2_q, max(norm2_q) AS max_norm2_q,

@@ -35,10 +35,10 @@ object StreamingQueries {
     * test-harness feed. */
   private val ReplayCap = 1L << 30
 
-  /** q122's tombstone effective time: 2024-01-16T00:00:00Z (mid-corpus,
-    * the q103 split instant) — every requested user's deletion is filed
-    * at this µs on both the stream and the oracle side. */
-  private val TombUs = 1705363200000000L
+  /** q122's tombstone effective time: the shared mid-corpus instant
+    * ([[OpsQueries.MidCorpusUs]]) — every requested user's deletion is
+    * filed at this µs on both the stream and the oracle side. */
+  private val TombUs = OpsQueries.MidCorpusUs
   private def replayFilter(key: String) =
     graft.functions.Mix64.sampleCoord(col(key).cast("long")) < ReplayCap
   private def replayWhereSql(key: String) =
@@ -85,6 +85,62 @@ object StreamingQueries {
     * StreamsSpec's job, the oracle rows prove stream-end ≡ batch SQL. */
   private def halves[T](rows: Array[T]): Seq[Seq[T]] =
     rows.grouped(rows.length / 2 + 1).map(_.toIndexedSeq).toSeq
+
+  /** The TWO-SIDED replay harness shared by the stream-stream joins
+    * (q120 inner, q135 left outer) — ONE copy for the same reason as
+    * [[replay]]. Feeds the user-capped click/purchase events in
+    * event-time order across two micro-batches, each side its own
+    * MemoryStream; `sentinel` (ms past the max event time) optionally
+    * appends a far-future (-1, -1) pair to BOTH sides so the watermark
+    * passes every real window and outer-join verdicts flush — the
+    * sentinel itself stays buffered (its own window never closes) and
+    * callers filter user_id = -1. State partitions pinned at 2: a
+    * stream-stream join maintains FOUR state stores per partition (two
+    * sides × two stores), so partition count multiplies state-file I/O
+    * 4× vs the single-store sketch replays, and the join state is keyed
+    * by user (thousands of keys), balanced at any small count. */
+  private def replayTwoStreams(s: SparkSession, viewName: String, dir: String,
+      sentinel: Option[Long])(
+      build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // cap by USER: matches are within-user, so a user-keyed sample
+    // preserves exactly the kept users' match set
+    val evs = eventsUs(s, dir).where(replayFilter("user_id"))
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("ts"), col("event_type"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .collect().sortBy(e => (e._3.getTime, e._1))
+    require(evs.nonEmpty, s"$viewName: no events at $dir")
+    s.catalog.dropTempView(viewName)
+    val mkStream = () => org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clicks = mkStream(); val purchases = mkStream()
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    val sq =
+      try build(clicks.toDF().toDF("event_id", "user_id", "ts"),
+          purchases.toDF().toDF("event_id", "user_id", "ts"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(viewName).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      evs.grouped(evs.length / 2 + 1).foreach { b =>
+        clicks.addData(b.filter(_._4 == "click")
+          .map(e => (e._1, e._2, e._3)).toIndexedSeq: _*)
+        purchases.addData(b.filter(_._4 == "purchase")
+          .map(e => (e._1, e._2, e._3)).toIndexedSeq: _*)
+        sq.processAllAvailable()
+      }
+      sentinel.foreach { pastMs =>
+        val flush = new java.sql.Timestamp(evs.map(_._3.getTime).max + pastMs)
+        clicks.addData((-1L, -1L, flush)); purchases.addData((-1L, -1L, flush))
+        sq.processAllAvailable()
+      }
+    } finally sq.stop()
+    s.table(viewName)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // gap-based sessionization (batch form of Streams.sessionize)
@@ -363,47 +419,12 @@ object StreamingQueries {
     // behind the watermark). Matches are unique by (click_id,
     // purchase_id) and deterministic, so task-replay duplicates collapse
     // under distinct — the multiplicity-proof read-out shape.
-    "q120_stream_attribution" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      // cap by USER: matches are within-user, so a user-keyed sample
-      // preserves exactly the kept users' match set
-      val evs = eventsUs(s, dir).where(replayFilter("user_id"))
-        .where(col("event_type").isin("click", "purchase"))
-        .select(col("event_id"), col("user_id"),
-          timestamp_micros(col("ts_us")).as("ts"), col("event_type"))
-        .as[(Long, Long, java.sql.Timestamp, String)]
-        .collect().sortBy(e => (e._3.getTime, e._1))
-      require(evs.nonEmpty, s"q120_stream_attribution: no events at $dir")
-      s.catalog.dropTempView("q120_attr")
-      val mkStream = () => org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Long, java.sql.Timestamp)]
-      val clicks = mkStream(); val purchases = mkStream()
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      // 2, not replay()'s 8: a stream-stream join maintains FOUR state
-      // stores per partition (two sides × two stores), so partition count
-      // multiplies state-file I/O 4× vs the single-store sketch replays —
-      // and the join state is keyed by user (thousands of keys), balanced
-      // at any small partition count
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      val sq =
-        try graft.streaming.Streams.attributionJoin(
-            clicks.toDF().toDF("event_id", "user_id", "ts"),
-            purchases.toDF().toDF("event_id", "user_id", "ts"),
-            maxGap = "6 hours", watermarkDelay = "1 hour")
-          .writeStream.outputMode("append").format("memory")
-          .queryName("q120_attr").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try evs.grouped(evs.length / 2 + 1).foreach { b =>
-        clicks.addData(b.filter(_._4 == "click")
-          .map(e => (e._1, e._2, e._3)).toIndexedSeq: _*)
-        purchases.addData(b.filter(_._4 == "purchase")
-          .map(e => (e._1, e._2, e._3)).toIndexedSeq: _*)
-        sq.processAllAvailable()
-      } finally sq.stop()
-      s.table("q120_attr").distinct()
-        .orderBy("user_id", "click_id", "purchase_id")
-    }),
+    "q120_stream_attribution" -> ((s, dir) =>
+      replayTwoStreams(s, "q120_attr", dir, sentinel = None)(
+          (clicks, purchases) => graft.streaming.Streams.attributionJoin(
+            clicks, purchases, maxGap = "6 hours", watermarkDelay = "1 hour"))
+        .distinct()
+        .orderBy("user_id", "click_id", "purchase_id")),
 
     // STREAMING TOMBSTONE FILTER: q121's right-to-be-forgotten sweep as a
     // stream (ComplianceStream.tombstoneFilter — one long of state per
@@ -445,46 +466,12 @@ object StreamingQueries {
     // the read-out. Unmatched clicks are unique, so distinct collapses
     // task-replay duplicates. Oracle = the batch NOT EXISTS over the
     // same sample.
-    "q135_stream_abandoned" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val evs = eventsUs(s, dir).where(replayFilter("user_id"))
-        .where(col("event_type").isin("click", "purchase"))
-        .select(col("event_id"), col("user_id"),
-          timestamp_micros(col("ts_us")).as("ts"), col("event_type"))
-        .as[(Long, Long, java.sql.Timestamp, String)]
-        .collect().sortBy(e => (e._3.getTime, e._1))
-      require(evs.nonEmpty, s"q135_stream_abandoned: no events at $dir")
-      val flush = new java.sql.Timestamp(
-        evs.map(_._3.getTime).max + 8L * 3600 * 1000)
-      s.catalog.dropTempView("q135_abandon")
-      val mkStream = () => org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Long, java.sql.Timestamp)]
-      val clicks = mkStream(); val purchases = mkStream()
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2") // see q120
-      val sq =
-        try graft.streaming.Streams.abandonedClicks(
-            clicks.toDF().toDF("event_id", "user_id", "ts"),
-            purchases.toDF().toDF("event_id", "user_id", "ts"),
-            maxGap = "6 hours", watermarkDelay = "1 hour")
-          .writeStream.outputMode("append").format("memory")
-          .queryName("q135_abandon").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        evs.grouped(evs.length / 2 + 1).foreach { b =>
-          clicks.addData(b.filter(_._4 == "click")
-            .map(e => (e._1, e._2, e._3)).toIndexedSeq: _*)
-          purchases.addData(b.filter(_._4 == "purchase")
-            .map(e => (e._1, e._2, e._3)).toIndexedSeq: _*)
-          sq.processAllAvailable()
-        }
-        clicks.addData((-1L, -1L, flush)); purchases.addData((-1L, -1L, flush))
-        sq.processAllAvailable()
-      } finally sq.stop()
-      s.table("q135_abandon").where(col("user_id") =!= -1L)
-        .distinct().orderBy("user_id", "click_id")
-    }),
+    "q135_stream_abandoned" -> ((s, dir) =>
+      replayTwoStreams(s, "q135_abandon", dir, sentinel = Some(8L * 3600 * 1000))(
+          (clicks, purchases) => graft.streaming.Streams.abandonedClicks(
+            clicks, purchases, maxGap = "6 hours", watermarkDelay = "1 hour"))
+        .where(col("user_id") =!= -1L)
+        .distinct().orderBy("user_id", "click_id")),
 
     // DISTRIBUTION DRIFT: the data-monitoring primitive behind every
     // training-data freshness gate — has the value distribution shifted
@@ -495,23 +482,27 @@ object StreamingQueries {
     // at |Δp| > 5%. One scan → (type, bin) cells; the per-type totals
     // ride a window over the ≤ #types·16-row rollup, never the corpus.
     "q131_dist_drift" -> ((s, dir) => {
-      val splitUs = 1705363200000000L // 2024-01-16T00:00:00Z, mid-corpus
       val cells = eventsUs(s, dir)
-        .select(col("event_type"), (col("ts_us") >= splitUs).as("late"),
+        .select(col("event_type"),
+          (col("ts_us") >= OpsQueries.MidCorpusUs).as("late"),
           least(lit(15L), greatest(lit(0L),
             floor(col("value") / 8.0).cast("long"))).as("bin"))
         .groupBy("event_type", "bin")
         .agg(count(when(!col("late"), 1)).as("a"),
           count(when(col("late"), 1)).as("b"))
       val w = Window.partitionBy("event_type")
+      // a type absent from one half (na/nb = 0) is the STRONGEST drift
+      // signal and must not crash the gate (ANSI div-by-zero): its
+      // proportions read 0 and every occupied bin on the other side
+      // flags drifted on its own
+      val pEarly = expr("CASE WHEN na = 0 THEN 0 ELSE a * 1048576 div na END")
+      val pLate = expr("CASE WHEN nb = 0 THEN 0 ELSE b * 1048576 div nb END")
       cells
         .withColumn("na", sum(col("a")).over(w))
         .withColumn("nb", sum(col("b")).over(w))
         .select(col("event_type"), col("bin"),
-          expr("a * 1048576 div na").as("p_early_micro"),
-          expr("b * 1048576 div nb").as("p_late_micro"),
-          (abs(expr("a * 1048576 div na") - expr("b * 1048576 div nb"))
-            > 52428).as("drifted"))
+          pEarly.as("p_early_micro"), pLate.as("p_late_micro"),
+          (abs(pEarly - pLate) > 52428).as("drifted"))
         .orderBy("event_type", "bin")
     }),
 
@@ -754,7 +745,8 @@ object StreamingQueries {
          |ORDER BY decay_micro DESC, event_type""".stripMargin,
 
     // batch truth for the left-outer stream: a click is abandoned iff no
-    // same-user purchase lands in its (0, 6 h] window
+    // same-user purchase lands in its [0, 6 h] window (both ends
+    // inclusive — an equal-µs purchase matches, see Streams.joinedSides)
     "q135_stream_abandoned" ->
       s"""SELECT c.user_id, c.event_id AS click_id
          |FROM events c
@@ -767,25 +759,30 @@ object StreamingQueries {
          |          BETWEEN 0 AND 21600000000::BIGINT)
          |ORDER BY user_id, click_id""".stripMargin,
 
-    // same exact-integer proportions; window totals over the bin cells
+    // same exact-integer proportions; window totals over the bin cells;
+    // the zero-total CASEs mirror the Spark guards exactly
     "q131_dist_drift" ->
-      """WITH b AS (SELECT event_type,
-        |    epoch_us(ts) >= 1705363200000000 AS late,
-        |    least(15, greatest(0, CAST(floor(value / 8.0) AS BIGINT))) AS bin
-        |  FROM events),
-        |cells AS (SELECT event_type, bin,
-        |    CAST(count(*) FILTER (NOT late) AS BIGINT) AS a,
-        |    CAST(count(*) FILTER (late) AS BIGINT) AS b
-        |  FROM b GROUP BY 1, 2),
-        |t AS (SELECT event_type, bin, a, b,
-        |    CAST(sum(a) OVER (PARTITION BY event_type) AS BIGINT) AS na,
-        |    CAST(sum(b) OVER (PARTITION BY event_type) AS BIGINT) AS nb
-        |  FROM cells)
-        |SELECT event_type, bin,
-        |  CAST(a * 1048576 // na AS BIGINT) AS p_early_micro,
-        |  CAST(b * 1048576 // nb AS BIGINT) AS p_late_micro,
-        |  abs(a * 1048576 // na - b * 1048576 // nb) > 52428 AS drifted
-        |FROM t ORDER BY event_type, bin""".stripMargin,
+      s"""WITH b AS (SELECT event_type,
+         |    epoch_us(ts) >= ${OpsQueries.MidCorpusUs} AS late,
+         |    least(15, greatest(0, CAST(floor(value / 8.0) AS BIGINT))) AS bin
+         |  FROM events),
+         |cells AS (SELECT event_type, bin,
+         |    CAST(count(*) FILTER (NOT late) AS BIGINT) AS a,
+         |    CAST(count(*) FILTER (late) AS BIGINT) AS b
+         |  FROM b GROUP BY 1, 2),
+         |t AS (SELECT event_type, bin, a, b,
+         |    CAST(sum(a) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+         |    CAST(sum(b) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+         |  FROM cells),
+         |p AS (SELECT event_type, bin,
+         |    CASE WHEN na = 0 THEN 0
+         |         ELSE CAST(a * 1048576 // na AS BIGINT) END AS p_early_micro,
+         |    CASE WHEN nb = 0 THEN 0
+         |         ELSE CAST(b * 1048576 // nb AS BIGINT) END AS p_late_micro
+         |  FROM t)
+         |SELECT event_type, bin, p_early_micro, p_late_micro,
+         |  abs(p_early_micro - p_late_micro) > 52428 AS drifted
+         |FROM p ORDER BY event_type, bin""".stripMargin,
 
     // the matrix replayed with the join the Spark side avoids
     "q130_retention" ->

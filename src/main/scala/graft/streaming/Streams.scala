@@ -168,7 +168,19 @@ object Streams {
     * (user_id, click_id, purchase_id, gap_us ≥ 0).
     */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
-                      maxGap: String, watermarkDelay: String = "1 hour"): DataFrame = {
+                      maxGap: String, watermarkDelay: String = "1 hour"): DataFrame =
+    joinedSides(clicks, purchases, maxGap, watermarkDelay, "inner")
+      .select(col("click_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+
+  /** The ONE construction of the watermarked click×purchase join —
+    * attributionJoin (inner) and abandonedClicks (left outer) must stay
+    * condition-identical for their oracles to agree, so they share it.
+    * Match window: `[click_ts, click_ts + maxGap]`, both ends INCLUSIVE
+    * (an equal-µs purchase matches its click). */
+  private def joinedSides(clicks: DataFrame, purchases: DataFrame,
+                          maxGap: String, watermarkDelay: String,
+                          joinType: String): DataFrame = {
     def side(df: DataFrame, role: String): DataFrame = {
       val named = df.select(col("event_id").as(s"${role}_id"),
         col("user_id").as(s"${role}_user"), col("ts").as(s"${role}_ts"))
@@ -176,40 +188,29 @@ object Streams {
       else named
     }
     side(clicks, "click").join(side(purchases, "purchase"),
-        col("click_user") === col("purchase_user") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxGap"))
-      .select(col("click_user").as("user_id"), col("click_id"), col("purchase_id"),
-        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      col("click_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxGap"),
+      joinType)
   }
 
   /** Abandonment detection — the LEFT OUTER twin of [[attributionJoin]]:
-    * clicks with NO same-user purchase inside `(click_ts, click_ts +
-    * maxGap]` emit with a null purchase side once the watermark passes
-    * the window's end (the engine can only then prove no match is
-    * coming), so the output is the "abandoned cart" feed. Same bounded
-    * state as the inner join: both sides watermarked, the condition
-    * time-bounds the buffered range. Batch DataFrames run the identical
-    * plan (left outer + filter) for oracles and backfills.
+    * clicks with NO same-user purchase inside `[click_ts, click_ts +
+    * maxGap]` (both ends inclusive — an equal-µs purchase counts as a
+    * match) emit with a null purchase side once the watermark passes the
+    * window's end (the engine can only then prove no match is coming),
+    * so the output is the "abandoned cart" feed. Same bounded state and
+    * the same join condition as the inner join (shared via
+    * [[joinedSides]]). Batch DataFrames run the identical plan (left
+    * outer + filter) for oracles and backfills.
     *
     * Inputs need (event_id, user_id, ts: TIMESTAMP). Output:
     * (user_id, click_id) of unmatched clicks. */
   def abandonedClicks(clicks: DataFrame, purchases: DataFrame,
-                      maxGap: String, watermarkDelay: String = "1 hour"): DataFrame = {
-    def side(df: DataFrame, role: String): DataFrame = {
-      val named = df.select(col("event_id").as(s"${role}_id"),
-        col("user_id").as(s"${role}_user"), col("ts").as(s"${role}_ts"))
-      if (named.isStreaming) named.withWatermark(s"${role}_ts", watermarkDelay)
-      else named
-    }
-    side(clicks, "click").join(side(purchases, "purchase"),
-        col("click_user") === col("purchase_user") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxGap"),
-        "left_outer")
+                      maxGap: String, watermarkDelay: String = "1 hour"): DataFrame =
+    joinedSides(clicks, purchases, maxGap, watermarkDelay, "left_outer")
       .where(col("purchase_id").isNull)
       .select(col("click_user").as("user_id"), col("click_id"))
-  }
 
   /** Stream-static enrichment: the unbounded stream broadcast-joins a
     * bounded dimension table — the standard fact-enrichment shape. The

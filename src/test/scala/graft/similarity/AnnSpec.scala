@@ -111,4 +111,25 @@ class AnnSpec extends SparkSpec {
     }
     assert(got === expect)
   }
+
+  test("embedding-audit fold: NULL/empty vectors surface as dim 0, never vanish") {
+    // pins the explode_outer semantics q134 relies on: a null or empty
+    // array folds to exactly one row with a null element → dim 0 via the
+    // non-null count, so the worst corruption class lands in n_bad_dim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option(Seq(0.5f, -0.25f))),
+      (2L, Option(Seq.empty[Float])),
+      (3L, Option.empty[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"), explode_outer(col("embedding")).as("x"))
+      .withColumn("q", floor(col("x").cast("double") * 1048576L).cast("long"))
+      .groupBy("vec_id")
+      .agg(count(col("x")).as("dim"),
+        coalesce(sum(col("q") * col("q")), lit(0L)).as("norm2_q"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L)._1 == 2L && got(1L)._2 > 0L)
+    assert(got(2L) == ((0L, 0L)) && got(3L) == ((0L, 0L)))
+  }
 }
