@@ -640,6 +640,32 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("replay conservation validators reject a truncated sink") {
+    import graft.queries.StreamingQueries.{sinkDistinctCount, sinkGroupMax, sinkGroupSum}
+    // a "full" update-mode sink: group a saw 5 rows, group b saw 3
+    val full = Seq(("a", 2L), ("a", 5L), ("b", 3L)).toDF("group", "n")
+    val expect = Map("a" -> 5L, "b" -> 3L)
+    assert(sinkGroupMax("group", "n", expect)(full).isEmpty)
+    // truncated: the last micro-batch's update for group a is missing —
+    // exactly the stale-sink presentation the q99 driver flake implies
+    val truncated = Seq(("a", 2L), ("b", 3L)).toDF("group", "n")
+    val err = sinkGroupMax("group", "n", expect)(truncated)
+    assert(err.isDefined && err.get.contains("group=a"), err.toString)
+    // a whole group missing from the sink is also a violation
+    val missing = Seq(("a", 5L)).toDF("group", "n")
+    assert(sinkGroupMax("group", "n", expect)(missing).isDefined)
+    // sum form (append-mode session emissions)
+    val sessions = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("user_id", "n_events")
+    assert(sinkGroupSum("user_id", "n_events", Map("1" -> 5L, "2" -> 4L))(sessions).isEmpty)
+    assert(sinkGroupSum("user_id", "n_events", Map("1" -> 6L, "2" -> 4L))(sessions).isDefined)
+    // distinct-count form (append-mode unique verdicts): duplicates
+    // collapse, a short sink fails
+    val verdicts = Seq((1L, 10L), (1L, 10L), (2L, 20L)).toDF("user_id", "click_id")
+    assert(sinkDistinctCount(2L, lit(true))(verdicts).isEmpty)
+    assert(sinkDistinctCount(3L, lit(true))(verdicts).isDefined)
+    assert(sinkDistinctCount(1L, col("user_id") =!= 1L)(verdicts).isEmpty)
+  }
+
   test("batch sessionization: gap splits, out-of-order safe") {
     val df = Seq(
       (1L, ts("2024-01-01 10:02:00")), // arrives out of order
