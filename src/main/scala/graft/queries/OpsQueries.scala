@@ -778,9 +778,14 @@ object OpsQueries {
       val top = e.groupBy("user_id").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("user_id")).limit(10)
       val total = e.agg(count(lit(1)).as("total"))
+      // share through a DECIMAL intermediate: freq * 2^20 in BIGINT would
+      // throw under ANSI past ~2^43 rows per key — the one place the 2^20
+      // scale meets an unbounded count (advisor r8). salt_buckets' factor
+      // is only P=32, safe to 2^58 rows per key.
       top.crossJoin(broadcast(total))
         .select(col("user_id"), col("freq"),
-          expr("freq * 1048576 div total").as("share_micro"),
+          expr("cast(cast(freq as decimal(38,0)) * 1048576 div total as bigint)")
+            .as("share_micro"),
           expr(s"(freq * $SkewP + total - 1) div total").as("salt_buckets"))
         .orderBy(col("freq").desc, col("user_id"))
     }),

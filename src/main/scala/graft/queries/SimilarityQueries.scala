@@ -296,14 +296,18 @@ object SimilarityQueries {
   val oracle: Map[String, String] = Map(
     // the per-vector fold via list ops (no unnest — a NULL/empty
     // embedding must stay a row with dim 0, mirroring explode_outer),
-    // same 2^20 floor
+    // same 2^20 floor. dim counts NON-NULL elements (len() counts NULL
+    // list elements; Spark's count(x) over the explode does not — a
+    // vector with NULL elements must land in n_bad_dim on BOTH engines,
+    // advisor r8), and the norm skips them the way sum(q·q) does.
     "q134_embedding_audit" ->
       """WITH pv AS (
         |  SELECT vec_id, label,
-        |    CAST(coalesce(len(embedding), 0) AS BIGINT) AS dim,
+        |    CAST(coalesce(len(list_filter(embedding, x -> x IS NOT NULL)), 0)
+        |      AS BIGINT) AS dim,
         |    CAST(coalesce(list_aggregate(
         |      list_transform(
-        |        list_transform(embedding,
+        |        list_transform(list_filter(embedding, x -> x IS NOT NULL),
         |          x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)),
         |        q -> q * q), 'sum'), 0) AS BIGINT) AS norm2_q
         |  FROM embeddings)

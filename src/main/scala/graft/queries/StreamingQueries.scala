@@ -39,6 +39,13 @@ object StreamingQueries {
     * ([[OpsQueries.MidCorpusUs]]) — every requested user's deletion is
     * filed at this µs on both the stream and the oracle side. */
   private val TombUs = OpsQueries.MidCorpusUs
+
+  /** q131's exact-integer proportion scale (2^20 micro-units) and drift
+    * cutoff (5% of 2^20 = 52428) — ONE definition interpolated into both
+    * the Spark builder and the oracle SQL (the MidCorpusUs/SkewP/DeleteRate
+    * pattern: a one-sided edit must not split the gate from its oracle). */
+  private val DriftScale = 1048576L
+  private val DriftCutMicro = 52428L
   private def replayFilter(key: String) =
     graft.functions.Mix64.sampleCoord(col(key).cast("long")) < ReplayCap
   private def replayWhereSql(key: String) =
@@ -632,14 +639,14 @@ object StreamingQueries {
       // signal and must not crash the gate (ANSI div-by-zero): its
       // proportions read 0 and every occupied bin on the other side
       // flags drifted on its own
-      val pEarly = expr("CASE WHEN na = 0 THEN 0 ELSE a * 1048576 div na END")
-      val pLate = expr("CASE WHEN nb = 0 THEN 0 ELSE b * 1048576 div nb END")
+      val pEarly = expr(s"CASE WHEN na = 0 THEN 0 ELSE a * $DriftScale div na END")
+      val pLate = expr(s"CASE WHEN nb = 0 THEN 0 ELSE b * $DriftScale div nb END")
       cells
         .withColumn("na", sum(col("a")).over(w))
         .withColumn("nb", sum(col("b")).over(w))
         .select(col("event_type"), col("bin"),
           pEarly.as("p_early_micro"), pLate.as("p_late_micro"),
-          (abs(pEarly - pLate) > 52428).as("drifted"))
+          (abs(pEarly - pLate) > DriftCutMicro).as("drifted"))
         .orderBy("event_type", "bin")
     }),
 
@@ -914,12 +921,12 @@ object StreamingQueries {
          |  FROM cells),
          |p AS (SELECT event_type, bin,
          |    CASE WHEN na = 0 THEN 0
-         |         ELSE CAST(a * 1048576 // na AS BIGINT) END AS p_early_micro,
+         |         ELSE CAST(a * $DriftScale // na AS BIGINT) END AS p_early_micro,
          |    CASE WHEN nb = 0 THEN 0
-         |         ELSE CAST(b * 1048576 // nb AS BIGINT) END AS p_late_micro
+         |         ELSE CAST(b * $DriftScale // nb AS BIGINT) END AS p_late_micro
          |  FROM t)
          |SELECT event_type, bin, p_early_micro, p_late_micro,
-         |  abs(p_early_micro - p_late_micro) > 52428 AS drifted
+         |  abs(p_early_micro - p_late_micro) > $DriftCutMicro AS drifted
          |FROM p ORDER BY event_type, bin""".stripMargin,
 
     // the matrix replayed with the join the Spark side avoids
