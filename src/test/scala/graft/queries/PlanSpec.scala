@@ -44,9 +44,11 @@ class PlanSpec extends SparkSpec {
   test("tiling is shuffle-free (no Exchange between scan and flatMap)") {
     val df = graft.SparkEntry.queries("q60_tiling_greedy")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    // the only exchange allowed is the final orderBy's range partitioning
-    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toList
-    assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.toString)
+    // the only exchange allowed is the golden summary's final one-row
+    // aggregation (SinglePartition) — nothing may shuffle between the
+    // synthesized scan and the tiling flatMap
+    val exchanges = "Exchange [A-Za-z]+[Pp]artition\\w*".r.findAllIn(p).toList
+    assert(exchanges.forall(_.contains("SinglePartition")), exchanges.toString)
   }
 
   test("similarity joins key on LSH buckets — never a cartesian/global self-join") {
