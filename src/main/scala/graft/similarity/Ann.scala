@@ -97,4 +97,32 @@ object Ann {
     * cosine. Returns a BIGINT of nBits (≤ 64) sign bits. */
   def hyperplaneSignature(vec: Column, nBits: Int, seed: Long): Column =
     graft.functions.Hyperplane.signature(vec, nBits, seed)
+
+  /** Near-dup pairs above a cosine threshold via banded HYPERPLANE LSH: a
+    * 32-bit signature (any provider — [[hyperplaneSignature]] or the
+    * portable twin) split into 8 bands of 4 bits, candidates = pairs
+    * agreeing on at least one band key, then exact cosine verification
+    * inside the band match (vectors are co-located by the bucket join —
+    * the same verify-inside-band discipline as graft.dedup's sign-bit
+    * path; a pre-verify pair-dedupe would re-shuffle both vectors per
+    * candidate). Unlike the axis-aligned sign-bit family this one probes
+    * RANDOM directions, so it stays locality-sensitive even when
+    * individual embedding dimensions are degenerate. Output
+    * (a_id, b_id, cos), deduped. */
+  def hyperplanePairsLsh(df: DataFrame, idCol: Column, vecCol: Column,
+                         sigOf: Column => Column, threshold: Double): DataFrame = {
+    val base = df.select(idCol.as("id"), vecCol.as("v"), sigOf(vecCol).as("sig"))
+    val chunks = base.select(col("id"), col("v"),
+        posexplode(transform(sequence(lit(0), lit(7)),
+          b => call_function("shiftrightunsigned", col("sig"), b * 4)
+            .bitwiseAND(lit(15L)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val l = chunks.select(col("band"), col("bkey"), col("id").as("a_id"), col("v").as("va"))
+    val r = chunks.select(col("band"), col("bkey"), col("id").as("b_id"), col("v").as("vb"))
+    l.join(r, Seq("band", "bkey")).where(col("a_id") < col("b_id"))
+      .withColumn("cos", CosineSim.cosineSim(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .distinct()
+  }
 }

@@ -243,4 +243,31 @@ class DedupSpec extends SparkSpec {
     // singletons (no near-dup partner) keep themselves
     assert(keep.count { case (id, k) => id == k } > keep.size / 2)
   }
+
+  test("q137: prod minhash pairs at est >= 0.5 equal exact jaccard >= 0.5 truth") {
+    val r = graft.SparkEntry.queries("q137_minhash_prod_vs_truth")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(r.getAs[Long]("n_only_prod") == 0L &&
+      r.getAs[Long]("n_only_ref") == 0L,
+      s"asymmetric pairs: $r")
+    assert(r.getAs[Long]("n_both") > 0L, "agreement row must be non-degenerate")
+    assert(r.getAs[Long]("n_prod") == r.getAs[Long]("n_both"))
+  }
+
+  test("q138: every exact-dup pair is found by both simhash families") {
+    val r = graft.SparkEntry.queries("q138_simhash_dup_recall")(
+      spark, "/root/testdata/sf0.001").collect().head
+    // ≥ 50 planted re-keyed copies guarantee non-degeneracy at every SF
+    assert(r.getAs[Long]("n_dup_pairs") >= 50L, s"expected planted dups: $r")
+    assert(r.getAs[Long]("n_missed_prod") == 0L, s"prod simhash missed dups: $r")
+    assert(r.getAs[Long]("n_missed_portable") == 0L, s"portable simhash missed dups: $r")
+  }
+
+  test("pairPathAgreement: counts the symmetric difference correctly") {
+    val a = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a_id", "b_id")
+    val b = Seq((1L, 2L), (5L, 6L), (7L, 8L), (7L, 8L)).toDF("a_id", "b_id")
+    val r = graft.queries.DedupQueries.pairPathAgreement(a, b).collect().head
+    assert((r.getAs[Long]("n_prod"), r.getAs[Long]("n_ref"), r.getAs[Long]("n_both"),
+      r.getAs[Long]("n_only_prod"), r.getAs[Long]("n_only_ref")) == (3L, 3L, 2L, 1L, 1L))
+  }
 }

@@ -132,4 +132,29 @@ class AnnSpec extends SparkSpec {
     assert(got(1L)._1 == 2L && got(1L)._2 > 0L)
     assert(got(2L) == ((0L, 0L)) && got(3L) == ((0L, 0L)))
   }
+
+  test("hyperplanePairsLsh: near-identical pair verified, orthogonal pair absent") {
+    // 32-dim so the 8×4-bit banding has real signature structure
+    val near = Array.tabulate(32)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val nearB = near.clone(); nearB(0) = near(0) + 0.01f
+    val ortho = Array.tabulate(32)(i => if (i % 2 == 0) near(i + 1) else -near(i - 1))
+    val vecs = Seq((1L, near), (2L, nearB), (3L, ortho))
+      .toDF("vec_id", "embedding")
+    for (sigOf <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        v => Ann.hyperplaneSignature(v, 32, 42L),
+        v => graft.functions.HyperplanePortable.signature(v, 32, 42L))) {
+      val pairs = Ann.hyperplanePairsLsh(vecs, col("vec_id"), col("embedding"),
+          sigOf, threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)), s"got $pairs")
+    }
+  }
+
+  test("q139: prod and portable hyperplane pair sets agree at sf0.001") {
+    val r = graft.SparkEntry.queries("q139_hyperplane_path_equiv")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_only_prod") == 0L && r.getAs[Long]("n_only_ref") == 0L,
+      s"asymmetric pairs: $r")
+    assert(r.getAs[Long]("n_both") > 0L, "agreement row must be non-degenerate")
+  }
 }
