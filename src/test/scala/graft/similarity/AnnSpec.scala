@@ -150,6 +150,25 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("q140 recall curve: monotone in probes, exact 1.0 at full probe") {
+    val rows = graft.SparkEntry.queries("q140_ivf_recall_curve")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Int]("n_probe")).toSeq == Seq(1, 2, 4, 8, 12, 16))
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone: ${recalls.toSeq}")
+    // probing every cell IS brute force — the curve's end-to-end self-check
+    assert(recalls.last == 1.0, s"full-probe recall ${recalls.last}")
+    val scanned = rows.map(_.getAs[Long]("rows_scanned"))
+    assert(scanned.zip(scanned.tail).forall { case (a, b) => a < b })
+    // q47's configuration (4 probes) must appear with the same recall value
+    val q47 = graft.SparkEntry.queries("q47_ivf_recall")(spark, sfDir).collect()
+    val q47overall = q47.map(_.getAs[Long]("n_hit")).sum.toDouble /
+      q47.map(_.getAs[Long]("n_true")).sum
+    val curve4 = rows.find(_.getAs[Int]("n_probe") == 4).get.getAs[Double]("recall")
+    assert(curve4 == q47overall, s"curve@4 $curve4 != q47 $q47overall")
+  }
+
   test("q139: prod and portable hyperplane pair sets agree at sf0.001") {
     val r = graft.SparkEntry.queries("q139_hyperplane_path_equiv")(spark, sfDir)
       .collect().head
