@@ -56,7 +56,7 @@ def tiff_lzw_compress(data: bytes) -> bytes:
 
 def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=None,
                compression=1, overlong_first_strip=False, truncate_lzw=False,
-               raw_strip_bytes=False, tile_size=None):
+               raw_strip_bytes=False, tile_size=None, geo=None):
     """pixels: list of ints/floats, row-major, len w*h.
     compression: 1 = none, 8 = deflate (zlib per strip), 5 = TIFF LZW;
     other values (or raw_strip_bytes=True) write raw strip data as-is
@@ -66,7 +66,10 @@ def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=No
     rather than shift later strips' pixel placement.
     truncate_lzw: cut the LZW stream short (corrupt-stream test).
     tile_size: (tw, th) -> tiled organization (tags 322/323/324/325) instead
-    of strips; edge tiles are stored full-size with zero padding."""
+    of strips; edge tiles are stored full-size with zero padding.
+    geo: optional dict with keys pixel_scale (3 doubles, tag 33550),
+    tiepoint (6k doubles, 33922), geokeys (4n shorts, 34735) and
+    ascii (str, 34737 — NUL appended) for GeoTIFF-tagged fixtures."""
     import zlib
     bo = "<" if little else ">"
     bpp = bits // 8
@@ -158,6 +161,18 @@ def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=No
         tags.append((278, 3, 1, short(rps)))
         tags.append((273, 4, len(strips), so))
         tags.append((279, 4, len(strips), sc))
+    if geo:
+        def dbl(vals): return b"".join(struct.pack(bo + "d", v) for v in vals)
+        if "pixel_scale" in geo:
+            tags.append((33550, 12, len(geo["pixel_scale"]), dbl(geo["pixel_scale"])))
+        if "tiepoint" in geo:
+            tags.append((33922, 12, len(geo["tiepoint"]), dbl(geo["tiepoint"])))
+        if "geokeys" in geo:
+            tags.append((34735, 3, len(geo["geokeys"]),
+                         b"".join(short(k) for k in geo["geokeys"])))
+        if "ascii" in geo:
+            ab = geo["ascii"].encode("ascii") + b"\x00"
+            tags.append((34737, 2, len(ab), ab))
     tags.sort()
     n_entries = len(tags)
     for tag, typ, cnt, vb in tags:
@@ -214,6 +229,19 @@ def main():
                bits=32, fmt=3, compression=5, tile_size=(4, 4))
     write_tiff(out / "tiled_lzw_wide.tif", 48, 48, wide, bits=8,
                compression=5, tile_size=(16, 16))
+    # GeoTIFF-tagged scene: UTM 32N pixel grid at 10 m — decode must carry
+    # the tags verbatim and encode must write them back (the meta-copy
+    # round-trip of the reference's array2raster)
+    write_tiff(out / "scene_geo.f32.tif", 5, 6, [v / 4.0 for v in grad],
+               bits=32, fmt=3, geo={
+                   "pixel_scale": (10.0, 10.0, 0.0),
+                   "tiepoint": (0.0, 0.0, 0.0, 600000.0, 5090220.0, 0.0),
+                   "geokeys": [1, 1, 0, 3,
+                               1024, 0, 1, 1,
+                               1025, 0, 1, 1,
+                               3072, 0, 1, 32632],
+                   "ascii": "WGS 84 / UTM zone 32N|",
+               })
     print("tiff fixtures written to", out)
 
 

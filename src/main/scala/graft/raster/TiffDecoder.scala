@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions.col
   * or TILES (tags 322–325 — the Cloud-Optimized GeoTIFF layout; edge-tile
   * padding decoded and discarded), single sample per pixel, 8/16/32-bit
   * unsigned/signed integer or 32-bit float, either byte order. Geo* tags
-  * are ignored (the reference only consumes the pixel grid; georeferencing
-  * travels as metadata elsewhere).
+  * (ModelPixelScale/Tiepoint/Transformation + the GeoKey directory) are
+  * carried VERBATIM as [[GeoMeta]] so decode→encode reproduces the
+  * source's CRS/transform — the reference's `raster.meta` copy contract
+  * (see [[GeoMeta]]); the pixel-grid consumers simply ignore them.
   *
   * Anything outside that envelope (JPEG, multi-band) returns
   * Left(reason) — callers drop or route the file, a poison blob must never
@@ -30,12 +32,18 @@ object TiffDecoder {
   /** Total decode entry — any internal exception from corrupt structure
     * (overflowed counts, hostile offsets) is converted to Left. */
   def decode(bytes: Array[Byte]): Either[String, Tiff] =
+    decodeWithMeta(bytes).map(_._1)
+
+  /** [[decode]] plus the georeferencing tags as a verbatim [[GeoMeta]] —
+    * the read half of the reference's `raster.meta` copy (see [[GeoMeta]];
+    * [[TiffEncoder.encode]] is the write half). */
+  def decodeWithMeta(bytes: Array[Byte]): Either[String, (Tiff, GeoMeta)] =
     try decodeUnsafe(bytes)
     catch { case e: Exception => Left(s"corrupt TIFF: ${e.getClass.getSimpleName}") }
 
   private val MaxPixels = 1 << 28 // 256M px ≈ 1 GiB of floats — sanity bound
 
-  private def decodeUnsafe(bytes: Array[Byte]): Either[String, Tiff] = {
+  private def decodeUnsafe(bytes: Array[Byte]): Either[String, (Tiff, GeoMeta)] = {
     if (bytes.length < 8) return Left("too short")
     val order = (bytes(0), bytes(1)) match {
       case (0x49, 0x49) => ByteOrder.LITTLE_ENDIAN
@@ -56,6 +64,12 @@ object TiffDecoder {
     var tileW = -1; var tileH = -1
     var tileOffsets: Array[Long] = null
     var tileCounts: Array[Long] = null
+    var geoPixelScale = Array.emptyDoubleArray
+    var geoTiepoints = Array.emptyDoubleArray
+    var geoTransform = Array.emptyDoubleArray
+    var geoKeys = Array.emptyIntArray
+    var geoDoubles = Array.emptyDoubleArray
+    var geoAscii = ""
 
     def entryValues(entryOff: Int): Array[Long] = {
       val typ = bb.getShort(entryOff + 2) & 0xFFFF
@@ -80,6 +94,30 @@ object TiffDecoder {
       }
     }
 
+    // geo tags only: DOUBLE (type 12) arrays are always out-of-line
+    // (8 bytes each); same hostile-offset discipline as entryValues
+    def entryDoubles(entryOff: Int): Array[Double] = {
+      val typ = bb.getShort(entryOff + 2) & 0xFFFF
+      if (typ != 12) return Array.emptyDoubleArray
+      val cnt = bb.getInt(entryOff + 4)
+      if (cnt <= 0 || 8L * cnt > bytes.length) return Array.emptyDoubleArray
+      val valOff = bb.getInt(entryOff + 8)
+      if (valOff < 0 || valOff.toLong + 8L * cnt > bytes.length)
+        return Array.emptyDoubleArray
+      Array.tabulate(cnt)(i => bb.getDouble(valOff + i * 8))
+    }
+
+    def entryAscii(entryOff: Int): String = {
+      val typ = bb.getShort(entryOff + 2) & 0xFFFF
+      if (typ != 2) return ""
+      val cnt = bb.getInt(entryOff + 4)
+      if (cnt <= 0 || cnt > bytes.length) return ""
+      val valOff = if (cnt <= 4) entryOff + 8 else bb.getInt(entryOff + 8)
+      if (valOff < 0 || valOff.toLong + cnt > bytes.length) return ""
+      new String(bytes, valOff, cnt, java.nio.charset.StandardCharsets.US_ASCII)
+        .takeWhile(_ != '\u0000') // NUL-terminated; normalize it away
+    }
+
     var e = 0
     while (e < nEntries) {
       val off = ifdOff + 2 + e * 12
@@ -102,6 +140,12 @@ object TiffDecoder {
         case 324 => tileOffsets = vs
         case 325 => tileCounts = vs
         case 339 => sampleFormat = vs.headOption.getOrElse(1L).toInt
+        case 33550 => geoPixelScale = entryDoubles(off)
+        case 33922 => geoTiepoints = entryDoubles(off)
+        case 34264 => geoTransform = entryDoubles(off)
+        case 34735 => geoKeys = vs.map(_.toInt)
+        case 34736 => geoDoubles = entryDoubles(off)
+        case 34737 => geoAscii = entryAscii(off)
         case _ => ()
       }
       e += 1
@@ -252,7 +296,9 @@ object TiffDecoder {
       if (written != out.length)
         return Left(s"pixel data incomplete ($written of ${out.length})")
     }
-    Right(Tiff(height, width, out))
+    Right((Tiff(height, width, out),
+      GeoMeta(geoPixelScale, geoTiepoints, geoTransform, geoKeys,
+        geoDoubles, geoAscii)))
   }
 
   /** TIFF 6.0 LZW strip decode (Compression=5): MSB-first bit packing,
@@ -349,7 +395,13 @@ object TiffDecoder {
     Right((out, outN))
   }
 
-  final case class BandFile(path: String, band: String, h: Int, w: Int, pixels: Array[Float])
+  /** One decoded band file. `meta` carries the source's georeferencing
+    * verbatim (defaulted empty so positional construction in pixel-only
+    * contexts keeps working); [[TiffEncoder.writeTiffDir]] writes it back
+    * out — the distributed form of the reference's meta-copy. */
+  final case class BandFile(path: String, band: String, h: Int, w: Int,
+                            pixels: Array[Float],
+                            meta: GeoMeta = GeoMeta.empty)
 
   /** Directory of band TIFFs → D3 rows, decoded executor-side via the
     * binaryFile source (pathGlobFilter pushdown prunes the listing).
@@ -365,8 +417,9 @@ object TiffDecoder {
         it.flatMap { case (path, content) =>
           val name = path.substring(path.lastIndexOf('/') + 1)
           val band = bandList.find(b => name.matches(s".*[._]${java.util.regex.Pattern.quote(b)}[._].*"))
-          (band, TiffDecoder.decode(content)) match {
-            case (Some(b), Right(t)) => Some(BandFile(path, b, t.h, t.w, t.pixels))
+          (band, TiffDecoder.decodeWithMeta(content)) match {
+            case (Some(b), Right((t, m))) =>
+              Some(BandFile(path, b, t.h, t.w, t.pixels, m))
             case _ => None
           }
         }

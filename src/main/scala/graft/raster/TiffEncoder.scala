@@ -6,29 +6,62 @@ import org.apache.spark.sql.Dataset
 
 /** O3 — `array2raster` (reference: data_pair/fct_data_extraction.py:15–20):
   * write a float32 pixel grid back out as a GeoTIFF. The reference delegates
-  * to rasterio with the source file's profile; this encoder emits the exact
-  * envelope [[TiffDecoder]] reads — baseline TIFF, little-endian,
-  * uncompressed, one 32-bit float sample per pixel, single strip — so
-  * read→transform→write round-trips pixel-exactly without GDAL.
-  *
-  * (The reference pipeline never actually calls array2raster; this closes
-  * the one capability gap for API completeness. Georeferencing tags are
-  * metadata the engine carries in columns, not in the payload.)
+  * to rasterio with the source file's profile (`kwargs = raster.meta` —
+  * the output inherits the source's CRS and transform); this encoder emits
+  * the exact envelope [[TiffDecoder]] reads — baseline TIFF, little-endian,
+  * uncompressed, one 32-bit float sample per pixel, single strip — and
+  * writes the source's [[GeoMeta]] tags back verbatim, so
+  * read→transform→write round-trips pixel-exactly AND keeps the output
+  * georeferenced for GDAL/QGIS consumers, without GDAL.
   */
 object TiffEncoder {
 
-  /** Encode a row-major float32 grid as a minimal baseline TIFF. */
-  def encode(h: Int, w: Int, pixels: Array[Float]): Array[Byte] = {
+  /** Encode a row-major float32 grid as a minimal baseline TIFF (no
+    * georeferencing — the pixel-only envelope). */
+  def encode(h: Int, w: Int, pixels: Array[Float]): Array[Byte] =
+    encode(h, w, pixels, GeoMeta.empty)
+
+  /** [[encode]] carrying the source's georeferencing tags verbatim — the
+    * write half of the reference's meta-copy (decode with
+    * [[TiffDecoder.decodeWithMeta]]). With an empty meta the output is
+    * byte-identical to the pixel-only form (golden-fixture stability). */
+  def encode(h: Int, w: Int, pixels: Array[Float], meta: GeoMeta): Array[Byte] = {
     require(h > 0 && w > 0, s"bad dimensions ${w}x$h")
     require(pixels.length == h * w, s"pixels ${pixels.length} != $h*$w")
+    // geo entries, ascending tag order (all above the base tags):
+    // (tag, type, count, payload bytes — LE)
+    def dbls(a: Array[Double]): Array[Byte] = {
+      val b = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      a.foreach(b.putDouble); b.array()
+    }
+    def shorts(a: Array[Int]): Array[Byte] = {
+      val b = ByteBuffer.allocate(a.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+      a.foreach(x => b.putShort(x.toShort)); b.array()
+    }
+    val asciiBytes =
+      if (meta.geoAscii.isEmpty) Array.emptyByteArray
+      else (meta.geoAscii + "\u0000")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val geoEntries: Seq[(Int, Int, Int, Array[Byte])] = Seq(
+      (33550, 12, meta.pixelScale.length, dbls(meta.pixelScale)),
+      (33922, 12, meta.tiepoints.length, dbls(meta.tiepoints)),
+      (34264, 12, meta.transform.length, dbls(meta.transform)),
+      (34735, 3, meta.geoKeys.length, shorts(meta.geoKeys)),
+      (34736, 12, meta.geoDoubles.length, dbls(meta.geoDoubles)),
+      (34737, 2, asciiBytes.length, asciiBytes)
+    ).filter(_._3 > 0)
+
+    // layout: header(8) | IFD | out-of-line geo values | pixel strip
     // entries sorted by tag id (TIFF requirement):
     // 256 width, 257 height, 258 bits, 259 compression, 262 photometric,
     // 273 strip offset, 277 samples/px, 278 rows/strip, 279 strip bytes,
-    // 339 sample format
-    val nEntries = 10
+    // 339 sample format, then the geo tags
+    val nEntries = 10 + geoEntries.length
     val ifdOff = 8
     val ifdSize = 2 + nEntries * 12 + 4
-    val dataOff = ifdOff + ifdSize
+    val extraOff = ifdOff + ifdSize
+    val extraLen = geoEntries.map(g => if (g._4.length > 4) g._4.length else 0).sum
+    val dataOff = extraOff + extraLen
     val dataLen = pixels.length * 4
     val bb = ByteBuffer.allocate(dataOff + dataLen).order(ByteOrder.LITTLE_ENDIAN)
     bb.put(0x49.toByte).put(0x49.toByte).putShort(42).putInt(ifdOff)
@@ -51,7 +84,21 @@ object TiffEncoder {
     entry(278, 4, 1, h.toLong) // rows per strip (single strip)
     entry(279, 4, 1, dataLen.toLong) // strip byte count
     entry(339, 3, 1, 3L) // sample format: IEEE float
+    var extraCursor = extraOff
+    geoEntries.foreach { case (tag, typ, count, payload) =>
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (payload.length <= 4) {
+        val pad = java.util.Arrays.copyOf(payload, 4)
+        bb.put(pad)
+      } else {
+        bb.putInt(extraCursor)
+        val save = bb.position()
+        bb.position(extraCursor); bb.put(payload); bb.position(save)
+        extraCursor += payload.length
+      }
+    }
     bb.putInt(0) // no next IFD
+    bb.position(dataOff)
     var i = 0
     while (i < pixels.length) { bb.putFloat(pixels(i)); i += 1 }
     bb.array()
@@ -68,7 +115,7 @@ object TiffEncoder {
         val leaf = r.path.substring(r.path.lastIndexOf('/') + 1)
         val dir = java.nio.file.Paths.get(outDir, r.band)
         java.nio.file.Files.createDirectories(dir)
-        java.nio.file.Files.write(dir.resolve(leaf), encode(r.h, r.w, r.pixels))
+        java.nio.file.Files.write(dir.resolve(leaf), encode(r.h, r.w, r.pixels, r.meta))
       }
     }
 }

@@ -42,4 +42,50 @@ class TiffEncoderSpec extends SparkSpec {
     assert(back.head.h == 4 && back.head.w == 3)
     assert(back.head.pixels.toSeq == (0 until 12).map(_.toFloat))
   }
+
+  test("geo meta: fixture tags decode verbatim and survive the round-trip") {
+    val bytes = Files.readAllBytes(Paths.get(res, "scene_geo.f32.tif"))
+    val Right((t0, m0)) = TiffDecoder.decodeWithMeta(bytes)
+    // the generator's constants: UTM 32N, 10 m pixels, S2-style tile origin
+    assert(m0.pixelScale.toSeq == Seq(10.0, 10.0, 0.0))
+    assert(m0.tiepoints.toSeq == Seq(0.0, 0.0, 0.0, 600000.0, 5090220.0, 0.0))
+    assert(m0.geoKeys.toSeq == Seq(1, 1, 0, 3, 1024, 0, 1, 1,
+      1025, 0, 1, 1, 3072, 0, 1, 32632))
+    assert(m0.geoAscii == "WGS 84 / UTM zone 32N|")
+    assert(m0.transform.isEmpty && m0.geoDoubles.isEmpty)
+    // re-encode WITH the meta: pixels exact, meta verbatim — array2raster's
+    // profile copy (reference data_pair/fct_data_extraction.py:15-20)
+    val Right((t1, m1)) =
+      TiffDecoder.decodeWithMeta(TiffEncoder.encode(t0.h, t0.w, t0.pixels, m0))
+    assert((t1.h, t1.w) == (t0.h, t0.w))
+    assert(t1.pixels.toSeq == t0.pixels.toSeq)
+    assert(m1.sameAs(m0), s"meta drifted: $m1 vs $m0")
+    // the pixel grid matches the untagged sibling fixture (same generator
+    // values), so geo tags change metadata only, never placement
+    val Right(plain) =
+      TiffDecoder.decode(Files.readAllBytes(Paths.get(res, "scene_B04.f32.tif")))
+    assert(t0.pixels.toSeq == plain.pixels.toSeq)
+  }
+
+  test("geo meta: empty meta keeps the pixel-only byte layout (golden stability)") {
+    val px = Array.tabulate(6)(_.toFloat)
+    assert(TiffEncoder.encode(2, 3, px).toSeq ==
+      TiffEncoder.encode(2, 3, px, GeoMeta.empty).toSeq)
+  }
+
+  test("geo meta: carried through the distributed read → write path") {
+    val out = Files.createTempDirectory("tiff_geo_out").toString
+    // stage the geo fixture under a band-matched name, read it
+    // distributed, write it back distributed, decode the written file
+    val staged = Files.createTempDirectory("tiff_geo_in")
+    Files.copy(Paths.get(res, "scene_geo.f32.tif"), staged.resolve("x_B04.geo.tif"))
+    val rows = TiffDecoder.readTiffDir(spark, staged.toString, Seq("B04"), glob = "*")
+    TiffEncoder.writeTiffDir(rows, out)
+    val written = Files.readAllBytes(Paths.get(out, "B04", "x_B04.geo.tif"))
+    val Right((t, m)) = TiffDecoder.decodeWithMeta(written)
+    assert(m.pixelScale.toSeq == Seq(10.0, 10.0, 0.0))
+    assert(m.geoKeys.toSeq.takeRight(4) == Seq(3072, 0, 1, 32632))
+    assert(m.geoAscii == "WGS 84 / UTM zone 32N|")
+    assert((t.h, t.w) == (6, 5))
+  }
 }
