@@ -130,6 +130,26 @@ object TileKernel {
     * the accepted tile's ROW and COLUMN — and is applied first to rows,
     * then to the surviving candidates' columns. When `c_acc < r_acc` the
     * interval is empty and nothing is removed. */
+  /** Hard ceiling for the SEQUENTIAL kernels' candidate lists. The
+    * faithful greedy/shuffled suppression is order-dependent by reference
+    * semantics, so it runs as one in-memory loop with an O(|cand|²)
+    * worst case (every acceptance rescans the list) — a pathological
+    * centerline (mask mostly 1s) would otherwise grind a task for hours
+    * on a list the intended sparse centerlines never produce. Same
+    * discipline as graft.dedup's 1M-edge union-find threshold: an
+    * EXPLICIT bound with a loud error naming the scalable alternative,
+    * never a silent stall. 2^17 bounds the worst case at ~1.7e10 scans —
+    * seconds-to-minutes, not hours. */
+  val MaxSequentialCandidates: Int = 1 << 17
+
+  private def requireSequentialScale(cand: Candidates): Unit =
+    require(cand.rs.length <= MaxSequentialCandidates,
+      s"${cand.rs.length} candidate centers exceed MaxSequentialCandidates " +
+        s"($MaxSequentialCandidates): the faithful sequential suppression is " +
+        "quadratic and order-dependent, so it cannot scale to masks this " +
+        "dense - use OverlapMode.GridSnap (TileJobs.gridSnapDF), the " +
+        "order-independent stride-grid mode, for this input")
+
   private def noOverlap(rs: ArrayBuffer[Int], cs: ArrayBuffer[Int], a: Double, b: Double): Unit = {
     var j = 0
     while (j < rs.length) {
@@ -159,6 +179,7 @@ object TileKernel {
       faithfulInfDenom: Boolean = true): Vector[Tile] = {
     require(hrH / lrH == scale,
       s"scale $scale must equal the HR/LR dimension ratio (${hrH}/${lrH})")
+    requireSequentialScale(cand)
     val half = batch / 2
     val rs = ArrayBuffer.from(cand.rs)
     val cs = ArrayBuffer.from(cand.cs)
@@ -205,6 +226,7 @@ object TileKernel {
       seed: Long,
       faithfulInfDenom: Boolean = true): Vector[Tile] = {
     require(hrH / lrH == scale, "scale must equal the HR/LR dimension ratio")
+    requireSequentialScale(cand)
     val rng = new scala.util.Random(seed)
     val half = batch / 2
     val rs = ArrayBuffer.from(cand.rs)
