@@ -1,0 +1,400 @@
+#!/usr/bin/env python3
+"""Driver-side fixture generator for JPEG-in-TIFF (Compression=7) decode:
+hand-rolled baseline-JPEG encoder (ITU T.81 sequential DCT, Huffman,
+8-bit, single grayscale component — no PIL/libjpeg in this container)
+plus a reference DECODER MODEL whose float operation order the Scala
+decoder mirrors exactly, so expected outputs are bit-exact, not
+approximate.
+
+Writes, per fixture: the .tif and an expected_<name>.bin (row-major u8
+of the decoded image — what the Scala decoder must produce byte-for-
+byte).
+
+Usage: make_jpeg_fixtures.py <outdir>
+"""
+import math
+import struct
+import sys
+from pathlib import Path
+
+# ---------------------------------------------------------------- tables
+
+# K.3.3.1 typical luminance tables
+STD_DC_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+STD_DC_VALS = list(range(12))
+STD_AC_BITS = [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+STD_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+# Annex K.1 luminance quantization table (quality ~50), in NATURAL order
+STD_QUANT_ZZ = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99]
+
+FLAT_QUANT = [1] * 64  # near-lossless variant
+
+ZIGZAG = [  # zigzag index -> natural index
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+# cosine basis, the SHARED spec between encoder model and Scala decoder:
+# C[u][x] = cos((2x+1) * u * pi / 16), pinned as hex doubles so the model
+# and graft.raster.JpegDecoder use BIT-IDENTICAL constants (platform libm
+# and JVM Math.cos may differ in the last ulp)
+COS_HEX = """
+0x1.0000000000000p+0 0x1.0000000000000p+0 0x1.0000000000000p+0 0x1.0000000000000p+0 0x1.0000000000000p+0 0x1.0000000000000p+0 0x1.0000000000000p+0 0x1.0000000000000p+0
+0x1.f6297cff75cb0p-1 0x1.a9b66290ea1a3p-1 0x1.1c73b39ae68c9p-1 0x1.8f8b83c69a60dp-3 -0x1.8f8b83c69a608p-3 -0x1.1c73b39ae68c6p-1 -0x1.a9b66290ea1a4p-1 -0x1.f6297cff75cb0p-1
+0x1.d906bcf328d46p-1 0x1.87de2a6aea964p-2 -0x1.87de2a6aea962p-2 -0x1.d906bcf328d46p-1 -0x1.d906bcf328d47p-1 -0x1.87de2a6aea96dp-2 0x1.87de2a6aea967p-2 0x1.d906bcf328d44p-1
+0x1.a9b66290ea1a3p-1 -0x1.8f8b83c69a608p-3 -0x1.f6297cff75cb0p-1 -0x1.1c73b39ae68c8p-1 0x1.1c73b39ae68c5p-1 0x1.f6297cff75cb0p-1 0x1.8f8b83c69a61dp-3 -0x1.a9b66290ea1a2p-1
+0x1.6a09e667f3bcdp-1 -0x1.6a09e667f3bccp-1 -0x1.6a09e667f3bcep-1 0x1.6a09e667f3bcbp-1 0x1.6a09e667f3bcep-1 -0x1.6a09e667f3bc5p-1 -0x1.6a09e667f3bc9p-1 0x1.6a09e667f3bc4p-1
+0x1.1c73b39ae68c9p-1 -0x1.f6297cff75cb0p-1 0x1.8f8b83c69a60cp-3 0x1.a9b66290ea1a5p-1 -0x1.a9b66290ea1a2p-1 -0x1.8f8b83c69a602p-3 0x1.f6297cff75cb2p-1 -0x1.1c73b39ae68c2p-1
+0x1.87de2a6aea964p-2 -0x1.d906bcf328d47p-1 0x1.d906bcf328d44p-1 -0x1.87de2a6aea965p-2 -0x1.87de2a6aea971p-2 0x1.d906bcf328d46p-1 -0x1.d906bcf328d43p-1 0x1.87de2a6aea95fp-2
+0x1.8f8b83c69a60dp-3 -0x1.1c73b39ae68c8p-1 0x1.a9b66290ea1a5p-1 -0x1.f6297cff75cb2p-1 0x1.f6297cff75cb0p-1 -0x1.a9b66290ea1a1p-1 0x1.1c73b39ae68c2p-1 -0x1.8f8b83c69a616p-3
+"""
+COS = [[float.fromhex(v) for v in line.split()]
+       for line in COS_HEX.strip().splitlines()]
+INV_SQRT2 = float.fromhex("0x1.6a09e667f3bccp-1")
+
+
+def fdct_quant(block, quant):
+    """block: 64 ints 0..255 (natural order). Returns 64 quantized coeffs
+    in natural order. Float order does not need to match the decoder (the
+    encoder's rounding is baked into the bitstream)."""
+    shifted = [v - 128.0 for v in block]
+    out = [0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for y in range(8):
+                for x in range(8):
+                    s += shifted[y * 8 + x] * COS[v][x] * COS[u][y]
+            cu = INV_SQRT2 if u == 0 else 1.0
+            cv = INV_SQRT2 if v == 0 else 1.0
+            val = 0.25 * cu * cv * s
+            q = quant[u * 8 + v]
+            out[u * 8 + v] = int(round(val / q))
+    return out
+
+
+def idct_dequant(coeffs, quant):
+    """The DECODER MODEL the Scala implementation mirrors exactly:
+    dequantize (integer multiply), then the direct 2D IDCT with THIS loop
+    order and double arithmetic, then round-half-up via floor(v+0.5),
+    level shift inside, clamp. Returns 64 ints 0..255 natural order."""
+    d = [coeffs[i] * quant[i] for i in range(64)]
+    out = [0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = INV_SQRT2 if u == 0 else 1.0
+                    cv = INV_SQRT2 if v == 0 else 1.0
+                    s += cu * cv * d[u * 8 + v] * COS[v][x] * COS[u][y]
+            val = 0.25 * s + 128.0
+            iv = math.floor(val + 0.5)
+            out[y * 8 + x] = 0 if iv < 0 else (255 if iv > 255 else int(iv))
+    return out
+
+
+# ------------------------------------------------------------- huffman enc
+
+def build_enc_table(bits, vals):
+    """(bits[17], vals) -> {symbol: (code, length)} canonical JPEG codes."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def magnitude(v):
+    """JPEG coefficient coding: category (bit length) + offset bits."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    n = a.bit_length()
+    bits = v if v > 0 else v + (1 << n) - 1
+    return n, bits
+
+
+class BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def pad_to_byte(self):
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # 1-bits padding
+
+
+def encode_scan(blocks, quant, dri=0):
+    """blocks: list of 64-int quantized coeff blocks (natural order).
+    Returns entropy-coded bytes incl. restart markers every dri MCUs."""
+    dc_t = build_enc_table(STD_DC_BITS, STD_DC_VALS)
+    ac_t = build_enc_table(STD_AC_BITS, STD_AC_VALS)
+    bw = BitWriter()
+    pred = 0
+    rst = 0
+    for i, blk in enumerate(blocks):
+        if dri and i > 0 and i % dri == 0:
+            bw.pad_to_byte()
+            bw.out.append(0xFF)
+            bw.out.append(0xD0 + (rst % 8))
+            rst += 1
+            pred = 0
+        # DC
+        diff = blk[0] - pred
+        pred = blk[0]
+        n, bits = magnitude(diff)
+        code, length = dc_t[n]
+        bw.put(code, length)
+        bw.put(bits, n)
+        # AC in zigzag order
+        zz = [blk[ZIGZAG[k]] for k in range(1, 64)]
+        run = 0
+        for v in zz:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_t[0xF0]
+                bw.put(code, length)
+                run -= 16
+            n, bits = magnitude(v)
+            code, length = ac_t[(run << 4) | n]
+            bw.put(code, length)
+            bw.put(bits, n)
+            run = 0
+        if run:
+            code, length = ac_t[0x00]  # EOB
+            bw.put(code, length)
+    bw.pad_to_byte()
+    return bytes(bw.out)
+
+
+def seg(marker, payload):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def dqt_seg(quant):
+    # precision 0, table id 0; values in ZIGZAG order per spec
+    return seg(0xDB, bytes([0x00] + [quant[ZIGZAG[k]] for k in range(64)]))
+
+
+def dht_segs():
+    dc = bytes([0x00] + STD_DC_BITS[1:] + STD_DC_VALS)
+    ac = bytes([0x10] + STD_AC_BITS[1:] + STD_AC_VALS)
+    return seg(0xC4, dc) + seg(0xC4, ac)
+
+
+def sof0_seg(w, h):
+    return seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+
+
+def sos_seg():
+    return seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+
+def dri_seg(mcus):
+    return seg(0xDD, struct.pack(">H", mcus))
+
+
+def encode_jpeg(pixels, w, h, quant, tables_inline=True, dri=0):
+    """pixels: row-major u8 list. Returns (jpeg_bytes, expected_u8_list)
+    where expected is the decoder model's output cropped to w×h."""
+    bw = (w + 7) // 8
+    bh = (h + 7) // 8
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            blk = []
+            for y in range(8):
+                for x in range(8):
+                    yy = min(by * 8 + y, h - 1)
+                    xx = min(bx * 8 + x, w - 1)  # edge replication padding
+                    blk.append(pixels[yy * w + xx])
+            blocks.append(fdct_quant(blk, quant))
+    scan = encode_scan(blocks, quant, dri)
+    body = b"\xFF\xD8"  # SOI
+    if tables_inline:
+        body += dqt_seg(quant) + dht_segs()
+    if dri:
+        body += dri_seg(dri)
+    body += sof0_seg(w, h) + sos_seg() + scan + b"\xFF\xD9"  # EOI
+    # expected output via the decoder model
+    expected = [0] * (w * h)
+    for bi, blk in enumerate(blocks):
+        dec = idct_dequant(blk, quant)
+        by, bx = bi // bw, bi % bw
+        for y in range(8):
+            for x in range(8):
+                yy, xx = by * 8 + y, bx * 8 + x
+                if yy < h and xx < w:
+                    expected[yy * w + xx] = dec[y * 8 + x]
+    return body, expected
+
+
+def jpeg_tables_stream(quant):
+    """Tag 347 payload: SOI + tables + EOI (abbreviated tables stream)."""
+    return b"\xFF\xD8" + dqt_seg(quant) + dht_segs() + b"\xFF\xD9"
+
+
+# ----------------------------------------------------------------- tiff
+
+def write_jpeg_tiff(path, w, h, strips, rows_per_strip, jpeg_tables=None):
+    """strips: list of complete JPEG streams, one per strip."""
+    bo = "<"
+    header_ifd_off_patch = 8
+    off = 8
+    body = b""
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(off)
+        body += s
+        off += len(s)
+    ifd_off = off
+
+    def short(v):
+        return struct.pack(bo + "H", v)
+
+    def long_(v):
+        return struct.pack(bo + "I", v)
+
+    tags = [
+        (256, 3, 1, short(w)),
+        (257, 3, 1, short(h)),
+        (258, 3, 1, short(8)),
+        (259, 3, 1, short(7)),  # new-style JPEG
+        (262, 3, 1, short(1)),
+        (277, 3, 1, short(1)),
+        (278, 3, 1, short(rows_per_strip)),
+        (273, 4, len(strips), b"".join(long_(o) for o in strip_offsets)),
+        (279, 4, len(strips), b"".join(long_(len(s)) for s in strips)),
+    ]
+    if jpeg_tables is not None:
+        tags.append((347, 7, len(jpeg_tables), jpeg_tables))
+    tags.sort()
+    n_entries = len(tags)
+
+    entries = []
+    extra = b""
+    for tag, typ, cnt, vb in tags:
+        if len(vb) <= 4:
+            entries.append(struct.pack(bo + "HHI", tag, typ, cnt) + vb.ljust(4, b"\0"))
+        else:
+            eo = ifd_off + 2 + n_entries * 12 + 4 + len(extra)
+            entries.append(struct.pack(bo + "HHI", tag, typ, cnt) + struct.pack(bo + "I", eo))
+            extra += vb
+    ifd = struct.pack(bo + "H", n_entries) + b"".join(entries) + struct.pack(bo + "I", 0)
+    header = struct.pack(bo + "2sHI", b"II", 42, ifd_off)
+    Path(path).write_bytes(header + body + ifd + extra)
+
+
+def main():
+    out = Path(sys.argv[1])
+    out.mkdir(parents=True, exist_ok=True)
+    w, h = 21, 18
+    pix = [(x * 7 + y * 13 + ((x * y) % 5) * 11) % 256
+           for y in range(h) for x in range(w)]
+
+    # 1. single strip, tables inline, standard quant (+ raw stream for the
+    # spec's independent javax.imageio cross-validation)
+    jp, exp = encode_jpeg(pix, w, h, STD_QUANT_ZZ)
+    write_jpeg_tiff(out / "jpeg_single.tif", w, h, [jp], h)
+    (out / "expected_jpeg_single.bin").write_bytes(bytes(exp))
+    (out / "jpeg_single.jpg").write_bytes(jp)
+
+    # 2. flat quant (near-lossless) — large coefficient magnitudes
+    jp, exp = encode_jpeg(pix, w, h, FLAT_QUANT)
+    write_jpeg_tiff(out / "jpeg_flat.tif", w, h, [jp], h)
+    (out / "expected_jpeg_flat.bin").write_bytes(bytes(exp))
+
+    # 3. multi-strip: rows_per_strip=8, each strip its own complete stream
+    rps = 8
+    strips = []
+    exp_all = [0] * (w * h)
+    r = 0
+    while r < h:
+        rows = min(rps, h - r)
+        sp = [pix[(r + y) * w + x] for y in range(rows) for x in range(w)]
+        jp, exp = encode_jpeg(sp, w, rows, STD_QUANT_ZZ)
+        strips.append(jp)
+        for i, v in enumerate(exp):
+            exp_all[r * w + i] = v
+        r += rows
+    write_jpeg_tiff(out / "jpeg_strips.tif", w, h, strips, rps)
+    (out / "expected_jpeg_strips.bin").write_bytes(bytes(exp_all))
+
+    # 4. shared tables via tag 347 (abbreviated strip streams)
+    rps = 8
+    strips = []
+    exp_all = [0] * (w * h)
+    r = 0
+    while r < h:
+        rows = min(rps, h - r)
+        sp = [pix[(r + y) * w + x] for y in range(rows) for x in range(w)]
+        jp, exp = encode_jpeg(sp, w, rows, STD_QUANT_ZZ, tables_inline=False)
+        strips.append(jp)
+        for i, v in enumerate(exp):
+            exp_all[r * w + i] = v
+        r += rps
+    write_jpeg_tiff(out / "jpeg_shared_tables.tif", w, h, strips, rps,
+                    jpeg_tables=jpeg_tables_stream(STD_QUANT_ZZ))
+    (out / "expected_jpeg_shared_tables.bin").write_bytes(bytes(exp_all))
+
+    # 5. restart markers: DRI=2 (marker every 2 MCUs)
+    jp, exp = encode_jpeg(pix, w, h, STD_QUANT_ZZ, dri=2)
+    write_jpeg_tiff(out / "jpeg_restart.tif", w, h, [jp], h)
+    (out / "expected_jpeg_restart.bin").write_bytes(bytes(exp))
+    (out / "jpeg_restart.jpg").write_bytes(jp)
+
+    # 6. hostile: truncated scan (decoder must Left, not loop/crash)
+    jp, _ = encode_jpeg(pix, w, h, STD_QUANT_ZZ)
+    write_jpeg_tiff(out / "jpeg_truncated.tif", w, h, [jp[: len(jp) // 3]], h)
+
+    print("jpeg fixtures written to", out)
+
+
+if __name__ == "__main__":
+    main()

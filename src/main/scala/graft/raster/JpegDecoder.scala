@@ -1,0 +1,344 @@
+package graft.raster
+
+/** Baseline JPEG decoder (ITU T.81 sequential DCT, Huffman entropy coding,
+  * 8-bit precision, single grayscale component) for JPEG-in-TIFF strips and
+  * tiles — TIFF Compression=7 ("new-style JPEG": every strip/tile is a
+  * complete JPEG interchange or abbreviated stream, shared tables may ride
+  * in tag 347 JPEGTables). Closes the last [[TiffDecoder]] envelope gap a
+  * reference user would hit: rasterio/GDAL read JPEG-compressed HLS
+  * granules transparently (reference data_pair/fct_data_extraction.py:22–26
+  * reads whatever rasterio opens).
+  *
+  * Scope is the TIFF decoder's declared envelope — one sample per pixel —
+  * so color transforms never arise; progressive/arithmetic/12-bit streams
+  * return Left (poison-safe, like every other unsupported shape).
+  *
+  * The inverse DCT mirrors scripts/make_jpeg_fixtures.py's decoder model
+  * EXACTLY — same pinned hex-double cosine basis (platform libm and JVM
+  * Math.cos can differ in the last ulp), same accumulation order, same
+  * floor(v + 0.5) rounding — so the committed expected outputs are
+  * byte-exact contracts, not tolerances. The spec additionally
+  * cross-validates the bitstream against javax.imageio's independent
+  * libjpeg-derived decoder (±2 counts, integer-IDCT variance).
+  *
+  * Hostile-input discipline matches the rest of the raster surface: all
+  * reads are bounds-checked, the bit reader treats exhaustion as an error
+  * (never a spin), Huffman decode aborts after 16 bits without a match,
+  * and output size is bounded by the declared dimensions up front.
+  */
+object JpegDecoder {
+
+  /** zigzag index → natural (row-major) index. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cos((2x+1)·u·π/16) pinned as hex doubles — the shared basis with the
+    * fixture model (see object doc). */
+  private val Cos: Array[Array[Double]] = {
+    val hex =
+      """0x1.0000000000000p+0 0x1.0000000000000p+0 0x1.0000000000000p+0 0x1.0000000000000p+0 0x1.0000000000000p+0 0x1.0000000000000p+0 0x1.0000000000000p+0 0x1.0000000000000p+0
+        |0x1.f6297cff75cb0p-1 0x1.a9b66290ea1a3p-1 0x1.1c73b39ae68c9p-1 0x1.8f8b83c69a60dp-3 -0x1.8f8b83c69a608p-3 -0x1.1c73b39ae68c6p-1 -0x1.a9b66290ea1a4p-1 -0x1.f6297cff75cb0p-1
+        |0x1.d906bcf328d46p-1 0x1.87de2a6aea964p-2 -0x1.87de2a6aea962p-2 -0x1.d906bcf328d46p-1 -0x1.d906bcf328d47p-1 -0x1.87de2a6aea96dp-2 0x1.87de2a6aea967p-2 0x1.d906bcf328d44p-1
+        |0x1.a9b66290ea1a3p-1 -0x1.8f8b83c69a608p-3 -0x1.f6297cff75cb0p-1 -0x1.1c73b39ae68c8p-1 0x1.1c73b39ae68c5p-1 0x1.f6297cff75cb0p-1 0x1.8f8b83c69a61dp-3 -0x1.a9b66290ea1a2p-1
+        |0x1.6a09e667f3bcdp-1 -0x1.6a09e667f3bccp-1 -0x1.6a09e667f3bcep-1 0x1.6a09e667f3bcbp-1 0x1.6a09e667f3bcep-1 -0x1.6a09e667f3bc5p-1 -0x1.6a09e667f3bc9p-1 0x1.6a09e667f3bc4p-1
+        |0x1.1c73b39ae68c9p-1 -0x1.f6297cff75cb0p-1 0x1.8f8b83c69a60cp-3 0x1.a9b66290ea1a5p-1 -0x1.a9b66290ea1a2p-1 -0x1.8f8b83c69a602p-3 0x1.f6297cff75cb2p-1 -0x1.1c73b39ae68c2p-1
+        |0x1.87de2a6aea964p-2 -0x1.d906bcf328d47p-1 0x1.d906bcf328d44p-1 -0x1.87de2a6aea965p-2 -0x1.87de2a6aea971p-2 0x1.d906bcf328d46p-1 -0x1.d906bcf328d43p-1 0x1.87de2a6aea95fp-2
+        |0x1.8f8b83c69a60dp-3 -0x1.1c73b39ae68c8p-1 0x1.a9b66290ea1a5p-1 -0x1.f6297cff75cb2p-1 0x1.f6297cff75cb0p-1 -0x1.a9b66290ea1a1p-1 0x1.1c73b39ae68c2p-1 -0x1.8f8b83c69a616p-3"""
+        .stripMargin
+    hex.split('\n').map(_.trim.split(' ').map(java.lang.Double.parseDouble))
+  }
+  private val InvSqrt2 = java.lang.Double.parseDouble("0x1.6a09e667f3bccp-1")
+
+  /** Canonical Huffman table: JPEG spec F.2.2.3 decode arrays. */
+  private final class Huff(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes at this length
+    val valPtr = new Array[Int](17)
+    val values: Array[Int] = vals
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l) == 0) { maxCode(l) = -1 }
+        else {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l)
+          k += bits(l)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** Mutable shared-table state (DQT/DHT may come from a JPEGTables stream
+    * or inline; later definitions override). */
+  final class Tables private[JpegDecoder] (
+      private[JpegDecoder] val quant: Array[Array[Int]],   // id → 64 natural
+      private[JpegDecoder] val dc: Array[Huff],
+      private[JpegDecoder] val ac: Array[Huff])
+
+  def emptyTables: Tables =
+    new Tables(new Array[Array[Int]](4), new Array[Huff](4), new Array[Huff](4))
+
+  /** Parse an abbreviated tables stream (TIFF tag 347: SOI, DQT/DHT
+    * segments, EOI) into a shared [[Tables]]. */
+  def parseTables(bytes: Array[Byte]): Either[String, Tables] = {
+    val t = emptyTables
+    parseStream(bytes, t, framesAllowed = false).map(_ => t)
+  }
+
+  /** Decode one complete baseline JPEG stream (optionally resolving tables
+    * from `shared`). Returns (width, height, row-major u8 pixels) — the
+    * MCU padding is already cropped to the SOF dimensions. */
+  def decode(bytes: Array[Byte],
+             shared: Tables = emptyTables): Either[String, (Int, Int, Array[Byte])] = {
+    // copy the shared tables so per-strip definitions can't leak across
+    val t = new Tables(shared.quant.clone(), shared.dc.clone(), shared.ac.clone())
+    parseStream(bytes, t, framesAllowed = true)
+  }
+
+  // ----------------------------------------------------------- internals
+
+  /** Marker walk. With framesAllowed=false only tables segments are legal
+    * (the tag-347 shape) and the result payload is null. */
+  private def parseStream(bytes: Array[Byte], t: Tables, framesAllowed: Boolean)
+      : Either[String, (Int, Int, Array[Byte])] = {
+    if (bytes.length < 4) return Left("jpeg: too short")
+    if ((bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8)
+      return Left("jpeg: missing SOI")
+    var p = 2
+    var sofW = -1; var sofH = -1
+    var restartInterval = 0
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def u16(i: Int): Int = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
+    while (p + 1 < bytes.length) {
+      if (u8(p) != 0xFF) return Left(s"jpeg: expected marker at $p")
+      val m = u8(p + 1)
+      p += 2
+      if (m == 0xD9) { // EOI
+        return if (framesAllowed) Left("jpeg: EOI before scan")
+               else Right((0, 0, null))
+      } else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+        () // TEM/RSTn: no payload
+      } else {
+          if (p + 2 > bytes.length) return Left("jpeg: truncated segment")
+          val len = u16(p)
+          if (len < 2 || p + len > bytes.length) return Left("jpeg: bad segment length")
+          val body = p + 2
+          val bodyLen = len - 2
+          m match {
+            case 0xDB => // DQT
+              var q = body
+              while (q < body + bodyLen) {
+                val pqtq = u8(q)
+                val prec = pqtq >> 4
+                val id = pqtq & 15
+                if (prec != 0) return Left("jpeg: 16-bit quant tables unsupported")
+                if (id > 3 || q + 65 > body + bodyLen) return Left("jpeg: bad DQT")
+                val tbl = new Array[Int](64)
+                var k = 0
+                while (k < 64) { tbl(Zigzag(k)) = u8(q + 1 + k); k += 1 }
+                t.quant(id) = tbl
+                q += 65
+              }
+            case 0xC4 => // DHT
+              var q = body
+              while (q < body + bodyLen) {
+                val tcth = u8(q)
+                val cls = tcth >> 4
+                val id = tcth & 15
+                if (cls > 1 || id > 3 || q + 17 > body + bodyLen)
+                  return Left("jpeg: bad DHT")
+                val bits = new Array[Int](17)
+                var total = 0
+                var l = 1
+                while (l <= 16) { bits(l) = u8(q + l); total += bits(l); l += 1 }
+                if (total > 256 || q + 17 + total > body + bodyLen)
+                  return Left("jpeg: bad DHT counts")
+                val vals = Array.tabulate(total)(i => u8(q + 17 + i))
+                val h = new Huff(bits, vals)
+                if (cls == 0) t.dc(id) = h else t.ac(id) = h
+                q += 17 + total
+              }
+            case 0xDD => // DRI
+              if (bodyLen < 2) return Left("jpeg: bad DRI")
+              restartInterval = u16(body)
+            case 0xC0 => // SOF0 baseline
+              if (!framesAllowed) return Left("jpeg: frame in tables stream")
+              if (bodyLen < 8) return Left("jpeg: bad SOF")
+              if (u8(body) != 8) return Left("jpeg: only 8-bit precision supported")
+              sofH = u16(body + 1); sofW = u16(body + 3)
+              val ncomp = u8(body + 5)
+              if (ncomp != 1) return Left(s"jpeg: $ncomp components unsupported (grayscale only)")
+              if (u8(body + 7) != 0x11) return Left("jpeg: subsampling unsupported")
+              if (sofW <= 0 || sofH <= 0 || sofW.toLong * sofH > (1 << 28))
+                return Left("jpeg: implausible dimensions")
+            case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+                 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+              return Left(f"jpeg: SOF$m%02X unsupported (baseline sequential only)")
+            case 0xDA => // SOS — entropy data follows
+              if (!framesAllowed) return Left("jpeg: scan in tables stream")
+              if (sofW < 0) return Left("jpeg: SOS before SOF")
+              if (bodyLen < 6) return Left("jpeg: bad SOS")
+              if (u8(body) != 1) return Left("jpeg: multi-component scan unsupported")
+              val dcId = u8(body + 2) >> 4
+              val acId = u8(body + 2) & 15
+              if (t.quant(0) == null) return Left("jpeg: no quant table")
+              val dcT = t.dc(dcId); val acT = t.ac(acId)
+              if (dcT == null || acT == null) return Left("jpeg: missing huffman table")
+              return decodeScan(bytes, body + bodyLen, sofW, sofH,
+                t.quant(0), dcT, acT, restartInterval)
+            case _ => () // APPn/COM/unknown-with-length: skip
+          }
+          p = body + bodyLen
+      }
+    }
+    // (loop exit below handles running off the end without EOI/SOS)
+    if (framesAllowed) Left("jpeg: no scan") else Right((0, 0, null))
+  }
+
+  /** Entropy-decode the single-component scan starting at `start`. */
+  private def decodeScan(bytes: Array[Byte], start: Int, w: Int, h: Int,
+                         quant: Array[Int], dcT: Huff, acT: Huff,
+                         restartInterval: Int)
+      : Either[String, (Int, Int, Array[Byte])] = {
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val out = new Array[Byte](w * h)
+    var p = start
+    var acc = 0
+    var nbits = 0
+    var err: String = null
+
+    // pull the next entropy byte, handling stuffing; RST markers are
+    // consumed at restart boundaries only (see below)
+    def fill(): Boolean = {
+      while (nbits < 16 && err == null) {
+        if (p >= bytes.length) return nbits > 0
+        val b = bytes(p) & 0xFF
+        if (b == 0xFF) {
+          if (p + 1 >= bytes.length) { err = "jpeg: truncated at marker"; return false }
+          val m = bytes(p + 1) & 0xFF
+          if (m == 0x00) { acc = (acc << 8) | b; nbits += 8; p += 2 }
+          else return nbits > 0 // a real marker: stop filling
+        } else { acc = (acc << 8) | b; nbits += 8; p += 1 }
+      }
+      true
+    }
+    def readBit(): Int = {
+      if (nbits == 0 && { fill(); nbits == 0 }) { if (err == null) err = "jpeg: out of bits"; return 0 }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n && err == null) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def decodeHuff(hf: Huff): Int = {
+      var code = 0
+      var l = 0
+      while (l < 16 && err == null) {
+        code = (code << 1) | readBit()
+        l += 1
+        if (hf.maxCode(l) >= 0 && code <= hf.maxCode(l) && code >= hf.minCode(l))
+          return hf.values(hf.valPtr(l) + code - hf.minCode(l))
+      }
+      if (err == null) err = "jpeg: invalid huffman code"
+      0
+    }
+    def extend(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+    val coeffs = new Array[Int](64)
+    var pred = 0
+    var mcu = 0
+    val nMcu = bw * bh
+    while (mcu < nMcu && err == null) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // byte-align, then expect RSTn
+        nbits = 0; acc = 0
+        if (p + 1 < bytes.length && (bytes(p) & 0xFF) == 0xFF) {
+          val m = bytes(p + 1) & 0xFF
+          if (m >= 0xD0 && m <= 0xD7) { p += 2; pred = 0 }
+          else err = "jpeg: expected restart marker"
+        } else err = "jpeg: expected restart marker"
+      }
+      if (err == null) {
+        java.util.Arrays.fill(coeffs, 0)
+        val tdc = decodeHuff(dcT)
+        if (tdc > 11) { if (err == null) err = "jpeg: bad DC category" }
+        else {
+          val diff = extend(readBits(tdc), tdc)
+          pred += diff
+          coeffs(0) = pred
+          var k = 1
+          var done = false
+          while (k < 64 && !done && err == null) {
+            val rs = decodeHuff(acT)
+            val r = rs >> 4
+            val s = rs & 15
+            if (s == 0) {
+              if (r == 15) k += 16 else done = true // ZRL vs EOB
+            } else {
+              k += r
+              if (k > 63) { err = "jpeg: AC run past block" }
+              else { coeffs(Zigzag(k)) = extend(readBits(s), s); k += 1 }
+            }
+          }
+        }
+        if (err == null) {
+          placeBlock(coeffs, quant, out, w, h, mcu % bw, mcu / bw)
+          mcu += 1
+        }
+      }
+    }
+    if (err != null) Left(err) else Right((w, h, out))
+  }
+
+  /** Dequantize + IDCT + level shift, mirroring the fixture model's float
+    * order EXACTLY, then place the in-bounds pixels. */
+  private def placeBlock(coeffs: Array[Int], quant: Array[Int],
+                         out: Array[Byte], w: Int, h: Int,
+                         bx: Int, by: Int): Unit = {
+    val d = new Array[Double](64)
+    var i = 0
+    while (i < 64) { d(i) = coeffs(i).toDouble * quant(i); i += 1 }
+    var y = 0
+    while (y < 8) {
+      val yy = by * 8 + y
+      var x = 0
+      while (x < 8) {
+        val xx = bx * 8 + x
+        if (yy < h && xx < w) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) {
+            val cu = if (u == 0) InvSqrt2 else 1.0
+            var v = 0
+            while (v < 8) {
+              val cv = if (v == 0) InvSqrt2 else 1.0
+              s += cu * cv * d(u * 8 + v) * Cos(v)(x) * Cos(u)(y)
+              v += 1
+            }
+            u += 1
+          }
+          val value = 0.25 * s + 128.0
+          val iv = math.floor(value + 0.5)
+          val clamped = if (iv < 0) 0 else if (iv > 255) 255 else iv.toInt
+          out(yy * w + xx) = clamped.toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+  }
+}

@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions.col
 /** Minimal pure-JVM GeoTIFF decoder for the band files the reference reads
   * with rasterio (`raster.read(1)` — O2, fct_data_extraction.py:22–26):
   * baseline TIFF, uncompressed (Compression=1), Deflate-compressed
-  * (Compression=8 "Adobe deflate" / 32946 legacy deflate, zlib per strip)
-  * or LZW-compressed (Compression=5, TIFF 6.0 MSB-first variable-width
-  * codes with the historical early-change convention), organized as STRIPS
-  * or TILES (tags 322–325 — the Cloud-Optimized GeoTIFF layout; edge-tile
-  * padding decoded and discarded), single sample per pixel, 8/16/32-bit
-  * unsigned/signed integer or 32-bit float, either byte order. Geo* tags
+  * (Compression=8 "Adobe deflate" / 32946 legacy deflate, zlib per strip),
+  * LZW-compressed (Compression=5, TIFF 6.0 MSB-first variable-width
+  * codes with the historical early-change convention) or JPEG-compressed
+  * (Compression=7 "new-style": every strip/tile a complete baseline
+  * grayscale stream, shared tables via tag 347 — [[JpegDecoder]]),
+  * organized as STRIPS or TILES (tags 322–325 — the Cloud-Optimized
+  * GeoTIFF layout; edge-tile padding decoded and discarded), single sample
+  * per pixel, 8/16/32-bit unsigned/signed integer or 32-bit float (JPEG:
+  * 8-bit), either byte order. Geo* tags
   * (ModelPixelScale/Tiepoint/Transformation + the GeoKey directory) are
   * carried VERBATIM as [[GeoMeta]] so decode→encode reproduces the
   * source's CRS/transform — the reference's `raster.meta` copy contract
@@ -64,6 +67,7 @@ object TiffDecoder {
     var tileW = -1; var tileH = -1
     var tileOffsets: Array[Long] = null
     var tileCounts: Array[Long] = null
+    var jpegTables: Array[Byte] = null
     var geoPixelScale = Array.emptyDoubleArray
     var geoTiepoints = Array.emptyDoubleArray
     var geoTransform = Array.emptyDoubleArray
@@ -140,6 +144,7 @@ object TiffDecoder {
         case 324 => tileOffsets = vs
         case 325 => tileCounts = vs
         case 339 => sampleFormat = vs.headOption.getOrElse(1L).toInt
+        case 347 => jpegTables = vs.map(_.toByte) // shared JPEG tables stream
         case 33550 => geoPixelScale = entryDoubles(off)
         case 33922 => geoTiepoints = entryDoubles(off)
         case 34264 => geoTransform = entryDoubles(off)
@@ -154,14 +159,17 @@ object TiffDecoder {
     if (width <= 0 || height <= 0) return Left("missing dimensions")
     val deflated = compression == 8 || compression == 32946
     val lzw = compression == 5
-    if (compression != 1 && !deflated && !lzw)
+    val jpeg = compression == 7 // new-style JPEG: each block a full stream
+    if (compression != 1 && !deflated && !lzw && !jpeg)
       return Left(s"unsupported compression $compression")
     if (samples != 1) return Left(s"unsupported samples/pixel $samples")
+    if (jpeg && bits != 8)
+      return Left(s"JPEG compression requires 8 bits/sample, got $bits")
     val tiled = tileOffsets != null
     if (stripOffsets == null && !tiled) return Left("missing strip offsets")
-    if ((deflated || lzw) && !tiled && stripCounts == null)
+    if ((deflated || lzw || jpeg) && !tiled && stripCounts == null)
       return Left("compressed strips need byte counts")
-    if ((deflated || lzw) && tiled && tileCounts == null)
+    if ((deflated || lzw || jpeg) && tiled && tileCounts == null)
       return Left("compressed tiles need byte counts")
     if (tiled && (tileW <= 0 || tileH <= 0))
       return Left("tiled layout missing tile dimensions")
@@ -193,9 +201,32 @@ object TiffDecoder {
     // target is capped at THIS block's expected size, so a hostile
     // over-long stream can't write into later blocks' pixel positions — it
     // is rejected instead of silently shifting placement.
+    // shared JPEG tables (tag 347) parsed once; a bad tables stream fails
+    // the whole file (every strip depends on it)
+    lazy val sharedJpegTables: Either[String, JpegDecoder.Tables] =
+      if (jpegTables == null) Right(JpegDecoder.emptyTables)
+      else JpegDecoder.parseTables(jpegTables)
+
     def decompress(kind: String, sOff: Int, sLen: Int,
                    cap: Int): Either[String, (Array[Byte], Int, Int)] =
       if (sOff < 0 || sOff + sLen > bytes.length) Left(s"$kind out of range")
+      else if (jpeg) sharedJpegTables.flatMap { shared =>
+        JpegDecoder.decode(
+            java.util.Arrays.copyOfRange(bytes, sOff, sOff + sLen), shared)
+          .flatMap { case (jw, jh, px) =>
+            // the stream's own dims must match this block's geometry or
+            // pixel placement would shift (same rejection discipline as
+            // the over-long deflate strip)
+            val expectW = if (tiled) tileW else width
+            if (jw != expectW)
+              Left(s"jpeg $kind width $jw != expected $expectW")
+            else if (tiled && jh != tileH)
+              Left(s"jpeg tile height $jh != expected $tileH")
+            else if (px.length > cap && !tiled)
+              Left(s"jpeg $kind decodes past its declared size")
+            else Right((px, 0, math.min(px.length, cap)))
+          }
+      }
       else if (!deflated && !lzw) Right((bytes, sOff, sLen))
       else if (lzw) lzwDecode(bytes, sOff, sLen, cap, kind)
         .map { case (tmp, n) => (tmp, 0, n) }

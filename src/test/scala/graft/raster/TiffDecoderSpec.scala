@@ -108,8 +108,68 @@ class TiffDecoderSpec extends SparkSpec {
     assert(decodeFile("lzw_corrupt.tif").isLeft)
   }
 
-  test("unsupported compression keeps a pinned reason (JPEG)") {
-    assert(decodeFile("jpeg_unsupported.tif") == Left("unsupported compression 7"))
+  test("jpeg: compression-7 strip with garbage bytes is rejected, not thrown") {
+    // (fixture predates JPEG support: raw non-JPEG strip under tag 259=7 —
+    // now a hostile-stream case rather than an unsupported-compression one)
+    assert(decodeFile("jpeg_unsupported.tif") == Left("jpeg: missing SOI"))
+  }
+
+  // ---- JPEG-in-TIFF (Compression=7): expected_*.bin are the committed
+  // byte-exact outputs of the fixture generator's decoder model, whose
+  // float pipeline JpegDecoder mirrors exactly (pinned cosine basis)
+
+  private def expectJpeg(name: String): Seq[Int] =
+    Files.readAllBytes(Paths.get(res, s"expected_$name.bin")).toSeq.map(_ & 0xFF)
+
+  private def decodedInts(f: String): Seq[Int] = {
+    val Right(t) = decodeFile(f)
+    assert((t.h, t.w) == (18, 21))
+    t.pixels.toSeq.map(_.toInt)
+  }
+
+  test("jpeg: single strip, inline tables, standard quantization") {
+    assert(decodedInts("jpeg_single.tif") == expectJpeg("jpeg_single"))
+  }
+
+  test("jpeg: flat quantization (near-lossless, large coefficients)") {
+    assert(decodedInts("jpeg_flat.tif") == expectJpeg("jpeg_flat"))
+  }
+
+  test("jpeg: multi-strip, one complete stream per strip") {
+    assert(decodedInts("jpeg_strips.tif") == expectJpeg("jpeg_strips"))
+  }
+
+  test("jpeg: shared tables via tag 347 (abbreviated strip streams)") {
+    assert(decodedInts("jpeg_shared_tables.tif") == expectJpeg("jpeg_shared_tables"))
+  }
+
+  test("jpeg: restart markers (DRI=2) reset DC prediction") {
+    assert(decodedInts("jpeg_restart.tif") == expectJpeg("jpeg_restart"))
+  }
+
+  test("jpeg: truncated scan is rejected, not thrown or spun") {
+    assert(decodeFile("jpeg_truncated.tif").isLeft)
+  }
+
+  test("jpeg: bitstream cross-validated against javax.imageio (independent decoder)") {
+    // the generator's streams must be REAL JPEG, not merely self-consistent
+    // with our decoder: the JDK's libjpeg-derived reader decodes them too,
+    // within integer-IDCT variance (±2 counts)
+    for (name <- Seq("jpeg_single", "jpeg_restart")) {
+      val stream = Files.readAllBytes(Paths.get(res, s"$name.jpg"))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(stream))
+      assert(img != null, s"$name: ImageIO could not read the stream")
+      assert((img.getWidth, img.getHeight) == (21, 18))
+      val Right((jw, jh, ours)) = JpegDecoder.decode(stream)
+      assert((jw, jh) == (21, 18))
+      val raster = img.getRaster
+      var maxDiff = 0
+      for (y <- 0 until 18; x <- 0 until 21) {
+        val d = math.abs(raster.getSample(x, y, 0) - (ours(y * 21 + x) & 0xFF))
+        maxDiff = math.max(maxDiff, d)
+      }
+      assert(maxDiff <= 2, s"$name: ImageIO divergence $maxDiff")
+    }
   }
 
   test("tiled: 4x4 tiles over 5x6 with edge padding discarded") {
