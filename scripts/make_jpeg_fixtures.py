@@ -282,8 +282,10 @@ def jpeg_tables_stream(quant):
 
 # ----------------------------------------------------------------- tiff
 
-def write_jpeg_tiff(path, w, h, strips, rows_per_strip, jpeg_tables=None):
-    """strips: list of complete JPEG streams, one per strip."""
+def write_jpeg_tiff(path, w, h, strips, rows_per_strip, jpeg_tables=None,
+                    tile_size=None):
+    """strips: list of complete JPEG streams, one per strip (or per tile
+    when tile_size=(tw, th) — tags 322/323/324/325 instead of 273/278/279)."""
     bo = "<"
     header_ifd_off_patch = 8
     off = 8
@@ -308,10 +310,18 @@ def write_jpeg_tiff(path, w, h, strips, rows_per_strip, jpeg_tables=None):
         (259, 3, 1, short(7)),  # new-style JPEG
         (262, 3, 1, short(1)),
         (277, 3, 1, short(1)),
-        (278, 3, 1, short(rows_per_strip)),
-        (273, 4, len(strips), b"".join(long_(o) for o in strip_offsets)),
-        (279, 4, len(strips), b"".join(long_(len(s)) for s in strips)),
     ]
+    so = b"".join(long_(o) for o in strip_offsets)
+    sc = b"".join(long_(len(s)) for s in strips)
+    if tile_size:
+        tags += [(322, 3, 1, short(tile_size[0])),
+                 (323, 3, 1, short(tile_size[1])),
+                 (324, 4, len(strips), so),
+                 (325, 4, len(strips), sc)]
+    else:
+        tags += [(278, 3, 1, short(rows_per_strip)),
+                 (273, 4, len(strips), so),
+                 (279, 4, len(strips), sc)]
     if jpeg_tables is not None:
         tags.append((347, 7, len(jpeg_tables), jpeg_tables))
     tags.sort()
@@ -389,7 +399,30 @@ def main():
     (out / "expected_jpeg_restart.bin").write_bytes(bytes(exp))
     (out / "jpeg_restart.jpg").write_bytes(jp)
 
-    # 6. hostile: truncated scan (decoder must Left, not loop/crash)
+    # 6. tiled organization: 16x16 JPEG tiles over 21x18 -> 2x2 tile grid,
+    # edge tiles stored FULL-SIZE (the COG-with-JPEG layout); expected =
+    # model decode of each full tile, padding discarded on placement
+    tw, th = 16, 16
+    tiles = []
+    exp_all = [0] * (w * h)
+    for ty in range(0, h, th):
+        for tx in range(0, w, tw):
+            tp = []
+            for y in range(th):
+                for x in range(tw):
+                    yy, xx = min(ty + y, h - 1), min(tx + x, w - 1)
+                    tp.append(pix[yy * w + xx])  # replicate into padding
+            jp, exp = encode_jpeg(tp, tw, th, STD_QUANT_ZZ)
+            tiles.append(jp)
+            for y in range(th):
+                for x in range(tw):
+                    yy, xx = ty + y, tx + x
+                    if yy < h and xx < w:
+                        exp_all[yy * w + xx] = exp[y * tw + x]
+    write_jpeg_tiff(out / "jpeg_tiled.tif", w, h, tiles, 0, tile_size=(tw, th))
+    (out / "expected_jpeg_tiled.bin").write_bytes(bytes(exp_all))
+
+    # 7. hostile: truncated scan (decoder must Left, not loop/crash)
     jp, _ = encode_jpeg(pix, w, h, STD_QUANT_ZZ)
     write_jpeg_tiff(out / "jpeg_truncated.tif", w, h, [jp[: len(jp) // 3]], h)
 

@@ -261,6 +261,21 @@ object SimilarityQueries {
             .signature(col("embedding"), nBits = 32, seed = 42L).as("sig"))
         .orderBy("vec_id")),
 
+    // PORTABLE IVF-PQ top-10: the composed production ANN architecture
+    // (cells prune WHICH rows, codes shrink WHAT they carry) built from
+    // the replayable parts — q41's Mix64 cells, q93's integer quantizer,
+    // exact integer ADC with id tie-break — so the COMPOSITION itself is
+    // fully oracle-backed (q84's float tier stays production, its recall
+    // measured). Scan shape identical to the float tier: hash join on
+    // centroid_id, 8 ints per scanned row.
+    "q141_ivfpq_portable" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.similarity.Pq.ivfAdcPortableTopK(emb.where(col("vec_id") < 20), emb,
+          "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4,
+          m = 8, kCent = 16)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF RECALL/COST CURVE (judge r8 #5): q47 measures recall at ONE
     // config (16 cells / 4 probes → ~0.4 on these near-random
     // embeddings); this query measures the whole probe sweep so the
@@ -330,6 +345,36 @@ object SimilarityQueries {
   /** The q64 portable hyperplane signature as a WITH-clause CTE chain
     * ending in `hsig(vec_id, sig)` — shared by q64 (signature rows) and
     * q139 (the banded-pair path-equivalence counts). */
+  /** q93's portable integer PQ quantizer as CTEs (pq-prefixed to compose
+    * with the ivfSql chain without name collisions): pqdv = quantized
+    * dims, pqcent/pqcb = the 16-row Mix64 codebook and its quantized
+    * dims, pqcode = per (vec, subspace) argmin codeword (rn = 1 rows,
+    * columns vec_id/mi/j). Shared by q93 and q141. */
+  private def pqPortableSql: String =
+    s"""pqdv AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |pqcent AS (
+       |  SELECT row_number() OVER (ORDER BY coord, vec_id) - 1 AS j, embedding
+       |  FROM (SELECT vec_id, embedding, ${OpsQueries.coordSql("vec_id")} AS coord
+       |        FROM embeddings ORDER BY coord, vec_id LIMIT 16) t),
+       |pqcb AS (
+       |  SELECT j, generate_subscripts(embedding, 1) - 1 AS d,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS qc
+       |  FROM pqcent),
+       |pqdist AS (
+       |  SELECT v.vec_id, v.d // 8 AS mi, c.j,
+       |    sum((v.qv - c.qc) * (v.qv - c.qc)) AS d2
+       |  FROM pqdv v JOIN pqcb c ON c.d = v.d
+       |  GROUP BY v.vec_id, v.d // 8, c.j),
+       |pqcode AS (
+       |  SELECT vec_id, mi, j FROM (
+       |    SELECT vec_id, mi, j,
+       |      row_number() OVER (PARTITION BY vec_id, mi ORDER BY d2, j) AS rn
+       |    FROM pqdist) t
+       |  WHERE rn = 1)""".stripMargin
+
   private def hyperplaneSigSql: String =
     s"""comp AS (
        |  SELECT j, i, $splitmixSql
@@ -454,29 +499,44 @@ object SimilarityQueries {
     // codeword dims 1:1 and group by subspace d//8, so d2 is the exact
     // integer L2 between the vector's subspace slice and codeword j's
     "q93_pq_portable" ->
-      s"""WITH dv AS (
-         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS qv
-         |  FROM embeddings),
-         |cent AS (
-         |  SELECT row_number() OVER (ORDER BY coord, vec_id) - 1 AS j, embedding
-         |  FROM (SELECT vec_id, embedding, ${OpsQueries.coordSql("vec_id")} AS coord
-         |        FROM embeddings ORDER BY coord, vec_id LIMIT 16) t),
-         |cb AS (
-         |  SELECT j, generate_subscripts(embedding, 1) - 1 AS d,
-         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS qc
-         |  FROM cent),
-         |dist AS (
-         |  SELECT v.vec_id, v.d // 8 AS mi, c.j,
-         |    sum((v.qv - c.qc) * (v.qv - c.qc)) AS d2
-         |  FROM dv v JOIN cb c ON c.d = v.d
-         |  GROUP BY v.vec_id, v.d // 8, c.j),
-         |code AS (
-         |  SELECT vec_id, mi, j,
-         |    row_number() OVER (PARTITION BY vec_id, mi ORDER BY d2, j) AS rn
-         |  FROM dist)
+      s"""WITH $pqPortableSql
          |SELECT vec_id, CAST(mi AS INT) AS mi, CAST(j AS INT) AS code
-         |FROM code WHERE rn = 1 ORDER BY vec_id, mi""".stripMargin,
+         |FROM pqcode ORDER BY vec_id, mi""".stripMargin,
+
+    // PORTABLE IVF-PQ (the composed architecture under a full oracle):
+    // q41's Mix64 cell chain prunes WHICH rows (cc/qc), q93's integer
+    // quantizer codes WHAT they carry (pqcode), and the ADC distance is
+    // the exact integer L2 between the quantized query dims and the
+    // codeword each code selects — summed per (query, neighbor) over the
+    // probed cells only, ranked (add2, id): a bit-portable total order,
+    // so ranks replay exactly (cell assignment stays the q41 rank-only
+    // argument). The unused `ivf` CTE from the shared chain is never
+    // referenced, hence never evaluated.
+    "q141_ivfpq_portable" ->
+      s"""WITH $ivfSql,
+         |$pqPortableSql,
+         |adist AS (
+         |  SELECT q.vec_id AS query_id, q.d // 8 AS mi, c.j,
+         |    sum((q.qv - c.qc) * (q.qv - c.qc)) AS d2
+         |  FROM (SELECT vec_id, d, qv FROM pqdv WHERE vec_id < 20) q
+         |  JOIN pqcb c ON c.d = q.d
+         |  GROUP BY 1, 2, 3),
+         |nnd AS (
+         |  SELECT p.query_id, cc.neighbor_id, sum(a.d2) AS add2
+         |  FROM qc p
+         |  JOIN cc ON cc.centroid_id = p.centroid_id
+         |  JOIN pqcode cd ON cd.vec_id = cc.neighbor_id
+         |  JOIN adist a ON a.query_id = p.query_id AND a.mi = cd.mi AND a.j = cd.j
+         |  WHERE p.query_id <> cc.neighbor_id
+         |  GROUP BY 1, 2),
+         |rankedpq AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY add2, neighbor_id) AS rank
+         |  FROM nnd)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+         |FROM rankedpq WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q112_pq_rerank" ->
       s"""WITH $rerankSql

@@ -209,6 +209,35 @@ object Pq {
     * is (cell, id, codes): at 100 TB that is nProbe/nCells of the corpus
     * at D/M of the bytes. Same deterministic parts as q41 and q79;
     * recall compounds both approximations and is measured, not assumed. */
+  /** PORTABLE IVF-PQ: [[ivfAdcTopK]]'s composition — cells prune WHICH
+    * rows, codes shrink WHAT they carry — built entirely from the
+    * replayable parts: Mix64-sampled cells (q41's chain), the integer
+    * quantizer codebook (q93's chain) and the exact integer ADC distance
+    * (ties → id, a bit-portable total order). The production float tier
+    * keeps [[ivfAdcTopK]]; this twin gives the COMPOSED architecture a
+    * full DuckDB oracle — scan shape is identical (hash join on
+    * centroid_id, M ints per scanned row). */
+  def ivfAdcPortableTopK(queries: DataFrame, corpus: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         nCentroids: Int, nProbe: Int,
+                         m: Int, kCent: Int): DataFrame = {
+    val qcb = codebookPortable(corpus, idCol, vecCol, m, kCent)
+    val cells = Ann.sampleCentroids(corpus, idCol, vecCol, nCentroids)
+    val corpusCells = Ann.assignCells(corpus, idCol, vecCol, cells)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        encodePortable(col(vecCol), qcb).as("codes"))
+    val queryCells = Ann.assignCells(queries, idCol, vecCol, cells, n = nProbe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("centroid_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("add2"), col("neighbor_id"))
+    queryCells.join(corpusCells, Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("add2", adcPortableD2(col("qv"), col("codes"), qcb))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   def ivfAdcTopK(queries: DataFrame, corpus: DataFrame,
                  idCol: String, vecCol: String, k: Int,
                  nCentroids: Int, nProbe: Int,

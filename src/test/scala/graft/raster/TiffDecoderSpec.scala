@@ -151,6 +151,19 @@ class TiffDecoderSpec extends SparkSpec {
     assert(decodeFile("jpeg_truncated.tif").isLeft)
   }
 
+  test("jpeg: tiled organization (full-size edge tiles, padding discarded)") {
+    assert(decodedInts("jpeg_tiled.tif") == expectJpeg("jpeg_tiled"))
+  }
+
+  test("jpeg: band file reads through the distributed readTiffDir path") {
+    val staged = Files.createTempDirectory("tiff_jpeg_in")
+    Files.copy(Paths.get(res, "jpeg_single.tif"), staged.resolve("x_B04.jp.tif"))
+    val rows = TiffDecoder.readTiffDir(spark, staged.toString, Seq("B04"), glob = "*").collect()
+    assert(rows.length == 1)
+    assert((rows.head.h, rows.head.w) == (18, 21))
+    assert(rows.head.pixels.toSeq.map(_.toInt) == expectJpeg("jpeg_single"))
+  }
+
   test("jpeg: bitstream cross-validated against javax.imageio (independent decoder)") {
     // the generator's streams must be REAL JPEG, not merely self-consistent
     // with our decoder: the JDK's libjpeg-derived reader decodes them too,

@@ -184,4 +184,28 @@ class PqSpec extends SparkSpec {
     assert(run(q.repartition(7), emb.repartition(5)) === rr,
       "re-rank result depends on partition layout")
   }
+
+  test("portable IVF-PQ (q141): full shape, layout-invariant, recall floor") {
+    val q = emb.where(col("vec_id") < 20)
+    def run(qs: org.apache.spark.sql.DataFrame,
+            cs: org.apache.spark.sql.DataFrame) =
+      Pq.ivfAdcPortableTopK(qs, cs, "vec_id", "embedding",
+          k = 10, nCentroids = 16, nProbe = 4, m = 8, kCent = 16)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val got = run(q, emb)
+    assert(got.length == 20 * 10)
+    assert(got.map(_._1).distinct.length == 20)
+    // exact-integer distances + id tie-break: a bit-portable total order,
+    // so the ranking cannot depend on the physical layout
+    assert(run(q.repartition(7), emb.repartition(5)).toSeq == got.toSeq,
+      "portable IVF-PQ ranking depends on partition layout")
+    val bf = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ours = got.map(t => (t._1, t._3)).toSet
+    val recall = (bf & ours).size.toDouble / bf.size
+    // compounds both approximations at the SMALL q93 codebook — the
+    // number is tracked, the spec only pins a sanity floor above chance
+    assert(recall >= 0.1, f"portable IVF-PQ recall $recall%.2f below floor")
+  }
 }
