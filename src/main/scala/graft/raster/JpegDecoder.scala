@@ -101,7 +101,10 @@ object JpegDecoder {
              shared: Tables = emptyTables): Either[String, (Int, Int, Array[Byte])] = {
     // copy the shared tables so per-strip definitions can't leak across
     val t = new Tables(shared.quant.clone(), shared.dc.clone(), shared.ac.clone())
-    parseStream(bytes, t, framesAllowed = true)
+    // total like TiffDecoder.decode: any residual exception from hostile
+    // structure becomes a Left, never an executor-killing throw
+    try parseStream(bytes, t, framesAllowed = true)
+    catch { case e: Exception => Left(s"corrupt jpeg: ${e.getClass.getSimpleName}") }
   }
 
   // ----------------------------------------------------------- internals

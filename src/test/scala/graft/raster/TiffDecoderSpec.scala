@@ -164,6 +164,34 @@ class TiffDecoderSpec extends SparkSpec {
     assert(rows.head.pixels.toSeq.map(_.toInt) == expectJpeg("jpeg_single"))
   }
 
+  test("jpeg: fuzz sweep — random and mutated streams never throw or hang") {
+    // the poison-safety contract: decode is TOTAL (Either, bounded time).
+    // Seeded: failures are reproducible.
+    val rng = new scala.util.Random(0xC0FFEE)
+    val valid = Files.readAllBytes(Paths.get(res, "jpeg_single.jpg"))
+    var lefts = 0
+    for (_ <- 1 to 300) { // pure random garbage (with a plausible SOI)
+      val len = 4 + rng.nextInt(400)
+      val b = new Array[Byte](len)
+      rng.nextBytes(b)
+      if (rng.nextBoolean()) { b(0) = 0xFF.toByte; b(1) = 0xD8.toByte }
+      JpegDecoder.decode(b) match {
+        case Left(_) => lefts += 1
+        case Right(_) => () // vanishingly unlikely but legal
+      }
+    }
+    assert(lefts > 250, s"random garbage mostly decodes? lefts=$lefts")
+    for (_ <- 1 to 300) { // single-byte mutations of a real stream
+      val b = valid.clone()
+      b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+      JpegDecoder.decode(b) // must return, never throw — Left or Right ok
+    }
+    for (_ <- 1 to 100) { // truncations
+      val cut = 2 + rng.nextInt(valid.length - 2)
+      JpegDecoder.decode(java.util.Arrays.copyOf(valid, cut))
+    }
+  }
+
   test("jpeg: bitstream cross-validated against javax.imageio (independent decoder)") {
     // the generator's streams must be REAL JPEG, not merely self-consistent
     // with our decoder: the JDK's libjpeg-derived reader decodes them too,
