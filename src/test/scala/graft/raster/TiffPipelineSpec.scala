@@ -56,5 +56,30 @@ class TiffPipelineSpec extends SparkSpec {
       assert(t.hr.length == 4 * 6 * 6 && t.lr.length == 4 * 2 * 2)
       assert(t.hr.forall(v => v >= 1.0f && v <= 997.0f)) // decoded, not garbage
     }
+
+    // …and finish at the reference's ACTUAL artifact: torch.save's
+    // TensorDataset(train, target) (main_code.py:75–78), validated through
+    // the stub-torch unpickler — scenes → tiles → .pth, the complete
+    // migration loop a reference user runs
+    val pth = dir.resolve("dataset.pth").toString
+    val n = graft.tiling.TorchExport.writeTileDatasetPth(
+      tiles.toSeq.toDS(), pth, nBands = 4)
+    assert(n == tiles.length.toLong)
+    val ordered = tiles.sortBy(t => (t.pair_id, t.tile_id))
+    def md5LE(a: Array[Float]): String = {
+      val bb = java.nio.ByteBuffer.allocate(a.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      a.foreach(bb.putFloat)
+      java.security.MessageDigest.getInstance("MD5").digest(bb.array())
+        .map("%02x".format(_)).mkString
+    }
+    val expected = dir.resolve("expected.json")
+    Files.writeString(expected,
+      s"""{"tensors": [
+         |  {"shape": [$n, 4, 2, 2], "md5": "${md5LE(ordered.flatMap(_.lr).toArray)}"},
+         |  {"shape": [$n, 4, 6, 6], "md5": "${md5LE(ordered.flatMap(_.hr).toArray)}"}]}""".stripMargin)
+    import scala.sys.process._
+    assert(Seq("python3", "scripts/check_pth.py", pth, expected.toString).! == 0,
+      "stub-torch checker rejected the pipeline's .pth")
   }
 }
