@@ -261,6 +261,19 @@ object SimilarityQueries {
             .signature(col("embedding"), nBits = 32, seed = 42L).as("sig"))
         .orderBy("vec_id")),
 
+    // RE-RANK RECALL/COST CURVE (the q140 pattern on the production
+    // retrieval tier): one row per shortlist size — how big a candidate
+    // cut buys how much recall@10. The ADC scan cost is level-independent
+    // (one ranking pass); the exact-arithmetic cost grows with
+    // max(levels) only. q113's single point (200 → 0.99 @ sf0.01) gets
+    // its whole curve.
+    "q142_rerank_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.similarity.Pq.rerankRecallCurve(emb.where(col("vec_id") < 20), emb,
+        "vec_id", "embedding", k = 10, levels = Seq(25, 50, 100, 200, 400),
+        m = 8, kCent = RerankCb)
+    }),
+
     // PORTABLE IVF-PQ top-10: the composed production ANN architecture
     // (cells prune WHICH rows, codes shrink WHAT they carry) built from
     // the replayable parts — q41's Mix64 cells, q93's integer quantizer,
@@ -543,6 +556,46 @@ object SimilarityQueries {
          |SELECT query_id, rank, neighbor_id FROM rer WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
+    // the adc chain + per-level re-rank: each candidate joins every level
+    // >= its ADC rank, exact cosine ranks within (level, query), recall
+    // totals vs the exact brute force
+    "q142_rerank_curve" ->
+      s"""WITH ${rerankAdcSql}cand142 AS (
+         |  SELECT query_id, neighbor_id, crank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY add2, neighbor_id) AS crank FROM adc) t
+         |  WHERE crank <= 400),
+         |lv AS (SELECT CAST(unnest([25, 50, 100, 200, 400]) AS INT) AS n_cand),
+         |rr AS (
+         |  SELECT l.n_cand, c.query_id, c.neighbor_id,
+         |    row_number() OVER (PARTITION BY l.n_cand, c.query_id
+         |      ORDER BY list_cosine_similarity(qe.emb, ne.emb) DESC,
+         |        c.neighbor_id) AS rank
+         |  FROM cand142 c JOIN lv l ON c.crank <= l.n_cand
+         |  JOIN e qe ON qe.vec_id = c.query_id
+         |  JOIN e ne ON ne.vec_id = c.neighbor_id),
+         |bf142 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.emb, e2.emb) DESC, e2.vec_id) AS rank
+         |    FROM e q JOIN e e2 ON q.vec_id <> e2.vec_id WHERE q.vec_id < 20) t
+         |  WHERE rank <= 10),
+         |hits AS (
+         |  SELECT rr.n_cand, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM rr JOIN bf142 USING (query_id, neighbor_id)
+         |  WHERE rr.rank <= 10 GROUP BY rr.n_cand),
+         |base AS (
+         |  SELECT l.n_cand,
+         |    CAST(count(DISTINCT c.query_id) * 10 AS BIGINT) AS n_true
+         |  FROM cand142 c JOIN lv l ON c.crank <= l.n_cand
+         |  GROUP BY l.n_cand)
+         |SELECT base.n_cand, base.n_true,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / base.n_true AS recall
+         |FROM base LEFT JOIN hits h USING (n_cand)
+         |ORDER BY n_cand""".stripMargin,
+
     "q113_rerank_recall" ->
       s"""WITH $rerankSql,
          |rr AS (SELECT query_id, neighbor_id FROM rer WHERE rank <= 10),
@@ -652,6 +705,17 @@ object SimilarityQueries {
     * shortlist re-ranks by float cosine under q40's rank-only argument.
     * Exposes CTEs `e` (double vectors) and `rer` (query_id, neighbor_id,
     * rank over the RerankCand-sized shortlist). */
+  /** [[rerankSql]]'s front half — the portable ADC scan as CTEs ending in
+    * `adc(query_id, neighbor_id, add2)` plus `e` (double vectors), with
+    * the trailing comma kept. Shared by the q142 curve, which applies its
+    * own level logic downstream. (Derived by splitting the composed text
+    * so the two oracles can never drift.) */
+  private def rerankAdcSql: String = {
+    val cut = rerankSql.indexOf("cand AS (")
+    require(cut > 0, "rerankSql shape changed: cand AS ( not found")
+    rerankSql.substring(0, cut)
+  }
+
   private def rerankSql: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |dv AS (

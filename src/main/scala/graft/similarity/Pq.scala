@@ -178,6 +178,58 @@ object Pq {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** The re-rank tier's recall/cost tradeoff as DATA (the q140 pattern
+    * applied to the production retrieval shape): one row per shortlist
+    * size with total recall@k against exact brute force. One portable ADC
+    * scan ranks the corpus per query (8 ints per row — the scan cost is
+    * LEVEL-INDEPENDENT); each candidate joins every level ≥ its rank, the
+    * raw vectors are fetched once for the ≤ max(levels) shortlist (hash
+    * join on neighbor_id, exactly [[rerankTopK]]'s shape), and the exact
+    * cosine re-ranks inside each level. So the curve answers the real
+    * sizing question — how big a shortlist buys how much recall — with
+    * the re-rank join cost growing only in max(levels). */
+  def rerankRecallCurve(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        levels: Seq[Int], m: Int, kCent: Int): DataFrame = {
+    require(levels.nonEmpty && levels.min >= k, s"levels must be ≥ k=$k")
+    val maxLevel = levels.max
+    val qcb = codebookPortable(corpus, idCol, vecCol, m, kCent)
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      encodePortable(col(vecCol), qcb).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("add2"), col("neighbor_id"))
+    val lv = array(levels.map(lit): _*)
+    val cand = q.crossJoin(coded)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("add2", adcPortableD2(col("qv"), col("codes"), qcb))
+      .withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= maxLevel)
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("crank"))
+    val raw = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = cand.join(raw, "neighbor_id")
+      .withColumn("sim",
+        graft.functions.CosineSim.cosineSim(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        explode(filter(lv, l => l >= col("crank"))).as("n_cand"))
+    val bf = Ann.bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      .select("query_id", "neighbor_id")
+    val wr = Window.partitionBy("n_cand", "query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val hits = scored.withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .join(bf, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("n_cand").agg(count(lit(1)).as("n_hit"))
+    scored.groupBy("n_cand")
+      .agg((countDistinct(col("query_id")) * k).as("n_true"))
+      .join(hits, Seq("n_cand"), "left")
+      .select(col("n_cand"), col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_true"))
+          .as("recall"))
+      .orderBy("n_cand")
+  }
+
   /** ADC top-k: full-precision queries against the CODED corpus — the
     * compressed-domain linear scan. Same output shape and tie-break as
     * [[Ann.bruteForceTopK]]; the join moves M ints per corpus row instead

@@ -208,4 +208,21 @@ class PqSpec extends SparkSpec {
     // number is tracked, the spec only pins a sanity floor above chance
     assert(recall >= 0.1, f"portable IVF-PQ recall $recall%.2f below floor")
   }
+
+  test("q142 re-rank curve: monotone in shortlist size, q113 point on it") {
+    val rows = graft.SparkEntry.queries("q142_rerank_curve")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Int]("n_cand")).toSeq == Seq(25, 50, 100, 200, 400))
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone: ${recalls.toSeq}")
+    // the q112/q113 production point (nCand = 200) must sit on the curve
+    val q113 = graft.SparkEntry.queries("q113_rerank_recall")(spark, sfDir)
+      .collect()
+    val q113overall = q113.map(_.getAs[Long]("n_hit")).sum.toDouble /
+      q113.map(_.getAs[Long]("n_true")).sum
+    val curve200 = rows.find(_.getAs[Int]("n_cand") == 200).get
+      .getAs[Double]("recall")
+    assert(curve200 == q113overall, s"curve@200 $curve200 != q113 $q113overall")
+  }
 }
