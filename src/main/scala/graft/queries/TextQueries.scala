@@ -525,6 +525,48 @@ object TextQueries {
           "rank", col("logit_micro").desc, col("doc_id"))
         .orderBy("rank")),
 
+    // DETERMINISTIC EPOCH SHUFFLE — the training-loader order stage:
+    // every epoch e gets its own pseudo-random but fully reproducible
+    // global order (position = rank of the Mix64 coordinate of
+    // doc_id·2 + e), so a run resumes mid-epoch on any cluster layout
+    // and distributed readers agree on shard boundaries without
+    // coordination. Same scale shape as q119: Ranking.globalRank per
+    // epoch (range partition + per-partition offsets — a total order
+    // over 100 TB never flows through one window task).
+    "q143_epoch_shuffle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      Seq(0, 1).map { e =>
+        graft.ops.Ranking.globalRank(
+          docs.withColumn("epoch", lit(e))
+            .withColumn("_coord", graft.functions.Mix64.sampleCoord(
+              (col("doc_id") * 2L + lit(e.toLong)).cast("long"))),
+          "position", col("_coord"), col("doc_id"))
+      }.reduce(_ unionByName _)
+        .select(col("epoch"), col("doc_id"), col("position"))
+        .orderBy("epoch", "position")
+    }),
+
+    // LENGTH-BUCKETED BATCHING audit — the padding-efficiency stage of
+    // batch assembly: docs bucketed to the smallest configured seq_len
+    // ≥ their token count (16/32/64/128; longer docs truncate at 256),
+    // per bucket the doc count, kept tokens, and the padding/truncation
+    // paid at that seq_len — the numbers that decide bucket boundaries
+    // before packing (q52). One projection + a 5-group aggregate; the
+    // token count is the engine-wide string_split(text, ' ') contract.
+    "q144_length_buckets" -> ((s, dir) => {
+      val toks = size(split(col("text"), " ")).cast("long")
+      val seqLen = when(toks <= 16, 16L).when(toks <= 32, 32L)
+        .when(toks <= 64, 64L).when(toks <= 128, 128L).otherwise(256L)
+      t(s, dir, "documents")
+        .select(toks.as("n_tokens"), seqLen.as("seq_len"))
+        .groupBy("seq_len")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("n_tokens"), col("seq_len"))).as("n_tokens_kept"),
+          sum(greatest(col("seq_len") - col("n_tokens"), lit(0L))).as("n_padding"),
+          sum(greatest(col("n_tokens") - col("seq_len"), lit(0L))).as("n_truncated"))
+        .orderBy("seq_len")
+    }),
+
     // DROP LEDGER — per-document lineage through the q91 curation chain:
     // every corpus doc gets the FIRST stage that removed it
     // (contaminated → low_quality → duplicate → sampled_out) or 'kept'.
@@ -1138,6 +1180,35 @@ object TextQueries {
          |  CAST(row_number() OVER (ORDER BY logit_micro DESC, doc_id) AS BIGINT) AS rank
          |FROM (SELECT doc_id, CAST($QcLogitSql AS BIGINT) AS logit_micro FROM f)
          |ORDER BY rank""".stripMargin,
+
+    // per-epoch row_number over the shared Mix64 coordinate — the SQL
+    // image of globalRank's per-epoch total order
+    "q143_epoch_shuffle" ->
+      s"""WITH ep AS (SELECT CAST(0 AS INT) AS epoch UNION ALL SELECT 1),
+         |c AS (
+         |  SELECT ep.epoch, d.doc_id,
+         |    ${OpsQueries.coordSql("(d.doc_id * 2 + ep.epoch)")} AS coord
+         |  FROM documents d CROSS JOIN ep)
+         |SELECT epoch, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY epoch
+         |    ORDER BY coord, doc_id) AS BIGINT) AS position
+         |FROM c ORDER BY epoch, position""".stripMargin,
+
+    "q144_length_buckets" ->
+      """WITH tk AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT n_tokens,
+        |    CAST(CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+        |         WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+        |         ELSE 256 END AS BIGINT) AS seq_len
+        |  FROM tk)
+        |SELECT seq_len, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(least(n_tokens, seq_len)) AS BIGINT) AS n_tokens_kept,
+        |  CAST(sum(greatest(seq_len - n_tokens, 0)) AS BIGINT) AS n_padding,
+        |  CAST(sum(greatest(n_tokens - seq_len, 0)) AS BIGINT) AS n_truncated
+        |FROM b GROUP BY seq_len ORDER BY seq_len""".stripMargin,
 
     "q35_content_fp" ->
       """SELECT doc_id,

@@ -37,4 +37,43 @@ class RankingSpec extends SparkSpec {
       Ranking.globalRank(df, "v", col("v"))
     }
   }
+
+  test("q143 epoch shuffle: per-epoch permutations, epochs differ, deterministic") {
+    val rows = graft.SparkEntry.queries("q143_epoch_shuffle")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0, 1))
+    val nDocs = byEpoch(0).length
+    byEpoch.values.foreach { ep =>
+      // positions are a 1..n permutation over exactly the corpus ids
+      assert(ep.map(_._3).sorted.toSeq == (1L to nDocs).toSeq)
+      assert(ep.map(_._2).distinct.length == nDocs)
+    }
+    // the two epochs order the corpus differently (same ids, new order)
+    val order0 = byEpoch(0).sortBy(_._3).map(_._2).toSeq
+    val order1 = byEpoch(1).sortBy(_._3).map(_._2).toSeq
+    assert(order0.toSet == order1.toSet && order0 != order1)
+    // deterministic across runs
+    val again = graft.SparkEntry.queries("q143_epoch_shuffle")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == rows.toSeq)
+  }
+
+  test("q144 length buckets: token conservation and padding arithmetic") {
+    val rows = graft.SparkEntry.queries("q144_length_buckets")(
+      spark, "/root/testdata/sf0.001").collect()
+    val total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("sum(size(split(text, ' ')))").head().getLong(0)
+    val kept = rows.map(_.getAs[Long]("n_tokens_kept")).sum
+    val truncated = rows.map(_.getAs[Long]("n_truncated")).sum
+    assert(kept + truncated == total, s"$kept + $truncated != $total")
+    rows.foreach { r =>
+      val sl = r.getAs[Long]("seq_len")
+      // per bucket: kept + padding = n_docs × seq_len (batch slots add up)
+      assert(r.getAs[Long]("n_tokens_kept") + r.getAs[Long]("n_padding") ==
+        r.getAs[Long]("n_docs") * sl, s"bucket $sl slots don't add up")
+    }
+  }
 }
