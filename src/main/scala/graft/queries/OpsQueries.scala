@@ -790,6 +790,55 @@ object OpsQueries {
         .orderBy(col("freq").desc, col("user_id"))
     }),
 
+    // SOURCE/SINK INTERCHANGE round-trip — the corpus egress formats a
+    // training-data pipeline actually ships: gzip JSONL (the LLM-corpus
+    // interchange), ORC (the other columnar), and quoted multiLine CSV
+    // (the hard case: free text through a line-oriented format). Each
+    // format writes the documents table executor-side, reads it back
+    // with an EXPLICIT schema (never inference), and the summary row
+    // asserts lossless round-trip via a full-outer join with null-safe
+    // field compares — the oracle expects exactly (n, n, 0) per format,
+    // so any codec/quoting/escaping defect is a red driver row. Writes
+    // go under java.io.tmpdir with mode=overwrite (bench reps reuse the
+    // same paths instead of leaking).
+    "q145_interchange_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val base = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"), "graft_interchange_rt")
+      val schema = "doc_id LONG, source STRING, text STRING"
+      def summary(fmt: String, back: DataFrame): DataFrame = {
+        val l = docs.withColumn("in_l", lit(1L))
+        val r = back.select(col("doc_id"), col("source").as("b_source"),
+          col("text").as("b_text")).withColumn("in_r", lit(1L))
+        l.join(r, Seq("doc_id"), "full_outer")
+          .agg(
+            coalesce(sum(coalesce(col("in_l"), lit(0L))), lit(0L)).as("n_docs"),
+            coalesce(sum(coalesce(col("in_r"), lit(0L))), lit(0L)).as("n_roundtrip"),
+            coalesce(sum(when(col("in_l").isNull || col("in_r").isNull ||
+              !(col("source") <=> col("b_source")) ||
+              !(col("text") <=> col("b_text")), 1L).otherwise(0L)), lit(0L))
+              .as("n_mismatched"))
+          .select(lit(fmt).as("format"), col("n_docs"),
+            col("n_roundtrip"), col("n_mismatched"))
+      }
+      val jsonlPath = base.resolve("jsonl").toString
+      docs.coalesce(8).write.mode("overwrite")
+        .option("compression", "gzip").json(jsonlPath)
+      val jsonl = summary("jsonl", s.read.schema(schema).json(jsonlPath))
+      val orcPath = base.resolve("orc").toString
+      docs.coalesce(8).write.mode("overwrite").orc(orcPath)
+      val orc = summary("orc", s.read.schema(schema).orc(orcPath))
+      val csvPath = base.resolve("csv").toString
+      docs.coalesce(8).write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true")
+        .option("escape", "\"").csv(csvPath)
+      val csv = summary("csv", s.read.schema(schema)
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"").csv(csvPath))
+      csv.unionByName(jsonl).unionByName(orc).orderBy("format")
+    }),
+
     "q127_trending" -> ((s, dir) => {
       val daily = events(s, dir)
         .select(col("event_type"),
@@ -1511,6 +1560,15 @@ object OpsQueries {
          |  CAST((t.freq * $SkewP + tot.total - 1) // tot.total AS BIGINT) AS salt_buckets
          |FROM top t CROSS JOIN tot
          |ORDER BY freq DESC, user_id""".stripMargin,
+
+    // lossless round-trip is the CONTRACT: exactly (n, n, 0) per format
+    "q145_interchange_roundtrip" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents)
+        |SELECT f.format, n.c AS n_docs, n.c AS n_roundtrip,
+        |  CAST(0 AS BIGINT) AS n_mismatched
+        |FROM (SELECT 'csv' AS format UNION ALL SELECT 'jsonl'
+        |      UNION ALL SELECT 'orc') f CROSS JOIN n
+        |ORDER BY format""".stripMargin,
 
     // the same integer decay fold: day cells, k half-lives, 2^20 >> k
     "q127_trending" ->
