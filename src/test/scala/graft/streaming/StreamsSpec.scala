@@ -552,6 +552,44 @@ class StreamsSpec extends SparkSpec {
     assert(rows.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("JSONL file-source ingestion: incremental drops, exactly-once on restart") {
+    // the production corpus-ingestion shape: files land in a directory,
+    // readStream json picks up only the NEW ones per run
+    // (Trigger.AvailableNow + checkpoint), and the idempotent per-batch
+    // sink keeps reruns exactly-once — no MemoryStream anywhere.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_ingest")
+    val in = java.nio.file.Files.createDirectory(dir.resolve("in")).toString
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def drop(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(in, name),
+        rows.map { case (id, tx) => s"""{"doc_id": $id, "text": "$tx"}""" }
+          .mkString("", "\n", "\n"))
+    def runOnce(): Unit = {
+      val sq = spark.readStream
+        .schema("doc_id LONG, text STRING").json(in)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .writeStream
+        .foreachBatch(Streams.idempotentParquetSink(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
+    drop("a.jsonl", Seq((1L, "alpha beta"), (2L, "gamma")))
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+    drop("b.jsonl", Seq((3L, "delta epsilon zeta")))
+    runOnce() // second run must process ONLY the new file
+    val got = spark.read.parquet(out)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 3L)))
+    runOnce() // nothing new: a rerun adds nothing (exactly-once)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("streaming Count-Min ≡ batch sketch matrix over the same rows (any slicing)") {
     val depth = 4; val width = 32
     val rows = spark.read.parquet(sf("events"))
