@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.StreamingQueries.queries ++
       graft.queries.TilingQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.OpsQueries.queries
+      graft.queries.OpsQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.StreamingQueries.oracle ++
       graft.queries.TilingQueries.oracle ++
       graft.queries.MultimodalQueries.oracle ++
-      graft.queries.OpsQueries.oracle
+      graft.queries.OpsQueries.oracle ++
+      graft.queries.CurationQueries.oracle
 }

@@ -1,0 +1,542 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Clustering
+
+/** Corpus-curation queries: the clustering / semantic-dedup / language-model
+  * scoring / co-occurrence / compaction layer of a training-data pipeline.
+  * Everything is computed on integer lattices (the q93/q134 discipline) so
+  * the full iterative algorithms — including Lloyd k-means — carry DuckDB
+  * oracles that replay bit-for-bit.
+  */
+object CurationQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** k-means model size (shared with the oracle chain below). */
+  private val KmK = 8
+  /** Lloyd update rounds (the oracle unrolls exactly this many). */
+  private val KmUpdates = 2
+  /** Semantic-dedup quantization scale: floor(x·2^10) keeps 16·dot² and
+    * n_a·n_b inside BIGINT for any |x| ≤ 16 (observed |x| < 0.6). */
+  private val SemScale = 1024L
+  /** Near-dup threshold τ = 1/4 (≈ +2σ for 64-dim near-random embeddings):
+    * cos ≥ τ ⟺ dot > 0 ∧ 16·dot² ≥ n_a·n_b — integer-only, no sqrt. */
+  private val SemTauDen2 = 16L
+  /** Micro-unit scale for LM / lift scores. */
+  private val Micro = 1048576L
+  /** q149 vocabulary size and minimum pair support. */
+  private val LiftVocab = 100
+  private val LiftMinSupport = 5
+  private val LiftTopK = 50
+  /** q150 compaction target bytes per output group. */
+  private val CompactTarget = 2000L
+  /** q151 PageRank: damping 17/20 (= 0.85), base floor(0.15·2^20), rounds. */
+  private val PrBase = 157286L
+  private val PrIters = 3
+  private val PrTopK = 20
+  /** q152 outlier cutoff: |v − median| > MadK · MAD. */
+  private val MadK = 3L
+
+  /** Word-bigram occurrences of `documents` keyed by `key` (doc_id or
+    * source): the engine-wide split-on-' ' contract, one row per adjacent
+    * token pair. The size guard matters — slice with a negative length
+    * throws under ANSI; < 2 tokens means no bigrams. */
+  private def bigramsOf(docs: DataFrame, key: String): DataFrame =
+    docs.select(col(key), split(col("text"), " ").as("w"))
+      .select(col(key),
+        explode(when(size(col("w")) < 2,
+            array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(zip_with(
+            slice(col("w"), lit(1), size(col("w")) - 1),
+            slice(col("w"), lit(2), size(col("w")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))).as("bg"))
+      .select(col(key), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Top-LiftVocab co-occurrence graph shared by q149/q151: doc-level
+    * presence pairs among the vocabulary, support-filtered. Returns
+    * (voc(term, df), cpair(a, b, n_a, n_b, n_ab)). */
+  private def coocGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tok = t(s, dir, "documents").select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term")).distinct()
+    val voc = tok.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(LiftVocab)
+    val vt = tok.join(broadcast(voc), Seq("term"))
+    val cpair = vt.select(col("doc_id"), col("term").as("a"), col("df").as("n_a"))
+      .join(vt.select(col("doc_id"), col("term").as("b"), col("df").as("n_b")),
+        Seq("doc_id"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b", "n_a", "n_b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= LiftMinSupport)
+    (voc, cpair)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DISTRIBUTED LLOYD K-MEANS on the integer lattice (Clustering.scala):
+    // Mix64 deterministic init → 2 shifted-floor-mean updates → final
+    // assignment; per-cluster size, inertia (milli-scale: d2 div 2^20 so
+    // the sum stays BIGINT at any corpus size) and final-centroid
+    // checksums. Every arithmetic step is exact 64-bit → the ENTIRE
+    // iterative run replays in the oracle, not just one pass. Scale: each
+    // round is one corpus scan + a (cid, d) partial-agg shuffle (k·dim
+    // groups); driver state is the k×dim model only (the MLlib shape).
+    "q146_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val (asg, cents) = Clustering.kmeans(emb, "vec_id", "embedding", KmK, KmUpdates)
+      val stats = cents.zipWithIndex
+        .map { case (v, cid) => (cid.toLong, v.sum, v.min, v.max) }.toSeq
+        .toDF("cid", "cq_sum", "cq_min", "cq_max")
+      val agg = asg.groupBy("cid").agg(
+        count(lit(1)).as("n_points"),
+        expr("sum(d2 div 1048576)").as("inertia_m"))
+      stats.join(agg, Seq("cid"), "left")
+        .select(col("cid").as("cluster_id"),
+          coalesce(col("n_points"), lit(0L)).as("n_points"),
+          coalesce(col("inertia_m"), lit(0L)).as("inertia_m"),
+          col("cq_sum"), col("cq_min"), col("cq_max"))
+        .orderBy("cluster_id")
+    }),
+
+    // SEMDEDUP-STYLE SEMANTIC DEDUP: cluster with q146's k-means, then
+    // within each cluster mark every pair with integer-quantized cosine
+    // ≥ 1/4 and drop the higher id of each near-dup pair (lowest-id
+    // keeper). Pair generation is an EQUI-join on the cluster id — the
+    // whole point of clustering first: candidate pairs are |cluster|²
+    // not |corpus|². At 100 TB, k scales with the corpus so per-cluster
+    // membership stays bounded (SemDeDup's own recipe); the threshold test
+    // is scale-free integer arithmetic (16·dot² vs n_a·n_b at 2^10).
+    "q147_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (asg, _) = Clustering.kmeans(emb, "vec_id", "embedding", KmK, KmUpdates)
+      val qv = emb.select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * SemScale).cast("long")).as("q"))
+        .select(col("vec_id"), col("q"),
+          aggregate(transform(col("q"), v => v * v), lit(0L), (a, v) => a + v).as("n2"))
+      val members = asg.select(col("id").as("vec_id"), col("cid")).join(qv, Seq("vec_id"))
+      val pairs = members.select(col("cid"), col("vec_id").as("a_id"),
+          col("q").as("qa"), col("n2").as("na"))
+        .join(members.select(col("cid"), col("vec_id").as("b_id"),
+          col("q").as("qb"), col("n2").as("nb")), Seq("cid"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("cid"), col("a_id"), col("b_id"),
+          aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+            lit(0L), (a, v) => a + v).as("dot"),
+          col("na"), col("nb"))
+      val dups = pairs.where(col("dot") > 0 &&
+        col("dot") * col("dot") * SemTauDen2 >= col("na") * col("nb"))
+      val drp = dups.select(col("cid"), col("b_id")).distinct()
+        .groupBy("cid").agg(count(lit(1)).as("n_dropped"),
+          sum(col("b_id")).as("dropped_id_sum"))
+      val np = dups.groupBy("cid").agg(count(lit(1)).as("n_dup_pairs"))
+      val mem = members.groupBy("cid").agg(count(lit(1)).as("n_members"),
+        sum(col("vec_id")).as("id_sum"))
+      mem.join(np, Seq("cid"), "left").join(drp, Seq("cid"), "left")
+        .select(col("cid").as("cluster_id"), col("n_members"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("id_sum") - coalesce(col("dropped_id_sum"), lit(0L))).as("kept_id_sum"))
+        .orderBy("cluster_id")
+    }),
+
+    // BIGRAM-LM DOCUMENT SCORING (the KenLM-style quality signal without
+    // the float log): train bigram conditional frequencies over the WHOLE
+    // corpus (c(w1,w2) / c(w1·) in 2^20 micro-units, integer division),
+    // score each doc by the mean conditional of its bigram occurrences.
+    // Natural-sounding text (bigrams the corpus has seen often) scores
+    // high; line noise scores near zero. Tokenization is the engine-wide
+    // split-on-' ' contract (q30/q58). Two corpus-vocab-keyed equi-joins,
+    // all counts map-side combinable; no floats anywhere.
+    "q148_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bo = bigramsOf(docs, "doc_id")
+      val c2 = bo.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+      val c1 = bo.groupBy("w1").agg(count(lit(1)).as("cnt1"))
+      val perDoc = bo.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .withColumn("cond_micro", expr(s"(cnt2 * ${Micro}L) div cnt1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("cond_micro")).as("s"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(expr("s div n_bigrams"), lit(0L)).as("lm_micro"))
+        .orderBy("doc_id")
+    }),
+
+    // TERM CO-OCCURRENCE LIFT (integer PMI stand-in: lift = p(a,b) /
+    // (p(a)·p(b)) in micro-units — same ranking as PMI, no ln()): top-100
+    // vocabulary by doc frequency, doc-level presence pairs via an
+    // equi-join on doc_id (per-doc pair fan-out bounded by the vocab),
+    // support-filtered, global top-50 by (lift DESC, a, b). The final
+    // window ranks ≤ V²/2 = 4950 candidate rows — bounded by the vocab
+    // constant, not the corpus, so the single-task window is safe.
+    "q149_term_lift" -> ((s, dir) => {
+      val (_, cpair) = coocGraph(s, dir)
+      val nDocs = t(s, dir, "documents").count() // parquet metadata count — no scan
+      val w = Window.orderBy(col("lift_micro").desc, col("a"), col("b"))
+      cpair.withColumn("lift_micro",
+          expr(s"(n_ab * ${nDocs}L * ${Micro}L) div (n_a * n_b)"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= LiftTopK)
+        .select(col("rnk").cast("long").as("rnk"), col("a"), col("b"),
+          col("n_a"), col("n_b"), col("n_ab"), col("lift_micro"))
+        .orderBy("rnk")
+    }),
+
+    // PAGERANK over the co-occurrence graph (the iterative-graph-algorithm
+    // family: q28's min-label propagation is reachability, this is mass
+    // propagation): q149's support-filtered vocab pairs symmetrized to a
+    // directed edge list, 3 power-iteration rounds ENTIRELY in integers —
+    // transfer = pr div deg, damping 17/20, base floor(0.15·2^20) — so the
+    // fixpoint walk replays bit-for-bit in the oracle's unrolled CTEs.
+    // Each round is one edges⋈ranks equi-join + a dst-keyed partial agg:
+    // the generic distributed PageRank shape (edge-partitioned, no driver
+    // state at all); the vocab bound only sizes THIS registry entry.
+    "q151_pagerank" -> ((s, dir) => {
+      val (voc, cpair) = coocGraph(s, dir)
+      val und = cpair.select(col("a"), col("b"))
+      val edges = und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v")))
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      val nodes = voc.select(col("term").as("u"))
+      var pr = nodes.withColumn("pr", lit(Micro))
+      for (_ <- 1 to PrIters) {
+        val contrib = edges.join(pr, Seq("u")).join(deg, Seq("u"))
+          .select(col("v"), expr("pr div deg").as("c"))
+        val inc = contrib.groupBy("v").agg(sum(col("c")).as("s"))
+        pr = nodes.join(inc.withColumnRenamed("v", "u"), Seq("u"), "left")
+          .select(col("u"),
+            (lit(PrBase) + expr("(17 * coalesce(s, 0L)) div 20")).as("pr"))
+      }
+      val w = Window.orderBy(col("pr").desc, col("u"))
+      pr.join(deg, Seq("u"), "left")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= PrTopK)
+        .select(col("rnk").cast("long").as("rnk"), col("u").as("term"),
+          coalesce(col("deg"), lit(0L)).as("deg"), col("pr").as("pr_micro"))
+        .orderBy("rnk")
+    }),
+
+    // ROBUST OUTLIER GATE: per event type, low-median and MAD (median
+    // absolute deviation) of the cents-quantized value, flagging rows
+    // beyond 3·MAD — the robust z-score without sqrt or float std. The
+    // low-median (value at row (n+1) div 2 of the sorted run) is exact and
+    // engine-portable: row_number ties are arbitrary but the VALUE at a
+    // fixed position of a sorted multiset is not. This is the EXACT twin:
+    // per-type sort windows are fine while a type's rows fit a few
+    // partitions; at 100 TB the q71 histogram sketch is the median path.
+    "q152_mad_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("v"))
+      val wv = Window.partitionBy("event_type").orderBy("v")
+      val wp = Window.partitionBy("event_type")
+      val med = ev.withColumn("rn", row_number().over(wv))
+        .withColumn("n", count(lit(1)).over(wp))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("v").as("med_c"), col("n"))
+      val dev = ev.join(med, Seq("event_type"))
+        .withColumn("adev", abs(col("v") - col("med_c")))
+      val wd = Window.partitionBy("event_type").orderBy("adev")
+      val mad = dev.withColumn("rn", row_number().over(wd))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("adev").as("mad_c"))
+      dev.join(mad, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("med_c")).as("med_c"),
+          max(col("mad_c")).as("mad_c"),
+          count(when(col("adev") > col("mad_c") * MadK, 1)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
+    // SOURCE-OVERLAP MATRIX: pairwise word-bigram Jaccard between sources
+    // in 2^20 micro-units — the "which corpus slices duplicate each
+    // other" audit that sizes cross-source dedup before running it
+    // (q133's cross-set decontamination is the per-document action; this
+    // is the source-level planning view). Intersections come from an
+    // EQUI-join on the bigram — shuffle keyed by shingle, never a source
+    // cross join; the output is #source-pairs rows (dimension-scale).
+    "q153_source_overlap" -> ((s, dir) => {
+      val bg = bigramsOf(t(s, dir, "documents"), "source").distinct()
+      val sz = bg.groupBy("source").agg(count(lit(1)).as("sz"))
+      val inter = bg.select(col("source").as("source_a"), col("w1"), col("w2"))
+        .join(bg.select(col("source").as("source_b"), col("w1"), col("w2")),
+          Seq("w1", "w2"))
+        .where(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sz.select(col("source").as("source_a"), col("sz").as("n_a")),
+          Seq("source_a"))
+        .join(sz.select(col("source").as("source_b"), col("sz").as("n_b")),
+          Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("n_inter"),
+          expr(s"(n_inter * ${Micro}L) div (n_a + n_b - n_inter)").as("jaccard_micro"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // SHARD COMPACTION PLANNER: next-fit bin-packing of per-source file
+    // sequences into ~target-byte output groups via an exclusive running
+    // sum (a file opens a new group only when the group is already full
+    // BEFORE it): group = prefix_bytes div target. The window is
+    // per-source ordered by file id — metadata scale (one row per FILE,
+    // not per record), the same footing as q117's shard manifests. Output:
+    // one row per planned compaction group with its file span and fill.
+    "q150_compaction_plan" -> ((s, dir) => {
+      val files = t(s, dir, "documents")
+        .select(col("source"), col("doc_id").as("file_id"),
+          col("n_chars").as("bytes"))
+      val w = Window.partitionBy("source").orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files.withColumn("prefix", coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .withColumn("group_id", expr(s"prefix div ${CompactTarget}L"))
+        .groupBy("source", "group_id")
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("group_bytes"),
+          min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
+        .orderBy("source", "group_id")
+    }))
+
+  /** Unrolled Lloyd iteration i (CTE suffix i, previous centroids $prevC):
+    * assignment argmin by (d2, cid) → shifted floor-mean → coalesce empty
+    * cells to the previous centroid. Mirrors Clustering.assign/update. */
+  private def kmIterSql(i: Int, prevC: String): String =
+    s"""kd$i AS (
+       |  SELECT v.vec_id, c.cid, sum((v.qv - c.cq) * (v.qv - c.cq)) AS d2
+       |  FROM kdv v JOIN $prevC c ON c.d = v.d GROUP BY 1, 2),
+       |ka$i AS (
+       |  SELECT vec_id, cid, d2 FROM (
+       |    SELECT vec_id, cid, d2,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM kd$i) t WHERE rn = 1),
+       |km$i AS (
+       |  SELECT a.cid, v.d,
+       |    (sum(v.qv) + count(*) * 2147483648) // count(*) - 2147483648 AS mcq
+       |  FROM ka$i a JOIN kdv v USING (vec_id) GROUP BY 1, 2),
+       |kc$i AS (
+       |  SELECT c.cid, c.d, CAST(coalesce(m.mcq, c.cq) AS BIGINT) AS cq
+       |  FROM $prevC c LEFT JOIN km$i m ON m.cid = c.cid AND m.d = c.d)""".stripMargin
+
+  /** The full k-means chain: quantized dims → Mix64 init → KmUpdates
+    * unrolled rounds → final assignment ka_fin under the final centroids
+    * kc$KmUpdates. Shared by q146 and q147. */
+  private def kmeansSql: String = {
+    val iters = (1 to KmUpdates).map(i => kmIterSql(i, s"kc${i - 1}")).mkString(",\n")
+    s"""kdv AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $Micro) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |kinit AS (
+       |  SELECT row_number() OVER (ORDER BY coord, vec_id) - 1 AS cid, vec_id
+       |  FROM (SELECT vec_id, ${OpsQueries.coordSql("vec_id")} AS coord
+       |        FROM embeddings ORDER BY coord, vec_id LIMIT $KmK) t),
+       |kc0 AS (SELECT i.cid, k.d, k.qv AS cq FROM kinit i JOIN kdv k USING (vec_id)),
+       |$iters,
+       |kdf AS (
+       |  SELECT v.vec_id, c.cid, sum((v.qv - c.cq) * (v.qv - c.cq)) AS d2
+       |  FROM kdv v JOIN kc$KmUpdates c ON c.d = v.d GROUP BY 1, 2),
+       |ka_fin AS (
+       |  SELECT vec_id, cid, d2 FROM (
+       |    SELECT vec_id, cid, d2,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM kdf) t WHERE rn = 1)""".stripMargin
+  }
+
+  /** Word-bigram occurrences keyed by `key` — the DuckDB twin of
+    * [[bigramsOf]] (positions via generate_subscripts: this DuckDB build
+    * rejects lateral column parameters in range()). */
+  private def bigramSql(key: String): String =
+    s"""SELECT $key, w[i] AS w1, w[i + 1] AS w2 FROM (
+       |    SELECT $key, w, generate_subscripts(w, 1) AS i FROM
+       |      (SELECT $key, string_split(text, ' ') AS w FROM documents) t0) t
+       |  WHERE i < len(w)""".stripMargin
+
+  /** The co-occurrence graph chain shared by q149/q151 — twin of
+    * [[coocGraph]]: tok → voc (top-LiftVocab by df) → vt → cpair
+    * (support ≥ LiftMinSupport). */
+  private def coocSql: String =
+    s"""tok AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)),
+       |voc AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY term
+       |  ORDER BY df DESC, term LIMIT $LiftVocab),
+       |vt AS (SELECT t.doc_id, t.term, v.df FROM tok t JOIN voc v USING (term)),
+       |cpair AS (
+       |  SELECT a.term AS a, b.term AS b, a.df AS n_a, b.df AS n_b,
+       |    CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+       |  GROUP BY 1, 2, 3, 4
+       |  HAVING count(*) >= $LiftMinSupport)""".stripMargin
+
+  /** One unrolled PageRank round: incoming transfers pr div deg summed per
+    * destination, damped 17/20 over the PrBase floor. */
+  private def prIterSql(i: Int, prev: String): String =
+    s"""pr$i AS (
+       |  SELECT n.term AS u,
+       |    CAST($PrBase + (17 * coalesce(s.s, 0)) // 20 AS BIGINT) AS pr
+       |  FROM voc n LEFT JOIN (
+       |    SELECT e.v AS u2, sum(p.pr // d.deg) AS s
+       |    FROM edges e JOIN $prev p ON p.u = e.u JOIN deg d ON d.u = e.u
+       |    GROUP BY e.v) s ON s.u2 = n.term)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q146_kmeans" ->
+      s"""WITH $kmeansSql,
+         |kstat AS (
+         |  SELECT cid, CAST(sum(cq) AS BIGINT) AS cq_sum,
+         |    min(cq) AS cq_min, max(cq) AS cq_max
+         |  FROM kc$KmUpdates GROUP BY cid),
+         |kagg AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+         |    CAST(sum(d2 // $Micro) AS BIGINT) AS inertia_m
+         |  FROM ka_fin GROUP BY cid)
+         |SELECT CAST(s.cid AS BIGINT) AS cluster_id,
+         |  coalesce(a.n_points, 0) AS n_points,
+         |  coalesce(a.inertia_m, 0) AS inertia_m,
+         |  s.cq_sum, s.cq_min, s.cq_max
+         |FROM kstat s LEFT JOIN kagg a USING (cid)
+         |ORDER BY cluster_id""".stripMargin,
+
+    // cluster member lists expanded to a<b pairs (group-then-expand — the
+    // deep ka_fin chain is referenced ONCE; see the q139 DuckDB self-join
+    // note), integer dot/norms from the shallow exploded quantization
+    "q147_semantic_dedup" ->
+      s"""WITH $kmeansSql,
+         |se AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $SemScale) AS BIGINT) AS sq
+         |  FROM embeddings),
+         |sn AS (SELECT vec_id, CAST(sum(sq * sq) AS BIGINT) AS n2 FROM se GROUP BY 1),
+         |cg AS (SELECT cid, list(vec_id ORDER BY vec_id) AS vs FROM ka_fin GROUP BY cid),
+         |pl AS (
+         |  SELECT cid, flatten(list_transform(vs, a ->
+         |    list_transform(list_filter(vs, b -> b > a), b -> {'a': a, 'b': b}))) AS prs
+         |  FROM cg),
+         |cand AS (SELECT cid, p.a AS a_id, p.b AS b_id FROM pl, unnest(pl.prs) AS t(p)),
+         |dotc AS (
+         |  SELECT c.cid, c.a_id, c.b_id, CAST(sum(ea.sq * eb.sq) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN se ea ON ea.vec_id = c.a_id
+         |  JOIN se eb ON eb.vec_id = c.b_id AND eb.d = ea.d
+         |  GROUP BY 1, 2, 3),
+         |dups AS (
+         |  SELECT d.cid, d.a_id, d.b_id
+         |  FROM dotc d JOIN sn a ON a.vec_id = d.a_id JOIN sn b ON b.vec_id = d.b_id
+         |  WHERE d.dot > 0 AND $SemTauDen2 * d.dot * d.dot >= a.n2 * b.n2),
+         |du AS (SELECT DISTINCT cid, b_id FROM dups),
+         |drp AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_dropped,
+         |         CAST(sum(b_id) AS BIGINT) AS dropped_id_sum FROM du GROUP BY cid),
+         |np AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_dup_pairs FROM dups GROUP BY cid),
+         |mem AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |         CAST(sum(vec_id) AS BIGINT) AS id_sum FROM ka_fin GROUP BY cid)
+         |SELECT CAST(m.cid AS BIGINT) AS cluster_id, m.n_members,
+         |  coalesce(np.n_dup_pairs, 0) AS n_dup_pairs,
+         |  coalesce(drp.n_dropped, 0) AS n_dropped,
+         |  m.id_sum - coalesce(drp.dropped_id_sum, 0) AS kept_id_sum
+         |FROM mem m LEFT JOIN np USING (cid) LEFT JOIN drp USING (cid)
+         |ORDER BY cluster_id""".stripMargin,
+
+    "q148_lm_score" ->
+      s"""WITH bo AS (
+         |  ${bigramSql("doc_id")}),
+         |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt2 FROM bo GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS cnt1 FROM bo GROUP BY 1),
+         |sc AS (
+         |  SELECT bo.doc_id, (c2.cnt2 * $Micro) // c1.cnt1 AS cond_micro
+         |  FROM bo JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        CAST(sum(cond_micro) AS BIGINT) AS s FROM sc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+         |  CAST(coalesce(pd.s // pd.n_bigrams, 0) AS BIGINT) AS lm_micro
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q149_term_lift" ->
+      s"""WITH $coocSql,
+         |lifted AS (
+         |  SELECT a, b, n_a, n_b, n_ab,
+         |    (n_ab * (SELECT count(*) FROM documents) * $Micro) // (n_a * n_b) AS lift_micro
+         |  FROM cpair)
+         |SELECT CAST(rnk AS BIGINT) AS rnk, a, b, n_a, n_b, n_ab,
+         |  CAST(lift_micro AS BIGINT) AS lift_micro
+         |FROM (SELECT *, row_number() OVER (ORDER BY lift_micro DESC, a, b) AS rnk
+         |      FROM lifted) t
+         |WHERE rnk <= $LiftTopK ORDER BY rnk""".stripMargin,
+
+    "q150_compaction_plan" ->
+      s"""WITH f AS (
+         |  SELECT source, doc_id AS file_id, n_chars AS bytes,
+         |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+         |  FROM documents)
+         |SELECT source, prefix // $CompactTarget AS group_id,
+         |  CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(bytes) AS BIGINT) AS group_bytes,
+         |  min(file_id) AS first_file, max(file_id) AS last_file
+         |FROM f GROUP BY 1, 2
+         |ORDER BY source, group_id""".stripMargin,
+
+    "q151_pagerank" ->
+      s"""WITH $coocSql,
+         |edges AS (SELECT a AS u, b AS v FROM cpair
+         |          UNION ALL SELECT b AS u, a AS v FROM cpair),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+         |pr0 AS (SELECT term AS u, CAST($Micro AS BIGINT) AS pr FROM voc),
+         |${(1 to PrIters).map(i => prIterSql(i, s"pr${i - 1}")).mkString(",\n")}
+         |SELECT CAST(rnk AS BIGINT) AS rnk, u AS term,
+         |  coalesce(d.deg, 0) AS deg, pr AS pr_micro
+         |FROM (SELECT u, pr, row_number() OVER (ORDER BY pr DESC, u) AS rnk
+         |      FROM pr$PrIters) t
+         |LEFT JOIN deg d USING (u)
+         |WHERE rnk <= $PrTopK ORDER BY rnk""".stripMargin,
+
+    // the value at a fixed position of a sorted multiset is deterministic
+    // even though row_number tie ASSIGNMENT is not — both engines pick the
+    // same med_c/mad_c. floor(value·100) is the same double op both sides.
+    "q152_mad_outliers" ->
+      s"""WITH e AS (
+         |  SELECT event_type, event_id, CAST(floor(value * 100) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (
+         |  SELECT event_type, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM e),
+         |med AS (SELECT event_type, v AS med_c, n FROM r WHERE rn = (n + 1) // 2),
+         |dv AS (
+         |  SELECT e.event_type, abs(e.v - m.med_c) AS adev, m.n, m.med_c
+         |  FROM e JOIN med m USING (event_type)),
+         |rd AS (
+         |  SELECT event_type, adev, n,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn
+         |  FROM dv),
+         |mad AS (SELECT event_type, adev AS mad_c FROM rd WHERE rn = (n + 1) // 2)
+         |SELECT d.event_type, CAST(max(d.n) AS BIGINT) AS n,
+         |  max(d.med_c) AS med_c, max(m.mad_c) AS mad_c,
+         |  CAST(count(*) FILTER (d.adev > m.mad_c * $MadK) AS BIGINT) AS n_outliers
+         |FROM dv d JOIN mad m USING (event_type)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q153_source_overlap" ->
+      s"""WITH bg AS (
+         |  SELECT DISTINCT source, w1, w2 FROM (
+         |  ${bigramSql("source")}) t1),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM bg GROUP BY source),
+         |inter AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM bg a JOIN bg b
+         |    ON a.w1 = b.w1 AND a.w2 = b.w2 AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT i.source_a, i.source_b, sa.sz AS n_a, sb.sz AS n_b, i.n_inter,
+         |  (i.n_inter * $Micro) // (sa.sz + sb.sz - i.n_inter) AS jaccard_micro
+         |FROM inter i
+         |JOIN sz sa ON sa.source = i.source_a
+         |JOIN sz sb ON sb.source = i.source_b
+         |ORDER BY i.source_a, i.source_b""".stripMargin)
+}

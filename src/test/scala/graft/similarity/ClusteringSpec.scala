@@ -1,0 +1,89 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("k-means separates two obvious clusters") {
+    // two tight blobs on orthogonal axes. Membership is derived from the
+    // Mix64 init ORDER (ranks alternate blobs) so the two seed centroids
+    // provably straddle the blobs — with a sane init, Lloyd must separate
+    // them perfectly (with both seeds in one blob it may not: local optima
+    // are k-means semantics, not a defect)
+    val order = (0L until 20L).sortBy(i => (graft.functions.Mix64.hash(i), i))
+    val blobA = order.zipWithIndex.collect { case (id, r) if r % 2 == 0 => id }.toSet
+    val vecs = (0L until 20L).map { i =>
+      val base = if (blobA(i)) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      (i, base.map(_ + (i % 5).toFloat * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val (asg, cents) = Clustering.kmeans(vecs, "vec_id", "embedding", k = 2, updates = 3)
+    val byCluster = asg.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2)
+      .map { case (cid, rows) => cid -> rows.map(r => blobA(r._1)).toSet }
+    // every cluster is pure: one blob each
+    assert(byCluster.values.forall(_.size == 1))
+    assert(byCluster.size == 2)
+    assert(cents.length == 2 && cents.forall(_.length == 2))
+  }
+
+  test("final assignment is the exact integer argmin under the final model") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val (asg, cents) = Clustering.kmeans(emb, "vec_id", "embedding", 4, 2)
+    val qv = emb.select($"vec_id",
+        transform($"embedding", x => floor(x.cast("double") * Clustering.Scale)
+          .cast("long")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    asg.collect().foreach { r =>
+      val (id, cid, d2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val dists = cents.map(c => c.zip(qv(id)).map { case (cq, x) =>
+        (x - cq) * (x - cq) }.sum)
+      val best = dists.zipWithIndex.minBy { case (d, i) => (d, i) }
+      assert(cid == best._2 && d2 == best._1, s"vec $id")
+    }
+  }
+
+  test("floor-mean matches Math.floorDiv on negative sums (shift discipline)") {
+    // one cluster, all points negative: the shifted integer mean must be
+    // the FLOOR of the exact mean, not the trunc-toward-zero value
+    val vecs = Seq(
+      (0L, Array(-0.31f, -0.77f)),
+      (1L, Array(-0.52f, -0.13f)),
+      (2L, Array(-0.11f, -0.99f))).toDF("vec_id", "embedding")
+    val qdf = Clustering.quantized(vecs, "vec_id", "embedding")
+    val init = Clustering.initCentroids(vecs, "vec_id", "embedding", 1)
+    val asg = Clustering.assign(qdf, init)
+    val next = Clustering.update(qdf, asg, init)
+    val q = qdf.collect().map(r => (r.getLong(1), r.getLong(2)))
+    for (d <- 0 until 2) {
+      val vals = q.filter(_._1 == d).map(_._2)
+      assert(next(0)(d) == Math.floorDiv(vals.sum, vals.length),
+        s"dim $d: got ${next(0)(d)}")
+    }
+  }
+
+  test("empty clusters keep their previous centroid") {
+    // 4 identical points: after one update every point lands in one cell,
+    // the other centroid must survive verbatim from its init value
+    val vecs = (0L until 4L).map(i => (i, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val init = Clustering.initCentroids(vecs, "vec_id", "embedding", 2)
+    val qdf = Clustering.quantized(vecs, "vec_id", "embedding")
+    val next = Clustering.update(qdf, Clustering.assign(qdf, init), init)
+    // identical vectors → assignment all to cid 0 (ties → lowest cid);
+    // cid 1 keeps init
+    assert(next(1).toSeq == init(1).toSeq)
+    val expected = Math.floorDiv(Math.floor(0.5 * Clustering.Scale).toLong * 4, 4)
+    assert(next(0).toSeq == Seq(expected, expected))
+  }
+
+  test("kmeans is deterministic across runs") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val (a1, c1) = Clustering.kmeans(emb, "vec_id", "embedding", 4, 2)
+    val (a2, c2) = Clustering.kmeans(emb, "vec_id", "embedding", 4, 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    assert(a1.collect().map(_.toSeq).toSet == a2.collect().map(_.toSeq).toSet)
+  }
+}
