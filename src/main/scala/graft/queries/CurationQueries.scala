@@ -35,12 +35,20 @@ object CurationQueries {
   private val LiftTopK = 50
   /** q150 compaction target bytes per output group. */
   private val CompactTarget = 2000L
-  /** q151 PageRank: damping 17/20 (= 0.85), base floor(0.15·2^20), rounds. */
+  /** q151 PageRank: damping 17/20 (= 0.85), base floor(0.15·2^20), rounds.
+    * Num/den are shared vals interpolated into BOTH the Spark expression
+    * and the oracle SQL so a one-sided edit can't split them. */
   private val PrBase = 157286L
+  private val PrDampNum = 17L
+  private val PrDampDen = 20L
   private val PrIters = 3
   private val PrTopK = 20
   /** q152 outlier cutoff: |v − median| > MadK · MAD. */
   private val MadK = 3L
+  /** q154 per-cluster sample quota. */
+  private val SampleQuota = 30
+  /** q155 hashing-trick feature dimensionality. */
+  private val HashDim = 64L
 
   /** Word-bigram occurrences of `documents` keyed by `key` (doc_id or
     * source): the engine-wide split-on-' ' contract, one row per adjacent
@@ -93,7 +101,7 @@ object CurationQueries {
         .toDF("cid", "cq_sum", "cq_min", "cq_max")
       val agg = asg.groupBy("cid").agg(
         count(lit(1)).as("n_points"),
-        expr("sum(d2 div 1048576)").as("inertia_m"))
+        expr(s"sum(d2 div ${Clustering.Scale})").as("inertia_m"))
       stats.join(agg, Seq("cid"), "left")
         .select(col("cid").as("cluster_id"),
           coalesce(col("n_points"), lit(0L)).as("n_points"),
@@ -188,6 +196,44 @@ object CurationQueries {
         .orderBy("rnk")
     }),
 
+    // CLUSTER-STRATIFIED (diversity-preserving) SAMPLING: a fixed quota of
+    // rows per k-means cluster, chosen by the portable Mix64 coordinate —
+    // the subsample that keeps every region of embedding space represented
+    // instead of letting the dominant mode swamp a uniform sample (the
+    // cluster-balanced counterpart of q77's label-quota sampling). The
+    // quota rank is a per-cluster window ordered by (coord, id):
+    // reproducible across runs, engines and cluster layouts, and nested
+    // quotas compose (a 10-quota is a prefix of the 30-quota).
+    "q154_cluster_sample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (asg, _) = Clustering.kmeans(emb, "vec_id", "embedding", KmK, KmUpdates)
+      val w = Window.partitionBy("cid").orderBy("coord", "vec_id")
+      asg.select(col("id").as("vec_id"), col("cid"))
+        .withColumn("coord", graft.functions.Mix64.sampleCoord(col("vec_id")))
+        .withColumn("smp_rank", row_number().over(w))
+        .where(col("smp_rank") <= SampleQuota)
+        .select(col("cid").as("cluster_id"),
+          col("smp_rank").cast("long").as("smp_rank"), col("vec_id"))
+        .orderBy("cluster_id", "smp_rank")
+    }),
+
+    // HASHING-TRICK FEATURIZER: the text→vector bridge without a trained
+    // vocabulary — every token lands in bucket rolling31(term) mod 64 and
+    // the doc's feature vector is the bucket-count histogram (sparse rows
+    // (doc_id, bucket, cnt) — the exploded form both oracles and Parquet
+    // layouts prefer). One explode + one map-side-combinable groupBy; the
+    // hash is the engine's portable rolling-31 (q35's family), so buckets
+    // replay in DuckDB via the same HUGEINT fold, and pmod == unsigned
+    // mod 64 because the low 6 bits of a two's-complement value don't
+    // care about sign.
+    "q155_hash_featurize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .withColumn("bucket",
+          pmod(graft.functions.RollingHash.rollingHash64(col("term")), lit(HashDim)))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "bucket")),
+
     // PAGERANK over the co-occurrence graph (the iterative-graph-algorithm
     // family: q28's min-label propagation is reachability, this is mass
     // propagation): q149's support-filtered vocab pairs symmetrized to a
@@ -210,8 +256,8 @@ object CurationQueries {
           .select(col("v"), expr("pr div deg").as("c"))
         val inc = contrib.groupBy("v").agg(sum(col("c")).as("s"))
         pr = nodes.join(inc.withColumnRenamed("v", "u"), Seq("u"), "left")
-          .select(col("u"),
-            (lit(PrBase) + expr("(17 * coalesce(s, 0L)) div 20")).as("pr"))
+          .select(col("u"), (lit(PrBase) +
+            expr(s"($PrDampNum * coalesce(s, 0L)) div $PrDampDen")).as("pr"))
       }
       val w = Window.orderBy(col("pr").desc, col("u"))
       pr.join(deg, Seq("u"), "left")
@@ -315,7 +361,8 @@ object CurationQueries {
        |    FROM kd$i) t WHERE rn = 1),
        |km$i AS (
        |  SELECT a.cid, v.d,
-       |    (sum(v.qv) + count(*) * 2147483648) // count(*) - 2147483648 AS mcq
+       |    (sum(v.qv) + count(*) * ${Clustering.Shift}) // count(*)
+       |      - ${Clustering.Shift} AS mcq
        |  FROM ka$i a JOIN kdv v USING (vec_id) GROUP BY 1, 2),
        |kc$i AS (
        |  SELECT c.cid, c.d, CAST(coalesce(m.mcq, c.cq) AS BIGINT) AS cq
@@ -328,7 +375,8 @@ object CurationQueries {
     val iters = (1 to KmUpdates).map(i => kmIterSql(i, s"kc${i - 1}")).mkString(",\n")
     s"""kdv AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $Micro) AS BIGINT) AS qv
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * ${Clustering.Scale})
+       |      AS BIGINT) AS qv
        |  FROM embeddings),
        |kinit AS (
        |  SELECT row_number() OVER (ORDER BY coord, vec_id) - 1 AS cid, vec_id
@@ -378,7 +426,7 @@ object CurationQueries {
   private def prIterSql(i: Int, prev: String): String =
     s"""pr$i AS (
        |  SELECT n.term AS u,
-       |    CAST($PrBase + (17 * coalesce(s.s, 0)) // 20 AS BIGINT) AS pr
+       |    CAST($PrBase + ($PrDampNum * coalesce(s.s, 0)) // $PrDampDen AS BIGINT) AS pr
        |  FROM voc n LEFT JOIN (
        |    SELECT e.v AS u2, sum(p.pr // d.deg) AS s
        |    FROM edges e JOIN $prev p ON p.u = e.u JOIN deg d ON d.u = e.u
@@ -393,7 +441,7 @@ object CurationQueries {
          |  FROM kc$KmUpdates GROUP BY cid),
          |kagg AS (
          |  SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
-         |    CAST(sum(d2 // $Micro) AS BIGINT) AS inertia_m
+         |    CAST(sum(d2 // ${Clustering.Scale}) AS BIGINT) AS inertia_m
          |  FROM ka_fin GROUP BY cid)
          |SELECT CAST(s.cid AS BIGINT) AS cluster_id,
          |  coalesce(a.n_points, 0) AS n_points,
@@ -480,6 +528,37 @@ object CurationQueries {
          |  min(file_id) AS first_file, max(file_id) AS last_file
          |FROM f GROUP BY 1, 2
          |ORDER BY source, group_id""".stripMargin,
+
+    "q154_cluster_sample" ->
+      s"""WITH $kmeansSql,
+         |sc AS (SELECT vec_id, cid, ${OpsQueries.coordSql("vec_id")} AS coord
+         |       FROM ka_fin),
+         |rk AS (SELECT cid, vec_id,
+         |         row_number() OVER (PARTITION BY cid ORDER BY coord, vec_id) AS rn
+         |       FROM sc)
+         |SELECT CAST(cid AS BIGINT) AS cluster_id, CAST(rn AS BIGINT) AS smp_rank,
+         |  vec_id
+         |FROM rk WHERE rn <= $SampleQuota
+         |ORDER BY cluster_id, smp_rank""".stripMargin,
+
+    // bucket on the UNSIGNED fold result: h % 64 of the HUGEINT equals
+    // Spark's pmod(signed, 64) — the low 6 bits are sign-agnostic
+    "q155_hash_featurize" ->
+      s"""WITH tokx AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tv AS (SELECT DISTINCT term FROM tokx),
+         |th AS (
+         |  SELECT term,
+         |    CAST(list_reduce(
+         |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+         |        list_transform(range(1, length(term) + 1),
+         |          i -> CAST(ascii(substr(term, i, 1)) AS HUGEINT))),
+         |      (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)
+         |      % $HashDim AS BIGINT) AS bucket
+         |  FROM tv)
+         |SELECT t.doc_id, h.bucket, CAST(count(*) AS BIGINT) AS cnt
+         |FROM tokx t JOIN th h USING (term)
+         |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
 
     "q151_pagerank" ->
       s"""WITH $coocSql,
