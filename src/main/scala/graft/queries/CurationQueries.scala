@@ -18,9 +18,9 @@ object CurationQueries {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** k-means model size (shared with the oracle chain below). */
-  private val KmK = 8
+  private[queries] val KmK = 8
   /** Lloyd update rounds (the oracle unrolls exactly this many). */
-  private val KmUpdates = 2
+  private[queries] val KmUpdates = 2
   /** Semantic-dedup quantization scale: floor(x·2^10) keeps 16·dot² and
     * n_a·n_b inside BIGINT for any |x| ≤ 16 (observed |x| < 0.6). */
   private val SemScale = 1024L
@@ -121,11 +121,11 @@ object CurationQueries {
     "q147_semantic_dedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val (asg, _) = Clustering.kmeans(emb, "vec_id", "embedding", KmK, KmUpdates)
-      val qv = emb.select(col("vec_id"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * SemScale).cast("long")).as("q"))
-        .select(col("vec_id"), col("q"),
-          aggregate(transform(col("q"), v => v * v), lit(0L), (a, v) => a + v).as("n2"))
+      // norms once per row, the pair dot via the NATIVE quant_dot kernel —
+      // the per-pair zip_with/aggregate HOF formulation is interpreted per
+      // ELEMENT and was the registry's slowest row (4.4 s vs 0.9 s native)
+      val qv = emb.select(col("vec_id"), col("embedding").as("q"),
+        graft.functions.IntQuant.quantNorm2(col("embedding"), SemScale).as("n2"))
       val members = asg.select(col("id").as("vec_id"), col("cid")).join(qv, Seq("vec_id"))
       val pairs = members.select(col("cid"), col("vec_id").as("a_id"),
           col("q").as("qa"), col("n2").as("na"))
@@ -133,8 +133,7 @@ object CurationQueries {
           col("q").as("qb"), col("n2").as("nb")), Seq("cid"))
         .where(col("a_id") < col("b_id"))
         .select(col("cid"), col("a_id"), col("b_id"),
-          aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-            lit(0L), (a, v) => a + v).as("dot"),
+          graft.functions.IntQuant.quantDot(col("qa"), col("qb"), SemScale).as("dot"),
           col("na"), col("nb"))
       val dups = pairs.where(col("dot") > 0 &&
         col("dot") * col("dot") * SemTauDen2 >= col("na") * col("nb"))
@@ -371,7 +370,7 @@ object CurationQueries {
   /** The full k-means chain: quantized dims → Mix64 init → KmUpdates
     * unrolled rounds → final assignment ka_fin under the final centroids
     * kc$KmUpdates. Shared by q146 and q147. */
-  private def kmeansSql: String = {
+  private[queries] def kmeansSql: String = {
     val iters = (1 to KmUpdates).map(i => kmIterSql(i, s"kc${i - 1}")).mkString(",\n")
     s"""kdv AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,

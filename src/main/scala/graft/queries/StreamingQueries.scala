@@ -726,6 +726,57 @@ object StreamingQueries {
           max(col("n")).as("n_events"))
         .select("event_type", "decay_micro", "n_events")
         .orderBy(col("decay_micro").desc, col("event_type"))
+    }),
+
+    // STREAMING CLUSTER ASSIGNMENT — the model-SERVING shape: the k-means
+    // model is trained in batch (Clustering.kmeans over the full
+    // embeddings table), its k×dim integer centroids are baked into a
+    // STATELESS per-row argmin expression (an array of (d2, cid) structs,
+    // array_min — ties to the lowest cid exactly like the batch kernel),
+    // and the stream's only stateful operator is one update-mode
+    // groupBy(cid) aggregation. Conservation is the strongest available:
+    // the expected per-cluster (count, id-sum) is the BATCH assignment of
+    // the same capped rows, so the green row certifies stream ≡ batch ≡
+    // SQL for the deployed model. At 100 TB the model is a broadcast
+    // artifact and the scoring is embarrassingly parallel — the exact
+    // online form of q146's offline assignment.
+    "q156_stream_cluster" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val (_, cents) = graft.similarity.Clustering.kmeans(
+        emb, "vec_id", "embedding", CurationQueries.KmK, CurationQueries.KmUpdates)
+      // cap by ROW (vec_id is unique): assignment is per-row pure
+      val capped = emb.where(replayFilter("vec_id"))
+      val rows = capped.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      require(rows.nonEmpty, s"q156_stream_cluster: no embeddings at $dir")
+      // expectation = the batch kernel's assignment of the same rows
+      val expect = graft.similarity.Clustering
+        .assign(graft.similarity.Clustering.quantized(capped, "vec_id", "embedding"), cents)
+        .groupBy("cid").agg(count(lit(1)).as("n"))
+        .collect().map(r => String.valueOf(r.getLong(0)) -> r.getLong(1)).toMap
+      val assignCid = {
+        val qcol = transform(col("embedding"),
+          x => floor(x.cast("double") * graft.similarity.Clustering.Scale).cast("long"))
+        val dists = cents.zipWithIndex.toSeq.map { case (cv, cid) =>
+          struct(
+            aggregate(zip_with(qcol, lit(cv), (x, c) => (x - c) * (x - c)),
+              lit(0L), (a, v) => a + v).as("d2"),
+            lit(cid.toLong).as("cid")) }
+        array_min(array(dists: _*)).getField("cid")
+      }
+      replay(s, "q156_cluster", "update", halves(rows),
+          sinkGroupMax("cid", "n", expect))(ds =>
+          ds.toDF("vec_id", "embedding")
+            .withColumn("cid", assignCid)
+            .groupBy("cid")
+            .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum")))
+        // n and id_sum are both non-decreasing across a group's updates,
+        // so per-group max IS the stream-end state (q94's selection shape)
+        .groupBy(col("cid"))
+        .agg(max(col("n")).as("n_assigned"), max(col("id_sum")).as("id_sum"))
+        .select(col("cid").as("cluster_id"), col("n_assigned"), col("id_sum"))
+        .orderBy("cluster_id")
     }))
 
   /** q50 and q92 share one oracle body: the batch gap-sessionization SQL is
@@ -752,6 +803,28 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     "q92_stream_sessionize" -> sessionizeSql(replayWhereSql("user_id")),
     "q50_sessionize" -> sessionizeSql(),
+
+    // the full k-means chain trains the model on ALL embeddings; the
+    // stream-side scoring replays as the kc-final assignment restricted
+    // to the replay cap's rows — stream ≡ batch ≡ SQL for the deployment
+    "q156_stream_cluster" ->
+      s"""WITH ${CurationQueries.kmeansSql},
+         |scap AS (SELECT vec_id FROM embeddings
+         |         WHERE ${replayWhereSql("vec_id")}),
+         |sd AS (
+         |  SELECT v.vec_id, c.cid, sum((v.qv - c.cq) * (v.qv - c.cq)) AS d2
+         |  FROM kdv v JOIN kc${CurationQueries.KmUpdates} c ON c.d = v.d
+         |  WHERE v.vec_id IN (SELECT vec_id FROM scap)
+         |  GROUP BY 1, 2),
+         |sa AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM sd) t WHERE rn = 1)
+         |SELECT CAST(cid AS BIGINT) AS cluster_id,
+         |  CAST(count(*) AS BIGINT) AS n_assigned,
+         |  CAST(sum(vec_id) AS BIGINT) AS id_sum
+         |FROM sa GROUP BY cid ORDER BY cluster_id""".stripMargin,
 
     // the fixed-range binning replayed relationally; the quantile estimate
     // is the right edge of the first bin whose cumulative count reaches
