@@ -14,8 +14,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * Bit-identical to `aggregate(zip_with(transform(a, floor(x·s)), ...))`:
   * quantization is Math.floor on the double-widened element, products and
   * sums wrap in 64-bit exactly like Column arithmetic under the documented
-  * |x| bounds. NULL on length mismatch (mirrors zip_with's null padding
-  * semantics never being hit — callers join same-dim corpora).
+  * |x| bounds. NULL on length mismatch AND on any NULL element — exactly
+  * the HOF formulation's propagation (a null element nulls the fold) and
+  * the DuckDB list twins'; parquet float arrays default to
+  * containsNull=true, so the guard is load-bearing, not defensive.
   */
 object IntQuant {
   def quantDot(a: Column, b: Column, scale: Long): Column =
@@ -36,6 +38,7 @@ object IntQuant {
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += Math.floor(x * scale).toLong * Math.floor(y * scale).toLong
@@ -44,17 +47,18 @@ object IntQuant {
     java.lang.Long.valueOf(acc)
   }
 
-  def norm2(a: ArrayData, aFloat: Boolean, scale: Long): Long = {
+  def norm2(a: ArrayData, aFloat: Boolean, scale: Long): Any = {
     val n = a.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val q = Math.floor(x * scale).toLong
       acc += q * q
       i += 1
     }
-    acc
+    java.lang.Long.valueOf(acc)
   }
 }
 
@@ -82,6 +86,7 @@ case class QuantDotExpr(left: Expression, right: Expression, scale: Long)
 case class QuantNorm2Expr(child: Expression, scale: Long)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true // null elements propagate
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     IntQuant.elemFloat(child.dataType) match {

@@ -22,7 +22,9 @@ object CurationQueries {
   /** Lloyd update rounds (the oracle unrolls exactly this many). */
   private[queries] val KmUpdates = 2
   /** Semantic-dedup quantization scale: floor(x·2^10) keeps 16·dot² and
-    * n_a·n_b inside BIGINT for any |x| ≤ 16 (observed |x| < 0.6). */
+    * n_a·n_b inside BIGINT while |x| ≲ 3.3 at dim 64 (16·(64·(s·x)²)² ≤
+    * 2^63 ⇒ |x| ≤ 3.36; observed corpus |x| < 0.6 — 5× headroom, and an
+    * over-range corpus fails LOUDLY under ANSI, never silently). */
   private val SemScale = 1024L
   /** Near-dup threshold τ = 1/4 (≈ +2σ for 64-dim near-random embeddings):
     * cos ≥ τ ⟺ dot > 0 ∧ 16·dot² ≥ n_a·n_b — integer-only, no sqrt. */
@@ -164,8 +166,11 @@ object CurationQueries {
       val bo = bigramsOf(docs, "doc_id")
       val c2 = bo.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
       val c1 = bo.groupBy("w1").agg(count(lit(1)).as("cnt1"))
+      // DECIMAL-widened numerator (q132 discipline): cnt2·2^20 overflows
+      // BIGINT past ~8.8e12 corpus bigrams; the quotient is ≤ 2^20
       val perDoc = bo.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-        .withColumn("cond_micro", expr(s"(cnt2 * ${Micro}L) div cnt1"))
+        .withColumn("cond_micro",
+          expr(s"(cast(cnt2 as decimal(38,0)) * ${Micro}L) div cnt1"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum(col("cond_micro")).as("s"))
       docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
@@ -186,8 +191,12 @@ object CurationQueries {
       val (_, cpair) = coocGraph(s, dir)
       val nDocs = t(s, dir, "documents").count() // parquet metadata count — no scan
       val w = Window.orderBy(col("lift_micro").desc, col("a"), col("b"))
+      // DECIMAL intermediates on BOTH sides of the division (the q132
+      // discipline): n_ab·N·2^20 overflows BIGINT past ~10^10 docs and
+      // n_a·n_b past ~3·10^9 each; the quotient is ≤ N·2^20 and casts back
       cpair.withColumn("lift_micro",
-          expr(s"(n_ab * ${nDocs}L * ${Micro}L) div (n_a * n_b)"))
+          expr(s"cast((cast(n_ab as decimal(38,0)) * ${nDocs}L * ${Micro}L)" +
+            s" div (cast(n_a as decimal(38,0)) * n_b) as bigint)"))
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= LiftTopK)
         .select(col("rnk").cast("long").as("rnk"), col("a"), col("b"),
@@ -321,7 +330,10 @@ object CurationQueries {
           Seq("source_b"))
         .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
           col("n_inter"),
-          expr(s"(n_inter * ${Micro}L) div (n_a + n_b - n_inter)").as("jaccard_micro"))
+          // DECIMAL-widened numerator: n_inter·2^20 overflows BIGINT past
+          // ~8.8e12 shared shingles (q132 discipline); quotient ≤ 2^20
+          expr(s"cast((cast(n_inter as decimal(38,0)) * ${Micro}L)" +
+            s" div (n_a + n_b - n_inter) as bigint)").as("jaccard_micro"))
         .orderBy("source_a", "source_b")
     }),
 
@@ -347,8 +359,9 @@ object CurationQueries {
     }))
 
   /** Unrolled Lloyd iteration i (CTE suffix i, previous centroids $prevC):
-    * assignment argmin by (d2, cid) → shifted floor-mean → coalesce empty
-    * cells to the previous centroid. Mirrors Clustering.assign/update. */
+    * assignment argmin by (d2, cid) → truncating integer mean (DuckDB //
+    * truncates toward zero exactly like Spark div) → coalesce empty cells
+    * to the previous centroid. Mirrors Clustering.assign/update. */
   private def kmIterSql(i: Int, prevC: String): String =
     s"""kd$i AS (
        |  SELECT v.vec_id, c.cid, sum((v.qv - c.cq) * (v.qv - c.cq)) AS d2
@@ -359,9 +372,7 @@ object CurationQueries {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
        |    FROM kd$i) t WHERE rn = 1),
        |km$i AS (
-       |  SELECT a.cid, v.d,
-       |    (sum(v.qv) + count(*) * ${Clustering.Shift}) // count(*)
-       |      - ${Clustering.Shift} AS mcq
+       |  SELECT a.cid, v.d, sum(v.qv) // count(*) AS mcq
        |  FROM ka$i a JOIN kdv v USING (vec_id) GROUP BY 1, 2),
        |kc$i AS (
        |  SELECT c.cid, c.d, CAST(coalesce(m.mcq, c.cq) AS BIGINT) AS cq
@@ -494,7 +505,8 @@ object CurationQueries {
          |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt2 FROM bo GROUP BY 1, 2),
          |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS cnt1 FROM bo GROUP BY 1),
          |sc AS (
-         |  SELECT bo.doc_id, (c2.cnt2 * $Micro) // c1.cnt1 AS cond_micro
+         |  SELECT bo.doc_id,
+         |    (CAST(c2.cnt2 AS HUGEINT) * $Micro) // c1.cnt1 AS cond_micro
          |  FROM bo JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
          |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |        CAST(sum(cond_micro) AS BIGINT) AS s FROM sc GROUP BY 1)
@@ -507,7 +519,8 @@ object CurationQueries {
       s"""WITH $coocSql,
          |lifted AS (
          |  SELECT a, b, n_a, n_b, n_ab,
-         |    (n_ab * (SELECT count(*) FROM documents) * $Micro) // (n_a * n_b) AS lift_micro
+         |    CAST((CAST(n_ab AS HUGEINT) * (SELECT count(*) FROM documents)
+         |      * $Micro) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS lift_micro
          |  FROM cpair)
          |SELECT CAST(rnk AS BIGINT) AS rnk, a, b, n_a, n_b, n_ab,
          |  CAST(lift_micro AS BIGINT) AS lift_micro
@@ -612,7 +625,8 @@ object CurationQueries {
          |    ON a.w1 = b.w1 AND a.w2 = b.w2 AND a.source < b.source
          |  GROUP BY 1, 2)
          |SELECT i.source_a, i.source_b, sa.sz AS n_a, sb.sz AS n_b, i.n_inter,
-         |  (i.n_inter * $Micro) // (sa.sz + sb.sz - i.n_inter) AS jaccard_micro
+         |  CAST((CAST(i.n_inter AS HUGEINT) * $Micro)
+         |    // (sa.sz + sb.sz - i.n_inter) AS BIGINT) AS jaccard_micro
          |FROM inter i
          |JOIN sz sa ON sa.source = i.source_a
          |JOIN sz sb ON sb.source = i.source_b

@@ -755,16 +755,8 @@ object StreamingQueries {
         .assign(graft.similarity.Clustering.quantized(capped, "vec_id", "embedding"), cents)
         .groupBy("cid").agg(count(lit(1)).as("n"))
         .collect().map(r => String.valueOf(r.getLong(0)) -> r.getLong(1)).toMap
-      val assignCid = {
-        val qcol = transform(col("embedding"),
-          x => floor(x.cast("double") * graft.similarity.Clustering.Scale).cast("long"))
-        val dists = cents.zipWithIndex.toSeq.map { case (cv, cid) =>
-          struct(
-            aggregate(zip_with(qcol, lit(cv), (x, c) => (x - c) * (x - c)),
-              lit(0L), (a, v) => a + v).as("d2"),
-            lit(cid.toLong).as("cid")) }
-        array_min(array(dists: _*)).getField("cid")
-      }
+      val assignCid =
+        graft.similarity.Clustering.assignExpr(col("embedding"), cents)
       replay(s, "q156_cluster", "update", halves(rows),
           sinkGroupMax("cid", "n", expect))(ds =>
           ds.toDF("vec_id", "embedding")

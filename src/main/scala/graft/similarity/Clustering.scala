@@ -19,13 +19,18 @@ import org.apache.spark.sql.types._
   *     index (broadcast hash join, ≤ k rows per dim) → partial integer L2
   *     per (id, cid) via map-side combine → argmin as min(struct(d2, cid))
   *     (ties → lowest cid, total order, no window needed).
-  *   - update = one groupBy(cid, d) over the assigned corpus; the floor-mean
-  *     is computed SHIFTED, (Σqv + n·2^31) div n − 2^31, so the operand is
-  *     provably non-negative and truncating (Spark `div`) and flooring
-  *     (DuckDB `//`) division agree. Clusters that lose every point keep
-  *     their previous centroid.
+  *   - update = one groupBy(cid, d) over the assigned corpus; the mean is
+  *     the plain truncating integer quotient Σqv div n — Spark's `div` and
+  *     DuckDB's `//` BOTH truncate toward zero (verified: -7//2 = -3 in
+  *     both), so the two engines agree on every sign with no shift and no
+  *     overflow at any corpus size (Σqv ≤ n·scale·|x| stays far under 2^63
+  *     where n·2^31 would not). Clusters that lose every point keep their
+  *     previous centroid.
   *
-  * At 100 TB: each pass is one scan + one shuffle of (cid, d) partials —
+  * At 100 TB: each round costs two scans of the quantized corpus — one
+  * under the assignment aggregate, one under the update join (a long-lived
+  * service persists the quantized form; re-derivation from columnar parquet
+  * is the cheaper default here) — plus one shuffle of (cid, d) partials,
   * k·dim groups, nothing skewed; the only driver state is the k×dim model,
   * same as any broadcast ML model. Reference analogue: none (the reference
   * has no clustering); this is the SemDeDup/curation prerequisite.
@@ -34,10 +39,6 @@ object Clustering {
 
   /** Quantization scale: floor(x·2^20) is exact in double for |x| < 2^32. */
   val Scale: Long = 1L << 20
-
-  /** Mean-shift: |qv| ≤ 2^31 must hold (true for any |x| < 2^11 at Scale);
-    * guarantees Σqv + n·Shift ≥ 0 so trunc-div == floor-div. */
-  val Shift: Long = 1L << 31
 
   /** Corpus exploded to the integer lattice: (id, d, qv). */
   def quantized(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
@@ -83,21 +84,37 @@ object Clustering {
       .select(col("id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
   }
 
-  /** One Lloyd update: floor-mean per (cid, d) over the assigned corpus,
-    * empty clusters keep their previous centroid. Bounded collect: ≤ k·dim
-    * rows (the model), never the corpus. */
+  /** One Lloyd update: truncating integer mean per (cid, d) over the
+    * assigned corpus, empty clusters keep their previous centroid. Bounded
+    * collect: ≤ k·dim rows (the model), never the corpus. */
   def update(qdf: DataFrame, assignment: DataFrame,
              prev: Array[Array[Long]]): Array[Array[Long]] = {
-    // `div` (not `/`): long division stays integral; shifted operand is
-    // non-negative so Spark's trunc-div equals DuckDB's floor-div
+    // `div` (not `/`): long division stays integral; Spark div and DuckDB
+    // // both truncate toward zero, so the mean replays sign-exactly
     val exact = assignment.select("id", "cid").join(qdf, Seq("id"))
       .groupBy(col("cid"), col("d"))
-      .agg(expr(s"(sum(qv) + count(1) * ${Shift}L) div count(1) - ${Shift}L").as("cq"))
+      .agg(expr("sum(qv) div count(1)").as("cq"))
     val next = prev.map(_.clone())
     exact.collect().foreach { r =>
       next(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2)
     }
     next
+  }
+
+  /** STATELESS per-row argmin under a driver-side model: the deployment
+    * form of [[assign]] (no join, no aggregation — an array of (d2, cid)
+    * structs folded by array_min, ties → lowest cid exactly like the
+    * grouped kernel). This is what a stream or a model-serving projection
+    * uses: the k×dim model rides the plan as literals. */
+  def assignExpr(vecCol: org.apache.spark.sql.Column,
+                 cents: Array[Array[Long]]): org.apache.spark.sql.Column = {
+    val qcol = transform(vecCol, x => floor(x.cast("double") * Scale).cast("long"))
+    val dists = cents.zipWithIndex.toSeq.map { case (cv, cid) =>
+      struct(
+        aggregate(zip_with(qcol, lit(cv), (x, c) => (x - c) * (x - c)),
+          lit(0L), (a, v) => a + v).as("d2"),
+        lit(cid.toLong).as("cid")) }
+    array_min(array(dists: _*)).getField("cid")
   }
 
   /** Full run: init → `updates` Lloyd rounds → final assignment under the

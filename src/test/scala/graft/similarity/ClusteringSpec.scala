@@ -45,9 +45,10 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
-  test("floor-mean matches Math.floorDiv on negative sums (shift discipline)") {
-    // one cluster, all points negative: the shifted integer mean must be
-    // the FLOOR of the exact mean, not the trunc-toward-zero value
+  test("integer mean truncates toward zero on negative sums (div ≡ //)") {
+    // one cluster, all points negative: the update mean must be the
+    // TRUNCATING quotient — the semantics Spark div and DuckDB // share
+    // on every sign (no shift needed, no n·2^31 overflow at any scale)
     val vecs = Seq(
       (0L, Array(-0.31f, -0.77f)),
       (1L, Array(-0.52f, -0.13f)),
@@ -59,7 +60,8 @@ class ClusteringSpec extends SparkSpec {
     val q = qdf.collect().map(r => (r.getLong(1), r.getLong(2)))
     for (d <- 0 until 2) {
       val vals = q.filter(_._1 == d).map(_._2)
-      assert(next(0)(d) == Math.floorDiv(vals.sum, vals.length),
+      assert(vals.sum < 0, s"dim $d must exercise the negative-sum path")
+      assert(next(0)(d) == vals.sum / vals.length, // JVM / truncates
         s"dim $d: got ${next(0)(d)}")
     }
   }
@@ -75,8 +77,21 @@ class ClusteringSpec extends SparkSpec {
     // identical vectors → assignment all to cid 0 (ties → lowest cid);
     // cid 1 keeps init
     assert(next(1).toSeq == init(1).toSeq)
-    val expected = Math.floorDiv(Math.floor(0.5 * Clustering.Scale).toLong * 4, 4)
+    val expected = Math.floor(0.5 * Clustering.Scale).toLong // mean of equals
     assert(next(0).toSeq == Seq(expected, expected))
+  }
+
+  test("assignExpr (stateless serving form) ≡ assign (grouped kernel)") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val (_, cents) = Clustering.kmeans(emb, "vec_id", "embedding", 4, 2)
+    val grouped = Clustering
+      .assign(Clustering.quantized(emb, "vec_id", "embedding"), cents)
+      .select(col("id"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val served = emb.select(col("vec_id"),
+        Clustering.assignExpr(col("embedding"), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served == grouped)
   }
 
   test("kmeans is deterministic across runs") {

@@ -719,4 +719,40 @@ class StreamsSpec extends SparkSpec {
       (1L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L),
       (2L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:00"), 1L)))
   }
+
+  test("streaming cluster assignment ≡ batch assignment (any slicing)") {
+    // the q156 serving shape: a batch-trained model scored row-by-row in a
+    // stream must land every vector in the same cell as the batch kernel,
+    // whatever the micro-batch boundaries (assignment is per-row pure; the
+    // only stateful op is the counting aggregation)
+    import graft.similarity.Clustering
+    val emb = spark.read.parquet(sf("embeddings"))
+    val (_, cents) = Clustering.kmeans(emb, "vec_id", "embedding", 4, 2)
+    val expected = Clustering
+      .assign(Clustering.quantized(emb, "vec_id", "embedding"), cents)
+      .groupBy("cid").agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val sq = mem.toDF().toDF("vec_id", "embedding")
+      .withColumn("cid", Clustering.assignExpr(col("embedding"), cents))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("clusters156").start()
+    // three micro-batches on arbitrary boundaries
+    Seq(rows.take(13), rows.slice(13, 37), rows.drop(37)).foreach { slice =>
+      mem.addData(slice: _*)
+      sq.processAllAvailable()
+    }
+    // n and id_sum are monotone per group: per-group max IS stream-end
+    val got = spark.table("clusters156")
+      .groupBy("cid").agg(max(col("n")).as("n"), max(col("id_sum")).as("id_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    sq.stop()
+    assert(got === expected)
+  }
 }
