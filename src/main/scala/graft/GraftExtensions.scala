@@ -21,7 +21,8 @@ import graft.functions._
   * w), sample_coord(key), text_stats(s), repetition_stats(s), zval(x, y),
   * kmv_distinct(key, k), bloom_build(key, bits, hashes),
   * bloom_might_contain(bitset, key, hashes), misra_gries(item, k),
-  * count_min(term, depth, width), hll(key).
+  * count_min(term, depth, width), hll(key), quant_dot(a, b, scale),
+  * quant_norm2(a, scale), hyperplane_proj_portable(vec, nDims, seed).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -90,7 +91,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => CountMinAgg(es(0), intLit(es(1), "depth"),
         intLit(es(2), "width")).toAggregateExpression()),
     ("hll", "hll(key) - HyperLogLog register array (aggregate, m=64)",
-      es => HllAgg(es.head).toAggregateExpression()))
+      es => HllAgg(es.head).toAggregateExpression()),
+    ("quant_dot", "quant_dot(a, b, scale) - integer dot of floor(x*scale)-quantized arrays",
+      es => QuantDotExpr(es(0), es(1), longLit(es(2), "scale"))),
+    ("quant_norm2", "quant_norm2(a, scale) - integer squared norm of the quantized array",
+      es => QuantNorm2Expr(es(0), longLit(es(1), "scale"))),
+    ("hyperplane_proj_portable", "hyperplane_proj_portable(vec, nDims, seed) - raw JL integer projections",
+      es => HyperplanePortableProj(es(0), intLit(es(1), "nDims"), longLit(es(2), "seed"))))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

@@ -33,13 +33,22 @@ object HyperplanePortable {
   def signature(vec: Column, nBits: Int, seed: Long): Column =
     toColumn(HyperplanePortableSig(toExpr(vec), nBits, seed))
 
+  /** The RAW integer projections ⟨q(v), r_j⟩ for j < nDims — the
+    * Johnson–Lindenstrauss dimensionality reduction this signature is the
+    * sign of. Same component/quantization chain, so the same DuckDB twin
+    * replays the projected vectors exactly. */
+  def projection(vec: Column, nDims: Int, seed: Long): Column =
+    toColumn(HyperplanePortableProj(toExpr(vec), nDims, seed))
+
   /** Signed top-32 bits of the mixed (seed, bit, dim) word. */
   def component(seed: Long, bit: Int, dim: Int): Long =
     Hyperplane.mix(seed ^ (bit.toLong << 32) ^ dim.toLong) >> 32
 
   def quant(x: Double): Long = math.floor(x * QuantScale).toLong
 
-  def compute(arr: ArrayData, isFloat: Boolean, nBits: Int, seed: Long): Long = {
+  /** All nDims integer dots of the quantized vector with the regenerated
+    * planes — shared inner loop of [[compute]] and the projection expr. */
+  def dots(arr: ArrayData, isFloat: Boolean, nDims: Int, seed: Long): Array[Long] = {
     val d = arr.numElements()
     val q = new Array[Long](d)
     var i = 0
@@ -48,16 +57,27 @@ object HyperplanePortable {
       q(i) = quant(x)
       i += 1
     }
-    var sig = 0L
+    val out = new Array[Long](nDims)
     var j = 0
-    while (j < nBits) {
+    while (j < nDims) {
       var dot = 0L
       i = 0
       while (i < d) {
         dot += q(i) * component(seed, j, i)
         i += 1
       }
-      if (dot >= 0) sig |= (1L << j)
+      out(j) = dot
+      j += 1
+    }
+    out
+  }
+
+  def compute(arr: ArrayData, isFloat: Boolean, nBits: Int, seed: Long): Long = {
+    val ds = dots(arr, isFloat, nBits, seed)
+    var sig = 0L
+    var j = 0
+    while (j < nBits) {
+      if (ds(j) >= 0) sig |= (1L << j)
       j += 1
     }
     sig
@@ -84,4 +104,27 @@ case class HyperplanePortableSig(child: Expression, nBits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): HyperplanePortableSig =
     copy(child = c)
   override def prettyName: String = "hyperplane_sig_portable"
+}
+
+case class HyperplanePortableProj(child: Expression, nDims: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(nDims >= 1, "nDims must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_proj_portable requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HyperplanePortable.dots(v.asInstanceOf[ArrayData], isFloat, nDims, seed))
+  override protected def withNewChildInternal(c: Expression): HyperplanePortableProj =
+    copy(child = c)
+  override def prettyName: String = "hyperplane_proj_portable"
 }

@@ -51,6 +51,8 @@ object CurationQueries {
   private val SampleQuota = 30
   /** q155 hashing-trick feature dimensionality. */
   private val HashDim = 64L
+  /** q157 coverage checkpoints (top-K vocabulary sizes). */
+  private val CoverageKs = Seq(10L, 100L, 1000L, 10000L)
 
   /** Word-bigram occurrences of `documents` keyed by `key` (doc_id or
     * source): the engine-wide split-on-' ' contract, one row per adjacent
@@ -241,6 +243,33 @@ object CurationQueries {
           pmod(graft.functions.RollingHash.rollingHash64(col("term")), lit(HashDim)))
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("doc_id", "bucket")),
+
+    // VOCABULARY COVERAGE CURVE — the tokenizer-sizing readout: what share
+    // of all token occurrences the top-K vocabulary covers, at K = 10 /
+    // 100 / 1k / 10k. The global frequency rank uses the engine's own
+    // scale-safe Ranking.globalRank (range partition + offsets — NO
+    // one-task window over the vocabulary, q119's shape); each term then
+    // joins every checkpoint level ≥ its rank via an exploded bounded
+    // array (q140's level-explode pattern, no theta join).
+    "q157_vocab_coverage" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+      val occ = tok.count() // one scan — the share denominator
+      val tf = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val ranked = graft.ops.Ranking.globalRank(tf, "rn",
+        col("cnt").desc, col("term"))
+      val levels = array(CoverageKs.map(lit): _*)
+      ranked.select(col("cnt"),
+          explode(filter(levels, k => k >= col("rn"))).as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_terms"), sum(col("cnt")).as("covered"))
+        .select(col("k"), col("n_terms"), col("covered"),
+          lit(occ).as("total_occurrences"),
+          // decimal-widened numerator (q132 discipline): covered·2^20
+          expr(s"cast((cast(covered as decimal(38,0)) * ${Micro}L)" +
+            s" div ${occ}L as bigint)").as("share_micro"))
+        .orderBy("k")
+    }),
 
     // PAGERANK over the co-occurrence graph (the iterative-graph-algorithm
     // family: q28's min-label propagation is reachability, this is mass
@@ -571,6 +600,24 @@ object CurationQueries {
          |SELECT t.doc_id, h.bucket, CAST(count(*) AS BIGINT) AS cnt
          |FROM tokx t JOIN th h USING (term)
          |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+
+    "q157_vocab_coverage" ->
+      s"""WITH tokx AS (
+         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM tokx GROUP BY term),
+         |rk AS (SELECT cnt,
+         |         row_number() OVER (ORDER BY cnt DESC, term) AS rn FROM tf),
+         |lv AS (
+         |  SELECT l.k, rk.cnt
+         |  FROM (VALUES ${CoverageKs.map(k => s"($k)").mkString(", ")}) l(k)
+         |  JOIN rk ON rk.rn <= l.k)
+         |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(cnt) AS BIGINT) AS covered,
+         |  CAST((SELECT count(*) FROM tokx) AS BIGINT) AS total_occurrences,
+         |  CAST((CAST(sum(cnt) AS HUGEINT) * $Micro)
+         |    // (SELECT count(*) FROM tokx) AS BIGINT) AS share_micro
+         |FROM lv GROUP BY k ORDER BY k""".stripMargin,
 
     "q151_pagerank" ->
       s"""WITH $coocSql,

@@ -261,6 +261,20 @@ object SimilarityQueries {
             .signature(col("embedding"), nBits = 32, seed = 42L).as("sig"))
         .orderBy("vec_id")),
 
+    // RANDOM PROJECTION (Johnson–Lindenstrauss): 64-dim embeddings → 16
+    // integer projections ⟨q(v), r_j⟩ — the dimensionality-reduction
+    // counterpart of q64's sign bits, same regenerated-plane chain
+    // (nothing materializes or ships; the projection is a stateless
+    // native expression, embarrassingly parallel at any scale). Exploded
+    // (vec_id, j, proj) rows so the DuckDB comp/dv twin compares exactly.
+    "q158_random_projection" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(graft.functions.HyperplanePortable
+            .projection(col("embedding"), nDims = 16, seed = 42L)).as(Seq("j", "proj")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("proj"))
+        .orderBy("vec_id", "j")),
+
     // RE-RANK RECALL/COST CURVE (the q140 pattern on the production
     // retrieval tier): one row per shortlist size — how big a candidate
     // cut buys how much recall@10. The ADC scan cost is level-independent
@@ -435,6 +449,20 @@ object SimilarityQueries {
     "q64_hyperplane_portable" ->
       s"""WITH $hyperplaneSigSql
          |SELECT vec_id, sig FROM hsig ORDER BY vec_id""".stripMargin,
+
+    // the first 16 planes of the same splitmix component chain, raw dots
+    "q158_random_projection" ->
+      s"""WITH rpcomp AS (
+         |  SELECT j, i, $splitmixSql
+         |  FROM range(0, 16) tj(j), range(0, 64) ti(i)),
+         |rpdv AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS q
+         |  FROM embeddings)
+         |SELECT d.vec_id, CAST(c.j AS BIGINT) AS j,
+         |  CAST(sum(d.q * c.comp) AS BIGINT) AS proj
+         |FROM rpdv d JOIN rpcomp c ON c.i = d.i
+         |GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin,
 
     // the portable signature chain banded 8×4 bits, candidates cosine-
     // verified at 0.4 (q24's margin note applies: ≥1e-5 to every pair at

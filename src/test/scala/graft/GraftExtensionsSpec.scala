@@ -26,7 +26,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
         |  sorted_jaccard(ngram_hashes(array('a','b','c'), 2),
         |                 ngram_hashes(array('a','b','c'), 2)) AS jacc,
-        |  hyperplane_sig(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), 16, 42L) AS hp
+        |  hyperplane_sig(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), 16, 42L) AS hp,
+        |  quant_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)), 2L) AS qd,
+        |  quant_norm2(array(CAST(1.5 AS FLOAT)), 2L) AS qn,
+        |  size(hyperplane_proj_portable(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), 16, 42L)) AS np
         |""".stripMargin).collect()(0)
     assert(row.getAs[String]("letters") == "ab")
     assert(row.getAs[Long]("sh") != 0L)
@@ -36,6 +40,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("cos") == 1.0)
     assert(row.getAs[Double]("jacc") == 1.0)
     assert(row.getAs[Long]("hp") != 0L)
+    // floor(1·2)·floor(3·2) + floor(2·2)·floor(4·2) = 12 + 32
+    assert(row.getAs[Long]("qd") == 44L)
+    assert(row.getAs[Long]("qn") == 9L) // floor(1.5·2)² = 9
+    assert(row.getAs[Int]("np") == 16)
   }
 
   test("portable-family and sampling functions callable from SQL") {
