@@ -53,6 +53,13 @@ object CurationQueries {
   private val HashDim = 64L
   /** q157 coverage checkpoints (top-K vocabulary sizes). */
   private val CoverageKs = Seq(10L, 100L, 1000L, 10000L)
+  /** q159 train/test split threshold (Mix64 coordinate < 2^31 ≈ 50%) and
+    * stupid-backoff discount 2/5 (= 0.4), shared with the oracle. */
+  private val LmTrainCap = 1L << 31
+  private val BackoffNum = 2L
+  private val BackoffDen = 5L
+  /** q160 seed set: vectors with vec_id below this keep their true label. */
+  private val SeedCap = 100L
 
   /** Word-bigram occurrences of `documents` keyed by `key` (doc_id or
     * source): the engine-wide split-on-' ' contract, one row per adjacent
@@ -68,6 +75,24 @@ object CurationQueries {
             slice(col("w"), lit(2), size(col("w")) - 1),
             (a, b) => struct(a.as("w1"), b.as("w2"))))).as("bg"))
       .select(col(key), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Word-trigram occurrences of `documents` keyed by `key` — the 3-gram
+    * sibling of [[bigramsOf]] (same size guard, < 3 tokens → no rows). */
+  private def trigramsOf(docs: DataFrame, key: String): DataFrame =
+    docs.select(col(key), split(col("text"), " ").as("w"))
+      .select(col(key),
+        explode(when(size(col("w")) < 3,
+            array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+          .otherwise(zip_with(
+            zip_with(
+              slice(col("w"), lit(1), size(col("w")) - 2),
+              slice(col("w"), lit(2), size(col("w")) - 2),
+              (a, b) => struct(a.as("w1"), b.as("w2"))),
+            slice(col("w"), lit(3), size(col("w")) - 2),
+            (p, c) => struct(p.getField("w1").as("w1"),
+              p.getField("w2").as("w2"), c.as("w3"))))).as("tg"))
+      .select(col(key), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
 
   /** Top-LiftVocab co-occurrence graph shared by q149/q151: doc-level
     * presence pairs among the vocabulary, support-filtered. Returns
@@ -366,6 +391,86 @@ object CurationQueries {
         .orderBy("source_a", "source_b")
     }),
 
+    // TRIGRAM STUPID-BACKOFF LM on a HELD-OUT split (the evaluation form
+    // of q148: scoring the training corpus with its own LM never exercises
+    // backoff — every observed trigram has count ≥ 1 — so the corpus is
+    // Mix64-split ~50/50, the LM trains on one half and scores the other,
+    // where unseen trigrams are real). Score per occurrence: trigram
+    // conditional if the train LM saw it, else 2/5 of the bigram
+    // conditional (stupid backoff), else 0 — all integer micro-units.
+    // Scale: four vocab-keyed LEFT equi-joins over count tables, all
+    // map-side combinable; the split is a pure row-key predicate.
+    "q159_backoff_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isTrain =
+        graft.functions.Mix64.sampleCoord(col("doc_id")) < LmTrainCap
+      val train = docs.where(isTrain)
+      val test = docs.where(!isTrain)
+      val tg = trigramsOf(train, "doc_id")
+      val c3 = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      val ctx3 = tg.groupBy("w1", "w2").agg(count(lit(1)).as("ctx3"))
+      val bo = bigramsOf(train, "doc_id")
+      val c2 = bo.groupBy("w1", "w2").agg(count(lit(1)).as("c2b"))
+      val ctx2 = bo.groupBy("w1").agg(count(lit(1)).as("ctx2"))
+      val scored = trigramsOf(test, "doc_id")
+        .join(c3, Seq("w1", "w2", "w3"), "left")
+        .join(ctx3, Seq("w1", "w2"), "left")
+        .join(c2.select(col("w1").as("w2"), col("w2").as("w3"), col("c2b")),
+          Seq("w2", "w3"), "left")
+        .join(ctx2.select(col("w1").as("w2"), col("ctx2")), Seq("w2"), "left")
+        .withColumn("sc", expr(
+          s"""CASE WHEN c3 IS NOT NULL
+             |  THEN (cast(c3 as decimal(38,0)) * ${Micro}L) div ctx3
+             |  WHEN c2b IS NOT NULL
+             |  THEN ($BackoffNum * ((cast(c2b as decimal(38,0)) * ${Micro}L)
+             |    div ctx2)) div $BackoffDen
+             |  ELSE 0L END""".stripMargin))
+        .withColumn("backed_off", col("c3").isNull)
+      val perDoc = scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          count(when(col("backed_off"), 1)).as("n_backoff"),
+          sum(col("sc")).as("ssum"))
+      test.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+          coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+          coalesce(expr("ssum div n_trigrams"), lit(0L)).as("lm_micro"))
+        .orderBy("doc_id")
+    }),
+
+    // CLUSTER-THEN-LABEL semi-supervised classification: k-means clusters,
+    // a seed set keeps its true label (vec_id < 100 — the "human-labeled
+    // slice"), every other member inherits the cluster's majority seed
+    // label (ties → lowest label, q106's max_by shape; seedless clusters
+    // stay unlabeled as -1). n_correct against the synthetic true labels
+    // makes propagation QUALITY a driver-tracked number, like q47/q113
+    // track recall. One aggregation per level — no joins beyond the
+    // k-bounded majority table.
+    "q160_cluster_label" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (asg, _) = Clustering.kmeans(emb, "vec_id", "embedding", KmK, KmUpdates)
+      val members = asg.select(col("id").as("vec_id"), col("cid"))
+        .join(emb.select(col("vec_id"), col("label").cast("long").as("label")),
+          Seq("vec_id"))
+      val seeds = members.where(col("vec_id") < SeedCap)
+      val maj = seeds.groupBy("cid", "label").agg(count(lit(1)).as("v"))
+        .groupBy("cid")
+        .agg(expr("max_by(struct(label, v), struct(v, -label))").as("m"))
+        .select(col("cid"), col("m.label").as("maj_label"))
+      val seedCnt = seeds.groupBy("cid").agg(count(lit(1)).as("n_seeds"))
+      members.where(col("vec_id") >= SeedCap)
+        .join(maj, Seq("cid"), "left")
+        .groupBy("cid")
+        .agg(max(coalesce(col("maj_label"), lit(-1L))).as("maj_label"),
+          count(lit(1)).as("n_unlabeled"),
+          count(when(col("label") === col("maj_label"), 1)).as("n_correct"))
+        .join(seedCnt, Seq("cid"), "left")
+        .select(col("cid").as("cluster_id"), col("maj_label"),
+          coalesce(col("n_seeds"), lit(0L)).as("n_seeds"),
+          col("n_unlabeled"), col("n_correct"))
+        .orderBy("cluster_id")
+    }),
+
     // SHARD COMPACTION PLANNER: next-fit bin-packing of per-source file
     // sequences into ~target-byte output groups via an exclusive running
     // sum (a file opens a new group only when the group is already full
@@ -436,11 +541,22 @@ object CurationQueries {
   /** Word-bigram occurrences keyed by `key` — the DuckDB twin of
     * [[bigramsOf]] (positions via generate_subscripts: this DuckDB build
     * rejects lateral column parameters in range()). */
-  private def bigramSql(key: String): String =
+  private def bigramSql(key: String, where: String = ""): String =
     s"""SELECT $key, w[i] AS w1, w[i + 1] AS w2 FROM (
        |    SELECT $key, w, generate_subscripts(w, 1) AS i FROM
-       |      (SELECT $key, string_split(text, ' ') AS w FROM documents) t0) t
+       |      (SELECT $key, string_split(text, ' ') AS w FROM documents$where) t0) t
        |  WHERE i < len(w)""".stripMargin
+
+  /** Word-trigram twin of [[trigramsOf]] (same subscript trick). */
+  private def trigramSql(key: String, where: String = ""): String =
+    s"""SELECT $key, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3 FROM (
+       |    SELECT $key, w, generate_subscripts(w, 1) AS i FROM
+       |      (SELECT $key, string_split(text, ' ') AS w FROM documents$where) t0) t
+       |  WHERE i + 1 < len(w)""".stripMargin
+
+  /** q159's train-split predicate on a documents alias prefix. */
+  private def lmTrainPred(key: String): String =
+    s"${OpsQueries.coordSql(key)} < $LmTrainCap"
 
   /** The co-occurrence graph chain shared by q149/q151 — twin of
     * [[coocGraph]]: tok → voc (top-LiftVocab by df) → vt → cpair
@@ -618,6 +734,69 @@ object CurationQueries {
          |  CAST((CAST(sum(cnt) AS HUGEINT) * $Micro)
          |    // (SELECT count(*) FROM tokx) AS BIGINT) AS share_micro
          |FROM lv GROUP BY k ORDER BY k""".stripMargin,
+
+    "q159_backoff_lm" ->
+      s"""WITH tg AS (
+         |  ${trigramSql("doc_id", s" WHERE ${lmTrainPred("doc_id")}")}),
+         |c3t AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+         |        FROM tg GROUP BY 1, 2, 3),
+         |ctx3t AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS ctx3
+         |          FROM tg GROUP BY 1, 2),
+         |bot AS (
+         |  ${bigramSql("doc_id", s" WHERE ${lmTrainPred("doc_id")}")}),
+         |c2t AS (SELECT w1 AS w2, w2 AS w3, CAST(count(*) AS BIGINT) AS c2b
+         |        FROM bot GROUP BY 1, 2),
+         |ctx2t AS (SELECT w1 AS w2, CAST(count(*) AS BIGINT) AS ctx2
+         |          FROM bot GROUP BY 1),
+         |tt AS (
+         |  ${trigramSql("doc_id", s" WHERE NOT (${lmTrainPred("doc_id")})")}),
+         |sc AS (
+         |  SELECT tt.doc_id,
+         |    CASE WHEN c3 IS NOT NULL
+         |      THEN CAST((CAST(c3 AS HUGEINT) * $Micro) // ctx3 AS BIGINT)
+         |      WHEN c2b IS NOT NULL
+         |      THEN CAST(($BackoffNum * ((CAST(c2b AS HUGEINT) * $Micro)
+         |        // ctx2)) // $BackoffDen AS BIGINT)
+         |      ELSE 0 END AS s,
+         |    CASE WHEN c3 IS NULL THEN 1 ELSE 0 END AS backed
+         |  FROM tt
+         |  LEFT JOIN c3t USING (w1, w2, w3)
+         |  LEFT JOIN ctx3t USING (w1, w2)
+         |  LEFT JOIN c2t USING (w2, w3)
+         |  LEFT JOIN ctx2t USING (w2)),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |        CAST(sum(backed) AS BIGINT) AS n_backoff,
+         |        CAST(sum(s) AS BIGINT) AS ssum
+         |       FROM sc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(pd.n_trigrams, 0) AS n_trigrams,
+         |  coalesce(pd.n_backoff, 0) AS n_backoff,
+         |  CAST(coalesce(pd.ssum // pd.n_trigrams, 0) AS BIGINT) AS lm_micro
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |WHERE NOT (${lmTrainPred("d.doc_id")})
+         |ORDER BY doc_id""".stripMargin,
+
+    "q160_cluster_label" ->
+      s"""WITH $kmeansSql,
+         |mem AS (SELECT k.vec_id, k.cid, CAST(e.label AS BIGINT) AS label
+         |        FROM ka_fin k JOIN embeddings e USING (vec_id)),
+         |sdl AS (SELECT * FROM mem WHERE vec_id < $SeedCap),
+         |vts AS (SELECT cid, label, count(*) AS v FROM sdl GROUP BY 1, 2),
+         |mj AS (SELECT cid, label AS maj_label FROM (
+         |        SELECT cid, label,
+         |          row_number() OVER (PARTITION BY cid ORDER BY v DESC, label) AS rn
+         |        FROM vts) t WHERE rn = 1),
+         |scnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_seeds
+         |         FROM sdl GROUP BY cid),
+         |un AS (SELECT m.cid, m.label, mj.maj_label
+         |       FROM mem m LEFT JOIN mj USING (cid)
+         |       WHERE m.vec_id >= $SeedCap)
+         |SELECT CAST(un.cid AS BIGINT) AS cluster_id,
+         |  CAST(max(coalesce(un.maj_label, -1)) AS BIGINT) AS maj_label,
+         |  CAST(coalesce(max(scnt.n_seeds), 0) AS BIGINT) AS n_seeds,
+         |  CAST(count(*) AS BIGINT) AS n_unlabeled,
+         |  CAST(count(*) FILTER (un.label = un.maj_label) AS BIGINT) AS n_correct
+         |FROM un LEFT JOIN scnt ON scnt.cid = un.cid
+         |GROUP BY un.cid ORDER BY cluster_id""".stripMargin,
 
     "q151_pagerank" ->
       s"""WITH $coocSql,

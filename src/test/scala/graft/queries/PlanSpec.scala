@@ -343,6 +343,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(800))
   }
 
+  test("q157 vocabulary coverage ranks WITHOUT a window operator (globalRank shape)") {
+    // the vocabulary rank must come from Ranking.globalRank (range
+    // partition + offsets), never an unpartitioned row_number — the
+    // vocabulary of a 100 TB corpus does not fit one task
+    val p = plan("q157_vocab_coverage")
+    assert(!p.contains("Window"), p.take(800))
+  }
+
   test("REGISTRY-WIDE: no cartesian or nested-loop join in any query plan " +
       "(q40 is the documented exact-baseline exception)") {
     // the blanket guard behind every per-query pin: a future registration
