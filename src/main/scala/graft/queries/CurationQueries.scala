@@ -60,12 +60,14 @@ object CurationQueries {
   private val BackoffDen = 5L
   /** q160 seed set: vectors with vec_id below this keep their true label. */
   private val SeedCap = 100L
+  /** q161: how many interleaved head positions the plan materializes. */
+  private val InterleaveTopK = 100L
 
   /** Word-bigram occurrences of `documents` keyed by `key` (doc_id or
     * source): the engine-wide split-on-' ' contract, one row per adjacent
     * token pair. The size guard matters — slice with a negative length
     * throws under ANSI; < 2 tokens means no bigrams. */
-  private def bigramsOf(docs: DataFrame, key: String): DataFrame =
+  private[queries] def bigramsOf(docs: DataFrame, key: String): DataFrame =
     docs.select(col(key), split(col("text"), " ").as("w"))
       .select(col(key),
         explode(when(size(col("w")) < 2,
@@ -78,7 +80,7 @@ object CurationQueries {
 
   /** Word-trigram occurrences of `documents` keyed by `key` — the 3-gram
     * sibling of [[bigramsOf]] (same size guard, < 3 tokens → no rows). */
-  private def trigramsOf(docs: DataFrame, key: String): DataFrame =
+  private[queries] def trigramsOf(docs: DataFrame, key: String): DataFrame =
     docs.select(col(key), split(col("text"), " ").as("w"))
       .select(col(key),
         explode(when(size(col("w")) < 3,
@@ -471,6 +473,33 @@ object CurationQueries {
         .orderBy("cluster_id")
     }),
 
+    // SOURCE-INTERLEAVED TRAINING ORDER: the mixture-faithful epoch plan —
+    // sources take strict turns (position = (rank_within_source − 1)·S +
+    // source_index), so any prefix of the order carries every source in
+    // its corpus proportion instead of whatever q143's global shuffle
+    // happens to deal first. Within-source order is the Mix64 coordinate
+    // (reproducible, layout-independent); the within-source rank is a
+    // PARTITIONED window (parallel by source), and the only unpartitioned
+    // window ranks the SOURCE DIMENSION (|S| rows — q03's bin shape).
+    // Positions where a short source has exhausted stay vacant by design
+    // (the plan's consumer compacts or re-deals the tail).
+    "q161_interleave_plan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("source"), col("doc_id"))
+      val srcIdx = docs.select("source").distinct()
+        .withColumn("src_idx",
+          row_number().over(Window.orderBy("source")).cast("long") - 1)
+      val nSrc = srcIdx.count() // dimension-sized
+      val w = Window.partitionBy("source").orderBy("coord", "doc_id")
+      docs
+        .withColumn("coord", graft.functions.Mix64.sampleCoord(col("doc_id")))
+        .withColumn("r", row_number().over(w).cast("long"))
+        .join(broadcast(srcIdx), Seq("source"))
+        .withColumn("pos", (col("r") - 1) * nSrc + col("src_idx") + 1)
+        .where(col("pos") <= InterleaveTopK)
+        .select(col("pos"), col("source"), col("doc_id"))
+        .orderBy("pos")
+    }),
+
     // SHARD COMPACTION PLANNER: next-fit bin-packing of per-source file
     // sequences into ~target-byte output groups via an exclusive running
     // sum (a file opens a new group only when the group is already full
@@ -734,6 +763,24 @@ object CurationQueries {
          |  CAST((CAST(sum(cnt) AS HUGEINT) * $Micro)
          |    // (SELECT count(*) FROM tokx) AS BIGINT) AS share_micro
          |FROM lv GROUP BY k ORDER BY k""".stripMargin,
+
+    "q161_interleave_plan" ->
+      s"""WITH si AS (
+         |  SELECT source,
+         |    row_number() OVER (ORDER BY source) - 1 AS src_idx
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |rk AS (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${OpsQueries.coordSql("doc_id")}, doc_id) AS r
+         |  FROM documents)
+         |SELECT CAST((rk.r - 1) * (SELECT count(*) FROM si) + si.src_idx + 1
+         |    AS BIGINT) AS pos,
+         |  rk.source, rk.doc_id
+         |FROM rk JOIN si USING (source)
+         |WHERE (rk.r - 1) * (SELECT count(*) FROM si) + si.src_idx + 1
+         |  <= $InterleaveTopK
+         |ORDER BY pos""".stripMargin,
 
     "q159_backoff_lm" ->
       s"""WITH tg AS (

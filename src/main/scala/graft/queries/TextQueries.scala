@@ -249,6 +249,55 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // CONTAMINATION REPORT — q75's join INVERTED to the benchmark's view:
+    // for each leaked benchmark 4-gram, how many corpus docs carry it,
+    // how many sources, and the worst offender (most docs, ties → lowest
+    // source). The ranked set is bounded by the BENCHMARK's gram count (a
+    // dimension, not the corpus), so the top-50 window is safe; the
+    // corpus-side work is q75's same broadcast semi-join shape.
+    "q162_contamination_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      val bench = d.where(col("source") === "src0")
+        .select(explode(wordGrams4(col("ws"))).as("gram")).distinct()
+      val gs = d.where(col("source") =!= "src0")
+        .select(col("source"), col("doc_id"),
+          explode(wordGrams4(col("ws"))).as("gram")).distinct()
+        .join(broadcast(bench), "gram")
+        .groupBy("gram", "source").agg(count(lit(1)).as("nd"))
+      val w = Window.orderBy(col("n_docs").desc, col("gram"))
+      gs.groupBy("gram")
+        .agg(sum(col("nd")).as("n_docs"),
+          count(lit(1)).as("n_sources"),
+          expr("min_by(struct(source, nd), struct(-nd, source))").as("top"))
+        .select(col("gram"), col("n_docs"), col("n_sources"),
+          col("top.source").as("top_source"), col("top.nd").as("top_docs"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 50)
+        .select("rnk", "gram", "n_docs", "n_sources", "top_source", "top_docs")
+        .orderBy("rnk")
+    }),
+
+    // CROSS-SOURCE DUPLICATION PRESSURE — the per-source planning view of
+    // exact dedup: how much of each source's content also lives elsewhere
+    // (cross-source hash collisions) vs repeats within the source itself.
+    // Decides which sources a cross-set dedup (q133) must reconcile
+    // BEFORE paying for it. One hash groupBy + a broadcast-sized hash
+    // dimension join; text never shuffles (q29's discipline: md5 only).
+    "q163_source_dup_pressure" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      val byHash = d.groupBy("h").agg(
+        countDistinct(col("source")).as("n_src"),
+        count(lit(1)).as("n_tot"))
+      d.join(byHash, Seq("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("n_src") > 1, 1)).as("n_cross_dup"),
+          count(when(col("n_tot") > 1 && col("n_src") === 1, 1)).as("n_within_dup"))
+        .orderBy("source")
+    }),
+
     // corpus HEAVY HITTERS: terms with ≥ 1% of total token mass, found as
     // sketch-prune + exact-verify. Pass 1 is a Misra–Gries aggregate
     // (bounded at k=200 counters per partial, O(1)/item): its candidate
@@ -904,6 +953,51 @@ object TextQueries {
         |FROM d LEFT JOIN hits h USING (doc_id)
         |WHERE d.source <> 'src0'
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q75's gram chain aggregated to the benchmark's view; min_by tie-break
+    // mirrored as row_number over (nd DESC, source)
+    "q162_contamination_report" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |bench AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 2),
+        |    i -> array_to_string(ws[i:i+3], ' '))) AS gram
+        |  FROM d WHERE source = 'src0'),
+        |gs AS (
+        |  SELECT gram, source, CAST(count(*) AS BIGINT) AS nd FROM (
+        |    SELECT DISTINCT c.source, c.doc_id, c.gram FROM (
+        |      SELECT source, doc_id, unnest(list_transform(range(1, len(ws) - 2),
+        |        i -> array_to_string(ws[i:i+3], ' '))) AS gram
+        |      FROM d WHERE source <> 'src0') c
+        |    JOIN bench USING (gram)) t
+        |  GROUP BY gram, source),
+        |agg AS (
+        |  SELECT gram, CAST(sum(nd) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_sources
+        |  FROM gs GROUP BY gram),
+        |top AS (
+        |  SELECT gram, source AS top_source, nd AS top_docs FROM (
+        |    SELECT gram, source, nd,
+        |      row_number() OVER (PARTITION BY gram ORDER BY nd DESC, source) AS rn
+        |    FROM gs) t WHERE rn = 1)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, gram, n_docs, n_sources,
+        |  top_source, top_docs
+        |FROM (
+        |  SELECT a.gram, a.n_docs, a.n_sources, tp.top_source, tp.top_docs,
+        |    row_number() OVER (ORDER BY a.n_docs DESC, a.gram) AS rnk
+        |  FROM agg a JOIN top tp USING (gram)) t
+        |WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
+
+    "q163_source_dup_pressure" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |bh AS (SELECT h, CAST(count(DISTINCT source) AS BIGINT) AS n_src,
+        |        CAST(count(*) AS BIGINT) AS n_tot
+        |       FROM d GROUP BY h)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (bh.n_src > 1) AS BIGINT) AS n_cross_dup,
+        |  CAST(count(*) FILTER (bh.n_tot > 1 AND bh.n_src = 1) AS BIGINT)
+        |    AS n_within_dup
+        |FROM d JOIN bh USING (h)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // the sketch prunes, the exact count decides — so the oracle is the
     // plain exact heavy-hitter SQL (integer threshold, one division)
