@@ -408,12 +408,16 @@ object CurationQueries {
         graft.functions.Mix64.sampleCoord(col("doc_id")) < LmTrainCap
       val train = docs.where(isTrain)
       val test = docs.where(!isTrain)
-      val tg = trigramsOf(train, "doc_id")
-      val c3 = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
-      val ctx3 = tg.groupBy("w1", "w2").agg(count(lit(1)).as("ctx3"))
-      val bo = bigramsOf(train, "doc_id")
-      val c2 = bo.groupBy("w1", "w2").agg(count(lit(1)).as("c2b"))
-      val ctx2 = bo.groupBy("w1").agg(count(lit(1)).as("ctx2"))
+      val c3 = trigramsOf(train, "doc_id")
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      // context totals as SECOND-STAGE aggregates over the count tables
+      // (Σ c3 per (w1,w2) ≡ context occurrences): a groupBy over the
+      // already-shuffled counts, not a second tokenize+explode of the
+      // train corpus — one expansion per n-gram order, not two
+      val ctx3 = c3.groupBy("w1", "w2").agg(sum(col("c3")).as("ctx3"))
+      val c2 = bigramsOf(train, "doc_id")
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c2b"))
+      val ctx2 = c2.groupBy("w1").agg(sum(col("c2b")).as("ctx2"))
       val scored = trigramsOf(test, "doc_id")
         .join(c3, Seq("w1", "w2", "w3"), "left")
         .join(ctx3, Seq("w1", "w2"), "left")
@@ -787,14 +791,14 @@ object CurationQueries {
          |  ${trigramSql("doc_id", s" WHERE ${lmTrainPred("doc_id")}")}),
          |c3t AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
          |        FROM tg GROUP BY 1, 2, 3),
-         |ctx3t AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS ctx3
-         |          FROM tg GROUP BY 1, 2),
+         |ctx3t AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS ctx3
+         |          FROM c3t GROUP BY 1, 2),
          |bot AS (
          |  ${bigramSql("doc_id", s" WHERE ${lmTrainPred("doc_id")}")}),
          |c2t AS (SELECT w1 AS w2, w2 AS w3, CAST(count(*) AS BIGINT) AS c2b
          |        FROM bot GROUP BY 1, 2),
-         |ctx2t AS (SELECT w1 AS w2, CAST(count(*) AS BIGINT) AS ctx2
-         |          FROM bot GROUP BY 1),
+         |ctx2t AS (SELECT w2, CAST(sum(c2b) AS BIGINT) AS ctx2
+         |          FROM c2t GROUP BY 1),
          |tt AS (
          |  ${trigramSql("doc_id", s" WHERE NOT (${lmTrainPred("doc_id")})")}),
          |sc AS (

@@ -282,8 +282,10 @@ object TextQueries {
     // exact dedup: how much of each source's content also lives elsewhere
     // (cross-source hash collisions) vs repeats within the source itself.
     // Decides which sources a cross-set dedup (q133) must reconcile
-    // BEFORE paying for it. One hash groupBy + a broadcast-sized hash
-    // dimension join; text never shuffles (q29's discipline: md5 only).
+    // BEFORE paying for it. One hash groupBy + a shuffle join on the
+    // hash key (byHash is corpus-scale — one row per distinct text);
+    // only 16-byte md5s ever ship (q29's text-never-shuffles discipline)
+    // and the OUTPUT is bounded by the source dimension.
     "q163_source_dup_pressure" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), md5(col("text")).as("h"))

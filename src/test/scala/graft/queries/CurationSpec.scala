@@ -52,22 +52,18 @@ class CurationSpec extends SparkSpec {
     assert(got == ref)
   }
 
-  test("compaction plan ≡ next-fit reference grouping on random sizes") {
-    // recompute the expected (source, group) partition in plain Scala:
-    // group = exclusive-prefix-sum div target; compare exactly
+  test("REGISTERED q150 ≡ next-fit reference grouping on random sizes") {
+    // drive the REGISTERED query over a synthetic documents table (temp
+    // parquet dir) so a refactor of the production window logic — not a
+    // copy of it — is what the reference grouping pins. Target = 2000
+    // (the query's CompactTarget constant).
     val target = 2000L
     val files = (0L until 200L).map(i =>
       (s"s${i % 5}", i, 1L + rnd.nextInt(900).toLong))
-    val df = files.toDF("source", "file_id", "bytes")
-      .withColumn("n_chars", col("bytes")).withColumn("doc_id", col("file_id"))
-    // drive the same logic the query uses, over this synthetic table
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("file_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val got = df.withColumn("prefix", coalesce(sum(col("bytes")).over(w), lit(0L)))
-      .withColumn("group_id", expr(s"prefix div ${target}L"))
-      .groupBy("source", "group_id")
-      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("group_bytes"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q150").toString
+    files.toDF("source", "doc_id", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationQueries.queries("q150_compaction_plan")(spark, dir)
       .collect().map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
       .toMap
     val ref = files.groupBy(_._1).flatMap { case (src, fs) =>
