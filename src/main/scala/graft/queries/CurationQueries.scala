@@ -62,6 +62,12 @@ object CurationQueries {
   private val SeedCap = 100L
   /** q161: how many interleaved head positions the plan materializes. */
   private val InterleaveTopK = 100L
+  /** q164: total sampling quota the temperature-scaled mix distributes. */
+  private val MixQuota = 10000L
+  /** q165: LM fluency gate (≥ keeps ~50-75% of the synthetic corpus — the
+    * cut must BITE at every SF) and the pipeline's total keep quota. */
+  private val LmGate = 35000L
+  private val CurationQuota = 100L
 
   /** Word-bigram occurrences of `documents` keyed by `key` (doc_id or
     * source): the engine-wide split-on-' ' contract, one row per adjacent
@@ -477,6 +483,90 @@ object CurationQueries {
         .orderBy("cluster_id")
     }),
 
+    // CURATION PIPELINE v2 — the round-9 layer COMPOSED into one plan
+    // (q91/q55's discipline over the new operators): exact dedup
+    // (keep-lowest-id per content hash, md5 only ships) → bigram-LM
+    // fluency gate at 35000 micro (the LM trains on the deduped corpus
+    // itself — q148's shape with derived context totals) → temperature
+    // quota per source over the survivors (q164's √share weights, total
+    // 100) → Mix64-ranked final keep within each source (q154's
+    // reproducible-prefix rule). Per-source funnel report with a kept-id
+    // checksum: every stage's count is driver-checked, so a regression in
+    // ANY composed operator reddens this one row.
+    "q165_curation_v2" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val keepIds = docs.select(col("doc_id"), md5(col("text")).as("h"))
+        .groupBy("h").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val deduped = docs.join(keepIds, Seq("doc_id"), "left_semi")
+      val bo = bigramsOf(deduped, "doc_id")
+      val c2 = bo.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+      val c1 = c2.groupBy("w1").agg(sum(col("cnt2")).as("cnt1"))
+      val lm = bo.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .withColumn("cond_micro",
+          expr(s"(cast(cnt2 as decimal(38,0)) * ${Micro}L) div cnt1"))
+        .groupBy("doc_id").agg(expr("sum(cond_micro) div count(1)").as("lm"))
+      // bigram-less docs fold to 0 and fail the gate — deliberate: a doc
+      // the LM cannot score is not fluent evidence
+      val gated = deduped.join(lm, Seq("doc_id"), "left")
+        .where(coalesce(col("lm"), lit(0L)) >= LmGate)
+        .select("doc_id", "source")
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val quotas = gated.groupBy("source").agg(count(lit(1)).as("n_gated"))
+        .withColumn("wm",
+          floor(sqrt(col("n_gated").cast("double")) * Micro).cast("long"))
+        .withColumn("tw", sum(col("wm")).over(wAll))
+        .withColumn("quota",
+          expr(s"cast((cast(wm as decimal(38,0)) * ${CurationQuota}L)" +
+            " div tw as bigint)"))
+        .select("source", "n_gated", "quota")
+      val wSrc = Window.partitionBy("source").orderBy("coord", "doc_id")
+      val fin = gated
+        .withColumn("coord", graft.functions.Mix64.sampleCoord(col("doc_id")))
+        .withColumn("r", row_number().over(wSrc).cast("long"))
+        .join(broadcast(quotas.select("source", "quota")), Seq("source"))
+        .where(col("r") <= col("quota"))
+      val start = docs.groupBy("source").agg(count(lit(1)).as("n_start"))
+      val dd = deduped.groupBy("source").agg(count(lit(1)).as("n_deduped"))
+      val fr = fin.groupBy("source").agg(count(lit(1)).as("n_final"),
+        sum(col("doc_id")).as("kept_id_sum"))
+      start.join(dd, Seq("source")).join(quotas, Seq("source"))
+        .join(fr, Seq("source"), "left")
+        .select(col("source"), col("n_start"), col("n_deduped"),
+          col("n_gated"), col("quota"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+        .orderBy("source")
+    }),
+
+    // TEMPERATURE-SCALED MIXTURE (α = 1/2): the multilingual-LM sampling
+    // recipe — source weights ∝ √share flatten the mix so head sources
+    // stop drowning the tail, and each source gets quota = w·Q div Σw.
+    // Portability of the one non-integer step: sqrt of an exact integer
+    // double is correctly rounded IEEE in BOTH engines, ·2^20 only shifts
+    // the exponent (exact), floor pins it — so weight_micro replays
+    // bit-for-bit. Totals come from an unbounded window over the SOURCE
+    // DIMENSION (|S| rows — q03's bin shape), never the corpus.
+    "q164_temperature_mix" -> ((s, dir) => {
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("weight_micro",
+          floor(sqrt(col("n_docs").cast("double")) * Micro).cast("long"))
+        .withColumn("total_docs", sum(col("n_docs")).over(wAll))
+        .withColumn("total_weight", sum(col("weight_micro")).over(wAll))
+        .select(col("source"), col("n_docs"),
+          expr(s"cast((cast(n_docs as decimal(38,0)) * ${Micro}L)" +
+            " div total_docs as bigint)").as("raw_share_micro"),
+          col("weight_micro"),
+          expr(s"cast((cast(weight_micro as decimal(38,0)) * ${Micro}L)" +
+            " div total_weight as bigint)").as("mix_share_micro"),
+          expr(s"cast((cast(weight_micro as decimal(38,0)) * ${MixQuota}L)" +
+            " div total_weight as bigint)").as("quota"))
+        .orderBy("source")
+    }),
+
     // SOURCE-INTERLEAVED TRAINING ORDER: the mixture-faithful epoch plan —
     // sources take strict turns (position = (rank_within_source − 1)·S +
     // source_index), so any prefix of the order carries every source in
@@ -574,10 +664,11 @@ object CurationQueries {
   /** Word-bigram occurrences keyed by `key` — the DuckDB twin of
     * [[bigramsOf]] (positions via generate_subscripts: this DuckDB build
     * rejects lateral column parameters in range()). */
-  private def bigramSql(key: String, where: String = ""): String =
+  private def bigramSql(key: String, where: String = "",
+                        from: String = "documents"): String =
     s"""SELECT $key, w[i] AS w1, w[i + 1] AS w2 FROM (
        |    SELECT $key, w, generate_subscripts(w, 1) AS i FROM
-       |      (SELECT $key, string_split(text, ' ') AS w FROM documents$where) t0) t
+       |      (SELECT $key, string_split(text, ' ') AS w FROM $from$where) t0) t
        |  WHERE i < len(w)""".stripMargin
 
   /** Word-trigram twin of [[trigramsOf]] (same subscript trick). */
@@ -767,6 +858,75 @@ object CurationQueries {
          |  CAST((CAST(sum(cnt) AS HUGEINT) * $Micro)
          |    // (SELECT count(*) FROM tokx) AS BIGINT) AS share_micro
          |FROM lv GROUP BY k ORDER BY k""".stripMargin,
+
+    "q165_curation_v2" ->
+      s"""WITH ddv AS (
+         |  SELECT d.doc_id, d.source, d.text FROM documents d
+         |  JOIN (SELECT min(doc_id) AS doc_id FROM
+         |         (SELECT doc_id, md5(text) AS h FROM documents) t0
+         |        GROUP BY h) k USING (doc_id)),
+         |bo2 AS (
+         |  ${bigramSql("doc_id", from = "ddv")}),
+         |c2x AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt2
+         |        FROM bo2 GROUP BY 1, 2),
+         |c1x AS (SELECT w1, CAST(sum(cnt2) AS BIGINT) AS cnt1
+         |        FROM c2x GROUP BY 1),
+         |lmx AS (
+         |  SELECT bo2.doc_id,
+         |    CAST(sum((CAST(cnt2 AS HUGEINT) * $Micro) // cnt1)
+         |      // count(*) AS BIGINT) AS lm
+         |  FROM bo2 JOIN c2x USING (w1, w2) JOIN c1x USING (w1)
+         |  GROUP BY 1),
+         |gt AS (SELECT ddv.doc_id, ddv.source
+         |       FROM ddv LEFT JOIN lmx USING (doc_id)
+         |       WHERE coalesce(lmx.lm, 0) >= $LmGate),
+         |ps2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_gated
+         |        FROM gt GROUP BY 1),
+         |wt2 AS (SELECT source, n_gated,
+         |         CAST(floor(sqrt(CAST(n_gated AS DOUBLE)) * $Micro) AS BIGINT) AS wm
+         |        FROM ps2),
+         |tw2 AS (SELECT CAST(sum(wm) AS BIGINT) AS tw FROM wt2),
+         |qt AS (SELECT source, n_gated,
+         |        CAST((CAST(wm AS HUGEINT) * $CurationQuota) // tw AS BIGINT) AS quota
+         |       FROM wt2, tw2),
+         |rk2 AS (SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY ${OpsQueries.coordSql("doc_id")}, doc_id) AS r
+         |        FROM gt),
+         |fin AS (SELECT rk2.source, rk2.doc_id
+         |        FROM rk2 JOIN qt USING (source) WHERE rk2.r <= qt.quota),
+         |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_start
+         |       FROM documents GROUP BY 1),
+         |dc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_deduped
+         |       FROM ddv GROUP BY 1),
+         |fr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_final,
+         |        CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+         |       FROM fin GROUP BY 1)
+         |SELECT st.source, st.n_start, dc.n_deduped, qt.n_gated, qt.quota,
+         |  coalesce(fr.n_final, 0) AS n_final,
+         |  coalesce(fr.kept_id_sum, 0) AS kept_id_sum
+         |FROM st JOIN dc USING (source) JOIN qt USING (source)
+         |LEFT JOIN fr USING (source)
+         |ORDER BY st.source""".stripMargin,
+
+    "q164_temperature_mix" ->
+      s"""WITH ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |           FROM documents GROUP BY source),
+         |wt AS (SELECT source, n_docs,
+         |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * $Micro) AS BIGINT)
+         |          AS weight_micro
+         |       FROM ps),
+         |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+         |        CAST(sum(weight_micro) AS BIGINT) AS tw FROM wt)
+         |SELECT wt.source, wt.n_docs,
+         |  CAST((CAST(n_docs AS HUGEINT) * $Micro) // tt.td AS BIGINT)
+         |    AS raw_share_micro,
+         |  wt.weight_micro,
+         |  CAST((CAST(weight_micro AS HUGEINT) * $Micro) // tt.tw AS BIGINT)
+         |    AS mix_share_micro,
+         |  CAST((CAST(weight_micro AS HUGEINT) * $MixQuota) // tt.tw AS BIGINT)
+         |    AS quota
+         |FROM wt, tt ORDER BY wt.source""".stripMargin,
 
     "q161_interleave_plan" ->
       s"""WITH si AS (
