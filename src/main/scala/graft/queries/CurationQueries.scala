@@ -68,6 +68,8 @@ object CurationQueries {
     * cut must BITE at every SF) and the pipeline's total keep quota. */
   private val LmGate = 35000L
   private val CurationQuota = 100L
+  /** q166: the high-precision comparison lattice (2^20 — q147 runs 2^10). */
+  private val SemScaleHi = 1048576L
 
   /** Word-bigram occurrences of `documents` keyed by `key` (doc_id or
     * source): the engine-wide split-on-' ' contract, one row per adjacent
@@ -185,6 +187,46 @@ object CurationQueries {
           coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
           coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
           (col("id_sum") - coalesce(col("dropped_id_sum"), lit(0L))).as("kept_id_sum"))
+        .orderBy("cluster_id")
+    }),
+
+    // SEMDEDUP QUANTIZATION-SENSITIVITY AUDIT — the approximation-quality
+    // row for the dedup threshold (q140/q142's discipline applied to
+    // q147): every within-cluster pair gets the τ = 1/4 verdict at BOTH
+    // lattices — q147's production 2^10 and a 16×-finer 2^20 (DECIMAL-
+    // widened: dot² at 2^20 exceeds BIGINT) — and the per-cluster flip
+    // count makes quantization error a DRIVER-TRACKED number instead of a
+    // comment's claim. Both lattices are exact integer arithmetic, so the
+    // audit itself replays bit-for-bit; flips are genuinely boundary
+    // pairs, not noise.
+    "q166_semdedup_sensitivity" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (asg, _) = Clustering.kmeans(emb, "vec_id", "embedding", KmK, KmUpdates)
+      val q = emb.select(col("vec_id"), col("embedding").as("e"),
+        graft.functions.IntQuant.quantNorm2(col("embedding"), SemScale).as("n2lo"),
+        graft.functions.IntQuant.quantNorm2(col("embedding"), SemScaleHi).as("n2hi"))
+      val members = asg.select(col("id").as("vec_id"), col("cid")).join(q, Seq("vec_id"))
+      val pairs = members.select(col("cid"), col("vec_id").as("a_id"),
+          col("e").as("ea"), col("n2lo").as("nalo"), col("n2hi").as("nahi"))
+        .join(members.select(col("cid"), col("vec_id").as("b_id"),
+          col("e").as("eb"), col("n2lo").as("nblo"), col("n2hi").as("nbhi")), Seq("cid"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("cid"),
+          graft.functions.IntQuant.quantDot(col("ea"), col("eb"), SemScale).as("dlo"),
+          graft.functions.IntQuant.quantDot(col("ea"), col("eb"), SemScaleHi).as("dhi"),
+          col("nalo"), col("nblo"), col("nahi"), col("nbhi"))
+        .withColumn("vlo",
+          col("dlo") > 0 && col("dlo") * col("dlo") * SemTauDen2 >= col("nalo") * col("nblo"))
+        .withColumn("vhi", col("dhi") > 0 &&
+          expr(s"$SemTauDen2 * cast(dhi as decimal(38,0)) * dhi" +
+            s" >= cast(nahi as decimal(38,0)) * nbhi"))
+      pairs.groupBy("cid")
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("vlo"), 1)).as("n_dup_lo"),
+          count(when(col("vhi"), 1)).as("n_dup_hi"),
+          count(when(col("vlo") =!= col("vhi"), 1)).as("n_flips"))
+        .select(col("cid").as("cluster_id"), col("n_pairs"),
+          col("n_dup_lo"), col("n_dup_hi"), col("n_flips"))
         .orderBy("cluster_id")
     }),
 
@@ -858,6 +900,53 @@ object CurationQueries {
          |  CAST((CAST(sum(cnt) AS HUGEINT) * $Micro)
          |    // (SELECT count(*) FROM tokx) AS BIGINT) AS share_micro
          |FROM lv GROUP BY k ORDER BY k""".stripMargin,
+
+    // one unnest carries the raw element; both lattices derive from it —
+    // no aligned-multi-unnest assumption. Pairs via q147's group-then-
+    // expand (the deep chain referenced once).
+    "q166_semdedup_sensitivity" ->
+      s"""WITH $kmeansSql,
+         |se0 AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |se2 AS (
+         |  SELECT vec_id, d,
+         |    CAST(floor(x * $SemScale) AS BIGINT) AS q10,
+         |    CAST(floor(x * $SemScaleHi) AS BIGINT) AS q20
+         |  FROM se0),
+         |sn2 AS (
+         |  SELECT vec_id, CAST(sum(q10 * q10) AS BIGINT) AS n10,
+         |    CAST(sum(q20 * q20) AS BIGINT) AS n20
+         |  FROM se2 GROUP BY 1),
+         |cg AS (SELECT cid, list(vec_id ORDER BY vec_id) AS vs FROM ka_fin GROUP BY cid),
+         |pl AS (
+         |  SELECT cid, flatten(list_transform(vs, a ->
+         |    list_transform(list_filter(vs, b -> b > a), b -> {'a': a, 'b': b}))) AS prs
+         |  FROM cg),
+         |cand AS (SELECT cid, p.a AS a_id, p.b AS b_id FROM pl, unnest(pl.prs) AS t(p)),
+         |dotc AS (
+         |  SELECT c.cid, c.a_id, c.b_id,
+         |    CAST(sum(ea.q10 * eb.q10) AS BIGINT) AS dlo,
+         |    CAST(sum(ea.q20 * eb.q20) AS BIGINT) AS dhi
+         |  FROM cand c
+         |  JOIN se2 ea ON ea.vec_id = c.a_id
+         |  JOIN se2 eb ON eb.vec_id = c.b_id AND eb.d = ea.d
+         |  GROUP BY 1, 2, 3),
+         |vd AS (
+         |  SELECT d.cid,
+         |    (d.dlo > 0 AND $SemTauDen2 * d.dlo * d.dlo >= a.n10 * b.n10) AS vlo,
+         |    (d.dhi > 0 AND $SemTauDen2 * CAST(d.dhi AS HUGEINT) * d.dhi
+         |       >= CAST(a.n20 AS HUGEINT) * b.n20) AS vhi
+         |  FROM dotc d
+         |  JOIN sn2 a ON a.vec_id = d.a_id
+         |  JOIN sn2 b ON b.vec_id = d.b_id)
+         |SELECT CAST(cid AS BIGINT) AS cluster_id,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(*) FILTER (vlo) AS BIGINT) AS n_dup_lo,
+         |  CAST(count(*) FILTER (vhi) AS BIGINT) AS n_dup_hi,
+         |  CAST(count(*) FILTER (vlo <> vhi) AS BIGINT) AS n_flips
+         |FROM vd GROUP BY cid ORDER BY cluster_id""".stripMargin,
 
     "q165_curation_v2" ->
       s"""WITH ddv AS (
