@@ -38,7 +38,12 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # --types-only: run ONLY the output-type guard over every oracle SQL
+    # (pairs with `graft.Verify <sf> <out> __oracle_only__`, which dumps the
+    # full registry's oracle_sql.json without executing any Spark queries).
+    types_only = "--types-only" in sys.argv
+    argv = [a for a in sys.argv if a != "--types-only"]
+    sf_dir, out_dir = argv[1], argv[2]
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
@@ -49,6 +54,24 @@ def main():
     for name, sql in sorted(oracle.items()):
         spark_dir = Path(out_dir) / name
         try:
+            # Type guard FIRST (round-10, VERDICT r9 "What's wrong #1"): the
+            # driver's hash is type-sensitive, but fetchall() canonicalization
+            # below is not — DuckDB HUGEINT and BIGINT both arrive as Python
+            # `int` and compare equal, so an un-cast sum()/`//` column passes
+            # locally yet reds the driver row (q99/q150, rounds 7-9). Ban the
+            # widened types outright so that class of red can never pass here.
+            rel = con.sql(sql)
+            banned = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                      if str(t) in ("HUGEINT", "UHUGEINT")
+                      or str(t).startswith("DECIMAL")]
+            if banned:
+                print(f"FAIL {name}: oracle output column(s) with driver-hash-"
+                      f"unsafe type (add CAST(... AS BIGINT/DOUBLE)): {banned}")
+                n_fail += 1
+                continue
+            if types_only:
+                print(f"OK   {name}: types {[str(t) for t in rel.types]}")
+                continue
             d = con.execute(sql)
             drows, dcols = d.fetchall(), [c[0] for c in d.description]
         except Exception as e:

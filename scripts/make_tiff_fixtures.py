@@ -54,6 +54,34 @@ def tiff_lzw_compress(data: bytes) -> bytes:
     return bytes(out)
 
 
+def packbits_compress(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits: literal runs (control 0..127 -> n+1 literals)
+    and replicate runs (control -1..-127 -> next byte repeated 1-n times).
+    Standard greedy encoder: replicate for runs >= 3, else literal."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(256 + (1 - run))  # -(run-1) as unsigned byte
+            out.append(data[i])
+            i += run
+        else:
+            lit0 = i
+            while i < n and i - lit0 < 128:
+                # stop a literal when a >=3 replicate run starts
+                if i + 2 < n and data[i] == data[i + 1] == data[i + 2]:
+                    break
+                i += 1
+            if i == lit0:  # at a replicate boundary immediately
+                i = lit0 + 1
+            out.append(i - lit0 - 1)
+            out += data[lit0:i]
+    return bytes(out)
+
+
 def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=None,
                compression=1, overlong_first_strip=False, truncate_lzw=False,
                raw_strip_bytes=False, tile_size=None, geo=None):
@@ -116,6 +144,12 @@ def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=No
             strips[0] = tiff_lzw_compress(b"".join(raw_strips))
         if truncate_lzw:
             strips[0] = strips[0][: max(2, len(strips[0]) // 3)]
+    elif compression == 32773 and not raw_strip_bytes:
+        strips = [packbits_compress(d) for d in raw_strips]
+        if overlong_first_strip:
+            strips[0] = packbits_compress(b"".join(raw_strips))
+        if truncate_lzw:  # reused flag: cut the PackBits stream mid-run
+            strips[0] = strips[0][: max(1, len(strips[0]) // 3)]
     else:
         strips = raw_strips
 
@@ -220,6 +254,24 @@ def main():
                truncate_lzw=True)
     write_tiff(out / "jpeg_unsupported.tif", 5, 6, grad, bits=8, compression=7,
                raw_strip_bytes=True)
+    # PackBits RLE variants (Compression=32773): a run-heavy image so both
+    # replicate and literal controls appear, every supported dtype, strips,
+    # tiles, and the two hostile shapes (over-long stream / truncated run)
+    runs = [(r // 2) * 9 % 251 if c < 3 else (r * 7 + c * 3) % 251
+            for r in range(6) for c in range(5)]
+    write_tiff(out / "packbits_one.tif", 5, 6, runs, bits=8, compression=32773)
+    write_tiff(out / "packbits_strips.tif", 5, 6, runs, bits=8,
+               rows_per_strip=2, compression=32773)
+    write_tiff(out / "packbits_be16.tif", 5, 6, [v * 100 for v in runs],
+               bits=16, little=False, compression=32773)
+    write_tiff(out / "packbits_f32.tif", 5, 6, [v / 4.0 for v in runs],
+               bits=32, fmt=3, compression=32773)
+    write_tiff(out / "packbits_tiled.tif", 5, 6, runs, bits=8,
+               compression=32773, tile_size=(4, 4))
+    write_tiff(out / "packbits_overlong.tif", 5, 6, runs, bits=8,
+               rows_per_strip=2, compression=32773, overlong_first_strip=True)
+    write_tiff(out / "packbits_truncated.tif", 5, 6, runs, bits=8,
+               compression=32773, truncate_lzw=True)
     # tiled organization (the COG layout): 4x4 tiles over 5x6 -> 2x2 tile
     # grid with padded edge tiles; uncompressed, deflate and LZW variants
     write_tiff(out / "tiled_plain.tif", 5, 6, grad, bits=8, tile_size=(4, 4))

@@ -8,8 +8,14 @@ object Verify {
     // optional 3rd arg (builder-side iteration only; the driver passes 2):
     // comma-separated query names to dump/oracle, e.g. "q56_asof_join"
     val Array(sfDir, outDir) = args.take(2)
-    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
-    def keep(name: String): Boolean = only.forall(_.contains(name))
+    // special 3rd arg "__oracle_only__": dump the FULL oracle_sql.json and
+    // run NO queries — feeds scripts/check_oracle.py's registry-wide output-
+    // type guard (HUGEINT/DECIMAL ban) without paying for a full verify.
+    val oracleOnly = args.lift(2).contains("__oracle_only__")
+    val only: Option[Set[String]] =
+      args.lift(2).filterNot(_ == "__oracle_only__").map(_.split(",").toSet)
+    def keep(name: String): Boolean = !oracleOnly && only.forall(_.contains(name))
+    def keepOracle(name: String): Boolean = oracleOnly || keep(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,7 +44,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+    val json = SparkEntry.oracleSql.filter(kv => keepOracle(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

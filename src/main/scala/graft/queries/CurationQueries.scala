@@ -845,7 +845,7 @@ object CurationQueries {
          |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
          |  FROM documents)
-         |SELECT source, prefix // $CompactTarget AS group_id,
+         |SELECT source, CAST(prefix // $CompactTarget AS BIGINT) AS group_id,
          |  CAST(count(*) AS BIGINT) AS n_files,
          |  CAST(sum(bytes) AS BIGINT) AS group_bytes,
          |  min(file_id) AS first_file, max(file_id) AS last_file

@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions.col
   * baseline TIFF, uncompressed (Compression=1), Deflate-compressed
   * (Compression=8 "Adobe deflate" / 32946 legacy deflate, zlib per strip),
   * LZW-compressed (Compression=5, TIFF 6.0 MSB-first variable-width
-  * codes with the historical early-change convention) or JPEG-compressed
+  * codes with the historical early-change convention), PackBits RLE
+  * (Compression=32773) or JPEG-compressed
   * (Compression=7 "new-style": every strip/tile a complete baseline
   * grayscale stream, shared tables via tag 347 — [[JpegDecoder]]),
   * organized as STRIPS or TILES (tags 322–325 — the Cloud-Optimized
@@ -46,8 +47,23 @@ object TiffDecoder {
 
   private val MaxPixels = 1 << 28 // 256M px ≈ 1 GiB of floats — sanity bound
 
+  /** JPEG-2000 magic: JP2 container signature box / raw codestream SOC.
+    * Real Sentinel-2 SAFE archives ship `.jp2` band files (the reference
+    * reads them through rasterio/GDAL, fct_data_extraction.py:22–26 after
+    * the gdalwarp preprocess at :196); a pure-JVM JP2 decoder is out of
+    * scope, so name the supported route loudly instead of "not a TIFF". */
+  private def isJp2(b: Array[Byte]): Boolean =
+    (b.length >= 12 && b(0) == 0 && b(1) == 0 && b(2) == 0 && b(3) == 0x0C &&
+      b(4) == 0x6A && b(5) == 0x50 && b(6) == 0x20 && b(7) == 0x20) ||
+    (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0x4F &&
+      (b(2) & 0xFF) == 0xFF && (b(3) & 0xFF) == 0x51)
+
   private def decodeUnsafe(bytes: Array[Byte]): Either[String, (Tiff, GeoMeta)] = {
     if (bytes.length < 8) return Left("too short")
+    if (isJp2(bytes))
+      return Left("JPEG-2000 input: convert to GeoTIFF first via the " +
+        "gdalwarp preprocess route (graft.raster.CropScript / O9) — " +
+        "pure-JVM decode covers the TIFF family only")
     val order = (bytes(0), bytes(1)) match {
       case (0x49, 0x49) => ByteOrder.LITTLE_ENDIAN
       case (0x4D, 0x4D) => ByteOrder.BIG_ENDIAN
@@ -160,16 +176,18 @@ object TiffDecoder {
     val deflated = compression == 8 || compression == 32946
     val lzw = compression == 5
     val jpeg = compression == 7 // new-style JPEG: each block a full stream
-    if (compression != 1 && !deflated && !lzw && !jpeg)
+    val packbits = compression == 32773 // Macintosh PackBits RLE
+    if (compression != 1 && !deflated && !lzw && !jpeg && !packbits)
       return Left(s"unsupported compression $compression")
     if (samples != 1) return Left(s"unsupported samples/pixel $samples")
     if (jpeg && bits != 8)
       return Left(s"JPEG compression requires 8 bits/sample, got $bits")
     val tiled = tileOffsets != null
     if (stripOffsets == null && !tiled) return Left("missing strip offsets")
-    if ((deflated || lzw || jpeg) && !tiled && stripCounts == null)
+    val compressed = deflated || lzw || jpeg || packbits
+    if (compressed && !tiled && stripCounts == null)
       return Left("compressed strips need byte counts")
-    if ((deflated || lzw || jpeg) && tiled && tileCounts == null)
+    if (compressed && tiled && tileCounts == null)
       return Left("compressed tiles need byte counts")
     if (tiled && (tileW <= 0 || tileH <= 0))
       return Left("tiled layout missing tile dimensions")
@@ -227,8 +245,10 @@ object TiffDecoder {
             else Right((px, 0, math.min(px.length, cap)))
           }
       }
-      else if (!deflated && !lzw) Right((bytes, sOff, sLen))
+      else if (!compressed) Right((bytes, sOff, sLen))
       else if (lzw) lzwDecode(bytes, sOff, sLen, cap, kind)
+        .map { case (tmp, n) => (tmp, 0, n) }
+      else if (packbits) packBitsDecode(bytes, sOff, sLen, cap, kind)
         .map { case (tmp, n) => (tmp, 0, n) }
       else {
         val tmp = new Array[Byte](cap)
@@ -330,6 +350,48 @@ object TiffDecoder {
     Right((Tiff(height, width, out),
       GeoMeta(geoPixelScale, geoTiepoints, geoTransform, geoKeys,
         geoDoubles, geoAscii)))
+  }
+
+  /** PackBits RLE block decode (Compression=32773, TIFF 6.0 §9): control
+    * byte n as SIGNED — 0..127 copies the next n+1 literal bytes,
+    * −1..−127 repeats the next byte 1−n times, −128 is a no-op. Output is
+    * capped at the block's expected byte size with the same rejection
+    * discipline as the deflate/LZW paths: an over-long or truncated stream
+    * fails THIS block loudly instead of shifting later pixel placement.
+    * The last common TIFF compression rasterio reads (ref
+    * fct_data_extraction.py:23–24) that this decoder previously rejected. */
+  private def packBitsDecode(src: Array[Byte], off: Int, len: Int, cap: Int,
+                             kind: String): Either[String, (Array[Byte], Int)] = {
+    val out = new Array[Byte](cap)
+    var outN = 0
+    var i = 0
+    while (i < len && outN < cap) {
+      val n = src(off + i).toInt // signed control byte
+      i += 1
+      if (n >= 0) { // literal run of n+1 bytes
+        val run = n + 1
+        if (i + run > len) return Left(s"truncated packbits $kind")
+        if (outN + run > cap)
+          return Left(s"packbits $kind decodes past its declared size")
+        System.arraycopy(src, off + i, out, outN, run)
+        outN += run; i += run
+      } else if (n != -128) { // replicate next byte 1-n times
+        if (i >= len) return Left(s"truncated packbits $kind")
+        val run = 1 - n
+        if (outN + run > cap)
+          return Left(s"packbits $kind decodes past its declared size")
+        java.util.Arrays.fill(out, outN, outN + run, src(off + i))
+        outN += run; i += 1
+      } // n == -128: no-op
+    }
+    // leftover INPUT with a full output buffer → the block lies about its
+    // length (same policy as the over-long deflate stream); trailing no-op
+    // controls are tolerated.
+    var j = i
+    while (j < len && src(off + j).toInt == -128) j += 1
+    if (j < len && outN >= cap)
+      return Left(s"packbits $kind decodes past its declared size")
+    Right((out, outN))
   }
 
   /** TIFF 6.0 LZW strip decode (Compression=5): MSB-first bit packing,

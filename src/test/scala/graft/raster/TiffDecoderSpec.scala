@@ -11,7 +11,7 @@ import graft.SparkSpec
   */
 class TiffDecoderSpec extends SparkSpec {
 
-  private val res = "src/test/resources/tiff"
+  private val res = "src/main/resources/tiff"
   private val grad: Array[Float] =
     Array.tabulate(6 * 5)(i => ((i / 5 * 7 + i % 5 * 3) % 251).toFloat)
 
@@ -234,6 +234,59 @@ class TiffDecoderSpec extends SparkSpec {
     val expect = for (r <- 0 until 48; c <- 0 until 48)
       yield ((r * 31 + c * 17 + (r * c) % 7) % 251).toFloat
     assert(t.pixels.toSeq == expect)
+  }
+
+  // PackBits (Compression=32773) fixtures use a run-heavy pattern so both
+  // replicate (-1..-127) and literal (0..127) control bytes appear:
+  // v(r,c) = ((r/2)*9) mod 251 for c<3 else (7r+3c) mod 251
+  private val runs: Array[Float] = Array.tabulate(6 * 5) { i =>
+    val r = i / 5; val c = i % 5
+    (if (c < 3) (r / 2) * 9 % 251 else (r * 7 + c * 3) % 251).toFloat
+  }
+
+  test("packbits: single-strip 8-bit") {
+    val Right(t) = decodeFile("packbits_one.tif")
+    assert((t.h, t.w) == (6, 5))
+    assert(t.pixels.toSeq == runs.toSeq)
+  }
+
+  test("packbits: multi-strip (each strip its own RLE stream)") {
+    val Right(t) = decodeFile("packbits_strips.tif")
+    assert(t.pixels.toSeq == runs.toSeq)
+  }
+
+  test("packbits: big-endian 16-bit samples") {
+    val Right(t) = decodeFile("packbits_be16.tif")
+    assert(t.pixels.toSeq == runs.map(_ * 100).toSeq)
+  }
+
+  test("packbits: float samples") {
+    val Right(t) = decodeFile("packbits_f32.tif")
+    assert(t.pixels.toSeq == runs.map(_ / 4.0f).toSeq)
+  }
+
+  test("packbits: tiled organization with edge padding discarded") {
+    val Right(t) = decodeFile("packbits_tiled.tif")
+    assert(t.pixels.toSeq == runs.toSeq)
+  }
+
+  test("packbits: a strip decoding past RowsPerStrip is rejected, not shifted") {
+    assert(decodeFile("packbits_overlong.tif") ==
+      Left("packbits strip decodes past its declared size"))
+  }
+
+  test("packbits: truncated stream is dropped, not thrown") {
+    assert(decodeFile("packbits_truncated.tif").isLeft)
+  }
+
+  test("jp2 input is rejected with the gdalwarp route named") {
+    val jp2Box = Array[Byte](0, 0, 0, 0x0C, 0x6A, 0x50, 0x20, 0x20,
+      0x0D, 0x0A, 0x87.toByte, 0x0A, 1, 2, 3)
+    val soc = Array[Byte](0xFF.toByte, 0x4F, 0xFF.toByte, 0x51, 0, 0, 0, 0)
+    for (b <- Seq(jp2Box, soc)) {
+      val Left(reason) = TiffDecoder.decode(b)
+      assert(reason.contains("gdalwarp"), reason)
+    }
   }
 
   test("rejects non-TIFF bytes with a reason") {

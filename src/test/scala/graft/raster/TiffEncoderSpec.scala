@@ -9,7 +9,7 @@ import graft.SparkSpec
   * must reproduce its grid (decoder-envelope idempotence). */
 class TiffEncoderSpec extends SparkSpec {
 
-  private val res = "src/test/resources/tiff"
+  private val res = "src/main/resources/tiff"
 
   test("encode → decode round-trips pixel-exact") {
     val px = Array.tabulate(7 * 11)(i => (i * 0.37f) - 3.5f)
