@@ -74,7 +74,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => SampleCoord(es.head)),
     ("repetition_stats", "repetition_stats(s) - word/distinct counts + top 2-/3-gram (Gopher repetition signals)",
       es => RepetitionStatsExpr(es.head)),
-    ("hyperplane_sig_portable", "hyperplane_sig_portable(vec, nBits, seed) - integer-quantized cosine-LSH signature",
+    ("hyperplane_sig_portable", "hyperplane_sig_portable(vec, nBits, seed) - integer-quantized cosine-LSH signature; NULL if vec or any element is NULL",
       es => HyperplanePortableSig(es(0), intLit(es(1), "nBits"), longLit(es(2), "seed"))),
     ("zval", "zval(x, y) - Morton/Z-order interleave of two 16-bit layout keys",
       es => ZValue(es(0), es(1))),
@@ -92,11 +92,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intLit(es(2), "width")).toAggregateExpression()),
     ("hll", "hll(key) - HyperLogLog register array (aggregate, m=64)",
       es => HllAgg(es.head).toAggregateExpression()),
-    ("quant_dot", "quant_dot(a, b, scale) - integer dot of floor(x*scale)-quantized arrays",
+    ("quant_dot", "quant_dot(a, b, scale) - integer dot of floor(x*scale)-quantized arrays; errors loudly on 64-bit overflow (ANSI-style)",
       es => QuantDotExpr(es(0), es(1), longLit(es(2), "scale"))),
-    ("quant_norm2", "quant_norm2(a, scale) - integer squared norm of the quantized array",
+    ("quant_norm2", "quant_norm2(a, scale) - integer squared norm of the quantized array; errors loudly on 64-bit overflow (ANSI-style)",
       es => QuantNorm2Expr(es(0), longLit(es(1), "scale"))),
-    ("hyperplane_proj_portable", "hyperplane_proj_portable(vec, nDims, seed) - raw JL integer projections",
+    ("hyperplane_proj_portable", "hyperplane_proj_portable(vec, nDims, seed) - raw JL integer projections; NULL if vec or any element is NULL",
       es => HyperplanePortableProj(es(0), intLit(es(1), "nDims"), longLit(es(2), "seed"))))
 
   override def apply(ext: SparkSessionExtensions): Unit =

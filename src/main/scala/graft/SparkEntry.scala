@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.TilingQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
       graft.queries.OpsQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.RasterQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.TilingQueries.oracle ++
       graft.queries.MultimodalQueries.oracle ++
       graft.queries.OpsQueries.oracle ++
-      graft.queries.CurationQueries.oracle
+      graft.queries.CurationQueries.oracle ++
+      graft.queries.RasterQueries.oracle
 }

@@ -47,12 +47,18 @@ object HyperplanePortable {
   def quant(x: Double): Long = math.floor(x * QuantScale).toLong
 
   /** All nDims integer dots of the quantized vector with the regenerated
-    * planes — shared inner loop of [[compute]] and the projection expr. */
+    * planes — shared inner loop of [[compute]] and the projection expr.
+    * Returns null on a NULL array ELEMENT (parquet arrays default
+    * containsNull=true): the quant_dot/quant_norm2 kernels call the same
+    * guard load-bearing — a silent treat-null-as-zero would hash a
+    * corrupt vector into a legitimate-looking bucket. Callers propagate
+    * the null (both expressions are nullable). */
   def dots(arr: ArrayData, isFloat: Boolean, nDims: Int, seed: Long): Array[Long] = {
     val d = arr.numElements()
     val q = new Array[Long](d)
     var i = 0
     while (i < d) {
+      if (arr.isNullAt(i)) return null
       val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       q(i) = quant(x)
       i += 1
@@ -72,8 +78,10 @@ object HyperplanePortable {
     out
   }
 
-  def compute(arr: ArrayData, isFloat: Boolean, nBits: Int, seed: Long): Long = {
+  /** null (not a signature) when the vector has a NULL element. */
+  def compute(arr: ArrayData, isFloat: Boolean, nBits: Int, seed: Long): java.lang.Long = {
     val ds = dots(arr, isFloat, nBits, seed)
+    if (ds == null) return null
     var sig = 0L
     var j = 0
     while (j < nBits) {
@@ -89,6 +97,8 @@ case class HyperplanePortableSig(child: Expression, nBits: Int, seed: Long)
   require(nBits >= 1 && nBits <= 64, "nBits must be in [1, 64]")
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  // nullable even over a non-null child: a NULL array ELEMENT propagates
+  override def nullable: Boolean = true
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -111,6 +121,8 @@ case class HyperplanePortableProj(child: Expression, nDims: Int, seed: Long)
   require(nDims >= 1, "nDims must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // nullable even over a non-null child: a NULL array ELEMENT propagates
+  override def nullable: Boolean = true
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -121,9 +133,11 @@ case class HyperplanePortableProj(child: Expression, nDims: Int, seed: Long)
     case other => TypeCheckResult.TypeCheckFailure(
       s"hyperplane_proj_portable requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
   }
-  override def nullSafeEval(v: Any): Any =
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      HyperplanePortable.dots(v.asInstanceOf[ArrayData], isFloat, nDims, seed))
+  override def nullSafeEval(v: Any): Any = {
+    val ds = HyperplanePortable.dots(v.asInstanceOf[ArrayData], isFloat, nDims, seed)
+    if (ds == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(ds)
+  }
   override protected def withNewChildInternal(c: Expression): HyperplanePortableProj =
     copy(child = c)
   override def prettyName: String = "hyperplane_proj_portable"

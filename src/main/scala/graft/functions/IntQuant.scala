@@ -12,9 +12,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * row instead of Spark's per-element interpreted zip_with/aggregate HOFs
   * (~100× on pair-join hot paths — the q147 semantic-dedup inner loop).
   * Bit-identical to `aggregate(zip_with(transform(a, floor(x·s)), ...))`:
-  * quantization is Math.floor on the double-widened element, products and
-  * sums wrap in 64-bit exactly like Column arithmetic under the documented
-  * |x| bounds. NULL on length mismatch AND on any NULL element — exactly
+  * quantization is Math.floor on the double-widened element; products and
+  * sums use multiplyExact/addExact, so an over-range input (user-supplied
+  * scale × extreme element) throws ArithmeticException LOUDLY — the same
+  * failure mode the HOF/Column formulation has under ANSI mode, instead of
+  * a silent 64-bit wrap (round-10 advice). Within the registry's
+  * documented |x|·scale bounds the two agree bit-for-bit.
+  * NULL on length mismatch AND on any NULL element — exactly
   * the HOF formulation's propagation (a null element nulls the fold) and
   * the DuckDB list twins'; parquet float arrays default to
   * containsNull=true, so the guard is load-bearing, not defensive.
@@ -31,6 +35,17 @@ object IntQuant {
     case _ => None
   }
 
+  /** floor(x·scale) with a loud range check: .toLong would SATURATE a
+    * beyond-Long double (and NaN → 0) — both silent corruption. */
+  private def quantExact(x: Double, scale: Long): Long = {
+    val f = Math.floor(x * scale)
+    // f must lie in [-2^63, 2^63); the first test also rejects NaN
+    if (!(f >= -9.223372036854776E18) || f >= 9.223372036854776E18)
+      throw new ArithmeticException(
+        s"quant overflow: floor($x * $scale) not representable as BIGINT")
+    f.toLong
+  }
+
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean,
           scale: Long): Any = {
     val n = a.numElements()
@@ -41,7 +56,8 @@ object IntQuant {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      acc += Math.floor(x * scale).toLong * Math.floor(y * scale).toLong
+      acc = Math.addExact(acc,
+        Math.multiplyExact(quantExact(x, scale), quantExact(y, scale)))
       i += 1
     }
     java.lang.Long.valueOf(acc)
@@ -54,8 +70,8 @@ object IntQuant {
     while (i < n) {
       if (a.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val q = Math.floor(x * scale).toLong
-      acc += q * q
+      val q = quantExact(x, scale)
+      acc = Math.addExact(acc, Math.multiplyExact(q, q))
       i += 1
     }
     java.lang.Long.valueOf(acc)

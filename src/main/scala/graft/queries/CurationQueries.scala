@@ -572,10 +572,16 @@ object CurationQueries {
       val dd = deduped.groupBy("source").agg(count(lit(1)).as("n_deduped"))
       val fr = fin.groupBy("source").agg(count(lit(1)).as("n_final"),
         sum(col("doc_id")).as("kept_id_sum"))
-      start.join(dd, Seq("source")).join(quotas, Seq("source"))
+      // LEFT joins from the `start` frame throughout (round-10 advice): a
+      // source whose every doc is deduped away or fails the LM gate must
+      // still appear in the funnel with zeros — the most-filtered sources
+      // are exactly the ones the report exists to surface.
+      start.join(dd, Seq("source"), "left").join(quotas, Seq("source"), "left")
         .join(fr, Seq("source"), "left")
-        .select(col("source"), col("n_start"), col("n_deduped"),
-          col("n_gated"), col("quota"),
+        .select(col("source"), col("n_start"),
+          coalesce(col("n_deduped"), lit(0L)).as("n_deduped"),
+          coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+          coalesce(col("quota"), lit(0L)).as("quota"),
           coalesce(col("n_final"), lit(0L)).as("n_final"),
           coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
         .orderBy("source")
@@ -991,10 +997,13 @@ object CurationQueries {
          |fr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_final,
          |        CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
          |       FROM fin GROUP BY 1)
-         |SELECT st.source, st.n_start, dc.n_deduped, qt.n_gated, qt.quota,
+         |SELECT st.source, st.n_start,
+         |  coalesce(dc.n_deduped, 0) AS n_deduped,
+         |  coalesce(qt.n_gated, 0) AS n_gated,
+         |  coalesce(qt.quota, 0) AS quota,
          |  coalesce(fr.n_final, 0) AS n_final,
          |  coalesce(fr.kept_id_sum, 0) AS kept_id_sum
-         |FROM st JOIN dc USING (source) JOIN qt USING (source)
+         |FROM st LEFT JOIN dc USING (source) LEFT JOIN qt USING (source)
          |LEFT JOIN fr USING (source)
          |ORDER BY st.source""".stripMargin,
 

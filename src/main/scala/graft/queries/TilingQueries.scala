@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.tiling.{PairRow, TileJobs}
+import graft.tiling.{PairRow, TileJobs, TileKernel}
 
 /** Tiling-operator queries. The sequential E3 kernels (greedy/shuffled
   * crop scans, q60/q61) are not SQL-expressible — driver records
@@ -76,8 +76,10 @@ object TilingQueries {
       tileSummary(TileJobs.tilePairs(syntheticPairs(s, 64),
         TileJobs.Config(batch = 6, scale = 3)).toDF())),
 
-    // O28 — the v1 column walk on the same synthetic set (scalable form),
-    // summarized as (n_pairs, n_tiles, md5 of sorted per-pair counts)
+    // O26 scalable mode over the same synthetic set (grid-snap overlap —
+    // the order-independent analogue of the sequential walks; the FAITHFUL
+    // O28 v1 walk is q168), summarized as (n_pairs, n_tiles, md5 of sorted
+    // per-pair counts)
     "q61_tiling_grid" -> ((s, _) =>
       TileJobs.tilePairs(syntheticPairs(s, 64),
           TileJobs.Config(batch = 6, scale = 3, mode = TileJobs.GridSnap))
@@ -95,6 +97,26 @@ object TilingQueries {
       tileSummary(TileJobs.tilePairs(syntheticPairs(s, 64),
         TileJobs.Config(batch = 6, scale = 3,
           mode = TileJobs.Shuffled(seed = 42L))).toDF())),
+
+    // O28 — the FAITHFUL v1 column-stride walk (v1_Landsat_class_operator
+    // .py:27–75) behind a driver row: one v1Walk kernel call per synthetic
+    // pair (size=8 → shifts 4,8,12,… land inside the 4–25 centerline
+    // band; abort-empty pairs — a column with no mask hit, or a border
+    // violation — contribute zero rows, faithfully). Golden (n, md5)
+    // summary over sorted (pair, tile, r, c, crc(hr)) rows — lr is empty
+    // in the v1 kernel, so it stays out of the hash.
+    "q168_v1_walk" -> ((s, _) => {
+      import s.implicits._
+      val rows = syntheticPairs(s, 64).flatMap { p =>
+        TileKernel.v1Walk(p.hr_pixels, p.n_bands, p.hr_h, p.hr_w,
+            p.mask_pixels, p.mask_h, p.mask_w, numberPairs = 5, size = 8)
+          .map(t => (p.pair_id, t.tileId, t.r, t.c, t.hr))
+      }.toDF("pair_id", "tile_id", "r", "c", "hr")
+      rows.select(concat_ws(",", col("pair_id"), col("tile_id"), col("r"),
+          col("c"), crc32(to_json(struct(col("hr"))))).as("row"))
+        .agg(count(lit(1)).as("n"),
+          md5(concat_ws(";", sort_array(collect_list(col("row"))))).as("md5"))
+    }),
 
     // O12 — border-validity filter (intended bounds) through the REAL
     // borderFilterDF join, candidates/mask dims derived arithmetically from
@@ -251,6 +273,11 @@ object TilingQueries {
         |  '7045738976ce58339134fe15eeb01a9f' AS md5""".stripMargin,
     "q136_tiling_shuffled" ->
       "SELECT CAST(1470 AS BIGINT) AS n, 'df4318efc0a3b5e6219debdd9196af81' AS md5",
+    // O28 faithful v1 walk: constant verified stable across local[4] and
+    // local[7] (sorted-summary shape); kernel parity vs numpy is pinned by
+    // TilingSpec F6/F7
+    "q168_v1_walk" ->
+      "SELECT CAST(180 AS BIGINT) AS n, '087182434f8ff70380db09bf38bbe686' AS md5",
 
     "q62_candidates_df" ->
       s"""WITH $CandCte

@@ -9,23 +9,41 @@ import org.apache.spark.sql.Dataset
   * to rasterio with the source file's profile (`kwargs = raster.meta` —
   * the output inherits the source's CRS and transform); this encoder emits
   * the exact envelope [[TiffDecoder]] reads — baseline TIFF, little-endian,
-  * uncompressed, one 32-bit float sample per pixel, single strip — and
+  * uncompressed, one sample per pixel (32-bit float by default; int16/uint16
+  * via [[SampleType]] for dtype-copying writes), single strip — and
   * writes the source's [[GeoMeta]] tags back verbatim, so
   * read→transform→write round-trips pixel-exactly AND keeps the output
   * georeferenced for GDAL/QGIS consumers, without GDAL.
   */
 object TiffEncoder {
 
+  /** Output sample type. The reference's `array2raster` copies the SOURCE
+    * dtype through `raster.meta` (fct_data_extraction.py:17–20) — rasters
+    * read as int16 write back as int16. F32 is this encoder's historical
+    * default (the reference pipeline only ever writes float arrays); I16/U16
+    * close the decode/encode asymmetry for int sources. Integer types
+    * require every pixel to be a whole number in range — a lossy write is a
+    * loud error, never a silent wrap (numpy would wrap; documented
+    * divergence in favor of correctness). */
+  sealed abstract class SampleType(val bits: Int, val fmtCode: Int)
+  case object F32 extends SampleType(32, 3)
+  case object I16 extends SampleType(16, 2)
+  case object U16 extends SampleType(16, 1)
+
   /** Encode a row-major float32 grid as a minimal baseline TIFF (no
     * georeferencing — the pixel-only envelope). */
   def encode(h: Int, w: Int, pixels: Array[Float]): Array[Byte] =
     encode(h, w, pixels, GeoMeta.empty)
 
+  def encode(h: Int, w: Int, pixels: Array[Float], meta: GeoMeta): Array[Byte] =
+    encode(h, w, pixels, meta, F32)
+
   /** [[encode]] carrying the source's georeferencing tags verbatim — the
     * write half of the reference's meta-copy (decode with
     * [[TiffDecoder.decodeWithMeta]]). With an empty meta the output is
     * byte-identical to the pixel-only form (golden-fixture stability). */
-  def encode(h: Int, w: Int, pixels: Array[Float], meta: GeoMeta): Array[Byte] = {
+  def encode(h: Int, w: Int, pixels: Array[Float], meta: GeoMeta,
+             sampleType: SampleType): Array[Byte] = {
     require(h > 0 && w > 0, s"bad dimensions ${w}x$h")
     require(pixels.length == h * w, s"pixels ${pixels.length} != $h*$w")
     // geo entries, ascending tag order (all above the base tags):
@@ -62,7 +80,8 @@ object TiffEncoder {
     val extraOff = ifdOff + ifdSize
     val extraLen = geoEntries.map(g => if (g._4.length > 4) g._4.length else 0).sum
     val dataOff = extraOff + extraLen
-    val dataLen = pixels.length * 4
+    val bytesPerPx = sampleType.bits / 8
+    val dataLen = pixels.length * bytesPerPx
     val bb = ByteBuffer.allocate(dataOff + dataLen).order(ByteOrder.LITTLE_ENDIAN)
     bb.put(0x49.toByte).put(0x49.toByte).putShort(42).putInt(ifdOff)
     bb.putShort(nEntries.toShort)
@@ -76,14 +95,14 @@ object TiffEncoder {
     }
     entry(256, 4, 1, w.toLong)
     entry(257, 4, 1, h.toLong)
-    entry(258, 3, 1, 32L) // bits per sample
+    entry(258, 3, 1, sampleType.bits.toLong) // bits per sample
     entry(259, 3, 1, 1L) // no compression
     entry(262, 3, 1, 1L) // BlackIsZero
     entry(273, 4, 1, dataOff.toLong) // strip offset
     entry(277, 3, 1, 1L) // samples per pixel
     entry(278, 4, 1, h.toLong) // rows per strip (single strip)
     entry(279, 4, 1, dataLen.toLong) // strip byte count
-    entry(339, 3, 1, 3L) // sample format: IEEE float
+    entry(339, 3, 1, sampleType.fmtCode.toLong) // sample format
     var extraCursor = extraOff
     geoEntries.foreach { case (tag, typ, count, payload) =>
       bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
@@ -100,7 +119,24 @@ object TiffEncoder {
     bb.putInt(0) // no next IFD
     bb.position(dataOff)
     var i = 0
-    while (i < pixels.length) { bb.putFloat(pixels(i)); i += 1 }
+    sampleType match {
+      case F32 =>
+        while (i < pixels.length) { bb.putFloat(pixels(i)); i += 1 }
+      case I16 =>
+        while (i < pixels.length) {
+          val v = pixels(i)
+          require(v == Math.rint(v) && v >= Short.MinValue && v <= Short.MaxValue,
+            s"pixel $i = $v not representable as int16 (lossy write refused)")
+          bb.putShort(v.toInt.toShort); i += 1
+        }
+      case U16 =>
+        while (i < pixels.length) {
+          val v = pixels(i)
+          require(v == Math.rint(v) && v >= 0 && v <= 0xFFFF,
+            s"pixel $i = $v not representable as uint16 (lossy write refused)")
+          bb.putShort(v.toInt.toShort); i += 1
+        }
+    }
     bb.array()
   }
 

@@ -108,13 +108,22 @@ object Clustering {
     * uses: the k×dim model rides the plan as literals. */
   def assignExpr(vecCol: org.apache.spark.sql.Column,
                  cents: Array[Array[Long]]): org.apache.spark.sql.Column = {
+    val dim = cents.head.length
     val qcol = transform(vecCol, x => floor(x.cast("double") * Scale).cast("long"))
     val dists = cents.zipWithIndex.toSeq.map { case (cv, cid) =>
       struct(
         aggregate(zip_with(qcol, lit(cv), (x, c) => (x - c) * (x - c)),
           lit(0L), (a, v) => a + v).as("d2"),
         lit(cid.toLong).as("cid")) }
-    array_min(array(dists: _*)).getField("cid")
+    // dimension guard (round-10 advice): zip_with null-pads a short/long
+    // vector, which would fold a NULL d2 into the argmin and assign a
+    // SILENT wrong cluster — while the batch path's equi-join on d computes
+    // a partial distance. Fail loudly instead: serving ≡ batch only holds
+    // for exactly model-dim inputs, so anything else is corrupt input.
+    when(size(vecCol) === dim, array_min(array(dists: _*)).getField("cid"))
+      .otherwise(raise_error(concat(
+        lit(s"assignExpr: vector dim "), size(vecCol),
+        lit(s" != model dim $dim"))))
   }
 
   /** Full run: init → `updates` Lloyd rounds → final assignment under the

@@ -91,6 +91,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(probe.getBoolean(0) && !probe.getBoolean(1))
   }
 
+  test("portable hyperplane kernels propagate NULL array elements (round-10 advice)") {
+    // a NULL element must null the result, not silently quantize to 0 —
+    // the quant_dot/quant_norm2 contract, now shared by sig/proj
+    val row = spark.sql(
+      """SELECT
+        |  hyperplane_sig_portable(array(CAST(0.3 AS FLOAT), CAST(NULL AS FLOAT)), 8, 7L) AS sig,
+        |  hyperplane_proj_portable(array(CAST(0.3 AS FLOAT), CAST(NULL AS FLOAT)), 4, 7L) AS proj
+        |""".stripMargin).collect()(0)
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
   test("SQL type errors are analysis-time and name the function") {
     val e = intercept[Exception](spark.sql("SELECT base26('not a number')").collect())
     assert(e.getMessage.toLowerCase.contains("base26") ||

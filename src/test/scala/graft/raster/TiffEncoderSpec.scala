@@ -43,6 +43,40 @@ class TiffEncoderSpec extends SparkSpec {
     assert(back.head.pixels.toSeq == (0 until 12).map(_.toFloat))
   }
 
+  test("int16 write-back: whole-number grid round-trips as int16") {
+    // dtype copy (ref fct_data_extraction.py:17-20): an int16 source decodes
+    // to whole-number floats; writing it back as I16 must round-trip exactly
+    // including negatives, and the re-read file must carry 16-bit samples
+    val px = Array.tabulate(5 * 6)(i => (i * 1103 % 65536 - 32768).toFloat)
+    val bytes = TiffEncoder.encode(5, 6, px, GeoMeta.empty, TiffEncoder.I16)
+    val Right(t) = TiffDecoder.decode(bytes)
+    assert((t.h, t.w) == (5, 6))
+    assert(t.pixels.toSeq == px.toSeq)
+    // bits/sample tag really is 16: the strip is half the float32 form's
+    assert(bytes.length ==
+      TiffEncoder.encode(5, 6, px.map(_ => 0.0f)).length - 5 * 6 * 2)
+  }
+
+  test("uint16 write-back round-trips, 16-bit fixture re-encodes exactly") {
+    val src = Files.readAllBytes(Paths.get(res, "scene_B03.be16.tif"))
+    val Right(t0) = TiffDecoder.decode(src) // 0..25000 gradient
+    val Right(t1) = TiffDecoder.decode(
+      TiffEncoder.encode(t0.h, t0.w, t0.pixels, GeoMeta.empty, TiffEncoder.U16))
+    assert(t1.pixels.toSeq == t0.pixels.toSeq)
+  }
+
+  test("int16 write-back refuses lossy grids loudly") {
+    for (bad <- Seq(0.5f, 40000.0f, -40000.0f, Float.NaN)) {
+      val px = Array(1.0f, bad, 3.0f, 4.0f)
+      assertThrows[IllegalArgumentException] {
+        TiffEncoder.encode(2, 2, px, GeoMeta.empty, TiffEncoder.I16)
+      }
+    }
+    assertThrows[IllegalArgumentException] { // negative under unsigned
+      TiffEncoder.encode(1, 2, Array(-1.0f, 2.0f), GeoMeta.empty, TiffEncoder.U16)
+    }
+  }
+
   test("geo meta: fixture tags decode verbatim and survive the round-trip") {
     val bytes = Files.readAllBytes(Paths.get(res, "scene_geo.f32.tif"))
     val Right((t0, m0)) = TiffDecoder.decodeWithMeta(bytes)

@@ -94,6 +94,26 @@ class ClusteringSpec extends SparkSpec {
     assert(served == grouped)
   }
 
+  test("assignExpr rejects dimension-mismatched vectors loudly") {
+    import spark.implicits._
+    val cents = Array(Array(0L, 0L), Array(Clustering.Scale, Clustering.Scale))
+    // model dim 2 vs a 3-dim and a 1-dim vector: zip_with would null-pad
+    // and silently misassign — the guard must raise instead
+    for (bad <- Seq(Seq(0.1f, 0.2f, 0.3f), Seq(0.1f))) {
+      val ex = intercept[Exception] {
+        Seq(bad).toDF("embedding")
+          .select(Clustering.assignExpr(col("embedding"), cents).as("cid"))
+          .collect()
+      }
+      assert(ex.getMessage.contains("model dim 2"), ex.getMessage)
+    }
+    // exact-dim vectors still serve
+    val ok = Seq(Seq(0.9f, 0.9f)).toDF("embedding")
+      .select(Clustering.assignExpr(col("embedding"), cents).as("cid"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ok == Seq(1L))
+  }
+
   test("kmeans is deterministic across runs") {
     val emb = spark.read.parquet(sf("embeddings"))
     val (a1, c1) = Clustering.kmeans(emb, "vec_id", "embedding", 4, 2)

@@ -43,4 +43,24 @@ class IntQuantSpec extends SparkSpec {
     val r = df.select(IntQuant.quantDot(col("a"), col("b"), 1024L).as("d")).collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("over-range inputs error loudly instead of wrapping (round-10 advice)") {
+    // q ≈ 3e18 fits a Long but q·q overflows 64 bits: the kernel must
+    // throw (the ANSI Column formulation's failure mode), not return a
+    // silently wrapped value
+    val big = Array(3.0e15f, 1.0f)
+    val df = Seq((big, big)).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(IntQuant.quantDot(col("a"), col("b"), 1024L).as("d")).collect()
+    }
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("overflow") || msg.contains("quant overflow"), msg)
+    // quantization itself beyond Long range (would otherwise SATURATE)
+    val ex2 = intercept[Exception] {
+      Seq(Array(1.0e19f)).toDF("a")
+        .select(IntQuant.quantNorm2(col("a"), 1024L).as("n")).collect()
+    }
+    val msg2 = ex2.getMessage + Option(ex2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("quant overflow"), msg2)
+  }
 }
