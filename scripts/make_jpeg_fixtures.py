@@ -118,6 +118,63 @@ def idct_dequant(coeffs, quant):
     return out
 
 
+# K.3.3.2 typical chrominance tables (exercise the multi-table paths)
+CHROMA_DC_BITS = [0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+CHROMA_DC_VALS = list(range(12))
+CHROMA_AC_BITS = [0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+CHROMA_AC_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+# Annex K.2 chrominance quantization (quality ~50), NATURAL order
+CHROMA_QUANT = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99]
+
+# YCbCr <-> RGB constants: plain decimal literals — Python float() and
+# Java Double.parseDouble are both correctly-rounded, so the Scala decoder
+# parses THE SAME doubles (the hex-pinning trick is unnecessary here)
+CR_R, CB_G, CR_G, CB_B = 1.402, 0.344136, 0.714136, 1.772
+
+
+def rgb_to_ycbcr(r, g, b):
+    """Encoder-side forward transform (rounding baked into the bitstream —
+    need not match any decoder)."""
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else int(math.floor(v + 0.5)))
+    return clamp(y), clamp(cb), clamp(cr)
+
+
+def ycbcr_to_rgb_model(y, cb, cr):
+    """The DECODER MODEL transform the Scala decoder mirrors exactly:
+    double arithmetic in THIS order, floor(v+0.5), clamp."""
+    r = y + CR_R * (cr - 128.0)
+    g = y - CB_G * (cb - 128.0) - CR_G * (cr - 128.0)
+    b = y + CB_B * (cb - 128.0)
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else int(math.floor(v + 0.5)))
+    return clamp(r), clamp(g), clamp(b)
+
+
 # ------------------------------------------------------------- huffman enc
 
 def build_enc_table(bits, vals):
@@ -280,6 +337,185 @@ def jpeg_tables_stream(quant):
     return b"\xFF\xD8" + dqt_seg(quant) + dht_segs() + b"\xFF\xD9"
 
 
+# --------------------------------------------------------------- color
+
+def dqt_seg_id(quant, tid):
+    return seg(0xDB, bytes([tid] + [quant[ZIGZAG[k]] for k in range(64)]))
+
+
+def dht_segs_color():
+    segs = b""
+    for cls, tid, bits, vals in [
+            (0, 0, STD_DC_BITS, STD_DC_VALS), (1, 0, STD_AC_BITS, STD_AC_VALS),
+            (0, 1, CHROMA_DC_BITS, CHROMA_DC_VALS),
+            (1, 1, CHROMA_AC_BITS, CHROMA_AC_VALS)]:
+        segs += seg(0xC4, bytes([(cls << 4) | tid] + bits[1:] + vals))
+    return segs
+
+
+def encode_color_jpeg(rgb, w, h, hs, vs, dri=0):
+    """rgb: row-major list of (r,g,b). (hs,vs) = luma sampling factors
+    ((1,1)=4:4:4, (2,1)=4:2:2, (2,2)=4:2:0); chroma is 1x1. Y uses the
+    luminance tables (quant id 0, huff id 0), Cb/Cr the chrominance ones
+    (id 1). Returns (jpeg_bytes, expected_rgb) where expected_rgb is the
+    DECODER MODEL's interleaved (r,g,b) output: per-block idct_dequant,
+    chroma upsample by pixel REPLICATION (sample at (y//vs, x//hs)), then
+    ycbcr_to_rgb_model per pixel."""
+    yp = [0] * (w * h)
+    cbf = [0] * (w * h)
+    crf = [0] * (w * h)
+    for i, (r, g, b) in enumerate(rgb):
+        yp[i], cbf[i], crf[i] = rgb_to_ycbcr(r, g, b)
+    # chroma subsample: box average over the hs x vs cover (edge-clamped)
+    cw, ch = (w + hs - 1) // hs, (h + vs - 1) // vs
+    cb = [0] * (cw * ch)
+    cr = [0] * (cw * ch)
+    for cy in range(ch):
+        for cx in range(cw):
+            sb = sr = n = 0
+            for dy in range(vs):
+                for dx in range(hs):
+                    yy, xx = cy * vs + dy, cx * hs + dx
+                    if yy < h and xx < w:
+                        sb += cbf[yy * w + xx]
+                        sr += crf[yy * w + xx]
+                        n += 1
+            cb[cy * cw + cx] = int(math.floor(sb / n + 0.5))
+            cr[cy * cw + cx] = int(math.floor(sr / n + 0.5))
+    mcux = (w + 8 * hs - 1) // (8 * hs)
+    mcuy = (h + 8 * vs - 1) // (8 * vs)
+
+    def block(plane, pw, ph, bx, by):
+        return [plane[min(by * 8 + y, ph - 1) * pw + min(bx * 8 + x, pw - 1)]
+                for y in range(8) for x in range(8)]
+
+    # interleaved MCU encode with per-component predictors
+    luma_dc = build_enc_table(STD_DC_BITS, STD_DC_VALS)
+    luma_ac = build_enc_table(STD_AC_BITS, STD_AC_VALS)
+    chroma_dc = build_enc_table(CHROMA_DC_BITS, CHROMA_DC_VALS)
+    chroma_ac = build_enc_table(CHROMA_AC_BITS, CHROMA_AC_VALS)
+    comps = [  # (plane, pw, ph, hi, vi, quant, dc_t, ac_t)
+        (yp, w, h, hs, vs, STD_QUANT_ZZ, luma_dc, luma_ac),
+        (cb, cw, ch, 1, 1, CHROMA_QUANT, chroma_dc, chroma_ac),
+        (cr, cw, ch, 1, 1, CHROMA_QUANT, chroma_dc, chroma_ac)]
+    bw_ = BitWriter()
+    preds = [0, 0, 0]
+    dec_planes = [[0] * (mcux * 8 * hs * mcuy * 8 * vs),
+                  [0] * (mcux * 8 * mcuy * 8), [0] * (mcux * 8 * mcuy * 8)]
+    rst = 0
+    for mi in range(mcuy * mcux):
+        if dri and mi > 0 and mi % dri == 0:
+            bw_.pad_to_byte()
+            bw_.out.append(0xFF)
+            bw_.out.append(0xD0 + (rst % 8))
+            rst += 1
+            preds = [0, 0, 0]
+        my, mx = mi // mcux, mi % mcux
+        for ci, (plane, pw, ph, hi, vi, quant, dc_t, ac_t) in enumerate(comps):
+            for by in range(vi):
+                for bx in range(hi):
+                    blk = fdct_quant(
+                        block(plane, pw, ph, mx * hi + bx, my * vi + by), quant)
+                    # DC
+                    diff = blk[0] - preds[ci]
+                    preds[ci] = blk[0]
+                    n, bits = magnitude(diff)
+                    code, length = dc_t[n]
+                    bw_.put(code, length)
+                    bw_.put(bits, n)
+                    run = 0
+                    for v in [blk[ZIGZAG[k]] for k in range(1, 64)]:
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, length = ac_t[0xF0]
+                            bw_.put(code, length)
+                            run -= 16
+                        n, bits = magnitude(v)
+                        code, length = ac_t[(run << 4) | n]
+                        bw_.put(code, length)
+                        bw_.put(bits, n)
+                        run = 0
+                    if run:
+                        code, length = ac_t[0x00]
+                        bw_.put(code, length)
+                    # decoder-model plane (full padded grid)
+                    dpw = mcux * 8 * hi
+                    dec = idct_dequant(blk, quant)
+                    gx, gy = mx * hi + bx, my * vi + by
+                    for y in range(8):
+                        for x in range(8):
+                            dec_planes[ci][(gy * 8 + y) * dpw + gx * 8 + x] = \
+                                dec[y * 8 + x]
+    bw_.pad_to_byte()
+    scan = bytes(bw_.out)
+
+    body = b"\xFF\xD8"
+    body += dqt_seg_id(STD_QUANT_ZZ, 0) + dqt_seg_id(CHROMA_QUANT, 1)
+    body += dht_segs_color()
+    if dri:
+        body += dri_seg(dri)
+    body += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) +
+                bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    body += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    body += scan + b"\xFF\xD9"
+
+    expected = []
+    ypw = mcux * 8 * hs
+    cpw = mcux * 8
+    for y in range(h):
+        for x in range(w):
+            yv = dec_planes[0][y * ypw + x]
+            cbv = dec_planes[1][(y // vs) * cpw + (x // hs)]
+            crv = dec_planes[2][(y // vs) * cpw + (x // hs)]
+            expected.append(ycbcr_to_rgb_model(yv, cbv, crv))
+    return body, expected
+
+
+def write_color_jpeg_tiff(path, w, h, jpeg, hs, vs):
+    """Single-strip YCbCr JPEG TIFF: SamplesPerPixel=3, Photometric=6,
+    BitsPerSample=(8,8,8), YCbCrSubSampling=(hs,vs)."""
+    bo = "<"
+    off = 8
+    strip = jpeg
+    ifd_off = off + len(strip)
+
+    def short(v):
+        return struct.pack(bo + "H", v)
+
+    def long_(v):
+        return struct.pack(bo + "I", v)
+
+    tags = [
+        (256, 3, 1, short(w)),
+        (257, 3, 1, short(h)),
+        (258, 3, 3, short(8) + short(8) + short(8)),
+        (259, 3, 1, short(7)),
+        (262, 3, 1, short(6)),  # YCbCr
+        (273, 4, 1, long_(8)),
+        (277, 3, 1, short(3)),
+        (278, 3, 1, short(h)),
+        (279, 4, 1, long_(len(strip))),
+        (284, 3, 1, short(1)),  # chunky
+        (530, 3, 2, short(hs) + short(vs)),
+    ]
+    tags.sort()
+    n_entries = len(tags)
+    entries = []
+    extra = b""
+    for tag, typ, cnt, vb in tags:
+        if len(vb) <= 4:
+            entries.append(struct.pack(bo + "HHI", tag, typ, cnt) + vb.ljust(4, b"\0"))
+        else:
+            eo = ifd_off + 2 + n_entries * 12 + 4 + len(extra)
+            entries.append(struct.pack(bo + "HHI", tag, typ, cnt) + struct.pack(bo + "I", eo))
+            extra += vb
+    ifd = struct.pack(bo + "H", n_entries) + b"".join(entries) + struct.pack(bo + "I", 0)
+    header = struct.pack(bo + "2sHI", b"II", 42, ifd_off)
+    Path(path).write_bytes(header + strip + ifd + extra)
+
+
 # ----------------------------------------------------------------- tiff
 
 def write_jpeg_tiff(path, w, h, strips, rows_per_strip, jpeg_tables=None,
@@ -425,6 +661,27 @@ def main():
     # 7. hostile: truncated scan (decoder must Left, not loop/crash)
     jp, _ = encode_jpeg(pix, w, h, STD_QUANT_ZZ)
     write_jpeg_tiff(out / "jpeg_truncated.tif", w, h, [jp[: len(jp) // 3]], h)
+
+    # 8. COLOR (YCbCr): 4:4:4, 4:2:2, 4:2:0 (+ a DRI'd 4:2:0). Expected
+    # bins: the R PLANE under the existing expected_jpeg_<name>.bin naming
+    # (what TiffDecoder returns — rasterio/GDAL's band 1 for a YCbCr JPEG
+    # TIFF, the reference's raster.read(1)), plus the full interleaved RGB
+    # as expected_<name>_rgb.bin for the JpegDecoder.decodeAll spec.
+    rgbpix = [((x * 11 + y * 5) % 256,
+               (x * 3 + y * 17 + 60) % 256,
+               (x * 13 + y * 7 + ((x * y) % 3) * 40) % 256)
+              for y in range(h) for x in range(w)]
+    for name, hs, vs, dri in [("jpeg_color444", 1, 1, 0),
+                              ("jpeg_color422", 2, 1, 0),
+                              ("jpeg_color420", 2, 2, 0),
+                              ("jpeg_color420_rst", 2, 2, 2)]:
+        jp, exp = encode_color_jpeg(rgbpix, w, h, hs, vs, dri=dri)
+        write_color_jpeg_tiff(out / f"{name}.tif", w, h, jp, hs, vs)
+        (out / f"expected_{name}.bin").write_bytes(bytes(r for r, _, _ in exp))
+        (out / f"expected_{name}_rgb.bin").write_bytes(
+            bytes(v for t in exp for v in t))
+        if name == "jpeg_color444":
+            (out / f"{name}.jpg").write_bytes(jp)  # imageio cross-check
 
     print("jpeg fixtures written to", out)
 

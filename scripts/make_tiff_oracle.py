@@ -58,7 +58,11 @@ def main():
         ("packbits_tiled.tif", 6, 5, [v * 4 for v in RUNS]),
     ] + [(f"{n}.tif",) + jpeg(n) for n in
          ["jpeg_single", "jpeg_flat", "jpeg_strips",
-          "jpeg_shared_tables", "jpeg_restart", "jpeg_tiled"]]
+          "jpeg_shared_tables", "jpeg_restart", "jpeg_tiled",
+          # color fixtures: the expected bin is the R PLANE (band 1 —
+          # rasterio read(1) parity, what TiffDecoder returns)
+          "jpeg_color444", "jpeg_color422", "jpeg_color420",
+          "jpeg_color420_rst"]]
     rejected = ["deflate_overlong.tif", "lzw_overlong.tif", "lzw_corrupt.tif",
                 "jpeg_unsupported.tif", "jpeg_truncated.tif",
                 "packbits_overlong.tif", "packbits_truncated.tif"]

@@ -33,7 +33,10 @@ object RasterQueries {
     "packbits_one.tif", "packbits_strips.tif", "packbits_be16.tif",
     "packbits_f32.tif", "packbits_tiled.tif",
     "jpeg_single.tif", "jpeg_flat.tif", "jpeg_strips.tif",
-    "jpeg_shared_tables.tif", "jpeg_restart.tif", "jpeg_tiled.tif")
+    "jpeg_shared_tables.tif", "jpeg_restart.tif", "jpeg_tiled.tif",
+    // color (YCbCr) JPEG: decoded grid = R plane (band 1, read(1) parity)
+    "jpeg_color444.tif", "jpeg_color422.tif", "jpeg_color420.tif",
+    "jpeg_color420_rst.tif")
 
   /** Hostile fixtures the decoder must REJECT (poison-safe Left, never an
     * exception and never shifted pixel placement). */
@@ -84,6 +87,14 @@ object RasterQueries {
         |SELECT 'deflate_overlong.tif' AS file, CAST(0 AS BIGINT) AS ok, CAST(NULL AS BIGINT) AS h, CAST(NULL AS BIGINT) AS w, CAST(NULL AS BIGINT) AS n_px, CAST(NULL AS BIGINT) AS sum_q, NULL AS px_md5
         |UNION ALL
         |SELECT 'deflate_strips.tif' AS file, CAST(1 AS BIGINT) AS ok, CAST(6 AS BIGINT) AS h, CAST(5 AS BIGINT) AS w, CAST(30 AS BIGINT) AS n_px, CAST(2820 AS BIGINT) AS sum_q, '3a085d24105e75d4726d5af2be193929' AS px_md5
+        |UNION ALL
+        |SELECT 'jpeg_color420.tif' AS file, CAST(1 AS BIGINT) AS ok, CAST(18 AS BIGINT) AS h, CAST(21 AS BIGINT) AS w, CAST(378 AS BIGINT) AS n_px, CAST(201036 AS BIGINT) AS sum_q, '952c4ad0d42f2132ef65c173efc496a3' AS px_md5
+        |UNION ALL
+        |SELECT 'jpeg_color420_rst.tif' AS file, CAST(1 AS BIGINT) AS ok, CAST(18 AS BIGINT) AS h, CAST(21 AS BIGINT) AS w, CAST(378 AS BIGINT) AS n_px, CAST(201036 AS BIGINT) AS sum_q, '952c4ad0d42f2132ef65c173efc496a3' AS px_md5
+        |UNION ALL
+        |SELECT 'jpeg_color422.tif' AS file, CAST(1 AS BIGINT) AS ok, CAST(18 AS BIGINT) AS h, CAST(21 AS BIGINT) AS w, CAST(378 AS BIGINT) AS n_px, CAST(198744 AS BIGINT) AS sum_q, '8eb75640115ef000269ab4104dddc223' AS px_md5
+        |UNION ALL
+        |SELECT 'jpeg_color444.tif' AS file, CAST(1 AS BIGINT) AS ok, CAST(18 AS BIGINT) AS h, CAST(21 AS BIGINT) AS w, CAST(378 AS BIGINT) AS n_px, CAST(199800 AS BIGINT) AS sum_q, 'b72c8f3c9add60991e5a64631b7db7ce' AS px_md5
         |UNION ALL
         |SELECT 'jpeg_flat.tif' AS file, CAST(1 AS BIGINT) AS ok, CAST(18 AS BIGINT) AS h, CAST(21 AS BIGINT) AS w, CAST(378 AS BIGINT) AS n_px, CAST(196156 AS BIGINT) AS sum_q, '2f42b1e03db9db7c60ea598c23e179ce' AS px_md5
         |UNION ALL

@@ -1,17 +1,23 @@
 package graft.raster
 
 /** Baseline JPEG decoder (ITU T.81 sequential DCT, Huffman entropy coding,
-  * 8-bit precision, single grayscale component) for JPEG-in-TIFF strips and
-  * tiles — TIFF Compression=7 ("new-style JPEG": every strip/tile is a
+  * 8-bit precision, grayscale OR 3-component YCbCr) for JPEG-in-TIFF strips
+  * and tiles — TIFF Compression=7 ("new-style JPEG": every strip/tile is a
   * complete JPEG interchange or abbreviated stream, shared tables may ride
   * in tag 347 JPEGTables). Closes the last [[TiffDecoder]] envelope gap a
   * reference user would hit: rasterio/GDAL read JPEG-compressed HLS
   * granules transparently (reference data_pair/fct_data_extraction.py:22–26
   * reads whatever rasterio opens).
   *
-  * Scope is the TIFF decoder's declared envelope — one sample per pixel —
-  * so color transforms never arise; progressive/arithmetic/12-bit streams
-  * return Left (poison-safe, like every other unsupported shape).
+  * Color scope (round 10): interleaved single-scan YCbCr with luma
+  * sampling 1×1 / 2×1 / 1×2 / 2×2 and 1×1 chroma (4:4:4, 4:2:2, 4:2:0 —
+  * the shapes real YCbCr TIFF archives carry), chroma upsampled by pixel
+  * replication, converted with the pinned float transform
+  * R = Y + 1.402·(Cr−128) / G = Y − 0.344136·(Cb−128) − 0.714136·(Cr−128)
+  * / B = Y + 1.772·(Cb−128), floor(v+0.5), clamp — mirrored verbatim in
+  * the fixture model. Progressive/arithmetic/12-bit/other component
+  * geometries return Left (poison-safe, like every other unsupported
+  * shape).
   *
   * The inverse DCT mirrors scripts/make_jpeg_fixtures.py's decoder model
   * EXACTLY — same pinned hex-double cosine basis (platform libm and JVM
@@ -96,9 +102,18 @@ object JpegDecoder {
 
   /** Decode one complete baseline JPEG stream (optionally resolving tables
     * from `shared`). Returns (width, height, row-major u8 pixels) — the
-    * MCU padding is already cropped to the SOF dimensions. */
+    * MCU padding is already cropped to the SOF dimensions. For a COLOR
+    * (YCbCr) stream this is the R plane: the band-1 view, matching what
+    * `rasterio.read(1)` gives the reference on a color JPEG TIFF; use
+    * [[decodeAll]] for every plane. */
   def decode(bytes: Array[Byte],
-             shared: Tables = emptyTables): Either[String, (Int, Int, Array[Byte])] = {
+             shared: Tables = emptyTables): Either[String, (Int, Int, Array[Byte])] =
+    decodeAll(bytes, shared).map { case (w, h, planes) => (w, h, planes(0)) }
+
+  /** [[decode]] returning every output plane: Array(gray) for a
+    * single-component stream, Array(R, G, B) for a YCbCr stream. */
+  def decodeAll(bytes: Array[Byte], shared: Tables = emptyTables)
+      : Either[String, (Int, Int, Array[Array[Byte]])] = {
     // copy the shared tables so per-strip definitions can't leak across
     val t = new Tables(shared.quant.clone(), shared.dc.clone(), shared.ac.clone())
     // total like TiffDecoder.decode: any residual exception from hostile
@@ -109,15 +124,24 @@ object JpegDecoder {
 
   // ----------------------------------------------------------- internals
 
+  /** One frame component: sampling factors + quant table id (from SOF),
+    * entropy table slots (from SOS). */
+  private final class Comp(val id: Int, val hi: Int, val vi: Int, val tq: Int) {
+    var dcT: Huff = null
+    var acT: Huff = null
+    var quant: Array[Int] = null
+  }
+
   /** Marker walk. With framesAllowed=false only tables segments are legal
     * (the tag-347 shape) and the result payload is null. */
   private def parseStream(bytes: Array[Byte], t: Tables, framesAllowed: Boolean)
-      : Either[String, (Int, Int, Array[Byte])] = {
+      : Either[String, (Int, Int, Array[Array[Byte]])] = {
     if (bytes.length < 4) return Left("jpeg: too short")
     if ((bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8)
       return Left("jpeg: missing SOI")
     var p = 2
     var sofW = -1; var sofH = -1
+    var comps: Array[Comp] = null
     var restartInterval = 0
     def u8(i: Int): Int = bytes(i) & 0xFF
     def u16(i: Int): Int = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
@@ -179,8 +203,26 @@ object JpegDecoder {
               if (u8(body) != 8) return Left("jpeg: only 8-bit precision supported")
               sofH = u16(body + 1); sofW = u16(body + 3)
               val ncomp = u8(body + 5)
-              if (ncomp != 1) return Left(s"jpeg: $ncomp components unsupported (grayscale only)")
-              if (u8(body + 7) != 0x11) return Left("jpeg: subsampling unsupported")
+              if (ncomp != 1 && ncomp != 3)
+                return Left(s"jpeg: $ncomp components unsupported (grayscale or YCbCr)")
+              if (bodyLen < 6 + 3 * ncomp) return Left("jpeg: bad SOF")
+              comps = Array.tabulate(ncomp) { c =>
+                val cid = u8(body + 6 + 3 * c)
+                val hv = u8(body + 7 + 3 * c)
+                new Comp(cid, hv >> 4, hv & 15, u8(body + 8 + 3 * c))
+              }
+              if (ncomp == 1) {
+                if (comps(0).hi != 1 || comps(0).vi != 1)
+                  return Left("jpeg: subsampling unsupported")
+              } else {
+                // YCbCr envelope: 1x1 chroma, luma up to 2x2 (4:4:4 /
+                // 4:2:2 / 4:4:0 / 4:2:0 — the shapes real archives carry)
+                val l = comps(0)
+                if (l.hi < 1 || l.hi > 2 || l.vi < 1 || l.vi > 2 ||
+                    comps.drop(1).exists(c => c.hi != 1 || c.vi != 1))
+                  return Left("jpeg: unsupported sampling geometry")
+              }
+              if (comps.exists(_.tq > 3)) return Left("jpeg: bad quant id")
               if (sofW <= 0 || sofH <= 0 || sofW.toLong * sofH > (1 << 28))
                 return Left("jpeg: implausible dimensions")
             case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
@@ -189,15 +231,31 @@ object JpegDecoder {
             case 0xDA => // SOS — entropy data follows
               if (!framesAllowed) return Left("jpeg: scan in tables stream")
               if (sofW < 0) return Left("jpeg: SOS before SOF")
-              if (bodyLen < 6) return Left("jpeg: bad SOS")
-              if (u8(body) != 1) return Left("jpeg: multi-component scan unsupported")
-              val dcId = u8(body + 2) >> 4
-              val acId = u8(body + 2) & 15
-              if (t.quant(0) == null) return Left("jpeg: no quant table")
-              val dcT = t.dc(dcId); val acT = t.ac(acId)
-              if (dcT == null || acT == null) return Left("jpeg: missing huffman table")
+              if (bodyLen < 4) return Left("jpeg: bad SOS")
+              val ns = u8(body)
+              if (ns != comps.length)
+                return Left("jpeg: scan must cover every frame component")
+              if (bodyLen < 1 + 2 * ns + 3) return Left("jpeg: bad SOS")
+              // interleave follows SCAN order; the output planes follow
+              // FRAME order (comps) — decodeScan gets both
+              val scanComps = new Array[Comp](ns)
+              var ci = 0
+              while (ci < ns) {
+                val cs = u8(body + 1 + 2 * ci)
+                val comp = comps.find(_.id == cs).orNull
+                if (comp == null) return Left("jpeg: SOS names unknown component")
+                val tdta = u8(body + 2 + 2 * ci)
+                comp.dcT = t.dc(tdta >> 4)
+                comp.acT = t.ac(tdta & 15)
+                comp.quant = t.quant(comp.tq)
+                if (comp.dcT == null || comp.acT == null)
+                  return Left("jpeg: missing huffman table")
+                if (comp.quant == null) return Left("jpeg: no quant table")
+                scanComps(ci) = comp
+                ci += 1
+              }
               return decodeScan(bytes, body + bodyLen, sofW, sofH,
-                t.quant(0), dcT, acT, restartInterval)
+                comps, scanComps, restartInterval)
             case _ => () // APPn/COM/unknown-with-length: skip
           }
           p = body + bodyLen
@@ -207,14 +265,26 @@ object JpegDecoder {
     if (framesAllowed) Left("jpeg: no scan") else Right((0, 0, null))
   }
 
-  /** Entropy-decode the single-component scan starting at `start`. */
+  /** Entropy-decode the (interleaved) scan starting at `start`: MCU-major,
+    * within an MCU each SCAN-order component contributes vi×hi blocks in
+    * raster order, each with its own DC predictor. Blocks land in padded
+    * per-component planes; the tail converts to output planes (gray crop,
+    * or replicated-chroma YCbCr→RGB — the fixture model's exact shape). */
   private def decodeScan(bytes: Array[Byte], start: Int, w: Int, h: Int,
-                         quant: Array[Int], dcT: Huff, acT: Huff,
+                         frameComps: Array[Comp], scanComps: Array[Comp],
                          restartInterval: Int)
-      : Either[String, (Int, Int, Array[Byte])] = {
-    val bw = (w + 7) / 8
-    val bh = (h + 7) / 8
-    val out = new Array[Byte](w * h)
+      : Either[String, (Int, Int, Array[Array[Byte]])] = {
+    var maxH = 1; var maxV = 1
+    frameComps.foreach { c =>
+      if (c.hi > maxH) maxH = c.hi
+      if (c.vi > maxV) maxV = c.vi
+    }
+    val mcux = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcuy = (h + 8 * maxV - 1) / (8 * maxV)
+    // padded per-component planes (MCU grid), u8 values
+    val planeW = frameComps.map(c => mcux * 8 * c.hi)
+    val planes = frameComps.indices.map(i =>
+      new Array[Byte](planeW(i) * mcuy * 8 * frameComps(i).vi)).toArray
     var p = start
     var acc = 0
     var nbits = 0
@@ -262,55 +332,110 @@ object JpegDecoder {
       if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
     val coeffs = new Array[Int](64)
-    var pred = 0
+    val preds = new Array[Int](scanComps.length)
     var mcu = 0
-    val nMcu = bw * bh
+    val nMcu = mcux * mcuy
     while (mcu < nMcu && err == null) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        // byte-align, then expect RSTn
+        // byte-align, then expect RSTn; ALL predictors reset
         nbits = 0; acc = 0
         if (p + 1 < bytes.length && (bytes(p) & 0xFF) == 0xFF) {
           val m = bytes(p + 1) & 0xFF
-          if (m >= 0xD0 && m <= 0xD7) { p += 2; pred = 0 }
+          if (m >= 0xD0 && m <= 0xD7) { p += 2; java.util.Arrays.fill(preds, 0) }
           else err = "jpeg: expected restart marker"
         } else err = "jpeg: expected restart marker"
       }
       if (err == null) {
-        java.util.Arrays.fill(coeffs, 0)
-        val tdc = decodeHuff(dcT)
-        if (tdc > 11) { if (err == null) err = "jpeg: bad DC category" }
-        else {
-          val diff = extend(readBits(tdc), tdc)
-          pred += diff
-          coeffs(0) = pred
-          var k = 1
-          var done = false
-          while (k < 64 && !done && err == null) {
-            val rs = decodeHuff(acT)
-            val r = rs >> 4
-            val s = rs & 15
-            if (s == 0) {
-              if (r == 15) k += 16 else done = true // ZRL vs EOB
-            } else {
-              k += r
-              if (k > 63) { err = "jpeg: AC run past block" }
-              else { coeffs(Zigzag(k)) = extend(readBits(s), s); k += 1 }
+        val mx = mcu % mcux
+        val my = mcu / mcux
+        var sc = 0
+        while (sc < scanComps.length && err == null) {
+          val comp = scanComps(sc)
+          val fi = frameComps.indexOf(comp)
+          var by = 0
+          while (by < comp.vi && err == null) {
+            var bx = 0
+            while (bx < comp.hi && err == null) {
+              java.util.Arrays.fill(coeffs, 0)
+              val tdc = decodeHuff(comp.dcT)
+              if (tdc > 11) { if (err == null) err = "jpeg: bad DC category" }
+              else {
+                val diff = extend(readBits(tdc), tdc)
+                preds(sc) += diff
+                coeffs(0) = preds(sc)
+                var k = 1
+                var done = false
+                while (k < 64 && !done && err == null) {
+                  val rs = decodeHuff(comp.acT)
+                  val r = rs >> 4
+                  val s = rs & 15
+                  if (s == 0) {
+                    if (r == 15) k += 16 else done = true // ZRL vs EOB
+                  } else {
+                    k += r
+                    if (k > 63) { err = "jpeg: AC run past block" }
+                    else { coeffs(Zigzag(k)) = extend(readBits(s), s); k += 1 }
+                  }
+                }
+              }
+              if (err == null)
+                placeBlock(coeffs, comp.quant, planes(fi), planeW(fi),
+                  mx * comp.hi + bx, my * comp.vi + by)
+              bx += 1
             }
+            by += 1
           }
+          sc += 1
         }
-        if (err == null) {
-          placeBlock(coeffs, quant, out, w, h, mcu % bw, mcu / bw)
-          mcu += 1
-        }
+        if (err == null) mcu += 1
       }
     }
-    if (err != null) Left(err) else Right((w, h, out))
+    if (err != null) return Left(err)
+
+    if (frameComps.length == 1) {
+      // crop the padded plane to the SOF dimensions
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(planes(0), y * planeW(0), out, y * w, w)
+        y += 1
+      }
+      Right((w, h, Array(out)))
+    } else {
+      // YCbCr → RGB: chroma sampled by pixel REPLICATION at
+      // (y·vi/maxV, x·hi/maxH) — integer division, the fixture model's
+      // exact upsample — then the pinned float transform
+      val r = new Array[Byte](w * h)
+      val g = new Array[Byte](w * h)
+      val b = new Array[Byte](w * h)
+      val yC = frameComps(0); val cbC = frameComps(1); val crC = frameComps(2)
+      def clamp8(v: Double): Byte = {
+        val iv = math.floor(v + 0.5)
+        (if (iv < 0) 0 else if (iv > 255) 255 else iv.toInt).toByte
+      }
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yv = (planes(0)((y * yC.vi / maxV) * planeW(0) + x * yC.hi / maxH) & 0xFF).toDouble
+          val cb = (planes(1)((y * cbC.vi / maxV) * planeW(1) + x * cbC.hi / maxH) & 0xFF).toDouble
+          val cr = (planes(2)((y * crC.vi / maxV) * planeW(2) + x * crC.hi / maxH) & 0xFF).toDouble
+          val i = y * w + x
+          r(i) = clamp8(yv + 1.402 * (cr - 128.0))
+          g(i) = clamp8(yv - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0))
+          b(i) = clamp8(yv + 1.772 * (cb - 128.0))
+          x += 1
+        }
+        y += 1
+      }
+      Right((w, h, Array(r, g, b)))
+    }
   }
 
   /** Dequantize + IDCT + level shift, mirroring the fixture model's float
-    * order EXACTLY, then place the in-bounds pixels. */
+    * order EXACTLY, placing the full 8×8 block into a padded plane. */
   private def placeBlock(coeffs: Array[Int], quant: Array[Int],
-                         out: Array[Byte], w: Int, h: Int,
+                         plane: Array[Byte], planeW: Int,
                          bx: Int, by: Int): Unit = {
     val d = new Array[Double](64)
     var i = 0
@@ -321,24 +446,22 @@ object JpegDecoder {
       var x = 0
       while (x < 8) {
         val xx = bx * 8 + x
-        if (yy < h && xx < w) {
-          var s = 0.0
-          var u = 0
-          while (u < 8) {
-            val cu = if (u == 0) InvSqrt2 else 1.0
-            var v = 0
-            while (v < 8) {
-              val cv = if (v == 0) InvSqrt2 else 1.0
-              s += cu * cv * d(u * 8 + v) * Cos(v)(x) * Cos(u)(y)
-              v += 1
-            }
-            u += 1
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          val cu = if (u == 0) InvSqrt2 else 1.0
+          var v = 0
+          while (v < 8) {
+            val cv = if (v == 0) InvSqrt2 else 1.0
+            s += cu * cv * d(u * 8 + v) * Cos(v)(x) * Cos(u)(y)
+            v += 1
           }
-          val value = 0.25 * s + 128.0
-          val iv = math.floor(value + 0.5)
-          val clamped = if (iv < 0) 0 else if (iv > 255) 255 else iv.toInt
-          out(yy * w + xx) = clamped.toByte
+          u += 1
         }
+        val value = 0.25 * s + 128.0
+        val iv = math.floor(value + 0.5)
+        val clamped = if (iv < 0) 0 else if (iv > 255) 255 else iv.toInt
+        plane(yy * planeW + xx) = clamped.toByte
         x += 1
       }
       y += 1

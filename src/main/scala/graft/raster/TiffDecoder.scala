@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions.col
   * grayscale stream, shared tables via tag 347 — [[JpegDecoder]]),
   * organized as STRIPS or TILES (tags 322–325 — the Cloud-Optimized
   * GeoTIFF layout; edge-tile padding decoded and discarded), single sample
-  * per pixel, 8/16/32-bit unsigned/signed integer or 32-bit float (JPEG:
-  * 8-bit), either byte order. Geo* tags
+  * per pixel — plus YCbCr JPEG (SamplesPerPixel=3, Photometric=6), whose
+  * pixel grid is the R plane: band 1, the slice `rasterio.read(1)` hands
+  * the reference on a color JPEG TIFF — 8/16/32-bit unsigned/signed
+  * integer or 32-bit float (JPEG: 8-bit), either byte order. Geo* tags
   * (ModelPixelScale/Tiepoint/Transformation + the GeoKey directory) are
   * carried VERBATIM as [[GeoMeta]] so decode→encode reproduces the
   * source's CRS/transform — the reference's `raster.meta` copy contract
@@ -77,6 +79,7 @@ object TiffDecoder {
     val nEntries = bb.getShort(ifdOff) & 0xFFFF
     var width = -1; var height = -1
     var bits = 1; var compression = 1; var samples = 1; var sampleFormat = 1
+    var photometric = 1
     var stripOffsets: Array[Long] = null
     var stripCounts: Array[Long] = null
     var rowsPerStrip = -1L
@@ -149,6 +152,7 @@ object TiffDecoder {
         case 257 => height = vs.headOption.getOrElse(-1L).toInt
         case 258 => bits = vs.headOption.getOrElse(1L).toInt
         case 259 => compression = vs.headOption.getOrElse(1L).toInt
+        case 262 => photometric = vs.headOption.getOrElse(1L).toInt
         case 273 => stripOffsets = vs
         case 277 => samples = vs.headOption.getOrElse(1L).toInt
         // 278 RowsPerStrip bounds each strip's decompressed size; pixel
@@ -179,7 +183,14 @@ object TiffDecoder {
     val packbits = compression == 32773 // Macintosh PackBits RLE
     if (compression != 1 && !deflated && !lzw && !jpeg && !packbits)
       return Left(s"unsupported compression $compression")
-    if (samples != 1) return Left(s"unsupported samples/pixel $samples")
+    // YCbCr JPEG (SamplesPerPixel=3, Photometric=6): the JPEG stream
+    // carries the subsampling; the decoder returns the R plane as the
+    // pixel grid — band 1, exactly what `rasterio.read(1)` hands the
+    // reference on a color JPEG TIFF (fct_data_extraction.py:22–26)
+    if (samples == 3 && !(jpeg && photometric == 6))
+      return Left("3 samples/pixel supported only as YCbCr JPEG (Compression=7, Photometric=6)")
+    if (samples != 1 && samples != 3)
+      return Left(s"unsupported samples/pixel $samples")
     if (jpeg && bits != 8)
       return Left(s"JPEG compression requires 8 bits/sample, got $bits")
     val tiled = tileOffsets != null
