@@ -18,6 +18,11 @@ object DedupQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** q169 split thresholds: floor(0.8·2^32) / floor(0.9·2^32) — ONE
+    * definition interpolated into the Spark expression and the oracle. */
+  private val SplitTrain = 3435973836L
+  private val SplitVal = 3865470566L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup groups on content hash
     "q20_exact_dedup" -> ((s, dir) =>
@@ -50,6 +55,46 @@ object DedupQueries {
           edges, col("a_id"), col("b_id"))
         .select(col("id").as("doc_id"), col("component").as("keep_id"))
         .orderBy("doc_id")
+    }),
+
+    // LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT (round 10): the split every
+    // training pipeline needs but a naive per-doc hash gets WRONG — a
+    // near-duplicate pair straddling train/test is benchmark leakage.
+    // Assignment is a pure function of the near-dup COMPONENT label (the
+    // q28 graph: LSH-verified Jaccard ≥ 0.5 edges → min-label components),
+    // so a whole dup-group moves atomically: Mix64 coord of the component
+    // rep, 80/10/10. The row also PROVES the property in-band: n_cross_
+    // edges counts near-dup edges whose endpoints landed in different
+    // splits — the oracle recomputes it from its own edge set, so any
+    // grouping drift shows up as a nonzero cell, not silence. Scale shape
+    // = q28 (banded LSH, distributed components) + one split-keyed agg.
+    "q169_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.ngramJaccardPairsLsh(docs,
+        col("doc_id"), col("text"), n = 3, m = 32, bands = 16, threshold = 0.5)
+      val comp = Dedup.connectedComponents(
+        docs.select(col("doc_id")), col("doc_id"),
+        edges, col("a_id"), col("b_id")) // (id, component)
+      val splitCol = {
+        val coord = graft.functions.Mix64.sampleCoord(col("component"))
+        when(coord < SplitTrain, "train")
+          .when(coord < SplitVal, "val").otherwise("test")
+      }
+      val assigned = comp.select(col("id"), col("component"),
+        splitCol.as("split"))
+      val cross = edges.select(col("a_id"), col("b_id"))
+        .join(assigned.select(col("id").as("a_id"), col("split").as("a_split")), "a_id")
+        .join(assigned.select(col("id").as("b_id"), col("split").as("b_split")), "b_id")
+        .groupBy(col("a_split").as("split"))
+        .agg(count(when(col("a_split") =!= col("b_split"), 1)).as("n_cross_edges"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_groups"),
+          sum(col("id")).as("doc_id_sum"))
+        .join(cross, Seq("split"), "left")
+        .select(col("split"), col("n_docs"), col("n_groups"), col("doc_id_sum"),
+          coalesce(col("n_cross_edges"), lit(0L)).as("n_cross_edges"))
+        .orderBy("split")
     }),
 
     // MinHash 32-component signature, 8×4 banded LSH candidates with
@@ -472,6 +517,45 @@ object DedupQueries {
         |  UNION
         |  SELECT r.x, u.n FROM reach r JOIN und u ON r.n = u.x)
         |SELECT x AS doc_id, min(n) AS keep_id FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+
+    // q28's closure + component-keyed Mix64 split + the in-band
+    // cross-split edge count recomputed from the oracle's OWN edge set
+    "q169_leakage_safe_split" ->
+      s"""WITH RECURSIVE sh_docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh_docs a JOIN sh_docs b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |und AS (SELECT a AS x, b AS n FROM pairs UNION ALL SELECT b AS x, a AS n FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS x, doc_id AS n FROM documents
+        |  UNION
+        |  SELECT r.x, u.n FROM reach r JOIN und u ON r.n = u.x),
+        |comp AS (SELECT x AS id, min(n) AS component FROM reach GROUP BY x),
+        |asg AS (
+        |  SELECT id, component,
+        |    CASE WHEN ${OpsQueries.coordSql("component")} < $SplitTrain THEN 'train'
+        |         WHEN ${OpsQueries.coordSql("component")} < $SplitVal THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM comp),
+        |cr AS (
+        |  SELECT sa.split AS split,
+        |    CAST(count(CASE WHEN sa.split <> sb.split THEN 1 END) AS BIGINT)
+        |      AS n_cross_edges
+        |  FROM pairs p
+        |  JOIN asg sa ON sa.id = p.a JOIN asg sb ON sb.id = p.b
+        |  GROUP BY 1)
+        |SELECT asg.split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT component) AS BIGINT) AS n_groups,
+        |  CAST(sum(id) AS BIGINT) AS doc_id_sum,
+        |  coalesce(max(cr.n_cross_edges), 0) AS n_cross_edges
+        |FROM asg LEFT JOIN cr ON cr.split = asg.split
+        |GROUP BY asg.split ORDER BY asg.split""".stripMargin,
 
     // exact-dedup window + all-pairs closure over exact survivors only
     "q29_dedup_pipeline" ->

@@ -29,7 +29,59 @@ object TextQueries {
       .otherwise(transform(sequence(lit(1), size(ws) - 3),
         i => concat_ws(" ", slice(ws, i, lit(4)))))
 
+  /** q170 PII patterns — identical semantics in Java regex (Spark) and
+    * RE2 (DuckDB): character classes, bounded repetition, no backrefs. */
+  private val PiiEmail = "[a-z0-9._]+@[a-z0-9.]+"
+  private val PiiPhone = "[0-9]{3}-[0-9]{4}"
+  private val PiiLongId = "[0-9]{9,}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII REDACTION AUDIT (round 10): the scrub pass every shareable
+    // training corpus needs — match classes (emails, phone-shaped,
+    // 9+-digit identifiers), replace with typed placeholders, report the
+    // per-source footprint. The synthetic corpus carries no PII, so the
+    // pipeline PLANTS it deterministically from doc_id (the q70 fixture
+    // pattern: fake payload, real operators — concat/when on the engine
+    // side, CASE/|| in the oracle) and then runs the REAL scrub: three
+    // ordered regexp_replace passes + regexp_count footprint columns.
+    // chars_removed re-derives the redaction from plain length arithmetic,
+    // so a drifting pattern or replace order reddens the row. One corpus
+    // scan, per-source agg — nothing shuffles but the 10-row rollup.
+    "q170_pii_redaction" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" today"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" id 9"),
+              lpad((col("doc_id") % 100000000).cast("string"), 8, "0"))
+            ).otherwise(lit(""))).as("text"))
+      val scrubbed = planted.select(col("doc_id"), col("source"), col("text"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), lit(PiiEmail), lit("<EMAIL>")),
+            lit(PiiPhone), lit("<PHONE>")),
+          lit(PiiLongId), lit("<ID>")).as("clean"),
+        regexp_count(col("text"), lit(PiiEmail)).as("n_emails"),
+        regexp_count(col("text"), lit(PiiPhone)).as("n_phones"),
+        regexp_count(col("text"), lit(PiiLongId)).as("n_ids"))
+      scrubbed.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("n_emails") + col("n_phones") + col("n_ids") > 0, 1))
+            .as("n_docs_with_pii"),
+          sum(col("n_emails").cast("long")).as("n_emails"),
+          sum(col("n_phones").cast("long")).as("n_phones"),
+          sum(col("n_ids").cast("long")).as("n_ids"),
+          sum(length(col("text")).cast("long") - length(col("clean")).cast("long"))
+            .as("chars_removed"))
+        .orderBy("source")
+    }),
+
     "q30_token_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -802,6 +854,36 @@ object TextQueries {
     }.mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    // same planting (CASE/||), same three ordered global regexp_replace
+    // passes (RE2 'g' flag = Spark's replace-all default), same patterns
+    "q170_pii_redaction" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, source,
+         |    text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' id 9' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') ELSE '' END
+         |      AS text2
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, source, text2,
+         |    regexp_replace(regexp_replace(regexp_replace(text2,
+         |      '$PiiEmail', '<EMAIL>', 'g'),
+         |      '$PiiPhone', '<PHONE>', 'g'),
+         |      '$PiiLongId', '<ID>', 'g') AS clean,
+         |    len(regexp_extract_all(text2, '$PiiEmail')) AS n_emails,
+         |    len(regexp_extract_all(text2, '$PiiPhone')) AS n_phones,
+         |    len(regexp_extract_all(text2, '$PiiLongId')) AS n_ids
+         |  FROM aug)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(CASE WHEN n_emails + n_phones + n_ids > 0 THEN 1 END) AS BIGINT)
+         |    AS n_docs_with_pii,
+         |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+         |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
+         |  CAST(sum(n_ids) AS BIGINT) AS n_ids,
+         |  CAST(sum(length(text2) - length(clean)) AS BIGINT) AS chars_removed
+         |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+
     "q30_token_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  CASE WHEN trim(text) = '' THEN 0
