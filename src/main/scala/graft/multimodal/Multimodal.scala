@@ -113,6 +113,42 @@ object Multimodal {
     out
   }
 
+  /** Box-average (pooling) resize in EXACT integer arithmetic on the
+    * reconstructed u8 bytes (round(p·255) — exact for the b/255f decode):
+    * source pixel (y, x) belongs to output cell ((y·oh) div h, (x·ow) div w)
+    * — the standard pooling partition, chosen over floor-boundary boxes
+    * because the INVERSE map is a one-expression integer formula a SQL twin
+    * replays by exploding pixels and grouping. Cell value = sum div count
+    * (truncating integer mean, the k-means/centroid convention). Returns
+    * channel-major c·oh·ow values in [0, 255]. */
+  def resizeBox(pixels: Array[Float], c: Int, h: Int, w: Int,
+                oh: Int, ow: Int): Array[Long] = {
+    require(oh >= 1 && ow >= 1 && oh <= h && ow <= w,
+      s"resizeBox: output ${ow}x$oh must not upscale ${w}x$h")
+    val sums = new Array[Long](c * oh * ow)
+    val cnts = new Array[Long](oh * ow)
+    var ch = 0
+    while (ch < c) {
+      var y = 0
+      while (y < h) {
+        val r = y * oh / h
+        var x = 0
+        while (x < w) {
+          val cc = x * ow / w
+          sums(ch * oh * ow + r * ow + cc) += Math.round(pixels(ch * h * w + y * w + x) * 255f).toLong
+          if (ch == 0) cnts(r * ow + cc) += 1
+          x += 1
+        }
+        y += 1
+      }
+      ch += 1
+    }
+    val out = new Array[Long](c * oh * ow)
+    var i = 0
+    while (i < out.length) { out(i) = sums(i) / cnts(i % (oh * ow)); i += 1 }
+    out
+  }
+
   final case class FrameFeatures(
       asset_id: String, frame_idx: Int,
       mean: Array[Float], std: Array[Float], thumb: Array[Float])

@@ -76,6 +76,27 @@ object MultimodalQueries {
         .orderBy("asset_id", "frame_idx")
     }),
 
+    // BOX-AVERAGE RESIZE (pooling) over decoded frames — the multimodal
+    // resize op in exact integer form: 16×16 → 5×5 (non-divisible ratio,
+    // so boxes are UNEVEN — 4/3/3/3/3 under y·5 div 16 — and the partition map y·oh div h
+    // is genuinely exercised). Output per (asset, frame, channel): the 25
+    // cell values as csv + their sum; the oracle regenerates payload
+    // bytes arithmetically and replays the same partition by exploding
+    // pixel indices and grouping (sum div count — exact integers).
+    "q172_multimodal_resize" -> ((s, dir) => {
+      import s.implicits._
+      val frames = Multimodal.decodeFrames(assetsOf(s, dir))
+      frames.flatMap { f =>
+        val v = Multimodal.resizeBox(f.pixels, f.channels, f.height, f.width,
+          oh = 5, ow = 5)
+        (0 until f.channels).map { ch =>
+          val cells = v.slice(ch * 25, ch * 25 + 25)
+          (f.asset_id, f.frame_idx, ch, cells.mkString(","), cells.sum)
+        }
+      }.toDF("asset_id", "frame_idx", "ch", "cells_csv", "cells_sum")
+        .orderBy("asset_id", "frame_idx", "ch")
+    }),
+
     "q70_multimodal_features" -> ((s, dir) => {
       val assets = assetsOf(s, dir)
       val frames = Multimodal.decodeFrames(assets)
@@ -97,6 +118,28 @@ object MultimodalQueries {
     * channel ch occupies payload indices [ch·256, ch·256+256); thumbnail
     * source pixel of thumb (r,c,ch) is payload index ch·256 + 4r·16 + 4c. */
   val oracle: Map[String, String] = Map(
+    // explode pixel indices, map each to its pooling cell with the same
+    // integer partition (y·5 div 16), sum div count per cell, then
+    // csv in row-major cell order
+    "q172_multimodal_resize" ->
+      """WITH fr AS (
+        |  SELECT doc_id, 'asset_' || CAST(doc_id AS VARCHAR) AS asset_id,
+        |    CAST(f AS INT) AS frame_idx
+        |  FROM documents, range(0, 3) t(f) WHERE f <= doc_id % 3),
+        |px AS (
+        |  SELECT asset_id, frame_idx, CAST(i // 256 AS INT) AS ch,
+        |    ((i % 256) // 16) * 5 // 16 AS r, (i % 16) * 5 // 16 AS c,
+        |    (doc_id*31 + frame_idx*17 + i*7) % 256 AS b
+        |  FROM fr, range(0, 768) t(i)),
+        |cells AS (
+        |  SELECT asset_id, frame_idx, ch, r, c,
+        |    CAST(sum(b) // count(*) AS BIGINT) AS v
+        |  FROM px GROUP BY 1, 2, 3, 4, 5)
+        |SELECT asset_id, frame_idx, ch,
+        |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY r, c) AS cells_csv,
+        |  CAST(sum(v) AS BIGINT) AS cells_sum
+        |FROM cells GROUP BY 1, 2, 3
+        |ORDER BY asset_id, frame_idx, ch""".stripMargin,
     // payload bytes regenerated arithmetically; hash input is the same
     // canonical comma-joined byte string the engine reconstructs from the
     // decoded floats, so any codec drift breaks the md5 compare

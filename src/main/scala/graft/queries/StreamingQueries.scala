@@ -314,6 +314,47 @@ object StreamingQueries {
     // memory-sink table — the stream-end result — is compared against the
     // BATCH gap-sessionization SQL. This promotes the StreamsSpec
     // stream≡batch claim to a driver-checked oracle row.
+    // STREAMING EXACT DEDUP behind a driver row: Streams.dedupStream
+    // (dropDuplicatesWithinWatermark — state holds dedup KEYS only,
+    // expired by the watermark) over the sampled document corpus with a
+    // manufactured event-time inside one watermark horizon. Which arrival
+    // wins is stream-order-dependent, so the result projects ONLY
+    // hash-derived values (unique count + sorted-hash md5) — order-free,
+    // and the conservation validator pins distinct survivors == the
+    // driver-computed unique-hash count before any row is returned.
+    // Oracle = the batch DISTINCT over the same sampled WHERE: the
+    // "streaming dedup ≡ batch dedup" claim as a driver-checked row (the
+    // stream twin of q20, the way q94 twins q59).
+    "q171_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(replayFilter("doc_id"))
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          timestamp_micros(lit(1704067200000000L) + // 2024-01-01 UTC
+            (col("doc_id") % 3600) * 1000000L).as("ts"))
+      val rows = docs.as[(Long, String, java.sql.Timestamp)]
+        .collect().sortBy(r => (r._1))
+      require(rows.nonEmpty, s"q171_stream_dedup: no documents at $dir")
+      // RE-DELIVER every doc_id % 4 == 0 row in a later micro-batch — the
+      // at-least-once shape this operator exists for (the 25% row sample
+      // splits most NATURAL dup pairs, so without re-delivery the state
+      // would do no work); dedup must drop every re-delivery
+      val redelivered = rows.filter(_._1 % 4 == 0)
+      val nIn = rows.length.toLong + redelivered.length.toLong
+      val nUnique = rows.map(_._2).distinct.length.toLong
+      val sink = replay(s, "q171_dedup", "append",
+          halves(rows) :+ redelivered.toIndexedSeq,
+          sinkDistinctCount(nUnique, lit(true)))(ds =>
+        Streams.dedupStream(ds.toDF("doc_id", "h", "ts"),
+          Seq("h"), "ts", "2 hours"))
+      sink.select(col("h")).distinct()
+        .agg(count(lit(1)).as("n_unique"),
+          md5(concat_ws(";", sort_array(collect_list(col("h"))))).as("uniq_md5"))
+        .select(lit(nIn).as("n_in"), col("n_unique"),
+          (lit(nIn) - col("n_unique")).as("n_dupes"), col("uniq_md5"))
+    }),
+
     "q92_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.Streams
@@ -796,6 +837,21 @@ object StreamingQueries {
        |FROM sid GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // batch DISTINCT over the same sampled WHERE — n_in recomputed from
+    // the filter, survivors by sorted-hash md5
+    "q171_stream_dedup" ->
+      s"""WITH sampled AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents
+        |  WHERE ${replayWhereSql("doc_id")}),
+        |fed AS (SELECT h FROM sampled
+        |        UNION ALL SELECT h FROM sampled WHERE doc_id % 4 = 0),
+        |u AS (SELECT DISTINCT h FROM sampled)
+        |SELECT CAST((SELECT count(*) FROM fed) AS BIGINT) AS n_in,
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST((SELECT count(*) FROM fed) - count(*) AS BIGINT) AS n_dupes,
+        |  md5(string_agg(h, ';' ORDER BY h)) AS uniq_md5
+        |FROM u""".stripMargin,
+
     "q92_stream_sessionize" -> sessionizeSql(replayWhereSql("user_id")),
     "q50_sessionize" -> sessionizeSql(),
 

@@ -57,6 +57,28 @@ class MultimodalSpec extends SparkSpec {
     assert(resizeNearest(px, 1, 4, 4, 4, 4).toSeq == px.toSeq)
   }
 
+  test("box resize: uneven pooling boxes, exact integer means") {
+    // 1 channel, 4x4 of u8-scaled values → 3x3: partition y*3 div 4 gives
+    // rows {0,1},{2},{3} — uneven boxes; value = sum div count
+    val bytes = Array.tabulate(16)(i => i * 16) // 0,16,...,240
+    val px = bytes.map(b => b / 255f)
+    val out = resizeBox(px, 1, 4, 4, 3, 3)
+    def cell(ys: Seq[Int], xs: Seq[Int]) = {
+      val vs = for (y <- ys; x <- xs) yield bytes(y * 4 + x).toLong
+      vs.sum / vs.length
+    }
+    val expect = for (ys <- Seq(Seq(0, 1), Seq(2), Seq(3));
+                      xs <- Seq(Seq(0, 1), Seq(2), Seq(3))) yield cell(ys, xs)
+    assert(out.toSeq == expect)
+    // identity resize is exact byte recovery
+    assert(resizeBox(px, 1, 4, 4, 4, 4).toSeq ==
+      bytes.map(_.toLong).toSeq)
+    // upscale refused loudly
+    assertThrows[IllegalArgumentException] {
+      resizeBox(px, 1, 4, 4, 8, 8)
+    }
+  }
+
   test("pixel_csv native expression ≡ HOF formulation, round-trips every byte") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
