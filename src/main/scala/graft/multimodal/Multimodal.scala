@@ -179,6 +179,43 @@ object Multimodal {
     }
   }
 
+  final case class PcmWindow(asset_id: String, widx: Int, n: Long,
+                             sum_sq: Long, zero_crossings: Long, rms: Long)
+
+  /** Audio-feature kernel over an opaque PCM binary column: interpret the
+    * bytes as interleaved signed 16-bit little-endian samples, split into
+    * `win`-sample windows (last window may be short), and emit per window
+    * the exact-integer energy (Σ s²), strict zero crossings
+    * (s[j−1]·s[j] < 0, within-window only) and rms = floor(√(Σs² div n))
+    * — the one non-integer step is √ of an exact integer double, which is
+    * correctly-rounded IEEE in both engines (the q164 portability
+    * argument). Odd trailing byte is ignored (truncated sample). */
+  def pcmS16Windows(assetId: String, bytes: Array[Byte], win: Int): Seq[PcmWindow] = {
+    require(win >= 1, "window must be positive")
+    val nSamples = bytes.length / 2
+    val out = Seq.newBuilder[PcmWindow]
+    var w0 = 0
+    while (w0 < nSamples) {
+      val end = math.min(w0 + win, nSamples)
+      var sumSq = 0L
+      var zc = 0L
+      var prev = 0
+      var j = w0
+      while (j < end) {
+        val s = (bytes(2 * j + 1) << 8) | (bytes(2 * j) & 0xFF)
+        sumSq += s.toLong * s
+        if (j > w0 && prev * s < 0) zc += 1
+        prev = s
+        j += 1
+      }
+      val n = (end - w0).toLong
+      out += PcmWindow(assetId, w0 / win, n, sumSq, zc,
+        math.floor(math.sqrt((sumSq / n).toDouble)).toLong)
+      w0 += win
+    }
+    out.result()
+  }
+
   /** Uniform frame sampling for video assets: keep every row whose
     * frame_idx lands on the stride grid — a pure filter, no decode rework. */
   def sampleFrames(frames: Dataset[DecodedFrame], stride: Int): Dataset[DecodedFrame] =

@@ -76,6 +76,27 @@ object MultimodalQueries {
         .orderBy("asset_id", "frame_idx")
     }),
 
+    // AUDIO WINDOWED FEATURES over an opaque PCM binary column: per-doc
+    // planted s16le payloads (the q70 pattern — deterministic bytes, real
+    // operators) through Multimodal.pcmS16Windows — 64-sample windows,
+    // exact-integer energy, strict zero crossings, floor-sqrt rms (the
+    // q164 correctly-rounded-sqrt portability argument). Variable-length
+    // assets (192/256/320 samples by doc_id mod 3) exercise both full and
+    // short trailing windows. One narrow flatMap — audio bytes never
+    // shuffle, only the per-window feature rows do.
+    "q173_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val nSamples = 192 + (id % 3).toInt * 64
+          val bytes = Array.tabulate(2 * nSamples)(i => payloadByte(id, 0, i))
+          Multimodal.pcmS16Windows(s"audio_$id", bytes, win = 64)
+        }
+        .toDF()
+        .orderBy("asset_id", "widx")
+    }),
+
     // BOX-AVERAGE RESIZE (pooling) over decoded frames — the multimodal
     // resize op in exact integer form: 16×16 → 5×5 (non-divisible ratio,
     // so boxes are UNEVEN — 4/3/3/3/3 under y·5 div 16 — and the partition map y·oh div h
@@ -118,6 +139,30 @@ object MultimodalQueries {
     * channel ch occupies payload indices [ch·256, ch·256+256); thumbnail
     * source pixel of thumb (r,c,ch) is payload index ch·256 + 4r·16 + 4c. */
   val oracle: Map[String, String] = Map(
+    // samples regenerated arithmetically (byte pairs → sign-corrected
+    // s16), windowed by j div 64, lag() for the strict crossings
+    "q173_audio_features" ->
+      """WITH d AS (SELECT doc_id, 192 + (doc_id % 3) * 64 AS ns FROM documents),
+        |s AS (SELECT doc_id, CAST(j AS INT) AS j,
+        |        ((doc_id*31 + (2*j+1)*7) % 256) * 256
+        |          + ((doc_id*31 + (2*j)*7) % 256) AS v
+        |      FROM d, range(0, 320) t(j) WHERE j < ns),
+        |ss AS (SELECT doc_id, j,
+        |        CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS BIGINT) AS smp
+        |       FROM s),
+        |w AS (SELECT doc_id, CAST(j // 64 AS INT) AS widx, smp,
+        |        lag(smp) OVER (PARTITION BY doc_id, j // 64 ORDER BY j) AS prev
+        |      FROM ss)
+        |SELECT 'audio_' || CAST(doc_id AS VARCHAR) AS asset_id, widx,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+        |  CAST(count(CASE WHEN prev * smp < 0 THEN 1 END) AS BIGINT)
+        |    AS zero_crossings,
+        |  CAST(floor(sqrt(CAST(sum(smp * smp) // count(*) AS DOUBLE))) AS BIGINT)
+        |    AS rms
+        |FROM w GROUP BY doc_id, widx
+        |ORDER BY asset_id, widx""".stripMargin,
+
     // explode pixel indices, map each to its pooling cell with the same
     // integer partition (y·5 div 16), sum div count per cell, then
     // csv in row-major cell order

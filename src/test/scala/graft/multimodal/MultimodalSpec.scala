@@ -79,6 +79,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pcm windows: s16le sign, strict crossings, short tail, exact rms") {
+    // samples +1000, -1000, +1000, 0, -2, ... : little-endian pairs
+    def le(s: Int): Seq[Byte] = Seq((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte)
+    val samples = Seq(1000, -1000, 1000, 0, -2)
+    val bytes = samples.flatMap(le).toArray
+    val ws = pcmS16Windows("a", bytes, win = 4)
+    assert(ws.length == 2)
+    val w0 = ws(0)
+    // crossings: +1000→-1000 (yes), -1000→+1000 (yes), 1000→0 (no: strict)
+    assert((w0.n, w0.zero_crossings) == (4L, 2L))
+    assert(w0.sum_sq == 3L * 1000 * 1000)
+    assert(w0.rms == math.floor(math.sqrt((w0.sum_sq / 4).toDouble)).toLong)
+    val w1 = ws(1) // short tail: one sample, no crossings possible
+    assert((w1.n, w1.sum_sq, w1.zero_crossings, w1.rms) == (1L, 4L, 0L, 2L))
+    // odd trailing byte ignored
+    assert(pcmS16Windows("a", bytes :+ 0x7F.toByte, 4).map(_.sum_sq) ==
+      ws.map(_.sum_sq))
+  }
+
   test("pixel_csv native expression ≡ HOF formulation, round-trips every byte") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
