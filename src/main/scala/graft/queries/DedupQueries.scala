@@ -57,9 +57,10 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
-    // LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT (round 10): the split every
-    // training pipeline needs but a naive per-doc hash gets WRONG — a
-    // near-duplicate pair straddling train/test is benchmark leakage.
+    // LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT (round 10): q95's per-doc Mix64
+    // split is the right PRIMITIVE but the wrong GRAIN for a corpus with
+    // near-duplicates — a near-dup pair straddling train/test is
+    // benchmark leakage, so assignment must be atomic per dup-GROUP.
     // Assignment is a pure function of the near-dup COMPONENT label (the
     // q28 graph: LSH-verified Jaccard ≥ 0.5 edges → min-label components),
     // so a whole dup-group moves atomically: Mix64 coord of the component

@@ -36,10 +36,12 @@ object TextQueries {
   private val PiiLongId = "[0-9]{9,}"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // PII REDACTION AUDIT (round 10): the scrub pass every shareable
-    // training corpus needs — match classes (emails, phone-shaped,
-    // 9+-digit identifiers), replace with typed placeholders, report the
-    // per-source footprint. The synthetic corpus carries no PII, so the
+    // PII REDACTION AUDIT (round 10): q96 checks per-doc detection +
+    // byte-exact scrub of two classes; this is the GOVERNANCE view a
+    // release review reads — three ORDERED redaction classes (emails,
+    // phone-shaped, 9+-digit identifiers → typed placeholders) rolled up
+    // per source, with chars_removed re-deriving the redaction from
+    // length arithmetic so pattern or pass-order drift reddens the row. The synthetic corpus carries no PII, so the
     // pipeline PLANTS it deterministically from doc_id (the q70 fixture
     // pattern: fake payload, real operators — concat/when on the engine
     // side, CASE/|| in the oracle) and then runs the REAL scrub: three
