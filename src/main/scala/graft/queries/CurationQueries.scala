@@ -552,8 +552,15 @@ object CurationQueries {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
       val keepIds = docs.select(col("doc_id"), md5(col("text")).as("h"))
         .groupBy("h").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      val deduped = docs.join(keepIds, Seq("doc_id"), "left_semi")
-      val bo = bigramsOf(deduped, "doc_id")
+      // multi-referenced stage outputs persist (the q151/q169 loop-
+      // invariant lesson): deduped feeds the LM corpus, the gate join AND
+      // the funnel count; bo feeds the count tables and the scoring join;
+      // gated feeds quotas and the ranked keep — without the cache each
+      // reference re-derives the dedup/bigram subtree from the corpus
+      val keep = (df: org.apache.spark.sql.DataFrame) =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deduped = keep(docs.join(keepIds, Seq("doc_id"), "left_semi"))
+      val bo = keep(bigramsOf(deduped, "doc_id"))
       val c2 = bo.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
       val c1 = c2.groupBy("w1").agg(sum(col("cnt2")).as("cnt1"))
       val lm = bo.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -562,9 +569,9 @@ object CurationQueries {
         .groupBy("doc_id").agg(expr("sum(cond_micro) div count(1)").as("lm"))
       // bigram-less docs fold to 0 and fail the gate — deliberate: a doc
       // the LM cannot score is not fluent evidence
-      val gated = deduped.join(lm, Seq("doc_id"), "left")
+      val gated = keep(deduped.join(lm, Seq("doc_id"), "left")
         .where(coalesce(col("lm"), lit(0L)) >= LmGate)
-        .select("doc_id", "source")
+        .select("doc_id", "source"))
       val wAll = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
       val quotas = gated.groupBy("source").agg(count(lit(1)).as("n_gated"))

@@ -421,6 +421,7 @@ object TextQueries {
         .where(col("quality") >= 0.5)
       val deduped = graft.dedup.Dedup.exactDedup(
         scored, col("text"), col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // min mass folded INTO the plan (unpartitioned window over the
       // per-source aggregate — a handful of rows on one partition), not a
       // separate .head() action: a driver action here would execute the
@@ -518,8 +519,13 @@ object TextQueries {
           punctRatio(col("text")).as("pr"), digitRatio(col("text")).as("dr"))
         .select(col("doc_id"), col("source"), col("text"),
           qualityScoreFrom(col("st"), col("pr"), col("dr")).as("quality"))
+      // exactDedup references its input twice (hash-group derivation +
+      // survivor semi-join) — persist the quality-scored frame so the
+      // textStats subtree runs once (the q151/q169/q91 lesson)
+      val survivors = scored.where(col("quality") >= 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deduped = graft.dedup.Dedup.exactDedup(
-        scored.where(col("quality") >= 0.5), col("text"), col("doc_id"))
+        survivors, col("text"), col("doc_id"))
       val w = Window.partitionBy("source")
         .orderBy(col("quality").desc, col("doc_id"))
       deduped.withColumn("rank", row_number().over(w))
