@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.queries ++
       graft.queries.OpsQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.RasterQueries.queries
+      graft.queries.RasterQueries.queries ++
+      graft.queries.FormatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.MultimodalQueries.oracle ++
       graft.queries.OpsQueries.oracle ++
       graft.queries.CurationQueries.oracle ++
-      graft.queries.RasterQueries.oracle
+      graft.queries.RasterQueries.oracle ++
+      graft.queries.FormatQueries.oracle
 }
