@@ -35,6 +35,8 @@ object CurationQueries {
   private val LiftVocab = 100
   private val LiftMinSupport = 5
   private val LiftTopK = 50
+  /** q176 importance-resampling shortlist size. */
+  private val ImportanceTopK = 50
   /** q150 compaction target bytes per output group. */
   private val CompactTarget = 2000L
   /** q151 PageRank: damping 17/20 (= 0.85), base floor(0.15·2^20), rounds.
@@ -255,6 +257,53 @@ object CurationQueries {
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
           coalesce(expr("s div n_bigrams"), lit(0L)).as("lm_micro"))
         .orderBy("doc_id")
+    }),
+
+    // DSIR-STYLE IMPORTANCE SCORING (round 10; Xie et al.'s data
+    // selection via importance resampling, re-expressed on the integer
+    // lattice): rank candidate docs by how much more likely their bigrams
+    // are under a TARGET-domain LM (src0, the q75/q133 benchmark slice)
+    // than under the corpus LM. Per bigram occurrence: contrast_micro =
+    // p_target − p_corpus in 2^20 micro-units (probability difference —
+    // the exact-integer stand-in for the log-ratio, same sign and a
+    // monotone ranking for the dominant terms); per doc: truncating mean;
+    // no-bigram candidates score 0 and still compete. Selection is
+    // orderBy+limit (TakeOrderedAndProject — never an unpartitioned
+    // corpus-wide window, the q119 contract); rnk is assigned on the ≤ K
+    // survivors. ONE corpus bigram expansion: target and candidate halves
+    // expand separately (persisted — each feeds counts AND the join) and
+    // union into the corpus counts.
+    "q176_importance_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keep = (df: DataFrame) =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tb = keep(bigramsOf(docs.where(col("source") === "src0"), "doc_id"))
+      val cb = keep(bigramsOf(docs.where(col("source") =!= "src0"), "doc_id"))
+      val bo = tb.union(cb) // corpus = target ∪ candidates, expanded once
+      val t2 = tb.groupBy("w1", "w2").agg(count(lit(1)).as("t2"))
+      val t1 = tb.groupBy("w1").agg(count(lit(1)).as("t1"))
+      val c2 = bo.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = bo.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val perDoc = cb
+        .join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .join(t2, Seq("w1", "w2"), "left").join(t1, Seq("w1"), "left")
+        .withColumn("contrast",
+          expr(s"coalesce((cast(t2 as decimal(38,0)) * ${Micro}L) div t1, 0L)" +
+            s" - (cast(c2 as decimal(38,0)) * ${Micro}L) div c1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("contrast")).as("s"))
+      val ranked = docs.where(col("source") =!= "src0")
+        .select(col("doc_id"), col("source"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(expr("s div n_bigrams"), lit(0L)).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(ImportanceTopK)
+      ranked.withColumn("rnk", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+        .select("rnk", "doc_id", "source", "n_bigrams", "score_micro")
+        .orderBy("rnk")
     }),
 
     // TERM CO-OCCURRENCE LIFT (integer PMI stand-in: lift = p(a,b) /
@@ -851,6 +900,38 @@ object CurationQueries {
          |  CAST(coalesce(pd.s // pd.n_bigrams, 0) AS BIGINT) AS lm_micro
          |FROM documents d LEFT JOIN pd USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // target/candidate bigram expansions + the probability-difference
+    // contrast; top-K via rnk <= K (the engine side is orderBy+limit)
+    "q176_importance_score" ->
+      s"""WITH tb AS (
+         |  ${bigramSql("doc_id", where = " WHERE source = 'src0'")}),
+         |cb AS (
+         |  ${bigramSql("doc_id", where = " WHERE source <> 'src0'")}),
+         |bo AS (SELECT * FROM tb UNION ALL SELECT * FROM cb),
+         |t2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS t2 FROM tb GROUP BY 1, 2),
+         |t1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS t1 FROM tb GROUP BY 1),
+         |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bo GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bo GROUP BY 1),
+         |sc AS (
+         |  SELECT cb.doc_id,
+         |    coalesce((CAST(t2.t2 AS HUGEINT) * $Micro) // t1.t1, 0)
+         |      - (CAST(c2.c2 AS HUGEINT) * $Micro) // c1.c1 AS contrast
+         |  FROM cb JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         |  LEFT JOIN t2 USING (w1, w2) LEFT JOIN t1 USING (w1)),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        CAST(sum(contrast) AS BIGINT) AS s FROM sc GROUP BY 1),
+         |ranked AS (
+         |  SELECT d.doc_id, d.source,
+         |    coalesce(pd.n_bigrams, 0) AS n_bigrams,
+         |    CAST(coalesce(pd.s // pd.n_bigrams, 0) AS BIGINT) AS score_micro
+         |  FROM documents d LEFT JOIN pd USING (doc_id)
+         |  WHERE d.source <> 'src0')
+         |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, source, n_bigrams, score_micro
+         |FROM (SELECT *, row_number() OVER
+         |        (ORDER BY score_micro DESC, doc_id) AS rnk
+         |      FROM ranked) t
+         |WHERE rnk <= $ImportanceTopK ORDER BY rnk""".stripMargin,
 
     "q149_term_lift" ->
       s"""WITH $coocSql,
