@@ -67,7 +67,12 @@ object DedupQueries {
     // rep, 80/10/10. The row also PROVES the property in-band: n_cross_
     // edges counts near-dup edges whose endpoints landed in different
     // splits — the oracle recomputes it from its own edge set, so any
-    // grouping drift shows up as a nonzero cell, not silence. Scale shape
+    // grouping drift shows up as a nonzero cell, not silence. The
+    // engine's edge set is banded LSH vs the oracle's exact all-pairs —
+    // the same asymmetry q21/q28 carry, sound here for the same reason:
+    // at 16 bands × 2 rows a j ≥ 0.8 pair is missed w.p. ≤ 4e-8 and this
+    // corpus has NO pairs in (0.1, 0.8) (verified at all three SFs), so
+    // the candidate set provably contains every ≥ 0.5 edge. Scale shape
     // = q28 (banded LSH, distributed components) + one split-keyed agg.
     "q169_leakage_safe_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")

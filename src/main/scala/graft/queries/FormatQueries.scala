@@ -21,9 +21,12 @@ import org.apache.spark.sql.types._
   */
 object FormatQueries {
 
-  private def tmpDir(name: String): String =
+  /** Per-(format, dataset) sink dir — the OpsQueries.suffix convention:
+    * concurrent verify runs at different SFs on one host must not clobber
+    * each other's round-trip files. */
+  private def tmpDir(name: String, dir: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_fmt_$name").getAbsolutePath
+      s"graft_fmt_$name${OpsQueries.suffix(dir)}").getAbsolutePath
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ORC sink + source: lineitem's numeric/flag columns through a
@@ -32,7 +35,7 @@ object FormatQueries {
     // the decimal-exact float discipline. snappy ORC, one file per
     // partition value at bench scale.
     "q174_orc_roundtrip" -> ((s, dir) => {
-      val out = tmpDir("orc")
+      val out = tmpDir("orc", dir)
       s.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"))
@@ -60,7 +63,7 @@ object FormatQueries {
     // md5 over the lexicographically-sorted doc_id:md5(text) pairs — so a
     // single mangled character anywhere in the round-trip flips the row.
     "q175_jsonl_roundtrip" -> ((s, dir) => {
-      val out = tmpDir("jsonl")
+      val out = tmpDir("jsonl", dir)
       s.read.parquet(s"$dir/documents.parquet")
         .write.mode("overwrite").option("compression", "gzip").json(out)
       val docSchema = StructType(Seq(

@@ -41,14 +41,13 @@ object TextQueries {
     // release review reads — three ORDERED redaction classes (emails,
     // phone-shaped, 9+-digit identifiers → typed placeholders) rolled up
     // per source, with chars_removed re-deriving the redaction from
-    // length arithmetic so pattern or pass-order drift reddens the row. The synthetic corpus carries no PII, so the
-    // pipeline PLANTS it deterministically from doc_id (the q70 fixture
-    // pattern: fake payload, real operators — concat/when on the engine
-    // side, CASE/|| in the oracle) and then runs the REAL scrub: three
-    // ordered regexp_replace passes + regexp_count footprint columns.
-    // chars_removed re-derives the redaction from plain length arithmetic,
-    // so a drifting pattern or replace order reddens the row. One corpus
-    // scan, per-source agg — nothing shuffles but the 10-row rollup.
+    // length arithmetic so pattern or pass-order drift reddens the row.
+    // The synthetic corpus carries no PII, so the pipeline PLANTS it
+    // deterministically from doc_id (the q70 fixture pattern: fake
+    // payload, real operators — concat/when on the engine side, CASE/||
+    // in the oracle) and then runs the REAL scrub: three ordered
+    // regexp_replace passes + regexp_count footprint columns. One corpus
+    // scan, per-source agg — nothing shuffles but the 20-row rollup.
     "q170_pii_redaction" -> ((s, dir) => {
       val planted = t(s, dir, "documents").select(col("doc_id"), col("source"),
         concat(col("text"),

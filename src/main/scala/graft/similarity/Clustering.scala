@@ -120,9 +120,14 @@ object Clustering {
     // SILENT wrong cluster — while the batch path's equi-join on d computes
     // a partial distance. Fail loudly instead: serving ≡ batch only holds
     // for exactly model-dim inputs, so anything else is corrupt input.
-    when(size(vecCol) === dim, array_min(array(dists: _*)).getField("cid"))
+    // coalesce + null-safe message: a NULL vector must raise the same
+    // crafted diagnostic, not raise_error(NULL) (size(NULL) is NULL, and
+    // concat over it would null the whole message).
+    when(coalesce(size(vecCol) === dim, lit(false)),
+        array_min(array(dists: _*)).getField("cid"))
       .otherwise(raise_error(concat(
-        lit(s"assignExpr: vector dim "), size(vecCol),
+        lit(s"assignExpr: vector dim "),
+        coalesce(size(vecCol).cast("string"), lit("NULL")),
         lit(s" != model dim $dim"))))
   }
 

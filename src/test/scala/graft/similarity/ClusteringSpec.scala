@@ -107,6 +107,13 @@ class ClusteringSpec extends SparkSpec {
       }
       assert(ex.getMessage.contains("model dim 2"), ex.getMessage)
     }
+    // a NULL vector raises the crafted message too, not raise_error(NULL)
+    val exNull = intercept[Exception] {
+      Seq(Option.empty[Seq[Float]]).toDF("embedding")
+        .select(Clustering.assignExpr(col("embedding"), cents).as("cid"))
+        .collect()
+    }
+    assert(exNull.getMessage.contains("vector dim NULL"), exNull.getMessage)
     // exact-dim vectors still serve
     val ok = Seq(Seq(0.9f, 0.9f)).toDF("embedding")
       .select(Clustering.assignExpr(col("embedding"), cents).as("cid"))
