@@ -76,6 +76,39 @@ object MultimodalQueries {
         .orderBy("asset_id", "frame_idx")
     }),
 
+    // TEMPORAL FRAME DIFF (motion proxy) over decoded video assets: for
+    // every consecutive frame pair of a multi-frame asset, the exact
+    // integer sum of per-pixel |byte − byte| across all channels and its
+    // truncating mean — the shot-boundary / static-clip signal a video
+    // curation pass filters on. A video container holds its OWN frames,
+    // so consecutive pairs are local to the asset row: one narrow flatMap
+    // decodes and diffs in place — no join, no shuffle of pixels at all
+    // (a first cut paired per-frame rows through a self-join + HOF fold:
+    // 1.2 s at sf0.1 and a pointless pixel shuffle; the in-container
+    // kernel is 0.5 s and the right 100 TB shape). Single-frame assets
+    // contribute no rows (no pair to diff).
+    "q177_frame_diff" -> ((s, dir) => {
+      import s.implicits._
+      assetsOf(s, dir).select(col("asset_id"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (aid, bytes) =>
+          Multimodal.FakeCodec.decode(bytes).toSeq.flatMap {
+            case (_, _, _, _, frames) =>
+              (1 until frames.length).map { f =>
+                val a = frames(f); val b = frames(f - 1)
+                var sum = 0L
+                var i = 0
+                while (i < a.length) {
+                  sum += math.abs((a(i) & 0xFF) - (b(i) & 0xFF)); i += 1
+                }
+                (aid, f, sum, a.length.toLong, sum / a.length)
+              }
+          }
+        }
+        .toDF("asset_id", "frame_idx", "abs_diff_sum", "n_px", "mean_diff_q")
+        .orderBy("asset_id", "frame_idx")
+    }),
+
     // AUDIO WINDOWED FEATURES over an opaque PCM binary column: per-doc
     // planted s16le payloads (the q70 pattern — deterministic bytes, real
     // operators) through Multimodal.pcmS16Windows — 64-sample windows,
@@ -139,6 +172,25 @@ object MultimodalQueries {
     * channel ch occupies payload indices [ch·256, ch·256+256); thumbnail
     * source pixel of thumb (r,c,ch) is payload index ch·256 + 4r·16 + 4c. */
   val oracle: Map[String, String] = Map(
+    // payload bytes regenerated arithmetically for both frames of each
+    // consecutive pair; |diff| summed over the 768 indices
+    "q177_frame_diff" ->
+      """WITH fr AS (
+        |  SELECT doc_id, 'asset_' || CAST(doc_id AS VARCHAR) AS asset_id,
+        |    CAST(f AS INT) AS frame_idx
+        |  FROM documents, range(1, 3) t(f) WHERE f <= doc_id % 3),
+        |d AS (
+        |  SELECT asset_id, frame_idx,
+        |    CAST(sum(abs((doc_id*31 + frame_idx*17 + i*7) % 256
+        |          - (doc_id*31 + (frame_idx-1)*17 + i*7) % 256)) AS BIGINT)
+        |      AS abs_diff_sum
+        |  FROM fr, range(0, 768) t(i)
+        |  GROUP BY asset_id, frame_idx)
+        |SELECT asset_id, frame_idx, abs_diff_sum,
+        |  CAST(768 AS BIGINT) AS n_px,
+        |  CAST(abs_diff_sum // 768 AS BIGINT) AS mean_diff_q
+        |FROM d ORDER BY asset_id, frame_idx""".stripMargin,
+
     // samples regenerated arithmetically (byte pairs → sign-corrected
     // s16), windowed by j div 64, lag() for the strict crossings
     "q173_audio_features" ->
