@@ -83,6 +83,28 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // SUBWORD TOKEN COUNTING (round 10): the real token-budget estimate —
+    // greedy longest-prefix segmentation against a fixed WordPiece-style
+    // vocabulary (TextAnalysis.SubwordVocab: letters + frequent English
+    // bi/trigram merges; out-of-vocab chars consume one position as an
+    // unknown token, so the walk terminates on ANY input). q30's
+    // whitespace/regex counts approximate budgets; this is what a
+    // tokenizer actually charges. One narrow kernel map per doc — the
+    // oracle replays the greedy walk with a recursive CTE over word
+    // instances against the SAME interpolated vocabulary.
+    "q178_subword_count" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val ws = text.split(" ").filter(_.nonEmpty)
+          (id, ws.length.toLong,
+            ws.map(w => graft.text.TextAnalysis.subwordCount(w).toLong).sum)
+        }
+        .toDF("doc_id", "n_words", "n_subwords")
+        .orderBy("doc_id")
+    }),
+
     "q30_token_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -890,6 +912,32 @@ object TextQueries {
          |  CAST(sum(n_ids) AS BIGINT) AS n_ids,
          |  CAST(sum(length(text2) - length(clean)) AS BIGINT) AS chars_removed
          |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+
+    // the greedy walk as a recursive CTE: one row per (word instance,
+    // step); the longest matching unit advances pos, unknown chars
+    // advance 1; the terminal row (pos > len) carries the unit count
+    "q178_subword_count" ->
+      s"""WITH RECURSIVE units(unit) AS (
+         |  VALUES ${graft.text.TextAnalysis.SubwordVocab.map(u => s"('$u')").mkString(", ")}),
+         |wi AS (
+         |  SELECT doc_id, i, w[i] AS word FROM (
+         |    SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM
+         |      (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t0) t
+         |  WHERE w[i] <> ''),
+         |seg AS (
+         |  SELECT doc_id, i, word, 1 AS pos, 0 AS n FROM wi
+         |  UNION ALL
+         |  SELECT doc_id, i, word,
+         |    pos + coalesce((SELECT max(len(unit)) FROM units
+         |                    WHERE unit = substr(word, pos, len(unit))), 1),
+         |    n + 1
+         |  FROM seg WHERE pos <= len(word)),
+         |fin AS (SELECT doc_id, i, n FROM seg WHERE pos > len(word))
+         |SELECT d.doc_id,
+         |  CAST(coalesce(count(fin.i), 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(sum(fin.n), 0) AS BIGINT) AS n_subwords
+         |FROM documents d LEFT JOIN fin USING (doc_id)
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "q30_token_stats" ->
       """SELECT doc_id, length(text) AS n_chars,

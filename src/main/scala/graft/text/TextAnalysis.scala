@@ -203,6 +203,62 @@ object TextAnalysis {
   /** 64-bit polynomial rolling hash of the whole (normalized) document —
     * a cheap whole-content fingerprint: h = Σ h*31 + c over UTF-8 bytes,
     * wrapping. */
+  /** Greedy longest-prefix subword vocabulary for [[subwordCounts]] — the
+    * WordPiece/BPE-flavored segmentation a token-budget estimate needs
+    * beyond whitespace/regex counting. Single letters guarantee progress;
+    * the bi/trigram units are the high-frequency English merges. ONE
+    * definition: q178's DuckDB oracle interpolates this exact list. */
+  val SubwordVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++ Seq(
+      "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti",
+      "es", "or", "te", "of", "ed", "is", "it", "al", "ar", "st", "to",
+      "nt", "ng", "se", "ha", "as", "ou", "io", "le", "ve", "co", "me",
+      "de", "hi", "ri", "ro", "ic",
+      "the", "ing", "and", "ion", "ent", "for", "tio", "ere", "her",
+      "ate", "ver", "ter", "est")
+
+  private lazy val subwordMaxLen: Int = SubwordVocab.map(_.length).max
+
+  /** Units as allocation-free integer keys (length-tagged base-128 char
+    * polynomial — injective for ≤ 4 ASCII chars), so the per-token hot
+    * loop probes a primitive-keyed set instead of building substrings. */
+  private lazy val subwordKeys: java.util.HashSet[Integer] = {
+    val s = new java.util.HashSet[Integer]()
+    SubwordVocab.foreach { u =>
+      var k = u.length
+      var i = 0
+      while (i < u.length) { k = k * 128 + (u.charAt(i) & 0x7F); i += 1 }
+      s.add(k)
+    }
+    s
+  }
+
+  /** Number of greedy longest-prefix subword units in one word: at each
+    * position take the longest vocab unit matching the prefix (ties to
+    * longest, the WordPiece rule); a character outside the vocab consumes
+    * one position as an unknown token — progress is always ≥ 1, so the
+    * walk terminates on any input. */
+  def subwordCount(word: String): Int = {
+    val keys = subwordKeys
+    var pos = 0
+    var n = 0
+    while (pos < word.length) {
+      var step = 1
+      var l = math.min(subwordMaxLen, word.length - pos)
+      var found = false
+      while (l >= 1 && !found) {
+        var k = l
+        var i = 0
+        while (i < l) { k = k * 128 + (word.charAt(pos + i) & 0x7F); i += 1 }
+        if (keys.contains(k)) { step = l; found = true }
+        l -= 1
+      }
+      pos += step
+      n += 1
+    }
+    n
+  }
+
   def contentFingerprint(text: Column): Column =
     graft.functions.RollingHash.rollingHash64(text)
 

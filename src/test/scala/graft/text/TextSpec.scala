@@ -222,4 +222,25 @@ class TextSpec extends SparkSpec {
       .where(col("source") =!= "src0").count()
     assert(n == corpus)
   }
+
+  test("subwordCount: greedy longest prefix, unknown chars, vocab integrity") {
+    import graft.text.TextAnalysis.{subwordCount, SubwordVocab}
+    // "the" is a trigram unit → 1; "then" = the + n → 2;
+    // "thent" = the + nt → 2 (greedy takes the trigram first)
+    assert(subwordCount("the") == 1)
+    assert(subwordCount("then") == 2)
+    assert(subwordCount("thent") == 2)
+    // "ather" = at + her (greedy prefix at each position)
+    assert(subwordCount("ather") == 2)
+    // single letters always segment (26 fallback units)
+    assert(subwordCount("zzzz") == 4)
+    assert(subwordCount("z") == 1)
+    // out-of-vocab characters consume one position each (no hang)
+    assert(subwordCount("a9b") == 3)
+    assert(subwordCount("999") == 3)
+    assert(subwordCount("") == 0)
+    // every vocab unit must segment as itself (key encoding is injective
+    // over the vocab — a collision would miscount some unit)
+    SubwordVocab.foreach(u => assert(subwordCount(u) == 1, u))
+  }
 }
