@@ -80,7 +80,8 @@ object Bench {
       "q92_stream_sessionize", "q94_stream_kmv", "q99_stream_histogram",
       "q100_stream_heavy", "q105_stream_cm", "q107_stream_scd2",
       "q109_stream_hll", "q120_stream_attribution", "q122_stream_tombstone",
-      "q128_stream_trending", "q135_stream_abandoned", "q156_stream_cluster")
+      "q128_stream_trending", "q135_stream_abandoned", "q156_stream_cluster",
+      "q171_stream_dedup")
     // Per-query history: the newest BENCH_r*.json in the working directory
     // (the driver runs from the repo root, where it also writes them).
     // The r8 artifact carried 16-39x ambient outliers on individually tiny

@@ -97,7 +97,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("quant_norm2", "quant_norm2(a, scale) - integer squared norm of the quantized array; errors loudly on 64-bit overflow (ANSI-style)",
       es => QuantNorm2Expr(es(0), longLit(es(1), "scale"))),
     ("hyperplane_proj_portable", "hyperplane_proj_portable(vec, nDims, seed) - raw JL integer projections; NULL if vec or any element is NULL",
-      es => HyperplanePortableProj(es(0), intLit(es(1), "nDims"), longLit(es(2), "seed"))))
+      es => HyperplanePortableProj(es(0), intLit(es(1), "nDims"), longLit(es(2), "seed"))),
+    ("subword_stats", "subword_stats(text) - (n_words, n_subwords) under greedy longest-prefix subword segmentation (q178's vocabulary)",
+      es => SubwordStatsExpr(es.head)))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

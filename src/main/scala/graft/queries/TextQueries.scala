@@ -92,18 +92,13 @@ object TextQueries {
     // tokenizer actually charges. One narrow kernel map per doc — the
     // oracle replays the greedy walk with a recursive CTE over word
     // instances against the SAME interpolated vocabulary.
-    "q178_subword_count" -> ((s, dir) => {
-      import s.implicits._
-      t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) =>
-          val ws = text.split(" ").filter(_.nonEmpty)
-          (id, ws.length.toLong,
-            ws.map(w => graft.text.TextAnalysis.subwordCount(w).toLong).sum)
-        }
-        .toDF("doc_id", "n_words", "n_subwords")
-        .orderBy("doc_id")
-    }),
+    "q178_subword_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Subword.subwordStats(col("text")).as("sw"))
+        .select(col("doc_id"), col("sw.n_words").as("n_words"),
+          col("sw.n_subwords").as("n_subwords"))
+        .orderBy("doc_id")),
 
     "q30_token_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(

@@ -91,6 +91,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(probe.getBoolean(0) && !probe.getBoolean(1))
   }
 
+  test("subword_stats callable from SQL, whitespace handling matches the kernel") {
+    val row = spark.sql(
+      "SELECT subword_stats('the  then  a9b').n_words AS nw, " +
+        "subword_stats('the  then  a9b').n_subwords AS ns, " +
+        "subword_stats('') AS empty").collect()(0)
+    assert(row.getAs[Long]("nw") == 3) // double spaces collapse
+    assert(row.getAs[Long]("ns") == 1 + 2 + 3) // the | the+n | a,9,b
+    assert(row.getStruct(2).getLong(0) == 0 && row.getStruct(2).getLong(1) == 0)
+  }
+
   test("portable hyperplane kernels propagate NULL array elements (round-10 advice)") {
     // a NULL element must null the result, not silently quantize to 0 —
     // the quant_dot/quant_norm2 contract, now shared by sig/proj
