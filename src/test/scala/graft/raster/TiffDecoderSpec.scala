@@ -374,6 +374,18 @@ class TiffDecoderSpec extends SparkSpec {
     assert(TiffDecoder.decode(Array[Byte](0x49, 0x49)).isLeft)
   }
 
+  test("q167 fixture lists cover every committed .tif (none silently untested)") {
+    import graft.queries.RasterQueries
+    val onDisk = new java.io.File(res).listFiles()
+      .map(_.getName).filter(_.endsWith(".tif")).toSet
+    val listed = RasterQueries.DecodableFixtures.toSet ++
+      RasterQueries.RejectedFixtures.toSet
+    assert(listed.subsetOf(onDisk),
+      s"q167 lists missing files: ${listed -- onDisk}")
+    assert(onDisk.subsetOf(listed),
+      s"fixtures not covered by the q167 oracle row: ${onDisk -- listed}")
+  }
+
   test("readTiffDir: binaryFile ingestion + band matching + poison tolerance") {
     val rows = TiffDecoder.readTiffDir(spark, res, Bands.LandsatBands, glob = "*")
       .collect().map(b => b.band -> b).toMap
