@@ -473,13 +473,20 @@ def encode_color_jpeg(rgb, w, h, hs, vs, dri=0):
     return body, expected
 
 
-def write_color_jpeg_tiff(path, w, h, jpeg, hs, vs):
-    """Single-strip YCbCr JPEG TIFF: SamplesPerPixel=3, Photometric=6,
-    BitsPerSample=(8,8,8), YCbCrSubSampling=(hs,vs)."""
+def write_color_jpeg_tiff(path, w, h, jpeg, hs, vs, tile_size=None, tiles=None):
+    """YCbCr JPEG TIFF: SamplesPerPixel=3, Photometric=6,
+    BitsPerSample=(8,8,8), YCbCrSubSampling=(hs,vs). Single strip by
+    default; tile_size=(tw,th) + tiles=[streams] for the COG layout."""
     bo = "<"
     off = 8
-    strip = jpeg
-    ifd_off = off + len(strip)
+    streams = tiles if tiles is not None else [jpeg]
+    offsets = []
+    body = b""
+    for s in streams:
+        offsets.append(off)
+        body += s
+        off += len(s)
+    ifd_off = off
 
     def short(v):
         return struct.pack(bo + "H", v)
@@ -487,19 +494,27 @@ def write_color_jpeg_tiff(path, w, h, jpeg, hs, vs):
     def long_(v):
         return struct.pack(bo + "I", v)
 
+    so = b"".join(long_(o) for o in offsets)
+    sc = b"".join(long_(len(s)) for s in streams)
     tags = [
         (256, 3, 1, short(w)),
         (257, 3, 1, short(h)),
         (258, 3, 3, short(8) + short(8) + short(8)),
         (259, 3, 1, short(7)),
         (262, 3, 1, short(6)),  # YCbCr
-        (273, 4, 1, long_(8)),
         (277, 3, 1, short(3)),
-        (278, 3, 1, short(h)),
-        (279, 4, 1, long_(len(strip))),
         (284, 3, 1, short(1)),  # chunky
         (530, 3, 2, short(hs) + short(vs)),
     ]
+    if tile_size:
+        tags += [(322, 3, 1, short(tile_size[0])),
+                 (323, 3, 1, short(tile_size[1])),
+                 (324, 4, len(streams), so),
+                 (325, 4, len(streams), sc)]
+    else:
+        tags += [(273, 4, len(streams), so),
+                 (278, 3, 1, short(h)),
+                 (279, 4, len(streams), sc)]
     tags.sort()
     n_entries = len(tags)
     entries = []
@@ -513,7 +528,7 @@ def write_color_jpeg_tiff(path, w, h, jpeg, hs, vs):
             extra += vb
     ifd = struct.pack(bo + "H", n_entries) + b"".join(entries) + struct.pack(bo + "I", 0)
     header = struct.pack(bo + "2sHI", b"II", 42, ifd_off)
-    Path(path).write_bytes(header + strip + ifd + extra)
+    Path(path).write_bytes(header + body + ifd + extra)
 
 
 # ----------------------------------------------------------------- tiff
@@ -682,6 +697,31 @@ def main():
             bytes(v for t in exp for v in t))
         if name == "jpeg_color444":
             (out / f"{name}.jpg").write_bytes(jp)  # imageio cross-check
+
+    # 9. COLOR + TILED (the COG-with-color-JPEG layout): 16x16 4:2:0 tiles
+    # over 21x18 -> 2x2 grid, edge tiles full-size (replicated padding);
+    # each tile a complete color stream; expected = per-tile model decode,
+    # padding discarded on placement (R plane committed)
+    tw, th = 16, 16
+    tiles = []
+    expR = [0] * (w * h)
+    for ty in range(0, h, th):
+        for tx in range(0, w, tw):
+            tp = []
+            for y in range(th):
+                for x in range(tw):
+                    yy, xx = min(ty + y, h - 1), min(tx + x, w - 1)
+                    tp.append(rgbpix[yy * w + xx])
+            jp, exp = encode_color_jpeg(tp, tw, th, 2, 2)
+            tiles.append(jp)
+            for y in range(th):
+                for x in range(tw):
+                    yy, xx = ty + y, tx + x
+                    if yy < h and xx < w:
+                        expR[yy * w + xx] = exp[y * tw + x][0]
+    write_color_jpeg_tiff(out / "jpeg_color_tiled.tif", w, h, None, 2, 2,
+                          tile_size=(tw, th), tiles=tiles)
+    (out / "expected_jpeg_color_tiled.bin").write_bytes(bytes(expR))
 
     print("jpeg fixtures written to", out)
 

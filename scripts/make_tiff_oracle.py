@@ -62,7 +62,7 @@ def main():
           # color fixtures: the expected bin is the R PLANE (band 1 —
           # rasterio read(1) parity, what TiffDecoder returns)
           "jpeg_color444", "jpeg_color422", "jpeg_color420",
-          "jpeg_color420_rst"]]
+          "jpeg_color420_rst", "jpeg_color_tiled"]]
     rejected = ["deflate_overlong.tif", "lzw_overlong.tif", "lzw_corrupt.tif",
                 "jpeg_unsupported.tif", "jpeg_truncated.tif",
                 "packbits_overlong.tif", "packbits_truncated.tif"]

@@ -36,7 +36,7 @@ object RasterQueries {
     "jpeg_shared_tables.tif", "jpeg_restart.tif", "jpeg_tiled.tif",
     // color (YCbCr) JPEG: decoded grid = R plane (band 1, read(1) parity)
     "jpeg_color444.tif", "jpeg_color422.tif", "jpeg_color420.tif",
-    "jpeg_color420_rst.tif")
+    "jpeg_color420_rst.tif", "jpeg_color_tiled.tif")
 
   /** Hostile fixtures the decoder must REJECT (poison-safe Left, never an
     * exception and never shifted pixel placement). */
@@ -95,6 +95,8 @@ object RasterQueries {
         |SELECT 'jpeg_color422.tif' AS file, CAST(1 AS BIGINT) AS ok, CAST(18 AS BIGINT) AS h, CAST(21 AS BIGINT) AS w, CAST(378 AS BIGINT) AS n_px, CAST(198744 AS BIGINT) AS sum_q, '8eb75640115ef000269ab4104dddc223' AS px_md5
         |UNION ALL
         |SELECT 'jpeg_color444.tif' AS file, CAST(1 AS BIGINT) AS ok, CAST(18 AS BIGINT) AS h, CAST(21 AS BIGINT) AS w, CAST(378 AS BIGINT) AS n_px, CAST(199800 AS BIGINT) AS sum_q, 'b72c8f3c9add60991e5a64631b7db7ce' AS px_md5
+        |UNION ALL
+        |SELECT 'jpeg_color_tiled.tif' AS file, CAST(1 AS BIGINT) AS ok, CAST(18 AS BIGINT) AS h, CAST(21 AS BIGINT) AS w, CAST(378 AS BIGINT) AS n_px, CAST(200564 AS BIGINT) AS sum_q, '554131bfff215828c52c656c78847910' AS px_md5
         |UNION ALL
         |SELECT 'jpeg_flat.tif' AS file, CAST(1 AS BIGINT) AS ok, CAST(18 AS BIGINT) AS h, CAST(21 AS BIGINT) AS w, CAST(378 AS BIGINT) AS n_px, CAST(196156 AS BIGINT) AS sum_q, '2f42b1e03db9db7c60ea598c23e179ce' AS px_md5
         |UNION ALL

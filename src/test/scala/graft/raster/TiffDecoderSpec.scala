@@ -192,6 +192,10 @@ class TiffDecoderSpec extends SparkSpec {
     }
   }
 
+  test("jpeg color: TILED 4:2:0 organization (full-size edge tiles, padding discarded)") {
+    assert(decodedInts("jpeg_color_tiled.tif") == expectJpeg("jpeg_color_tiled"))
+  }
+
   test("jpeg color 4:4:4 cross-validated against javax.imageio (independent decoder)") {
     // only the no-subsampling shape: javax/libjpeg uses fancy (bilinear)
     // chroma upsampling, which legitimately diverges from the model's
