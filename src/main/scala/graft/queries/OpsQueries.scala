@@ -256,6 +256,64 @@ object OpsQueries {
         .orderBy("event_type")
     }),
 
+    // LOG-BUCKET QUANTILE SKETCH (round 10; the DDSketch idea on the
+    // integer lattice): q71's fixed-range histogram needs [lo, hi) a
+    // priori — this sketch covers an UNBOUNDED positive range with a
+    // RELATIVE-error guarantee instead. Cents-quantize (q = floor(v·100)+1
+    // ≥ 1), bucket by (integer log2, 2-bit mantissa prefix) — exact via
+    // length(conv(q, 10, 2)), no float log — so each octave splits into 4
+    // buckets and the bucket's relative width is ≤ 1/4. Counts are
+    // order-free sums (mergeable, bounded by 4·log2(max) buckets per
+    // group); the estimate walks cumulative counts to the target bucket's
+    // upper edge (q99's convention). The GUARANTEE rides the row: the
+    // exact percentile (bench-scale sort twin, q71's pattern) must land
+    // INSIDE the selected bucket — p50_in_bucket/p95_in_bucket are
+    // engine-computed booleans the oracle recomputes independently.
+    "q179_loghist_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+        .where(col("value").isNotNull && col("value") >= 0)
+        .select(col("event_type"),
+          (floor(col("value") * 100) + 1).cast("long").as("q"))
+      val bk = ev
+        .withColumn("e", (length(expr("conv(q, 10, 2)")) - 1).cast("long"))
+        .withColumn("bucket", expr(
+          "CASE WHEN q < 4 THEN q " +
+            "ELSE e * 4 + (q div shiftleft(1L, cast(e as int) - 2)) - 4 END"))
+      val counts = bk.groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
+      val n = counts.groupBy("event_type").agg(sum(col("c")).as("n"))
+      val cum = counts.withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("event_type").orderBy("bucket")))
+      // ceil(num·n/den) as exact integers; the selected bucket is the
+      // first whose cumulative count reaches the target
+      def sel(num: Int, den: Int, name: String) =
+        cum.join(n, "event_type")
+          .where(col("cum") >= expr(s"($num * n + ${den - 1}) div $den"))
+          .groupBy("event_type").agg(min(col("bucket")).as(name))
+      def hi(b: String) = expr(s"CASE WHEN $b < 4 THEN $b ELSE " +
+        s"($b % 4 + 5) * shiftleft(1L, cast($b div 4 as int) - 2) - 1 END")
+      def lo(b: String) = expr(s"CASE WHEN $b < 4 THEN $b ELSE " +
+        s"($b % 4 + 4) * shiftleft(1L, cast($b div 4 as int) - 2) END")
+      // exact discrete percentile of q (value at position ceil(p·n) of the
+      // per-type sorted run — max over ties, q71's shape; bench-scale twin)
+      val rn = ev.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("q")))
+      def exact(num: Int, den: Int, name: String) =
+        rn.join(broadcast(n), "event_type")
+          .where(col("rn") === expr(s"($num * n + ${den - 1}) div $den"))
+          .groupBy("event_type").agg(max(col("q")).as(name))
+      n.join(sel(1, 2, "b50"), "event_type").join(sel(19, 20, "b95"), "event_type")
+        .join(exact(1, 2, "x50"), "event_type").join(exact(19, 20, "x95"), "event_type")
+        .select(col("event_type"), col("n"),
+          (hi("b50") - 1).as("p50_est_centi"),
+          (col("x50") - 1).as("p50_exact_centi"),
+          (lo("b50") <= col("x50") && col("x50") <= hi("b50")).as("p50_in_bucket"),
+          (hi("b95") - 1).as("p95_est_centi"),
+          (col("x95") - 1).as("p95_exact_centi"),
+          (lo("b95") <= col("x95") && col("x95") <= hi("b95")).as("p95_in_bucket"))
+        .orderBy("event_type")
+    }),
+
     // keyed UPSERT (merge-into without a table format): a derived update
     // batch (every 7th order re-priced, status 'U') merged over the
     // snapshot — updates win on collision, everything else survives. The
@@ -1331,6 +1389,59 @@ object OpsQueries {
         |ORDER BY error_id, purchase_id""".stripMargin,
 
     // every float step is the same two-operand tree as the Spark side
+    // q179: same lattice — printf('%b') length = integer log2, << for the
+    // octave scale, cumulative-bucket walk, exact sort twin, in-bucket bools
+    "q179_loghist_quantiles" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 100) + 1 AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL AND value >= 0),
+        |bk AS (
+        |  SELECT event_type, q,
+        |    CASE WHEN q < 4 THEN q
+        |         ELSE e * 4 + (q // (CAST(1 AS BIGINT) << CAST(e - 2 AS INT))) - 4 END AS bucket
+        |  FROM (SELECT event_type, q,
+        |          CAST(length(printf('%b', q)) - 1 AS BIGINT) AS e FROM ev) t),
+        |c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c
+        |      FROM bk GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |cum AS (SELECT event_type, bucket,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+        |        FROM c),
+        |sel AS (
+        |  SELECT n.event_type, n.n,
+        |    (SELECT min(bucket) FROM cum
+        |     WHERE cum.event_type = n.event_type
+        |       AND cum.cum >= (1 * n.n + 1) // 2) AS b50,
+        |    (SELECT min(bucket) FROM cum
+        |     WHERE cum.event_type = n.event_type
+        |       AND cum.cum >= (19 * n.n + 19) // 20) AS b95
+        |  FROM n),
+        |rk AS (SELECT event_type, q,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY q) AS rn
+        |       FROM ev),
+        |ex AS (
+        |  SELECT n.event_type,
+        |    (SELECT max(q) FROM rk WHERE rk.event_type = n.event_type
+        |       AND rk.rn = (1 * n.n + 1) // 2) AS x50,
+        |    (SELECT max(q) FROM rk WHERE rk.event_type = n.event_type
+        |       AND rk.rn = (19 * n.n + 19) // 20) AS x95
+        |  FROM n),
+        |edges AS (
+        |  SELECT sel.event_type, sel.n, ex.x50, ex.x95,
+        |    CASE WHEN b50 < 4 THEN b50 ELSE (b50 % 4 + 5) * (CAST(1 AS BIGINT) << CAST(b50 // 4 - 2 AS INT)) - 1 END AS hi50,
+        |    CASE WHEN b50 < 4 THEN b50 ELSE (b50 % 4 + 4) * (CAST(1 AS BIGINT) << CAST(b50 // 4 - 2 AS INT)) END AS lo50,
+        |    CASE WHEN b95 < 4 THEN b95 ELSE (b95 % 4 + 5) * (CAST(1 AS BIGINT) << CAST(b95 // 4 - 2 AS INT)) - 1 END AS hi95,
+        |    CASE WHEN b95 < 4 THEN b95 ELSE (b95 % 4 + 4) * (CAST(1 AS BIGINT) << CAST(b95 // 4 - 2 AS INT)) END AS lo95
+        |  FROM sel JOIN ex ON ex.event_type = sel.event_type)
+        |SELECT event_type, n,
+        |  CAST(hi50 - 1 AS BIGINT) AS p50_est_centi,
+        |  CAST(x50 - 1 AS BIGINT) AS p50_exact_centi,
+        |  (lo50 <= x50 AND x50 <= hi50) AS p50_in_bucket,
+        |  CAST(hi95 - 1 AS BIGINT) AS p95_est_centi,
+        |  CAST(x95 - 1 AS BIGINT) AS p95_exact_centi,
+        |  (lo95 <= x95 AND x95 <= hi95) AS p95_in_bucket
+        |FROM edges ORDER BY event_type""".stripMargin,
+
     // (subtract / divide / scale-by-256 / floor; edge formula for the
     // estimate) — IEEE exact rounding makes the doubles identical
     "q71_histogram_quantiles" ->
