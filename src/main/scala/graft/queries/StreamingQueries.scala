@@ -412,6 +412,33 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // STREAMING LOG-BUCKET QUANTILES — q179's unbounded-range sketch as
+    // bounded mapGroupsWithState (≤ 4·log2(max) buckets per group, no
+    // lo/hi a priori, unlike q99's fixed-range twin). All arithmetic is
+    // the exact integer lattice, so stream-end state ≡ batch walk ≡ SQL
+    // under any slicing; stream-end selection by the q94/q99 monotone
+    // discipline (max(n), max_by(est, n)).
+    "q180_stream_loghist" -> ((s, dir) => {
+      import s.implicits._
+      // cap by ROW (event_id unique): bucket counts are per-row sums
+      val rows = eventsUs(s, dir).where(replayFilter("event_id"))
+        .select(col("event_type"), col("value").cast("double"))
+        .where(col("value").isNotNull && col("value") >= 0)
+        .as[(String, Double)].collect().sortBy(r => (r._1, r._2))
+      require(rows.nonEmpty, s"q180_stream_loghist: no events at $dir")
+      val sink = replay(s, "q180_loghist", "update", halves(rows),
+          sinkGroupMax("group", "n", countsBy(rows)(_._1)))(ds =>
+        graft.streaming.SketchStream.logHistogramSketch(
+          ds.toDF("event_type", "value"), "value", "event_type"))
+      sink.groupBy(col("group"))
+        .agg(max(col("n")).as("n"),
+          expr("max_by(p50_est_q, n)").as("p50_est_q"),
+          expr("max_by(p95_est_q, n)").as("p95_est_q"))
+        .select(col("group").as("event_type"), col("n"),
+          col("p50_est_q"), col("p95_est_q"))
+        .orderBy("event_type")
+    }),
+
     // STREAMING histogram-quantile monitoring vs a SQL replay: the
     // fixed-range histogram sketch (bin counts as mapGroupsWithState
     // state) over event values, [0, 512) in 64 bins — power-of-two width,
@@ -851,6 +878,39 @@ object StreamingQueries {
         |  CAST((SELECT count(*) FROM fed) - count(*) AS BIGINT) AS n_dupes,
         |  md5(string_agg(h, ';' ORDER BY h)) AS uniq_md5
         |FROM u""".stripMargin,
+
+    // q179's sketch walk over the replay-sampled WHERE (no exact side —
+    // the estimate IS the checked value; q179 carries the guarantee)
+    "q180_stream_loghist" ->
+      s"""WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 100) + 1 AS BIGINT) AS q
+        |  FROM events WHERE ${replayWhereSql("event_id")}
+        |    AND value IS NOT NULL AND value >= 0),
+        |bk AS (
+        |  SELECT event_type, q,
+        |    CASE WHEN q < 4 THEN q
+        |         ELSE e * 4 + (q // (CAST(1 AS BIGINT) << CAST(e - 2 AS INT))) - 4 END AS bucket
+        |  FROM (SELECT event_type, q,
+        |          CAST(length(printf('%b', q)) - 1 AS BIGINT) AS e FROM ev) t),
+        |c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c
+        |      FROM bk GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |cum AS (SELECT event_type, bucket,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+        |        FROM c),
+        |sel AS (
+        |  SELECT n.event_type, n.n,
+        |    (SELECT min(bucket) FROM cum
+        |     WHERE cum.event_type = n.event_type
+        |       AND cum.cum >= (1 * n.n + 1) // 2) AS b50,
+        |    (SELECT min(bucket) FROM cum
+        |     WHERE cum.event_type = n.event_type
+        |       AND cum.cum >= (19 * n.n + 19) // 20) AS b95
+        |  FROM n)
+        |SELECT event_type, n,
+        |  CAST(CASE WHEN b50 < 4 THEN b50 ELSE (b50 % 4 + 5) * (CAST(1 AS BIGINT) << CAST(b50 // 4 - 2 AS INT)) - 1 END AS BIGINT) AS p50_est_q,
+        |  CAST(CASE WHEN b95 < 4 THEN b95 ELSE (b95 % 4 + 5) * (CAST(1 AS BIGINT) << CAST(b95 // 4 - 2 AS INT)) - 1 END AS BIGINT) AS p95_est_q
+        |FROM sel ORDER BY event_type""".stripMargin,
 
     "q92_stream_sessionize" -> sessionizeSql(replayWhereSql("user_id")),
     "q50_sessionize" -> sessionizeSql(),

@@ -22,6 +22,12 @@ case class MgUpdate(group: String, n_counters: Int,
 case class HistUpdate(group: String, n: Long, n_clamped: Long,
     p50_est: Double, p95_est: Double)
 
+/** Per-batch log-bucket histogram update for one group: running count
+  * and the p50/p95 bucket-upper-edge estimates in the cents-quantized
+  * integer domain (q179's lattice — exact, engine-portable). */
+case class LogHistUpdate(group: String, n: Long,
+    p50_est_q: Long, p95_est_q: Long)
+
 /** Per-batch Count-Min update for one group: the running cell matrix
   * (row-major depth×width) and the running item count `n` — strictly
   * increasing per update, the monotone stream-end selector. */
@@ -138,6 +144,59 @@ object SketchStream {
             edge(math.min(b, nBins - 1).toLong)
           }
           HistUpdate(group, n, bins(nBins), est(0.5), est(0.95))
+      }
+  }
+
+  /** Streaming log-bucket quantile sketch — the UNBOUNDED-range twin of
+    * [[histogramSketch]] (q179's batch lattice exactly): state per group
+    * is the (bucket → count) map, bounded by 4·log2(max q) entries
+    * FOREVER (~70 for any 64-bit domain — no lo/hi needed a priori).
+    * Values cents-quantize to q = floor(v·100)+1 ≥ 1; buckets are
+    * (integer log2, 2-bit mantissa prefix); estimates walk the sorted
+    * buckets to ceil(p·n) and report the bucket UPPER edge in the exact
+    * integer domain, so the stream-end update equals the batch walk under
+    * any slicing (counts are order-free sums). `n` strictly increases per
+    * update — the monotone stream-end selector, q94/q99's discipline. */
+  def logHistogramSketch(events: DataFrame, valueCol: String,
+                         byCol: String): Dataset[LogHistUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def bucketOf(q: Long): Long =
+      if (q < 4) q
+      else {
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(q)
+        e.toLong * 4 + (q >> (e - 2)) - 4
+      }
+    def hiEdge(b: Long): Long =
+      if (b < 4) b else (b % 4 + 5) * (1L << (b / 4 - 2).toInt) - 1
+    events
+      .select(col(byCol).as("g"),
+        (floor(col(valueCol).cast("double") * 100) + 1).cast("long").as("q"))
+      .where(col("q").isNotNull && col("q") >= 1)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[Long, Long], LogHistUpdate](
+          GroupStateTimeout.NoTimeout()) {
+        (group: String, it: Iterator[(String, Long)],
+         state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { case (_, q) =>
+            val b = bucketOf(q)
+            m = m.updated(b, m.getOrElse(b, 0L) + 1L)
+          }
+          state.update(m)
+          val n = m.valuesIterator.sum
+          val sorted = m.toSeq.sortBy(_._1)
+          def est(num: Long, den: Long): Long = {
+            val target = (num * n + den - 1) / den
+            var cc = 0L
+            var i = 0
+            while (i < sorted.length - 1 && cc + sorted(i)._2 < target) {
+              cc += sorted(i)._2; i += 1
+            }
+            hiEdge(sorted(i)._1)
+          }
+          LogHistUpdate(group, n, est(1, 2), est(19, 20))
       }
   }
 

@@ -525,6 +525,50 @@ class StreamsSpec extends SparkSpec {
     assert(perSlicing.distinct.size === 1, s"slicing-dependent: $perSlicing")
   }
 
+  test("streaming log-bucket quantiles: slicing-invariant, exact in-bucket, bounded state") {
+    // spread over 5 octaves (q from ~1 to ~90000) so several (exp, sub)
+    // buckets populate; one group gets a heavy tail
+    val values = (1 to 400).map(i => ("a", (i % 173).toDouble)) ++
+      (1 to 120).map(i => ("b", i * 7.5)) :+ ("b", 900.0)
+    implicit val sqlCtx = spark.sqlContext
+    val perSlicing = scala.collection.mutable.ArrayBuffer
+      .empty[Map[String, (Long, Long, Long)]]
+    for (cut <- Seq(Seq(150, 350), Seq(1))) {
+      val mem = MemoryStream[(String, Double)]
+      val name = s"loghist_${cut.mkString("_")}"
+      val sq = SketchStream
+        .logHistogramSketch(mem.toDF().toDF("g", "v"), "v", "g")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      val bounds = 0 +: cut :+ values.size
+      bounds.sliding(2).foreach { case Seq(a, b) =>
+        mem.addData(values.slice(a, b): _*)
+        sq.processAllAvailable()
+      }
+      val last = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .zipWithIndex.groupBy(_._1._1)
+        .map { case (_, vs) => vs.maxBy(_._2)._1 }
+      sq.stop()
+      last.foreach { case (g, n, p50q, p95q) =>
+        val qs = values.filter(_._1 == g)
+          .map(t => math.floor(t._2 * 100).toLong + 1).sorted
+        assert(n === qs.size, s"$g count")
+        // relative-error guarantee: the estimate is the upper edge of the
+        // bucket holding the exact percentile → est >= exact and
+        // est <= exact · (1 + 1/4) + small-bucket slack
+        def exact(num: Long, den: Long) = qs(((num * n + den - 1) / den).toInt - 1)
+        for ((est, (num, den)) <- Seq(p50q -> (1L, 2L), p95q -> (19L, 20L))) {
+          val ex = exact(num, den)
+          assert(est >= ex, s"$g est $est below exact $ex")
+          assert(est <= ex + ex / 4 + 1, s"$g est $est too far above exact $ex")
+        }
+      }
+      perSlicing += last.map { case (g, n, a, b) => g -> (n, a, b) }.toMap
+    }
+    // bucket counts are order-free sums: stream-end rows identical per slicing
+    assert(perSlicing.distinct.size === 1, s"slicing-dependent: $perSlicing")
+  }
+
   test("stream-static enrichment: stateless broadcast join, no dropped facts") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
