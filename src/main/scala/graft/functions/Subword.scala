@@ -9,9 +9,14 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL surface for the greedy longest-prefix subword segmentation
   * ([[graft.text.TextAnalysis.subwordCount]], q178): one pass over a text,
-  * whitespace-split, each word charged its WordPiece-style unit count.
-  * Returns (n_words, n_subwords) so a token-budget projection needs one
-  * expression, not a per-word explode. */
+  * split on the SPACE character — the corpus tokenization and the q178
+  * oracle's `string_split(text, ' ')` convention; q30's `\s+` regex is
+  * the general-whitespace counter, so an embedded tab/newline stays
+  * INSIDE its word here and its characters count as unknown tokens —
+  * each word charged its WordPiece-style unit count. Returns
+  * (n_words, n_subwords) so a token-budget projection needs one
+  * expression, not a per-word explode. NULL text → NULL (nullIntolerant,
+  * like every scalar function here). */
 object Subword {
   def subwordStats(text: Column): Column = toColumn(SubwordStatsExpr(toExpr(text)))
 

@@ -1182,6 +1182,46 @@ object OpsQueries {
        |ORDER BY p.type_a, p.type_b""".stripMargin
   }
 
+  /** Shared CTE chain of the q179/q180 log-bucket quantile sketch (ONE
+    * copy of the lattice — bucket formula, counts, cumulative walk,
+    * target-bucket selection — so the batch and streaming oracles can
+    * never desynchronize; `extraWhere` is the replay-sample predicate,
+    * "" for the batch row). Ends at `sel(event_type, n, b50, b95)`. */
+  private[queries] def logHistCtes(extraWhere: String): String =
+    s"""ev AS (
+       |  SELECT event_type, CAST(floor(value * 100) + 1 AS BIGINT) AS q
+       |  FROM events WHERE ${extraWhere}value IS NOT NULL AND value >= 0),
+       |bk AS (
+       |  SELECT event_type, q,
+       |    CASE WHEN q < 4 THEN q
+       |         ELSE e * 4 + (q // (CAST(1 AS BIGINT) << CAST(e - 2 AS INT))) - 4 END AS bucket
+       |  FROM (SELECT event_type, q,
+       |          CAST(length(printf('%b', q)) - 1 AS BIGINT) AS e FROM ev) t),
+       |c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c
+       |      FROM bk GROUP BY 1, 2),
+       |n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+       |cum AS (SELECT event_type, bucket,
+       |          sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+       |        FROM c),
+       |sel AS (
+       |  SELECT n.event_type, n.n,
+       |    (SELECT min(bucket) FROM cum
+       |     WHERE cum.event_type = n.event_type
+       |       AND cum.cum >= (1 * n.n + 1) // 2) AS b50,
+       |    (SELECT min(bucket) FROM cum
+       |     WHERE cum.event_type = n.event_type
+       |       AND cum.cum >= (19 * n.n + 19) // 20) AS b95
+       |  FROM n)""".stripMargin
+
+  /** Bucket-edge formula of the log-bucket lattice: upper edge when
+    * hi=true (…·2^(e−2) − 1), lower edge otherwise. */
+  private[queries] def logHistEdgeSql(b: String, hi: Boolean): String = {
+    val base = if (hi) 5 else 4
+    val tail = if (hi) " - 1" else ""
+    s"CASE WHEN $b < 4 THEN $b ELSE ($b % 4 + $base) * " +
+      s"(CAST(1 AS BIGINT) << CAST($b // 4 - 2 AS INT))$tail END"
+  }
+
   private[queries] def coordSql(key: String): String =
     s"""((((${java.lang.Long.toUnsignedString(Mix64.MulA)}::HUGEINT * $key
        |    + ${java.lang.Long.toUnsignedString(Mix64.AddB)}::HUGEINT)
@@ -1389,33 +1429,9 @@ object OpsQueries {
         |ORDER BY error_id, purchase_id""".stripMargin,
 
     // every float step is the same two-operand tree as the Spark side
-    // q179: same lattice — printf('%b') length = integer log2, << for the
-    // octave scale, cumulative-bucket walk, exact sort twin, in-bucket bools
+    // q179: the shared sketch chain + the exact sort twin + in-bucket bools
     "q179_loghist_quantiles" ->
-      """WITH ev AS (
-        |  SELECT event_type, CAST(floor(value * 100) + 1 AS BIGINT) AS q
-        |  FROM events WHERE value IS NOT NULL AND value >= 0),
-        |bk AS (
-        |  SELECT event_type, q,
-        |    CASE WHEN q < 4 THEN q
-        |         ELSE e * 4 + (q // (CAST(1 AS BIGINT) << CAST(e - 2 AS INT))) - 4 END AS bucket
-        |  FROM (SELECT event_type, q,
-        |          CAST(length(printf('%b', q)) - 1 AS BIGINT) AS e FROM ev) t),
-        |c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c
-        |      FROM bk GROUP BY 1, 2),
-        |n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
-        |cum AS (SELECT event_type, bucket,
-        |          sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
-        |        FROM c),
-        |sel AS (
-        |  SELECT n.event_type, n.n,
-        |    (SELECT min(bucket) FROM cum
-        |     WHERE cum.event_type = n.event_type
-        |       AND cum.cum >= (1 * n.n + 1) // 2) AS b50,
-        |    (SELECT min(bucket) FROM cum
-        |     WHERE cum.event_type = n.event_type
-        |       AND cum.cum >= (19 * n.n + 19) // 20) AS b95
-        |  FROM n),
+      s"""WITH ${logHistCtes("")},
         |rk AS (SELECT event_type, q,
         |         row_number() OVER (PARTITION BY event_type ORDER BY q) AS rn
         |       FROM ev),
@@ -1428,10 +1444,10 @@ object OpsQueries {
         |  FROM n),
         |edges AS (
         |  SELECT sel.event_type, sel.n, ex.x50, ex.x95,
-        |    CASE WHEN b50 < 4 THEN b50 ELSE (b50 % 4 + 5) * (CAST(1 AS BIGINT) << CAST(b50 // 4 - 2 AS INT)) - 1 END AS hi50,
-        |    CASE WHEN b50 < 4 THEN b50 ELSE (b50 % 4 + 4) * (CAST(1 AS BIGINT) << CAST(b50 // 4 - 2 AS INT)) END AS lo50,
-        |    CASE WHEN b95 < 4 THEN b95 ELSE (b95 % 4 + 5) * (CAST(1 AS BIGINT) << CAST(b95 // 4 - 2 AS INT)) - 1 END AS hi95,
-        |    CASE WHEN b95 < 4 THEN b95 ELSE (b95 % 4 + 4) * (CAST(1 AS BIGINT) << CAST(b95 // 4 - 2 AS INT)) END AS lo95
+        |    ${logHistEdgeSql("b50", hi = true)} AS hi50,
+        |    ${logHistEdgeSql("b50", hi = false)} AS lo50,
+        |    ${logHistEdgeSql("b95", hi = true)} AS hi95,
+        |    ${logHistEdgeSql("b95", hi = false)} AS lo95
         |  FROM sel JOIN ex ON ex.event_type = sel.event_type)
         |SELECT event_type, n,
         |  CAST(hi50 - 1 AS BIGINT) AS p50_est_centi,

@@ -879,37 +879,14 @@ object StreamingQueries {
         |  md5(string_agg(h, ';' ORDER BY h)) AS uniq_md5
         |FROM u""".stripMargin,
 
-    // q179's sketch walk over the replay-sampled WHERE (no exact side —
-    // the estimate IS the checked value; q179 carries the guarantee)
+    // q179's shared sketch chain over the replay-sampled WHERE (no exact
+    // side — the estimate IS the checked value; q179 carries the
+    // guarantee). ONE copy of the lattice SQL: OpsQueries.logHistCtes.
     "q180_stream_loghist" ->
-      s"""WITH ev AS (
-        |  SELECT event_type, CAST(floor(value * 100) + 1 AS BIGINT) AS q
-        |  FROM events WHERE ${replayWhereSql("event_id")}
-        |    AND value IS NOT NULL AND value >= 0),
-        |bk AS (
-        |  SELECT event_type, q,
-        |    CASE WHEN q < 4 THEN q
-        |         ELSE e * 4 + (q // (CAST(1 AS BIGINT) << CAST(e - 2 AS INT))) - 4 END AS bucket
-        |  FROM (SELECT event_type, q,
-        |          CAST(length(printf('%b', q)) - 1 AS BIGINT) AS e FROM ev) t),
-        |c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c
-        |      FROM bk GROUP BY 1, 2),
-        |n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
-        |cum AS (SELECT event_type, bucket,
-        |          sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
-        |        FROM c),
-        |sel AS (
-        |  SELECT n.event_type, n.n,
-        |    (SELECT min(bucket) FROM cum
-        |     WHERE cum.event_type = n.event_type
-        |       AND cum.cum >= (1 * n.n + 1) // 2) AS b50,
-        |    (SELECT min(bucket) FROM cum
-        |     WHERE cum.event_type = n.event_type
-        |       AND cum.cum >= (19 * n.n + 19) // 20) AS b95
-        |  FROM n)
+      s"""WITH ${OpsQueries.logHistCtes(s"${replayWhereSql("event_id")} AND ")}
         |SELECT event_type, n,
-        |  CAST(CASE WHEN b50 < 4 THEN b50 ELSE (b50 % 4 + 5) * (CAST(1 AS BIGINT) << CAST(b50 // 4 - 2 AS INT)) - 1 END AS BIGINT) AS p50_est_q,
-        |  CAST(CASE WHEN b95 < 4 THEN b95 ELSE (b95 % 4 + 5) * (CAST(1 AS BIGINT) << CAST(b95 // 4 - 2 AS INT)) - 1 END AS BIGINT) AS p95_est_q
+        |  CAST(${OpsQueries.logHistEdgeSql("b50", hi = true)} AS BIGINT) AS p50_est_q,
+        |  CAST(${OpsQueries.logHistEdgeSql("b95", hi = true)} AS BIGINT) AS p95_est_q
         |FROM sel ORDER BY event_type""".stripMargin,
 
     "q92_stream_sessionize" -> sessionizeSql(replayWhereSql("user_id")),

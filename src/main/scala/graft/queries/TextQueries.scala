@@ -96,8 +96,10 @@ object TextQueries {
       t(s, dir, "documents")
         .select(col("doc_id"),
           graft.functions.Subword.subwordStats(col("text")).as("sw"))
-        .select(col("doc_id"), col("sw.n_words").as("n_words"),
-          col("sw.n_subwords").as("n_subwords"))
+        // NULL text → 0/0, matching the oracle's LEFT JOIN + coalesce
+        .select(col("doc_id"),
+          coalesce(col("sw.n_words"), lit(0L)).as("n_words"),
+          coalesce(col("sw.n_subwords"), lit(0L)).as("n_subwords"))
         .orderBy("doc_id")),
 
     "q30_token_stats" -> ((s, dir) =>

@@ -200,14 +200,12 @@ object TextAnalysis {
 
   // -------------------------------------------------------- fingerprints
 
-  /** 64-bit polynomial rolling hash of the whole (normalized) document —
-    * a cheap whole-content fingerprint: h = Σ h*31 + c over UTF-8 bytes,
-    * wrapping. */
-  /** Greedy longest-prefix subword vocabulary for [[subwordCounts]] — the
+  /** Greedy longest-prefix subword vocabulary for [[subwordCount]] — the
     * WordPiece/BPE-flavored segmentation a token-budget estimate needs
-    * beyond whitespace/regex counting. Single letters guarantee progress;
-    * the bi/trigram units are the high-frequency English merges. ONE
-    * definition: q178's DuckDB oracle interpolates this exact list. */
+    * beyond whitespace/regex counting. Single letters guarantee progress
+    * over ASCII; any other character consumes one CODE POINT as an
+    * unknown token. ONE definition: q178's DuckDB oracle interpolates
+    * this exact list. */
   val SubwordVocab: Seq[String] =
     ('a' to 'z').map(_.toString) ++ Seq(
       "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti",
@@ -219,40 +217,43 @@ object TextAnalysis {
 
   private lazy val subwordMaxLen: Int = SubwordVocab.map(_.length).max
 
-  /** Units as allocation-free integer keys (length-tagged base-128 char
-    * polynomial — injective for ≤ 4 ASCII chars), so the per-token hot
-    * loop probes a primitive-keyed set instead of building substrings. */
-  private lazy val subwordKeys: java.util.HashSet[Integer] = {
-    val s = new java.util.HashSet[Integer]()
-    SubwordVocab.foreach { u =>
-      var k = u.length
+  /** Units as primitive long keys (length-tagged base-2^16 char
+    * polynomial — injective over full UTF-16 units, so a non-ASCII char
+    * can never alias onto an ASCII vocab key), probed via binary search
+    * on a sorted array: zero allocation and zero boxing in the per-token
+    * hot loop. */
+  private lazy val subwordKeys: Array[Long] = {
+    val ks = SubwordVocab.map { u =>
+      var k = u.length.toLong
       var i = 0
-      while (i < u.length) { k = k * 128 + (u.charAt(i) & 0x7F); i += 1 }
-      s.add(k)
-    }
-    s
+      while (i < u.length) { k = (k << 16) | u.charAt(i); i += 1 }
+      k
+    }.toArray
+    java.util.Arrays.sort(ks)
+    ks
   }
 
   /** Number of greedy longest-prefix subword units in one word: at each
     * position take the longest vocab unit matching the prefix (ties to
     * longest, the WordPiece rule); a character outside the vocab consumes
-    * one position as an unknown token — progress is always ≥ 1, so the
-    * walk terminates on any input. */
+    * one CODE POINT as an unknown token (a surrogate pair is one unknown,
+    * matching the oracle's codepoint semantics) — progress is always ≥ 1,
+    * so the walk terminates on any input. */
   def subwordCount(word: String): Int = {
     val keys = subwordKeys
     var pos = 0
     var n = 0
     while (pos < word.length) {
-      var step = 1
+      var step = 0
       var l = math.min(subwordMaxLen, word.length - pos)
-      var found = false
-      while (l >= 1 && !found) {
-        var k = l
+      while (l >= 1 && step == 0) {
+        var k = l.toLong
         var i = 0
-        while (i < l) { k = k * 128 + (word.charAt(pos + i) & 0x7F); i += 1 }
-        if (keys.contains(k)) { step = l; found = true }
+        while (i < l) { k = (k << 16) | word.charAt(pos + i); i += 1 }
+        if (java.util.Arrays.binarySearch(keys, k) >= 0) step = l
         l -= 1
       }
+      if (step == 0) step = Character.charCount(word.codePointAt(pos))
       pos += step
       n += 1
     }

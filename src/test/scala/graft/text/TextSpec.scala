@@ -239,6 +239,13 @@ class TextSpec extends SparkSpec {
     assert(subwordCount("a9b") == 3)
     assert(subwordCount("999") == 3)
     assert(subwordCount("") == 0)
+    // non-ASCII must NEVER alias onto an ASCII vocab key (round-10
+    // review: a masked key made 'té' look like the bigram 'ti')
+    assert(subwordCount("té") == 2) // t + unknown é
+    // a surrogate pair is ONE unknown token (codepoint semantics — the
+    // oracle's len() counts codepoints, not UTF-16 units)
+    assert(subwordCount(new String(Character.toChars(0x1F600))) == 1)
+    assert(subwordCount("a" + new String(Character.toChars(0x1F600)) + "b") == 3)
     // every vocab unit must segment as itself (key encoding is injective
     // over the vocab — a collision would miscount some unit)
     SubwordVocab.foreach(u => assert(subwordCount(u) == 1, u))
