@@ -260,6 +260,9 @@ object TextAnalysis {
     n
   }
 
+  /** 64-bit polynomial rolling hash of the whole (normalized) document —
+    * a cheap whole-content fingerprint: h = Σ h·31 + c over UTF-8 bytes,
+    * wrapping. */
   def contentFingerprint(text: Column): Column =
     graft.functions.RollingHash.rollingHash64(text)
 
