@@ -109,6 +109,35 @@ object MultimodalQueries {
         .orderBy("asset_id", "frame_idx")
     }),
 
+    // TRAINING-EXAMPLE ASSEMBLY + COMPLETENESS AUDIT: the last step of a
+    // multimodal pipeline — join each document with its embedding and its
+    // asset-feature record, emit per-source completeness (a training run
+    // silently starved of one modality is a real incident class). Gaps
+    // are PLANTED deterministically (embedding withheld for doc_id%7=0,
+    // asset for doc_id%11=0 — the q70 pattern) so every audit cell is
+    // exercised; joins are id-keyed left joins (never a shuffle of
+    // payloads — the audit projects presence bits only, so text, vectors
+    // and pixels all stay at rest).
+    "q181_example_assembly" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"))
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .where(col("vec_id") % 7 =!= 0)
+        .select(col("vec_id").as("doc_id"), lit(1).as("has_emb"))
+      val assets = docs.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), lit(1).as("has_asset"))
+      docs.join(emb, Seq("doc_id"), "left").join(assets, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("has_emb") === 1 && col("has_asset") === 1, 1))
+            .as("n_complete"),
+          count(when(col("has_emb").isNull, 1)).as("n_missing_embedding"),
+          count(when(col("has_asset").isNull, 1)).as("n_missing_asset"),
+          sum(when(col("has_emb") === 1 && col("has_asset") === 1,
+            col("doc_id"))).as("complete_id_sum"))
+        .orderBy("source")
+    }),
+
     // AUDIO WINDOWED FEATURES over an opaque PCM binary column: per-doc
     // planted s16le payloads (the q70 pattern — deterministic bytes, real
     // operators) through Multimodal.pcmS16Windows — 64-sample windows,
@@ -172,6 +201,22 @@ object MultimodalQueries {
     * channel ch occupies payload indices [ch·256, ch·256+256); thumbnail
     * source pixel of thumb (r,c,ch) is payload index ch·256 + 4r·16 + 4c. */
   val oracle: Map[String, String] = Map(
+    // same planted gaps + the natural ones (embeddings stop at their own
+    // row count — docs beyond it are genuinely embedding-less)
+    "q181_example_assembly" ->
+      """WITH emb AS (SELECT vec_id AS doc_id, 1 AS has_emb
+        |             FROM embeddings WHERE vec_id % 7 <> 0),
+        |ast AS (SELECT doc_id, 1 AS has_asset
+        |        FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(CASE WHEN e.has_emb = 1 AND a.has_asset = 1 THEN 1 END) AS BIGINT) AS n_complete,
+        |  CAST(count(CASE WHEN e.has_emb IS NULL THEN 1 END) AS BIGINT) AS n_missing_embedding,
+        |  CAST(count(CASE WHEN a.has_asset IS NULL THEN 1 END) AS BIGINT) AS n_missing_asset,
+        |  CAST(sum(CASE WHEN e.has_emb = 1 AND a.has_asset = 1 THEN d.doc_id END) AS BIGINT) AS complete_id_sum
+        |FROM documents d
+        |LEFT JOIN emb e USING (doc_id) LEFT JOIN ast a USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
     // payload bytes regenerated arithmetically for both frames of each
     // consecutive pair; |diff| summed over the 768 indices
     "q177_frame_diff" ->
