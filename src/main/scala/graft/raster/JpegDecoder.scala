@@ -235,13 +235,16 @@ object JpegDecoder {
               val ns = u8(body)
               if (ns != comps.length)
                 return Left("jpeg: scan must cover every frame component")
+              // length check BEFORE reading the selector bytes: a short
+              // SOS segment must fail as "bad SOS", not read past its
+              // declared boundary into whatever follows (advisor r10)
+              if (bodyLen < 1 + 2 * ns + 3) return Left("jpeg: bad SOS")
               // T.81 requires distinct Csj: duplicate selectors would
               // decode one plane twice and leave another all-zero —
               // silently wrong pixels instead of the poison-safe Left
               val selIds = Array.tabulate(ns)(i => u8(body + 1 + 2 * i))
               if (selIds.distinct.length != ns)
                 return Left("jpeg: duplicate component selector in scan")
-              if (bodyLen < 1 + 2 * ns + 3) return Left("jpeg: bad SOS")
               // interleave follows SCAN order; the output planes follow
               // FRAME order (comps) — decodeScan gets both
               val scanComps = new Array[Comp](ns)

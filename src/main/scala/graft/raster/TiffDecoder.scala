@@ -402,6 +402,11 @@ object TiffDecoder {
     while (j < len && src(off + j).toInt == -128) j += 1
     if (j < len && outN >= cap)
       return Left(s"packbits $kind decodes past its declared size")
+    // input exhausted with the output still short of the block's declared
+    // size → the stream is truncated; reject HERE (per the scaladoc's
+    // per-block contract) rather than rely on the aggregate
+    // "pixel data incomplete" check downstream (advisor r10)
+    if (outN < cap) return Left(s"truncated packbits $kind")
     Right((out, outN))
   }
 
