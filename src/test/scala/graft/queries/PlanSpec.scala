@@ -376,6 +376,26 @@ class PlanSpec extends SparkSpec {
         fileScans.map(_.verboseStringWithSuffix(80)).mkString("; ").take(500))
   }
 
+  test("q183 binaryFile listing prunes non-.tif sidecars via pathGlobFilter") {
+    val df = graft.SparkEntry.queries("q183_ingest_pipeline")(spark, dir)
+    val files = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case r: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+              if r.fileFormat.toString.toLowerCase.contains("binary") =>
+            r.location.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten.distinct // the scan is referenced by the hr/lr/mask branches
+    assert(files.nonEmpty, "expected a binaryFile scan in q183's plan")
+    // pathGlobFilter prunes at the LISTING: the planted .xml/.txt
+    // sidecars never appear in the file index (the poison and the
+    // unknown-band .tif DO — they are dropped by decode/band-match)
+    assert(files.forall(_.endsWith(".tif")),
+      s"sidecars passed the glob: ${files.filterNot(_.endsWith(".tif")).take(5)}")
+    assert(files.length == 64 * 9 + 2, s"expected 578 .tif files, got ${files.length}")
+  }
+
   test("REGISTRY-WIDE: no cartesian or nested-loop join in any query plan " +
       "(q40 is the documented exact-baseline exception)") {
     // the blanket guard behind every per-query pin: a future registration
