@@ -150,6 +150,33 @@ object StreamingQueries {
     *
     * The driver-side row feed is the REPLAY HARNESS, not the operator —
     * production reads Kafka/files. */
+  /** Scopes the confs a streaming query pins at START: the replay-sized
+    * state partition count and the selected state-store BACKEND. Setting
+    * session conf `spark.graft.stateStore.provider=rocksdb` switches every
+    * replay (and any user stream built while set) to Spark's
+    * RocksDBStateStoreProvider — the production backend once state
+    * outgrows executor heaps (the default HDFS-backed store keeps each
+    * partition's map on-heap; RocksDB spills to local SSD with changelog
+    * checkpointing). Stream-end results are provider-INDEPENDENT
+    * (StreamsSpec pins q94/q171 parity under both); confs are restored
+    * right after start so the scope cannot leak into another plan. */
+  private def startPinned[A](s: SparkSession, parts: String)(start: => A): A = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set("spark.sql.shuffle.partitions", parts)
+    if (s.conf.get("spark.graft.stateStore.provider", "") == "rocksdb")
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    try start finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+    }
+  }
+
   private def replay[T: org.apache.spark.sql.Encoder](
       s: SparkSession, viewName: String, mode: String, batches: Seq[Seq[T]],
       validate: DataFrame => Option[String])(
@@ -159,13 +186,11 @@ object StreamingQueries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       s.catalog.dropTempView(viewName)
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val sq =
-        try build(mem.toDS())
+      val sq = startPinned(s, "8") {
+        build(mem.toDS())
           .writeStream.outputMode(mode).format("memory")
           .queryName(viewName).start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       try batches.filter(_.nonEmpty).foreach { b =>
         mem.addData(b: _*); sq.processAllAvailable()
       } finally sq.stop()
@@ -211,14 +236,12 @@ object StreamingQueries {
       val mkStream = () => org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, java.sql.Timestamp)]
       val clicks = mkStream(); val purchases = mkStream()
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      val sq =
-        try build(clicks.toDF().toDF("event_id", "user_id", "ts"),
+      val sq = startPinned(s, "2") {
+        build(clicks.toDF().toDF("event_id", "user_id", "ts"),
             purchases.toDF().toDF("event_id", "user_id", "ts"))
           .writeStream.outputMode("append").format("memory")
           .queryName(viewName).start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       try {
         evs.grouped(evs.length / 2 + 1).foreach { b =>
           clicks.addData(b.filter(_._4 == "click")

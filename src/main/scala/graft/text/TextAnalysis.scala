@@ -221,7 +221,10 @@ object TextAnalysis {
     * polynomial — injective over full UTF-16 units, so a non-ASCII char
     * can never alias onto an ASCII vocab key), probed via binary search
     * on a sorted array: zero allocation and zero boxing in the per-token
-    * hot loop. */
+    * hot loop. The length tag bounds this encoding to units of ≤ 3 UTF-16
+    * code units — exactly the built-in [[SubwordVocab]]'s shape; the
+    * trained-vocab path ([[subwordCountVocab]]) probes sorted strings
+    * instead so unit length is unbounded. */
   private lazy val subwordKeys: Array[Long] = {
     val ks = SubwordVocab.map { u =>
       var k = u.length.toLong
@@ -233,19 +236,82 @@ object TextAnalysis {
     ks
   }
 
+  /** Sorted, deduplicated vocab for [[subwordCountVocab]] — the
+    * trained-vocab path (q184): vocab as DATA, not code. Size ceiling
+    * 1<<22 units: a subword vocab is broadcast model state like a k-means
+    * codebook (real tokenizers ship 30k–256k units); corpus-scale input
+    * here means an aggregation is missing upstream, so fail loudly. */
+  def buildSubwordVocab(vocab: Seq[String]): Array[String] = {
+    val units = vocab.distinct.filter(_.nonEmpty)
+    require(units.nonEmpty, "subword vocab is empty")
+    require(units.size <= (1 << 22),
+      s"subword vocab has ${units.size} units (> ${1 << 22}): a vocab is " +
+        "broadcast model state; this is corpus-scale — aggregate it first")
+    val arr = units.toArray
+    java.util.Arrays.sort(arr, java.util.Comparator.naturalOrder[String]())
+    arr
+  }
+
+  /** Zero-allocation membership probe: binary search of word[pos, pos+l)
+    * against a [[buildSubwordVocab]] array, comparing chars in place
+    * (UTF-16 code-unit order — exactly String.compareTo's order, so the
+    * probe agrees with the sort). */
+  private def vocabContains(
+      sorted: Array[String], word: String, pos: Int, l: Int): Boolean = {
+    var lo = 0
+    var hi = sorted.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val u = sorted(mid)
+      var c = 0
+      var i = 0
+      val n = math.min(u.length, l)
+      while (c == 0 && i < n) { c = u.charAt(i) - word.charAt(pos + i); i += 1 }
+      if (c == 0) c = u.length - l
+      if (c == 0) return true
+      if (c < 0) lo = mid + 1 else hi = mid - 1
+    }
+    false
+  }
+
+  /** [[subwordCount]]'s greedy walk against a TRAINED vocab
+    * ([[buildSubwordVocab]]): identical semantics — longest matching unit
+    * advances, an out-of-vocab character consumes one code point as one
+    * unknown token — with unbounded unit length. */
+  def subwordCountVocab(word: String, sorted: Array[String], maxLen: Int): Int = {
+    var pos = 0
+    var n = 0
+    while (pos < word.length) {
+      var step = 0
+      var l = math.min(maxLen, word.length - pos)
+      while (l >= 1 && step == 0) {
+        if (vocabContains(sorted, word, pos, l)) step = l
+        l -= 1
+      }
+      if (step == 0) step = Character.charCount(word.codePointAt(pos))
+      pos += step
+      n += 1
+    }
+    n
+  }
+
   /** Number of greedy longest-prefix subword units in one word: at each
     * position take the longest vocab unit matching the prefix (ties to
     * longest, the WordPiece rule); a character outside the vocab consumes
     * one CODE POINT as an unknown token (a surrogate pair is one unknown,
     * matching the oracle's codepoint semantics) — progress is always ≥ 1,
     * so the walk terminates on any input. */
-  def subwordCount(word: String): Int = {
-    val keys = subwordKeys
+  def subwordCount(word: String): Int =
+    subwordCount(word, subwordKeys, subwordMaxLen)
+
+  /** The long-key walk over the built-in vocab's sorted keys (private:
+    * the trained-vocab path is [[subwordCountVocab]]). */
+  private def subwordCount(word: String, keys: Array[Long], maxLen: Int): Int = {
     var pos = 0
     var n = 0
     while (pos < word.length) {
       var step = 0
-      var l = math.min(subwordMaxLen, word.length - pos)
+      var l = math.min(maxLen, word.length - pos)
       while (l >= 1 && step == 0) {
         var k = l.toLong
         var i = 0

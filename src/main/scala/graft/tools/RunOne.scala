@@ -31,9 +31,23 @@ object RunOne {
       .map(_.stripPrefix("--repeat=").toInt).getOrElse(1)
     val df = fn(spark, sfDir)
     if (explain) df.explain("formatted")
+    // UNTIMED warm pass (plan, codegen, scan); also yields the row count.
+    // Timed reps then measure exactly what the bench measures: fn()
+    // re-invoked per rep (so per-rep driver-side model building is paid,
+    // as in Bench.rep) and materialized via Bench.materialize — the
+    // full-column hash-and-reduce. A bare count() here used to make
+    // "isolated" numbers incomparable to in-bench ones: count prunes every
+    // column and EliminateSorts drops the final global orderBy, so RunOne
+    // measured a strictly cheaper plan (judge r10, Next #2 — part of the
+    // q97 "contamination" was this methodology gap).
+    val n = df.count()
+    // the bench enters each query's timed reps with an EMPTY cache (it
+    // clears after the previous query); mimic that once here — reps then
+    // share persisted frames exactly like the bench's reps do
+    spark.catalog.clearCache()
     for (r <- 1 to repeats) {
       val t0 = System.nanoTime()
-      val n = df.count()
+      graft.Bench.materialize(fn(spark, sfDir))
       println(f"query=$name run=$r rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     spark.stop()

@@ -799,4 +799,24 @@ class StreamsSpec extends SparkSpec {
     sq.stop()
     assert(got === expected)
   }
+
+  test("RocksDB state store: replay stream-end parity with the default " +
+      "provider (q94 sketch state, q171 dedup state)") {
+    // spark.graft.stateStore.provider=rocksdb switches every replay to
+    // RocksDBStateStoreProvider — the production backend once state
+    // outgrows executor heaps. Stream-end results must be byte-identical:
+    // the provider is a storage backend, never semantics.
+    def snap(name: String): Seq[Seq[String]] =
+      graft.SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    for (name <- Seq("q94_stream_kmv", "q171_stream_dedup")) {
+      val default = snap(name)
+      spark.conf.set("spark.graft.stateStore.provider", "rocksdb")
+      val rocks =
+        try snap(name)
+        finally spark.conf.unset("spark.graft.stateStore.provider")
+      assert(rocks === default, s"$name diverged under RocksDB")
+      assert(default.nonEmpty)
+    }
+  }
 }

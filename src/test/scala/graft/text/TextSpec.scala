@@ -250,4 +250,46 @@ class TextSpec extends SparkSpec {
     // over the vocab — a collision would miscount some unit)
     SubwordVocab.foreach(u => assert(subwordCount(u) == 1, u))
   }
+
+  test("subwordCountVocab: trained-vocab walk ≡ built-in walk on the " +
+      "built-in vocab; long units; loud ceilings") {
+    import graft.text.TextAnalysis._
+    val sorted = buildSubwordVocab(SubwordVocab)
+    val maxLen = SubwordVocab.map(_.length).max
+    // the sorted-string probe and the long-key probe are independent
+    // implementations — on the SAME vocab they must agree everywhere
+    val probes = Seq("the", "then", "thent", "ather", "zzzz", "z", "a9b",
+      "999", "", "té", "a" + new String(Character.toChars(0x1F600)) + "b") ++
+      SubwordVocab
+    probes.foreach { w =>
+      assert(subwordCountVocab(w, sorted, maxLen) == subwordCount(w), w)
+    }
+    // unit length is UNBOUNDED on the trained path (the long-key encoding
+    // caps at 3; the sorted-string probe must not)
+    val big = buildSubwordVocab(Seq("a", "b", "abracadabra"))
+    assert(subwordCountVocab("abracadabra", big, 11) == 1)
+    assert(subwordCountVocab("abracadabrab", big, 11) == 2) // greedy + b
+    assert(subwordCountVocab("ab", big, 11) == 2)           // no "ab" unit
+    // dedup + empty-unit filtering, empty-vocab rejection
+    assert(buildSubwordVocab(Seq("a", "a", "", "b")).toSeq == Seq("a", "b"))
+    intercept[IllegalArgumentException](buildSubwordVocab(Seq("")))
+  }
+
+  test("q184: trained vocab rides the expression; Spark walk matches a " +
+      "hand-built segmentation on a tiny vocab") {
+    import graft.functions.Subword
+    val df = spark.createDataFrame(Seq(
+      (1L, "the cat"), (2L, "thhe"), (3L, ""), (4L, "xx yy"))).toDF("id", "text")
+    val vocabDf = spark.createDataFrame(Seq(Tuple1("th"), Tuple1("e"),
+      Tuple1("cat"))).toDF("unit")
+    val out = df.select(col("id"),
+        Subword.subwordStatsVocab(col("text"), vocabDf).as("sw"))
+      .select(col("id"), col("sw.n_words"), col("sw.n_subwords"))
+      .orderBy("id").collect()
+    // "the"=th+e(2), "cat"=cat(1) → 2 words 3 units; "thhe"=th+h?+e —
+    // h is NOT in vocab → th(1)+h(unknown,1)+e(1)=3; ""→0 words;
+    // "xx yy" → 4 unknown single chars across 2 words
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 3L), (2L, 1L, 3L), (3L, 0L, 0L), (4L, 2L, 4L)))
+  }
 }
