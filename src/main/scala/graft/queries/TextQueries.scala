@@ -512,8 +512,17 @@ object TextQueries {
           punctRatio(col("text")).as("pr"), digitRatio(col("text")).as("dr"))
         .select(col("doc_id"),
           qualityScoreFrom(col("st"), col("pr"), col("dr")).as("quality"))
+      // (id, component, quality) is referenced TWICE below (ranking window
+      // + final join) and ReuseExchange does NOT cover it (the branches
+      // diverge before their exchanges — r10 plan audit), so without the
+      // persist the scan → component-join → quality-score subtree runs
+      // twice. 3 narrow columns per doc, MEMORY_AND_DISK spills safely at
+      // corpus scale. Measured isolated at sf0.1 (RunOne, median of 3):
+      // 2.01 s → 1.46 s. Released by the SparkEntry.queries clearCache
+      // contract (see SparkEntry scaladoc).
       val joined = comp.join(scored, comp("id") === scored("doc_id"))
         .select(col("id"), col("component"), col("quality"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val w = Window.partitionBy("component")
         .orderBy(col("quality").desc, col("id"))
       val best = joined.withColumn("rn", row_number().over(w))
