@@ -48,7 +48,10 @@ def main():
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            # driver testdata is one file per table; tool-generated dirs
+            # (graft.tools.ScaleUp) are Spark part-file directories
+            pat = f"{p}/*.parquet" if p.is_dir() else str(p)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     n_fail = 0
     for name, sql in sorted(oracle.items()):

@@ -234,7 +234,15 @@ object Pq {
     * compressed-domain linear scan. Same output shape and tie-break as
     * [[Ann.bruteForceTopK]]; the join moves M ints per corpus row instead
     * of D floats. (Compose with IVF cells to also prune the scan — here the
-    * scan itself is the operator under test.) */
+    * scan itself is the operator under test.)
+    *
+    * Capacity rule, measured at a 10× corpus (BASELINE.md round-11 sf1
+    * spot-check): PQ recall is governed by codebook CAPACITY (m·kCent)
+    * relative to corpus diversity — m=16,kCent=64 held 0.565 recall@10 on
+    * the driver distribution but fell to 0.385 on a 10× decorrelated mix;
+    * kCent=256 or m=32 restored 0.58/0.755. Growing the corpus without
+    * growing (or retraining) the codebook silently degrades recall —
+    * unlike IVF, whose recall tracks the probe FRACTION independent of N. */
   def adcTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               m: Int, kCent: Int, trainIters: Int = 3,

@@ -3,16 +3,13 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc drive/profiling scratchpad (not part of the engine surface).
-  * Current drive: bench-style timing (fn construction + full materialize)
-  * of named queries — RunOne times only the count of an already-built df,
-  * which misses work done inside the query function (e.g. the streaming
-  * replays). Usage: Scratch <sfDir> <q1,q2,...> [reps] */
+  * Current drive: IVF capacity-scaling sweep — recall at fixed vs scaled
+  * cell count on a scaled-up corpus (`--ann <sfDir>`); default drive is
+  * bench-style timing (fn construction + full materialize) of named
+  * queries. Usage: Scratch <sfDir> <q1,q2,...> [reps]
+  *              | Scratch --ann <sfDir> */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = args.lift(1).map(_.split(",").toSeq)
-      .getOrElse(Seq("q92_stream_sessionize", "q94_stream_kmv"))
-    val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scratch")
@@ -23,11 +20,44 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    if (args.headOption.contains("--ann")) { annSweep(spark, args(1)); spark.stop(); return }
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.lift(1).map(_.split(",").toSeq)
+      .getOrElse(Seq("q92_stream_sessionize", "q94_stream_kmv"))
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
     for (name <- names; r <- 1 to reps) {
       val t0 = System.nanoTime()
       graft.Bench.materialize(graft.SparkEntry.queries(name)(spark, sfDir))
       println(f"[scratch] $name rep=$r ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
+  }
+
+  /** Does scaling IVF capacity with the corpus restore recall on the
+    * 10× rotation-mixed /tmp/sf1 distribution? q140's registry point is
+    * FIXED at 16 cells; the 100 TB answer is nCells ∝ √N with nProbe a
+    * constant fraction of nCells. */
+  private def annSweep(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 20)
+    val bf = graft.similarity.Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTrue = bf.count()
+    for ((cells, probes) <- Seq((16, 4), (16, 8), (64, 4), (64, 8), (64, 16), (128, 32))) {
+      val got = graft.similarity.Ann.ivfTopK(q, emb, "vec_id", "embedding",
+        k = 10, nCentroids = cells, nProbe = probes)
+      val hit = bf.join(got.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+      println(f"[ann] cells=$cells%3d probes=$probes%2d recall=${hit.toDouble / nTrue}%.3f")
+    }
+    for ((m, kc) <- Seq((16, 64), (16, 256), (32, 64))) {
+      val got = graft.similarity.Pq.adcTopK(q, emb, "vec_id", "embedding",
+        k = 10, m = m, kCent = kc)
+      val hit = bf.join(got.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+      println(f"[ann] pq m=$m%2d kCent=$kc%3d recall=${hit.toDouble / nTrue}%.3f")
+    }
   }
 }
