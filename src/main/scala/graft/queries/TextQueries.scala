@@ -138,6 +138,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE MERGE LEARNING (round 11): q184 LOADS a trained vocab; q185
+    // TRAINS one — 5 standard BPE rounds (count adjacent symbol pairs
+    // weighted by word frequency → merge the argmax pair everywhere →
+    // repeat) over the corpus's unique-word table. Rounds are sequential
+    // by definition (each merge changes the next counts); per-round
+    // driver state is ONE row. Output is the learned merge table; the
+    // oracle replays the identical 5 rounds in chained SQL CTEs, with
+    // merge application as non-overlapping string replace over
+    // ()-delimited symbols — exactly the kernel's left-to-right rule
+    // ([a,a,a] + (a,a) → [aa,a]).
+    "q185_bpe_train" -> ((s, dir) => {
+      val merges = graft.text.Bpe.train(
+        graft.text.Bpe.wordTable(t(s, dir, "documents"), col("text")),
+        rounds = 5)
+      s.createDataFrame(merges)
+        .select(col("round"), col("left").as("merge_l"),
+          col("right").as("merge_r"), col("cnt"))
+        .orderBy("round")
+    }),
+
     "q30_token_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -980,6 +1000,10 @@ object TextQueries {
          |  CAST(coalesce(sum(fin.n), 0) AS BIGINT) AS n_subwords
          |FROM documents d LEFT JOIN fin USING (doc_id)
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // 5 BPE rounds replayed as chained CTEs (generated — see
+    // Bpe.oracleSql for the replace-over-delimited-symbols merge rule)
+    "q185_bpe_train" -> graft.text.Bpe.oracleSql(5),
 
     // q178's recursive-CTE walk with the vocab REGENERATED from the
     // corpus: the same top-40 lowercase-bigram training (count DESC,

@@ -1,0 +1,121 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding MERGE LEARNING — the training step that produces the
+  * vocab [[graft.functions.Subword.subwordStatsVocab]] consumes (q184 loads
+  * a vocab; q185 learns one). Standard BPE (Sennrich et al. 2016, public):
+  * start from words split into characters; each round, count adjacent
+  * symbol pairs weighted by word frequency, merge the most frequent pair
+  * everywhere (left-to-right, non-overlapping within a word), repeat.
+  *
+  * Scale shape: the corpus collapses to its unique-word frequency table
+  * FIRST (one shuffle on word — at 100 TB the word table is vocabulary-
+  * sized, orders of magnitude smaller than the corpus), and every round
+  * rides that compacted table: one pair-count aggregation plus a 1-row
+  * driver collect (the argmax pair — bounded model state, the k-means
+  * pattern). Rounds are inherently sequential (each merge changes the next
+  * round's pair counts — that is BPE's definition, not an implementation
+  * choice). The per-round HOF pair enumeration is interpreted per element,
+  * acceptable on the compacted table; the merge APPLICATION is the native
+  * [[graft.functions.BpeMergeExpr]] kernel.
+  *
+  * Training is restricted to purely-ASCII-lowercase words so pair
+  * tie-breaks (count DESC, left ASC, right ASC) order identically across
+  * engines (binary vs locale collation can differ on non-ASCII — the
+  * oracle replays the same rounds in DuckDB SQL). */
+object Bpe {
+
+  /** One learned merge: round (1-based), the pair, its support count. */
+  final case class Merge(round: Int, left: String, right: String, cnt: Long)
+
+  /** The unique-word frequency table BPE trains on: space-split tokens of
+    * `textCol`, ASCII-lowercase-only (see class doc), weighted by
+    * occurrence count. */
+  def wordTable(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(split(textCol, " ")).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Learn `rounds` merges from the word table. Driver state per round is
+    * ONE row (the argmax pair); the returned merge list is the model. */
+  def train(words: DataFrame, rounds: Int): Seq[Merge] = {
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds=$rounds out of range: each BPE round is a corpus-table pass")
+    var seqs = words.select(col("cnt"),
+      expr("transform(sequence(1, char_length(word)), i -> substring(word, i, 1))")
+        .as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[Merge]
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val best = seqs.where(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) as l, element_at(syms, i + 1) as r))"))
+            .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true // every word is one symbol
+        else {
+          val (l, rr, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += Merge(r, l, rr, c)
+          val next = seqs.select(col("cnt"),
+              graft.functions.BpeMerge.bpeMerge(col("syms"), l, rr).as("syms"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before releasing the parent round
+          seqs.unpersist()
+          seqs = next
+          r += 1
+        }
+      }
+      merges.result()
+    } finally seqs.unpersist()
+  }
+
+  /** The q185 oracle: the same `rounds` BPE rounds as chained DuckDB CTEs.
+    * Merge application is non-overlapping left-to-right string replace over
+    * ()-delimited symbols — "(a)(a)(a)" under (a,a) → "(aa)(a)", exactly
+    * [[graft.functions.BpeMergeExpr]]'s rule (delimiters are safe: training
+    * symbols are [a-z]+ by construction, so '(' / ')' never occur inside a
+    * symbol). Pair counts CAST to BIGINT (DuckDB sum() yields HUGEINT,
+    * which the driver's type guard bans). */
+  def oracleSql(rounds: Int): String = {
+    val cte = new StringBuilder
+    cte.append(
+      """WITH w AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word),
+        |s1 AS (
+        |  SELECT cnt, list_transform(range(1, len(word) + 1),
+        |    i -> substring(word, CAST(i AS INT), 1)) AS syms FROM w)""".stripMargin)
+    for (r <- 1 to rounds) {
+      cte.append(s""",
+        |p$r AS (
+        |  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+        |    sum(cnt) AS c
+        |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM s$r) t
+        |  GROUP BY 1, 2),
+        |b$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l ASC, r ASC LIMIT 1)""".stripMargin)
+      if (r < rounds) cte.append(s""",
+        |s${r + 1} AS (
+        |  SELECT cnt, regexp_extract_all(
+        |    replace('(' || array_to_string(syms, ')(') || ')',
+        |      '(' || (SELECT l FROM b$r) || ')(' || (SELECT r FROM b$r) || ')',
+        |      '(' || (SELECT l FROM b$r) || (SELECT r FROM b$r) || ')'),
+        |    '\\(([a-z]+)\\)', 1) AS syms
+        |  FROM s$r)""".stripMargin)
+    }
+    cte.append("\n")
+    cte.append((1 to rounds).map(r =>
+      s"SELECT $r AS round, l AS merge_l, r AS merge_r, CAST(c AS BIGINT) AS cnt FROM b$r")
+      .mkString("SELECT * FROM (\n", "\nUNION ALL ", ")\nORDER BY round"))
+    cte.result()
+  }
+}

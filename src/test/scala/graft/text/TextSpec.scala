@@ -275,6 +275,42 @@ class TextSpec extends SparkSpec {
     intercept[IllegalArgumentException](buildSubwordVocab(Seq("")))
   }
 
+  test("BPE merge kernel: left-to-right non-overlapping, standard rule") {
+    import graft.functions.BpeMerge.bpeMerge
+    def m(in: Seq[String], l: String, r: String): Seq[String] =
+      spark.createDataFrame(Seq(Tuple1(in))).toDF("syms")
+        .select(bpeMerge(col("syms"), l, r).as("o"))
+        .collect()(0).getSeq[String](0)
+    assert(m(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(m(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(m(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(m(Seq("x", "y"), "a", "b") == Seq("x", "y"))
+    assert(m(Seq("ab"), "a", "b") == Seq("ab")) // no pair, single symbol
+    // a merged symbol never re-pairs within the same round
+    assert(m(Seq("a", "b", "b"), "a", "b") == Seq("ab", "b"))
+  }
+
+  test("BPE training: argmax pair per round, early stop when exhausted") {
+    import graft.text.Bpe
+    // words: aaab ×3, ab ×2 — hand-traced rounds:
+    //  r1: (a,a)=6 beats (a,b)=5 → merge → [aa,a,b]×3, [a,b]×2
+    //  r2: (a,b)=5 beats (aa,a)=3 → merge → [aa,ab]×3, [ab]×2
+    //  r3: (aa,ab)=3 → merge → [aaab]×3, [ab]×2
+    //  r4: no pairs anywhere → early stop (asked for 5, got 3)
+    val docs = spark.createDataFrame(Seq(
+      (1L, "aaab aaab aaab ab ab"))).toDF("doc_id", "text")
+    val merges = Bpe.train(Bpe.wordTable(docs, col("text")), rounds = 5)
+    assert(merges == Seq(
+      Bpe.Merge(1, "a", "a", 6L),
+      Bpe.Merge(2, "a", "b", 5L),
+      Bpe.Merge(3, "aa", "ab", 3L)))
+    // the word table is case/charset-strict: mixed tokens never train
+    val tbl = Bpe.wordTable(spark.createDataFrame(Seq(
+      (1L, "ok OK o2k ok"))).toDF("doc_id", "text"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(tbl == Map("ok" -> 2L))
+  }
+
   test("q184: trained vocab rides the expression; Spark walk matches a " +
       "hand-built segmentation on a tiny vocab") {
     import graft.functions.Subword
