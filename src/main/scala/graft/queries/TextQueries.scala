@@ -158,6 +158,34 @@ object TextQueries {
         .orderBy("round")
     }),
 
+    // BPE APPLICATION (round 11): q185's learned merges applied to the
+    // corpus — true BPE tokenization (merges in LEARNED ORDER, each a
+    // chained left-to-right kernel pass), which is NOT q178/q184's greedy
+    // longest-prefix walk. Per doc: its [a-z]+ word instances (the trained
+    // charset) and their total BPE token count; docs with no training
+    // words keep a 0/0 row. Training re-runs in-query (deterministic), so
+    // the oracle replays train + apply in one generated SQL.
+    "q186_bpe_apply" -> ((s, dir) => {
+      import graft.functions.BpeMerge.bpeMerge
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.Bpe.train(
+        graft.text.Bpe.wordTable(docs, col("text")), rounds = 5)
+      val init = expr(
+        "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))")
+      val applied = merges.foldLeft(init) { (c, m) => bpeMerge(c, m.left, m.right) }
+      val perDoc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .where(col("word").rlike("^[a-z]+$"))
+        .select(col("doc_id"), size(applied).as("n"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_words"), sum(col("n").cast("long")).as("n_bpe_tokens"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "q30_token_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1004,6 +1032,9 @@ object TextQueries {
     // 5 BPE rounds replayed as chained CTEs (generated — see
     // Bpe.oracleSql for the replace-over-delimited-symbols merge rule)
     "q185_bpe_train" -> graft.text.Bpe.oracleSql(5),
+
+    // train-replay CTEs + per-word-instance application + per-doc rollup
+    "q186_bpe_apply" -> graft.text.Bpe.applyOracleSql(5),
 
     // q178's recursive-CTE walk with the vocab REGENERATED from the
     // corpus: the same top-40 lowercase-bigram training (count DESC,

@@ -85,7 +85,46 @@ object Bpe {
     * symbols are [a-z]+ by construction, so '(' / ')' never occur inside a
     * symbol). Pair counts CAST to BIGINT (DuckDB sum() yields HUGEINT,
     * which the driver's type guard bans). */
-  def oracleSql(rounds: Int): String = {
+  def oracleSql(rounds: Int): String =
+    trainingCtes(rounds) + "\n" + (1 to rounds).map(r =>
+      s"SELECT $r AS round, l AS merge_l, r AS merge_r, CAST(c AS BIGINT) AS cnt FROM b$r")
+      .mkString("SELECT * FROM (\n", "\nUNION ALL ", ")\nORDER BY round")
+
+  /** The q186 oracle: replay training (the same CTEs as [[oracleSql]]) then
+    * APPLY the learned merges in order to every word INSTANCE — one
+    * non-overlapping delimited replace per round — and aggregate per doc.
+    * Assumes the corpus yields all `rounds` merges (true of the driver
+    * testdata at every SF; an exhausted b{r} would NULL-poison replace). */
+  def applyOracleSql(rounds: Int): String = {
+    val app = new StringBuilder
+    app.append(s""",
+      |wi AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+      |  WHERE regexp_matches(word, '^[a-z]+$$')),
+      |a0 AS (
+      |  SELECT doc_id, '(' || array_to_string(list_transform(range(1, len(word) + 1),
+      |    i -> substring(word, CAST(i AS INT), 1)), ')(') || ')' AS s FROM wi)""".stripMargin)
+    for (r <- 1 to rounds) app.append(s""",
+      |a$r AS (
+      |  SELECT doc_id, replace(s,
+      |    '(' || (SELECT l FROM b$r) || ')(' || (SELECT r FROM b$r) || ')',
+      |    '(' || (SELECT l FROM b$r) || (SELECT r FROM b$r) || ')') AS s FROM a${r - 1})""".stripMargin)
+    app.append(s""",
+      |cnts AS (
+      |  SELECT doc_id, len(regexp_extract_all(s, '\\(([a-z]+)\\)')) AS n
+      |  FROM a$rounds)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(count(cnts.n), 0) AS BIGINT) AS n_words,
+      |  CAST(coalesce(sum(cnts.n), 0) AS BIGINT) AS n_bpe_tokens
+      |FROM documents d LEFT JOIN cnts USING (doc_id)
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
+    trainingCtes(rounds) + app.result()
+  }
+
+  /** Shared train-replay CTE prefix: w (word table), s1..s{rounds}
+    * (symbol sequences per round), p{r}/b{r} (pair counts / argmax). */
+  private def trainingCtes(rounds: Int): String = {
     val cte = new StringBuilder
     cte.append(
       """WITH w AS (
@@ -112,10 +151,6 @@ object Bpe {
         |    '\\(([a-z]+)\\)', 1) AS syms
         |  FROM s$r)""".stripMargin)
     }
-    cte.append("\n")
-    cte.append((1 to rounds).map(r =>
-      s"SELECT $r AS round, l AS merge_l, r AS merge_r, CAST(c AS BIGINT) AS cnt FROM b$r")
-      .mkString("SELECT * FROM (\n", "\nUNION ALL ", ")\nORDER BY round"))
     cte.result()
   }
 }

@@ -311,6 +311,24 @@ class TextSpec extends SparkSpec {
     assert(tbl == Map("ok" -> 2L))
   }
 
+  test("BPE application: learned merges in order collapse the hand-traced " +
+      "corpus to one token per word") {
+    import graft.functions.BpeMerge.bpeMerge
+    import graft.text.Bpe
+    val docs = spark.createDataFrame(Seq(
+      (1L, "aaab aaab aaab ab ab"))).toDF("doc_id", "text")
+    val merges = Bpe.train(Bpe.wordTable(docs, col("text")), rounds = 5)
+    val init = expr(
+      "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))")
+    val applied = merges.foldLeft(init) { (c, m) => bpeMerge(c, m.left, m.right) }
+    // aaab: [a,a,a,b] →(a,a)→ [aa,a,b] →(a,b)→ [aa,ab] →(aa,ab)→ [aaab];
+    // ab:   [a,b] →(a,b)→ [ab] — every instance ends as ONE token
+    val out = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(size(applied).as("n")).collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(1, 1, 1, 1, 1))
+  }
+
   test("q184: trained vocab rides the expression; Spark walk matches a " +
       "hand-built segmentation on a tiny vocab") {
     import graft.functions.Subword
