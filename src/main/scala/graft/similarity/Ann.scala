@@ -71,13 +71,43 @@ object Ann {
       .select(col(idCol), col(vecCol), col("centroid_id"), col("crank"))
   }
 
+  /** Spherical-k-means-TRAINED coarse centroids: [[sampleCentroids]] init,
+    * then `iters` Lloyd rounds of cosine assignment + element-wise mean
+    * update (cosine ignores scale, so the un-normalized mean is the
+    * spherical update). Each round is one corpus pass (broadcast assign,
+    * dim-exploded mean — k·dim aggregate state); a cell that empties keeps
+    * its previous centroid. Training buys recall once the corpus outgrows
+    * what a deterministic sample can cover — measured on the round-11 sf1
+    * sweep in BASELINE.md; the sampled path stays the oracle-replayable
+    * default (training is float-iterative, not portably SQL-expressible). */
+  def trainedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                       nCentroids: Int, iters: Int): DataFrame = {
+    var cents = sampleCentroids(corpus, idCol, vecCol, nCentroids)
+    for (_ <- 1 to iters) {
+      val means = assignCells(corpus, idCol, vecCol, cents)
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"),
+          transform(col("pm"), p => p.getField("m").cast("float")).as("mvec"))
+      cents = cents.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+    }
+    cents
+  }
+
   /** IVF top-k: queries probe their nProbe nearest cells; exact cosine
     * within the probed cells. Same output shape as [[bruteForceTopK]] —
-    * recall < 1 by construction (cells not probed are unseen). */
+    * recall < 1 by construction (cells not probed are unseen).
+    * `trainIters` > 0 swaps the sampled coarse quantizer for
+    * [[trainedCentroids]] (no SQL oracle — guarantee/recall rows only). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nCentroids: Int, nProbe: Int): DataFrame = {
-    val centroids = sampleCentroids(corpus, idCol, vecCol, nCentroids)
+              nCentroids: Int, nProbe: Int, trainIters: Int = 0): DataFrame = {
+    val centroids =
+      if (trainIters > 0) trainedCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
+      else sampleCentroids(corpus, idCol, vecCol, nCentroids)
     val corpusCells = assignCells(corpus, idCol, vecCol, centroids)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
     val queryCells = assignCells(queries, idCol, vecCol, centroids, n = nProbe)

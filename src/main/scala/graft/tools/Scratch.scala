@@ -45,12 +45,15 @@ object Scratch {
       .select("query_id", "neighbor_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTrue = bf.count()
-    for ((cells, probes) <- Seq((16, 4), (16, 8), (64, 4), (64, 8), (64, 16), (128, 32))) {
+    for ((cells, probes, iters) <- Seq((16, 4, 0), (16, 8, 0), (64, 4, 0),
+        (64, 8, 0), (64, 16, 0), (128, 32, 0),
+        (16, 4, 3), (16, 8, 3), (64, 16, 3), (128, 32, 3))) {
       val got = graft.similarity.Ann.ivfTopK(q, emb, "vec_id", "embedding",
-        k = 10, nCentroids = cells, nProbe = probes)
+        k = 10, nCentroids = cells, nProbe = probes, trainIters = iters)
       val hit = bf.join(got.select("query_id", "neighbor_id"),
         Seq("query_id", "neighbor_id"), "left_semi").count()
-      println(f"[ann] cells=$cells%3d probes=$probes%2d recall=${hit.toDouble / nTrue}%.3f")
+      println(f"[ann] cells=$cells%3d probes=$probes%2d iters=$iters " +
+        f"recall=${hit.toDouble / nTrue}%.3f")
     }
     for ((m, kc) <- Seq((16, 64), (16, 256), (32, 64))) {
       val got = graft.similarity.Pq.adcTopK(q, emb, "vec_id", "embedding",
