@@ -435,6 +435,24 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // RocksDB AT THE DRIVER (round 11): q94's sketch replay executed under
+    // RocksDBStateStoreProvider, same oracle — the driver itself now
+    // proves the production state-store backend changes storage, never
+    // stream-end results (StreamsSpec pins q94 AND q171; this row makes
+    // one of them driver-checked). The conf scope covers the whole replay
+    // (it runs eagerly inside the fn); only the stateless batch
+    // aggregation over the sink snapshot escapes it.
+    "q187_stream_rocksdb" -> ((s, dir) => {
+      val key = "spark.graft.stateStore.provider"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "rocksdb")
+      try queries("q94_stream_kmv")(s, dir)
+      finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // STREAMING LOG-BUCKET QUANTILES — q179's unbounded-range sketch as
     // bounded mapGroupsWithState (≤ 4·log2(max) buckets per group, no
     // lo/hi a priori, unlike q99's fixed-range twin). All arithmetic is
@@ -1005,6 +1023,19 @@ object StreamingQueries {
     // q59's bottom-64 replay minus the exact-count column (the streaming
     // sketch state carries only the sketch)
     "q94_stream_kmv" ->
+      s"""WITH ${OpsQueries.kmvSql(replayWhereSql("user_id"))}
+         |SELECT nd.event_type,
+         |  CAST(least(nd.nd, 64) AS INT) AS kmv_kept,
+         |  kth.kth_min,
+         |  CASE WHEN kth.kth_min IS NOT NULL
+         |       THEN CAST(63 * 9223372036854775808::HUGEINT AS DOUBLE) / CAST(kth.kth_min AS DOUBLE)
+         |       ELSE CAST(nd.nd AS DOUBLE) END AS kmv_est
+         |FROM nd LEFT JOIN kth USING (event_type)
+         |ORDER BY nd.event_type""".stripMargin,
+
+    // identical stream-end state regardless of the store backend: the
+    // RocksDB replay answers to q94's exact oracle
+    "q187_stream_rocksdb" ->
       s"""WITH ${OpsQueries.kmvSql(replayWhereSql("user_id"))}
          |SELECT nd.event_type,
          |  CAST(least(nd.nd, 64) AS INT) AS kmv_kept,
