@@ -354,11 +354,21 @@ object SimilarityQueries {
     "q182_ann_float_guarantee" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 20)
+      // bf is referenced THREE times (two tier semi-joins + n_true) and
+      // each tier twice (hits + shape); the persists pin single evaluation
+      // of each ≤ |Q|·k frame. Measured NEUTRAL at sf0.1 (~2.3 s steady
+      // either way: the per-invocation cost is dominated by the PQ
+      // codebook training inside adcTopK/ivfAdcTopK, and the identical bf
+      // subtrees were already exchange-reused) — kept as the defensive
+      // shape for corpora where the exact scan dominates. Released by the
+      // SparkEntry.queries clearCache contract.
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val bf = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+        .persist(lvl)
       val pq = graft.similarity.Pq.adcTopK(q, emb, "vec_id", "embedding",
-        k = 10, m = 16, kCent = 64)
+        k = 10, m = 16, kCent = 64).persist(lvl)
       val ivfpq = graft.similarity.Pq.ivfAdcTopK(q, emb, "vec_id", "embedding",
-        k = 10, nCentroids = 16, nProbe = 4, m = 16, kCent = 64)
+        k = 10, nCentroids = 16, nProbe = 4, m = 16, kCent = 64).persist(lvl)
       def tier(df: DataFrame, tag: String): DataFrame = {
         val hits = bf.join(df.select("query_id", "neighbor_id"),
             Seq("query_id", "neighbor_id"), "left_semi")

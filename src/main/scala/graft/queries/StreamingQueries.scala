@@ -904,6 +904,20 @@ object StreamingQueries {
        |  count(*) AS n_events
        |FROM sid GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin
 
+  /** q59's bottom-64 replay minus the exact-count column (the streaming
+    * sketch state carries only the sketch) — shared verbatim by q94 and
+    * q187 (the RocksDB variant must answer to the SAME oracle). */
+  private lazy val kmvReplayOracle: String =
+    s"""WITH ${OpsQueries.kmvSql(replayWhereSql("user_id"))}
+       |SELECT nd.event_type,
+       |  CAST(least(nd.nd, 64) AS INT) AS kmv_kept,
+       |  kth.kth_min,
+       |  CASE WHEN kth.kth_min IS NOT NULL
+       |       THEN CAST(63 * 9223372036854775808::HUGEINT AS DOUBLE) / CAST(kth.kth_min AS DOUBLE)
+       |       ELSE CAST(nd.nd AS DOUBLE) END AS kmv_est
+       |FROM nd LEFT JOIN kth USING (event_type)
+       |ORDER BY nd.event_type""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // batch DISTINCT over the same sampled WHERE — n_in recomputed from
     // the filter, survivors by sorted-hash md5
@@ -1020,31 +1034,12 @@ object StreamingQueries {
     "q107_stream_scd2" ->
       OpsQueries.scd2Sql(replayWhereSql("event_id")),
 
-    // q59's bottom-64 replay minus the exact-count column (the streaming
-    // sketch state carries only the sketch)
-    "q94_stream_kmv" ->
-      s"""WITH ${OpsQueries.kmvSql(replayWhereSql("user_id"))}
-         |SELECT nd.event_type,
-         |  CAST(least(nd.nd, 64) AS INT) AS kmv_kept,
-         |  kth.kth_min,
-         |  CASE WHEN kth.kth_min IS NOT NULL
-         |       THEN CAST(63 * 9223372036854775808::HUGEINT AS DOUBLE) / CAST(kth.kth_min AS DOUBLE)
-         |       ELSE CAST(nd.nd AS DOUBLE) END AS kmv_est
-         |FROM nd LEFT JOIN kth USING (event_type)
-         |ORDER BY nd.event_type""".stripMargin,
+    "q94_stream_kmv" -> kmvReplayOracle,
 
     // identical stream-end state regardless of the store backend: the
-    // RocksDB replay answers to q94's exact oracle
-    "q187_stream_rocksdb" ->
-      s"""WITH ${OpsQueries.kmvSql(replayWhereSql("user_id"))}
-         |SELECT nd.event_type,
-         |  CAST(least(nd.nd, 64) AS INT) AS kmv_kept,
-         |  kth.kth_min,
-         |  CASE WHEN kth.kth_min IS NOT NULL
-         |       THEN CAST(63 * 9223372036854775808::HUGEINT AS DOUBLE) / CAST(kth.kth_min AS DOUBLE)
-         |       ELSE CAST(nd.nd AS DOUBLE) END AS kmv_est
-         |FROM nd LEFT JOIN kth USING (event_type)
-         |ORDER BY nd.event_type""".stripMargin,
+    // RocksDB replay answers to q94's oracle BY CONSTRUCTION (one shared
+    // string — the two entries cannot drift)
+    "q187_stream_rocksdb" -> kmvReplayOracle,
 
     "q51_weekly_windows" ->
       """SELECT DATE '1970-01-01'

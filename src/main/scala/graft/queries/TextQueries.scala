@@ -175,7 +175,10 @@ object TextQueries {
       val applied = merges.foldLeft(init) { (c, m) => bpeMerge(c, m.left, m.right) }
       val perDoc = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .where(col("word").rlike("^[a-z]+$"))
+        // \A..\z (not ^..$): Java's $ matches before a trailing newline —
+        // see Bpe.wordTable; the two filters must agree or a "bar\n" token
+        // would be counted here but never trained
+        .where(col("word").rlike("\\A[a-z]+\\z"))
         .select(col("doc_id"), size(applied).as("n"))
         .groupBy("doc_id").agg(
           count(lit(1)).as("n_words"), sum(col("n").cast("long")).as("n_bpe_tokens"))

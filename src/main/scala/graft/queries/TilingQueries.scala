@@ -140,12 +140,19 @@ object TilingQueries {
     "q183_ingest_pipeline" -> ((s, _) => {
       import s.implicits._
       import graft.raster.{Bands, TiffDecoder, TiffEncoder}
+      // per-PROCESS directory: a fixed shared path would race a second JVM
+      // on the same host (bench + sbt test both build q183) — one deletes
+      // while the other's listing/scan is mid-flight. Within one JVM,
+      // repeated invocations reuse and rewrite idempotently.
       val root = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_q183_ingest")
+        System.getProperty("java.io.tmpdir"),
+        s"graft_q183_ingest_${ProcessHandle.current().pid()}")
       if (java.nio.file.Files.exists(root)) { // idempotent per invocation
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.delete)
+        finally walk.close()
       }
       java.nio.file.Files.createDirectories(root)
       val dir = root.toString

@@ -82,7 +82,27 @@ object Ann {
     * default (training is float-iterative, not portably SQL-expressible). */
   def trainedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                        nCentroids: Int, iters: Int): DataFrame = {
-    var cents = sampleCentroids(corpus, idCol, vecCol, nCentroids)
+    val spark = corpus.sparkSession
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("centroid_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cvec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = false)))
+    // the model is COLLECTED to the driver after every round (k·dim floats,
+    // the codebook pattern): each round's plan then starts from a local
+    // relation, so round n costs exactly one corpus pass — chaining lazy
+    // frames instead would re-evaluate every earlier round inside both the
+    // assign broadcast and the join branch (up to 2^iters plan blow-up;
+    // ReuseExchange does not span those diverging branches)
+    def toLocal(df: DataFrame): DataFrame = {
+      val rows = df.collect().map { r =>
+        org.apache.spark.sql.Row(r.getLong(0), r.getSeq[Float](1))
+      }
+      spark.createDataFrame(rows.toSeq.asJava, schema)
+    }
+    var cents = toLocal(sampleCentroids(corpus, idCol, vecCol, nCentroids))
     for (_ <- 1 to iters) {
       val means = assignCells(corpus, idCol, vecCol, cents)
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
@@ -91,8 +111,8 @@ object Ann {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("centroid_id"),
           transform(col("pm"), p => p.getField("m").cast("float")).as("mvec"))
-      cents = cents.join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+      cents = toLocal(cents.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("mvec"), col("cvec")).as("cvec")))
     }
     cents
   }

@@ -35,7 +35,11 @@ object Bpe {
     * occurrence count. */
   def wordTable(docs: DataFrame, textCol: Column): DataFrame =
     docs.select(explode(split(textCol, " ")).as("word"))
-      .where(col("word").rlike("^[a-z]+$"))
+      // \A..\z, not ^..$: Java's $ also matches BEFORE a trailing newline,
+      // so "bar\n" would train here but fail the oracle's RE2 $ (end of
+      // text only) — and '\n' would become a symbol, breaking the
+      // ASCII-only tie-break invariant
+      .where(col("word").rlike("\\A[a-z]+\\z"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** Learn `rounds` merges from the word table. Driver state per round is

@@ -33,7 +33,13 @@ object ScaleUp {
     require(args.length == 3, "usage: ScaleUp <inSfDir> <outDir> <factor>")
     val Array(in, out, factorS) = args
     val factor = factorS.toInt
-    require(factor >= 1 && factor <= 100, s"factor $factor out of range")
+    // hard cap 26: the Caesar shift wraps at 26, so replica r ≥ 26 would
+    // carry text BYTE-IDENTICAL to replica r-26 — recreating exactly the
+    // cross-replica LSH merge artifact this tool exists to prevent (and
+    // the embedding rotation needs r < dim, 64 in the driver testdata)
+    require(factor >= 1 && factor <= 26,
+      s"factor $factor out of range [1, 26]: the replica decorrelators " +
+        "(Caesar mod 26, dimension rotation) repeat past 26")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -58,7 +58,11 @@ class AnnSpec extends SparkSpec {
     def run() = Ann.ivfTopK(queries, emb, "vec_id", "embedding", 10, 16, 4,
       trainIters = 3).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val t1 = run()
-    assert(t1 == run()) // Lloyd rounds are deterministic (no randomness)
+    // Lloyd rounds carry no randomness; in LOCAL mode the partial-agg
+    // merge order (and so the float avg) is stable run-to-run, which is
+    // what this equality pins. On a cluster, fetch-order ULP drift could
+    // flip a cosine near-tie — relax to recall-only there if it flakes.
+    assert(t1 == run())
     assert(t1.size == bf.size)
     val recall = (bf & t1).size.toDouble / bf.size
     // same floor the sampled path must clear — training must not LOSE
