@@ -379,4 +379,57 @@ class PropertiesSpec extends AnyFunSuite {
       sameCodes && math.abs(adc - expect) <= 1e-9 * math.max(1.0, math.abs(expect))
     }, n = 60)
   }
+
+  // -- BPE merge kernel (q185/q186) ------------------------------------
+
+  private def bpeEval(in: Seq[String], l: String, r: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = new GenericArrayData(
+      in.map(s => UTF8String.fromString(s): Any).toArray)
+    graft.functions.BpeMergeExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), l, r)
+      .nullSafeEval(arr).asInstanceOf[ArrayData]
+      .toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.asInstanceOf[UTF8String].toString).toSeq
+  }
+
+  private val genSym: Gen[String] = Gen.oneOf("a", "b", "c", "aa", "ab")
+  private val genSeq: Gen[List[String]] = Gen.listOfN(8, genSym).map(_.take(8))
+
+  test("BPE merge: chars preserved, one pass is a fixed point, no (l,r) " +
+      "adjacency survives, length bounds") {
+    check(Prop.forAll(genSeq, genSym, genSym) { (in, l, r) =>
+      val out = bpeEval(in, l, r)
+      val charsKept = out.mkString == in.mkString
+      val fixedPoint = bpeEval(out, l, r) == out
+      val noPairLeft = out.zip(out.drop(1)).forall(p => !(p._1 == l && p._2 == r))
+      val merged = in.length - out.length
+      val bounds = merged >= 0 && out.length >= (in.length + 1) / 2
+      charsKept && fixedPoint && noPairLeft && bounds
+    }, n = 300)
+  }
+
+  // -- trained-vocab subword walk (q184) -------------------------------
+
+  private val genWord: Gen[String] =
+    Gen.listOfN(10, Gen.oneOf(Gen.alphaLowerChar, Gen.const('é'), Gen.const('9')))
+      .map(_.mkString).flatMap(s => Gen.chooseNum(0, s.length).map(s.take))
+
+  test("subwordCountVocab: bounds, unit self-segmentation, agreement with " +
+      "the built-in long-key walk on the built-in vocab") {
+    import graft.text.TextAnalysis._
+    val sorted = buildSubwordVocab(SubwordVocab)
+    val maxLen = SubwordVocab.map(_.length).max
+    check(Prop.forAll(genWord) { w =>
+      val n = subwordCountVocab(w, sorted, maxLen)
+      val cp = w.codePointCount(0, w.length)
+      val boundsOk =
+        if (w.isEmpty) n == 0
+        else n >= (w.length + maxLen - 1) / maxLen && n <= cp
+      // independent implementations agree everywhere (sorted-string probe
+      // vs length-tagged long keys)
+      boundsOk && n == subwordCount(w)
+    }, n = 300)
+  }
 }
