@@ -151,6 +151,71 @@ object CurationQueries {
         .orderBy("cluster_id")
     }),
 
+    // SEMDEDUP SCALE CONTRACT, DRIVER-CHECKED (round 11): q147/q166 run a
+    // FIXED cluster count because their oracles replay the full integer
+    // k-means in SQL (structural k); their scaladoc promises "k scales
+    // with the corpus so per-cluster membership stays bounded". This row
+    // makes that promise machine-checked at every SF, using the IVF-style
+    // cell assignment (sampled centroids + native cosine — the documented
+    // 100 TB serving path; NOT the lattice k-means, whose exact assignment
+    // explodes k·N·dim rows and is priced for fixed k only): cluster the
+    // corpus at k = max(KmK, N/25) and assert (a) the scaled clustering's
+    // within-cluster PAIR WORK never exceeds the fixed-k clustering's
+    // (equal-or-smaller when the scaled k floors at KmK, ~16× smaller at
+    // sf0.1), (b) every vector lands in exactly one cell, (c) every
+    // non-empty cell keeps ≥ 1 member after the τ = 1/4 drop rule (the
+    // verdict is pairwise integer arithmetic — clusterer-independent).
+    "q188_semdedup_scaled" -> ((s, dir) => {
+      import graft.similarity.Ann
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      val kScaled = math.max(KmK, (n / 25L).toInt)
+      def pairWork(k: Int): (Long, Long, Long, DataFrame) = {
+        val cents = Ann.sampleCentroids(emb, "vec_id", "embedding", k)
+        val asg = Ann.assignCells(emb, "vec_id", "embedding", cents)
+          .select(col("vec_id"), col("centroid_id").as("cid"))
+        val sizes = asg.groupBy("cid").agg(count(lit(1)).as("c"))
+          // c·(c-1) is even, `div` keeps the arithmetic integral (`/` on
+          // longs is DOUBLE division in the Column API)
+          .agg(sum(col("c")).as("assigned"),
+            expr("sum(c * (c - 1) div 2)").as("pairs"),
+            count(lit(1)).as("nonempty"))
+          .collect()(0)
+        (sizes.getLong(0), sizes.getLong(1), sizes.getLong(2), asg)
+      }
+      val (assignedF, pairsF, _, _) = pairWork(KmK)
+      val (assignedS, pairsS, nonemptyS, asgS) = pairWork(kScaled)
+      // the τ = 1/4 drop rule at the SCALED k (q147's exact integer
+      // formula on the cheaper clustering — the pair scan here is the
+      // one the contract promises stays bounded): only the higher id of
+      // a near-dup pair drops, so every non-empty cluster keeps ≥ 1
+      val qv = emb.select(col("vec_id"), col("embedding").as("q"),
+        graft.functions.IntQuant.quantNorm2(col("embedding"), SemScale).as("n2"))
+      val members = asgS.join(qv, Seq("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dups = members.select(col("cid"), col("vec_id").as("a_id"),
+          col("q").as("qa"), col("n2").as("na"))
+        .join(members.select(col("cid"), col("vec_id").as("b_id"),
+          col("q").as("qb"), col("n2").as("nb")), Seq("cid"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("cid"), col("b_id"),
+          graft.functions.IntQuant.quantDot(col("qa"), col("qb"), SemScale).as("dot"),
+          col("na"), col("nb"))
+        .where(col("dot") > 0 &&
+          col("dot") * col("dot") * SemTauDen2 >= col("na") * col("nb"))
+      val keeps = members.groupBy("cid").agg(count(lit(1)).as("n_members"))
+        .join(dups.select(col("cid"), col("b_id")).distinct()
+          .groupBy("cid").agg(count(lit(1)).as("n_dropped")), Seq("cid"), "left")
+        .agg(expr("bool_and(coalesce(n_dropped, 0) < n_members)").as("ok"))
+        .collect()(0).getBoolean(0)
+      val one = s.range(1).toDF()
+      one.select(
+        lit(assignedS == n && assignedF == n).as("all_assigned"),
+        lit(pairsS <= pairsF).as("scaled_pair_work_bounded"),
+        lit(kScaled >= KmK && nonemptyS <= kScaled).as("k_scales"),
+        lit(keeps).as("keeps_one_per_cluster"))
+    }),
+
     // SEMDEDUP-STYLE SEMANTIC DEDUP: cluster with q146's k-means, then
     // within each cluster mark every pair with integer-quantized cosine
     // ≥ 1/4 and drop the higher id of each near-dup pair (lowest-id
@@ -829,6 +894,11 @@ object CurationQueries {
        |    GROUP BY e.v) s ON s.u2 = n.term)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // guarantee row: every boolean must hold at every SF (q137 pattern)
+    "q188_semdedup_scaled" ->
+      """SELECT true AS all_assigned, true AS scaled_pair_work_bounded,
+        |  true AS k_scales, true AS keeps_one_per_cluster""".stripMargin,
+
     "q146_kmeans" ->
       s"""WITH $kmeansSql,
          |kstat AS (
