@@ -72,11 +72,37 @@ object TiffDecoder {
       case _ => return Left("not a TIFF (bad byte-order mark)")
     }
     val bb = ByteBuffer.wrap(bytes).order(order)
-    if (bb.getShort(2) != 42) return Left("not a TIFF (magic != 42)")
-    val ifdOff = bb.getInt(4)
-    if (ifdOff < 8 || ifdOff + 2 > bytes.length) return Left("bad IFD offset")
+    // magic 42 = classic TIFF, 43 = BigTIFF (8-byte offsets, 20-byte IFD
+    // entries, LONG8 types) — GDAL emits BigTIFF containers routinely
+    // (BIGTIFF=YES / size safety), including files well under 4 GiB, so
+    // the scan path must read both. In-memory decode bounds offsets to
+    // the ≤ 2 GiB byte array either way (validated below).
+    val magic = bb.getShort(2)
+    val big = magic == 43
+    if (magic != 42 && !big) return Left("not a TIFF (magic != 42/43)")
+    val ifdOff: Int =
+      if (big) {
+        if (bb.getShort(4) != 8 || bb.getShort(6) != 0)
+          return Left("bad BigTIFF header (offset size != 8)")
+        val o = bb.getLong(8)
+        if (o < 16 || o > bytes.length.toLong - 8) return Left("bad IFD offset")
+        o.toInt
+      } else {
+        val o = bb.getInt(4)
+        if (o < 8 || o + 2 > bytes.length) return Left("bad IFD offset")
+        o
+      }
+    val entrySize = if (big) 20 else 12
+    val entriesBase = ifdOff + (if (big) 8 else 2)
+    val inlineMax = if (big) 8 else 4
+    val valueSlot = if (big) 12 else 8 // entry-relative offset of value/offset
 
-    val nEntries = bb.getShort(ifdOff) & 0xFFFF
+    val nEntries: Int =
+      if (big) {
+        val n = bb.getLong(ifdOff)
+        if (n < 0 || n > 0xFFFF) return Left("bad BigTIFF IFD entry count")
+        n.toInt
+      } else bb.getShort(ifdOff) & 0xFFFF
     var width = -1; var height = -1
     var bits = 1; var compression = 1; var samples = 1; var sampleFormat = 1
     var photometric = 1
@@ -96,55 +122,76 @@ object TiffDecoder {
 
     def entryValues(entryOff: Int): Array[Long] = {
       val typ = bb.getShort(entryOff + 2) & 0xFFFF
-      val cnt = bb.getInt(entryOff + 4)
+      val cntL =
+        if (big) bb.getLong(entryOff + 4) else bb.getInt(entryOff + 4).toLong
       val sizeOf = typ match {
         case 1 | 2 | 6 | 7 => 1 // BYTE/ASCII/SBYTE/UNDEF
         case 3 | 8 => 2 // SHORT/SSHORT
         case 4 | 9 | 11 => 4 // LONG/SLONG/FLOAT
+        case 16 | 17 if big => 8 // LONG8/SLONG8 (BigTIFF only)
         case _ => return Array.empty
       }
-      if (cnt < 0) return Array.empty
+      if (cntL < 0 || cntL > Int.MaxValue) return Array.empty
+      val cnt = cntL.toInt
       val total = sizeOf.toLong * cnt // Long: a hostile cnt must not wrap
       if (total > bytes.length) return Array.empty
-      val valOff = if (total <= 4) entryOff + 8 else bb.getInt(entryOff + 8)
-      if (valOff < 0 || valOff.toLong + total > bytes.length) return Array.empty
+      val valOffL =
+        if (total <= inlineMax) (entryOff + valueSlot).toLong
+        else if (big) bb.getLong(entryOff + valueSlot)
+        else bb.getInt(entryOff + valueSlot).toLong
+      if (valOffL < 0 || valOffL + total > bytes.length) return Array.empty
+      val valOff = valOffL.toInt
       Array.tabulate(cnt) { i =>
         sizeOf match {
           case 1 => (bytes(valOff + i) & 0xFF).toLong
           case 2 => (bb.getShort(valOff + i * 2) & 0xFFFF).toLong
           case 4 => bb.getInt(valOff + i * 4).toLong & 0xFFFFFFFFL
+          case 8 => bb.getLong(valOff + i * 8) // offsets validated on use
         }
       }
     }
 
-    // geo tags only: DOUBLE (type 12) arrays are always out-of-line
-    // (8 bytes each); same hostile-offset discipline as entryValues
+    // geo tags only: DOUBLE (type 12) arrays are out-of-line in classic
+    // TIFF (8 > 4 inline bytes) but a SINGLE double fits a BigTIFF entry
+    // inline; same hostile-offset discipline as entryValues
     def entryDoubles(entryOff: Int): Array[Double] = {
       val typ = bb.getShort(entryOff + 2) & 0xFFFF
       if (typ != 12) return Array.emptyDoubleArray
-      val cnt = bb.getInt(entryOff + 4)
-      if (cnt <= 0 || 8L * cnt > bytes.length) return Array.emptyDoubleArray
-      val valOff = bb.getInt(entryOff + 8)
-      if (valOff < 0 || valOff.toLong + 8L * cnt > bytes.length)
+      val cntL =
+        if (big) bb.getLong(entryOff + 4) else bb.getInt(entryOff + 4).toLong
+      if (cntL <= 0 || 8L * cntL > bytes.length) return Array.emptyDoubleArray
+      val cnt = cntL.toInt
+      val valOffL =
+        if (8L * cnt <= inlineMax) (entryOff + valueSlot).toLong
+        else if (big) bb.getLong(entryOff + valueSlot)
+        else bb.getInt(entryOff + valueSlot).toLong
+      if (valOffL < 0 || valOffL + 8L * cnt > bytes.length)
         return Array.emptyDoubleArray
+      val valOff = valOffL.toInt
       Array.tabulate(cnt)(i => bb.getDouble(valOff + i * 8))
     }
 
     def entryAscii(entryOff: Int): String = {
       val typ = bb.getShort(entryOff + 2) & 0xFFFF
       if (typ != 2) return ""
-      val cnt = bb.getInt(entryOff + 4)
-      if (cnt <= 0 || cnt > bytes.length) return ""
-      val valOff = if (cnt <= 4) entryOff + 8 else bb.getInt(entryOff + 8)
-      if (valOff < 0 || valOff.toLong + cnt > bytes.length) return ""
+      val cntL =
+        if (big) bb.getLong(entryOff + 4) else bb.getInt(entryOff + 4).toLong
+      if (cntL <= 0 || cntL > bytes.length) return ""
+      val cnt = cntL.toInt
+      val valOffL =
+        if (cnt <= inlineMax) (entryOff + valueSlot).toLong
+        else if (big) bb.getLong(entryOff + valueSlot)
+        else bb.getInt(entryOff + valueSlot).toLong
+      if (valOffL < 0 || valOffL + cnt > bytes.length) return ""
+      val valOff = valOffL.toInt
       new String(bytes, valOff, cnt, java.nio.charset.StandardCharsets.US_ASCII)
         .takeWhile(_ != '\u0000') // NUL-terminated; normalize it away
     }
 
     var e = 0
     while (e < nEntries) {
-      val off = ifdOff + 2 + e * 12
-      if (off + 12 > bytes.length) return Left("truncated IFD")
+      val off = entriesBase + e * entrySize
+      if (off + entrySize > bytes.length) return Left("truncated IFD")
       val tag = bb.getShort(off) & 0xFFFF
       lazy val vs = entryValues(off)
       tag match {

