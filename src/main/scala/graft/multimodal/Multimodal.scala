@@ -216,6 +216,76 @@ object Multimodal {
     out.result()
   }
 
+  final case class WavAudio(channels: Int, sampleRate: Int,
+                            bitsPerSample: Int, data: Array[Byte])
+
+  /** Minimal RIFF/WAVE container parser for PCM — the real container in
+    * front of [[pcmS16Windows]] (a pipeline ingests .wav files, not naked
+    * sample buffers). Canonical subset: RIFF/WAVE magic, a PCM `fmt `
+    * chunk (format code 1, 16 bits/sample), one `data` chunk; unknown
+    * chunks (LIST, fact, …) are SKIPPED with the RIFF padding-to-even
+    * rule, so real-world extra chunks pass through. Anything non-canonical
+    * is a Left — hostile input is data, never an exception, the TIFF
+    * discipline: bad magic, non-PCM format, other bit depths, chunk sizes
+    * past the buffer, or a missing fmt/data chunk. */
+  def parseWav(bytes: Array[Byte]): Either[String, WavAudio] = {
+    def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long =
+      (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+      ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 12) return Left("too short for RIFF header")
+    if (tag(0) != "RIFF") return Left("not RIFF")
+    if (tag(8) != "WAVE") return Left("not WAVE")
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Array[Byte] = null
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val size = u32(off + 4)
+      val payload = off + 8
+      if (size < 0 || payload + size > bytes.length)
+        return Left(s"chunk '$id' overruns the buffer")
+      id match {
+        case "fmt " =>
+          if (size < 16) return Left("fmt chunk too short")
+          val code = u16(payload)
+          if (code != 1) return Left(s"non-PCM format code $code")
+          val bits = u16(payload + 14)
+          if (bits != 16) return Left(s"unsupported bits/sample $bits")
+          fmt = Some((u16(payload + 2), u32(payload + 4).toInt, bits))
+        case "data" =>
+          if (data != null) return Left("duplicate data chunk")
+          data = java.util.Arrays.copyOfRange(bytes, payload, (payload + size).toInt)
+        case _ => () // LIST/fact/cue…: skip
+      }
+      off = payload + size.toInt + (size.toInt & 1) // RIFF pads chunks to even
+    }
+    (fmt, Option(data)) match {
+      case (Some((ch, rate, bits)), Some(d)) =>
+        if (ch < 1) Left(s"bad channel count $ch")
+        else Right(WavAudio(ch, rate, bits, d))
+      case (None, _) => Left("missing fmt chunk")
+      case (_, None) => Left("missing data chunk")
+    }
+  }
+
+  /** The canonical-subset writer for [[parseWav]] — fixtures and tests
+    * only (a pipeline WRITES parquet windows, not wav files). */
+  def encodeWav(channels: Int, sampleRate: Int, data: Array[Byte]): Array[Byte] = {
+    require(channels >= 1, "channels must be positive")
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    bb.array()
+  }
+
   /** Uniform frame sampling for video assets: keep every row whose
     * frame_idx lands on the stride grid — a pure filter, no decode rework. */
   def sampleFrames(frames: Dataset[DecodedFrame], stride: Int): Dataset[DecodedFrame] =

@@ -162,6 +162,51 @@ object MultimodalQueries {
         .orderBy("asset_id", "widx")
     }),
 
+    // WAV CONTAINER INGEST (round 11): q173 windows NAKED sample buffers;
+    // a real pipeline ingests .wav FILES. Per doc-id asset, executor-side:
+    // (a) the canonical WAV of q173's exact PCM payload must parse back to
+    // the identical window rows (container round-trip), (b) a LIST chunk
+    // with an ODD size injected before fmt must be skipped under RIFF's
+    // pad-to-even rule and change nothing, (c) hostile variants — bad
+    // magic, non-PCM format code, truncated data chunk — must reject with
+    // a Left, never an exception. Booleans aggregate to one guarantee row.
+    "q190_wav_ingest" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val nSamples = 200 + (id % 3).toInt * 60
+          val pcm = Array.tabulate(2 * nSamples)(i => payloadByte(id, 0, i))
+          val want = Multimodal.pcmS16Windows(s"audio_$id", pcm, win = 64)
+          val wav = Multimodal.encodeWav(1, 16000, pcm)
+          val roundtrip = Multimodal.parseWav(wav) match {
+            case Right(a) => a.channels == 1 && a.sampleRate == 16000 &&
+              a.bitsPerSample == 16 &&
+              Multimodal.pcmS16Windows(s"audio_$id", a.data, 64) == want
+            case Left(_) => false
+          }
+          // inject an odd-sized LIST chunk right after the WAVE tag
+          val list = "LIST".getBytes("US-ASCII") ++
+            Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // 3 + pad
+          val withList = wav.take(12) ++ list ++ wav.drop(12)
+          val listSkipped = Multimodal.parseWav(withList) match {
+            case Right(a) => java.util.Arrays.equals(a.data, pcm)
+            case Left(_) => false
+          }
+          val badMagic = wav.clone(); badMagic(0) = 'X'.toByte
+          val nonPcm = wav.clone(); nonPcm(20) = 3.toByte // IEEE-float code
+          val hostiles = Multimodal.parseWav(badMagic).isLeft &&
+            Multimodal.parseWav(nonPcm).isLeft &&
+            Multimodal.parseWav(wav.dropRight(8)).isLeft
+          (1L, roundtrip, listSkipped, hostiles)
+        }
+        .toDF("one", "roundtrip", "list_skipped", "hostile_rejected")
+        .selectExpr("sum(one) AS n_assets",
+          "bool_and(roundtrip) AS windows_roundtrip",
+          "bool_and(list_skipped) AS unknown_chunks_skipped",
+          "bool_and(hostile_rejected) AS hostiles_rejected")
+    }),
+
     // BOX-AVERAGE RESIZE (pooling) over decoded frames — the multimodal
     // resize op in exact integer form: 16×16 → 5×5 (non-divisible ratio,
     // so boxes are UNEVEN — 4/3/3/3/3 under y·5 div 16 — and the partition map y·oh div h
@@ -204,6 +249,12 @@ object MultimodalQueries {
     * channel ch occupies payload indices [ch·256, ch·256+256); thumbnail
     * source pixel of thumb (r,c,ch) is payload index ch·256 + 4r·16 + 4c. */
   val oracle: Map[String, String] = Map(
+    // guarantee row: one asset per doc, every boolean must hold
+    "q190_wav_ingest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_assets, true AS windows_roundtrip,
+        |  true AS unknown_chunks_skipped, true AS hostiles_rejected
+        |FROM documents""".stripMargin,
+
     // same planted gaps + the natural ones (embeddings stop at their own
     // row count — docs beyond it are genuinely embedding-less)
     "q181_example_assembly" ->

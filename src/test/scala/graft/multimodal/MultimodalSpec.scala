@@ -98,6 +98,32 @@ class MultimodalSpec extends SparkSpec {
       ws.map(_.sum_sq))
   }
 
+  test("wav container: canonical round-trip, chunk skipping with odd-size " +
+      "padding, hostile rejections as Left") {
+    val pcm = Array.tabulate(100)(i => ((i * 37 + 5) % 251).toByte)
+    val wav = Multimodal.encodeWav(2, 44100, pcm)
+    val Right(a) = Multimodal.parseWav(wav)
+    assert((a.channels, a.sampleRate, a.bitsPerSample) == (2, 44100, 16))
+    assert(java.util.Arrays.equals(a.data, pcm))
+    // unknown odd-size chunk between WAVE and fmt: skipped with padding
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](9, 9, 9, 0)
+    val Right(b) = Multimodal.parseWav(wav.take(12) ++ list ++ wav.drop(12))
+    assert(java.util.Arrays.equals(b.data, pcm))
+    // hostiles: every malformed shape is a Left, never a throw
+    val badMagic = wav.clone(); badMagic(0) = 'Z'.toByte
+    assert(Multimodal.parseWav(badMagic) == Left("not RIFF"))
+    val notWave = wav.clone(); notWave(8) = 'Q'.toByte
+    assert(Multimodal.parseWav(notWave) == Left("not WAVE"))
+    val floatFmt = wav.clone(); floatFmt(20) = 3.toByte
+    assert(Multimodal.parseWav(floatFmt) == Left("non-PCM format code 3"))
+    val bits8 = wav.clone(); bits8(34) = 8.toByte
+    assert(Multimodal.parseWav(bits8) == Left("unsupported bits/sample 8"))
+    assert(Multimodal.parseWav(wav.dropRight(4)).isLeft) // truncated data
+    assert(Multimodal.parseWav(wav.take(36)).isLeft)     // no data chunk
+    assert(Multimodal.parseWav(Array[Byte](1, 2, 3)).isLeft)
+  }
+
   test("pixel_csv native expression ≡ HOF formulation, round-trips every byte") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
