@@ -248,12 +248,18 @@ object Multimodal {
         return Left(s"chunk '$id' overruns the buffer")
       id match {
         case "fmt " =>
+          if (fmt.isDefined) return Left("duplicate fmt chunk")
           if (size < 16) return Left("fmt chunk too short")
           val code = u16(payload)
           if (code != 1) return Left(s"non-PCM format code $code")
           val bits = u16(payload + 14)
           if (bits != 16) return Left(s"unsupported bits/sample $bits")
-          fmt = Some((u16(payload + 2), u32(payload + 4).toInt, bits))
+          // Long-validate before .toInt: a rate >= 2^31 would wrap
+          // negative and poison any duration/resample arithmetic
+          val rate = u32(payload + 4)
+          if (rate < 1 || rate > Int.MaxValue)
+            return Left(s"bad sample rate $rate")
+          fmt = Some((u16(payload + 2), rate.toInt, bits))
         case "data" =>
           if (data != null) return Left("duplicate data chunk")
           data = java.util.Arrays.copyOfRange(bytes, payload, (payload + size).toInt)

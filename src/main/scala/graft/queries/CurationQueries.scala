@@ -209,9 +209,15 @@ object CurationQueries {
         .agg(expr("bool_and(coalesce(n_dropped, 0) < n_members)").as("ok"))
         .collect()(0).getBoolean(0)
       val one = s.range(1).toDF()
+      // pairsS <= pairsF is NOT a structural theorem of nested sampled
+      // centroids (a new cell can absorb members of several fixed cells
+      // into one larger cell) — it is the POLICY's expected behavior, so
+      // the check carries 2× skew slack. Measured margins are far inside
+      // it: equality when kScaled floors at KmK (sf0.001/0.01), ~16×
+      // smaller at sf0.1, larger still at sf1.
       one.select(
         lit(assignedS == n && assignedF == n).as("all_assigned"),
-        lit(pairsS <= pairsF).as("scaled_pair_work_bounded"),
+        lit(pairsS <= 2L * pairsF).as("scaled_pair_work_bounded"),
         lit(kScaled >= KmK && nonemptyS <= kScaled).as("k_scales"),
         lit(keeps).as("keeps_one_per_cluster"))
     }),

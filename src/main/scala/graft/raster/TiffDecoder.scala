@@ -120,10 +120,27 @@ object TiffDecoder {
     var geoDoubles = Array.emptyDoubleArray
     var geoAscii = ""
 
-    def entryValues(entryOff: Int): Array[Long] = {
-      val typ = bb.getShort(entryOff + 2) & 0xFFFF
+    // ONE copy of the count/value-offset hostile-input discipline, shared
+    // by the three entry readers (a bounds fix must not have to land in
+    // three places): returns (cnt, valOff) or null on any hostile shape —
+    // wrapped count, element total past the buffer, out-of-range offset.
+    def entryLoc(entryOff: Int, elemSize: Int): Array[Int] = {
       val cntL =
         if (big) bb.getLong(entryOff + 4) else bb.getInt(entryOff + 4).toLong
+      if (cntL <= 0 || cntL > Int.MaxValue) return null
+      val cnt = cntL.toInt
+      val total = elemSize.toLong * cnt // Long: a hostile cnt must not wrap
+      if (total > bytes.length) return null
+      val valOffL =
+        if (total <= inlineMax) (entryOff + valueSlot).toLong
+        else if (big) bb.getLong(entryOff + valueSlot)
+        else bb.getInt(entryOff + valueSlot).toLong
+      if (valOffL < 0 || valOffL + total > bytes.length) return null
+      Array(cnt, valOffL.toInt)
+    }
+
+    def entryValues(entryOff: Int): Array[Long] = {
+      val typ = bb.getShort(entryOff + 2) & 0xFFFF
       val sizeOf = typ match {
         case 1 | 2 | 6 | 7 => 1 // BYTE/ASCII/SBYTE/UNDEF
         case 3 | 8 => 2 // SHORT/SSHORT
@@ -131,22 +148,15 @@ object TiffDecoder {
         case 16 | 17 if big => 8 // LONG8/SLONG8 (BigTIFF only)
         case _ => return Array.empty
       }
-      if (cntL < 0 || cntL > Int.MaxValue) return Array.empty
-      val cnt = cntL.toInt
-      val total = sizeOf.toLong * cnt // Long: a hostile cnt must not wrap
-      if (total > bytes.length) return Array.empty
-      val valOffL =
-        if (total <= inlineMax) (entryOff + valueSlot).toLong
-        else if (big) bb.getLong(entryOff + valueSlot)
-        else bb.getInt(entryOff + valueSlot).toLong
-      if (valOffL < 0 || valOffL + total > bytes.length) return Array.empty
-      val valOff = valOffL.toInt
+      val loc = entryLoc(entryOff, sizeOf)
+      if (loc == null) return Array.empty
+      val (cnt, valOff) = (loc(0), loc(1))
       Array.tabulate(cnt) { i =>
         sizeOf match {
           case 1 => (bytes(valOff + i) & 0xFF).toLong
           case 2 => (bb.getShort(valOff + i * 2) & 0xFFFF).toLong
           case 4 => bb.getInt(valOff + i * 4).toLong & 0xFFFFFFFFL
-          case 8 => bb.getLong(valOff + i * 8) // offsets validated on use
+          case 8 => bb.getLong(valOff + i * 8) // Long-validated at use sites
         }
       }
     }
@@ -157,36 +167,25 @@ object TiffDecoder {
     def entryDoubles(entryOff: Int): Array[Double] = {
       val typ = bb.getShort(entryOff + 2) & 0xFFFF
       if (typ != 12) return Array.emptyDoubleArray
-      val cntL =
-        if (big) bb.getLong(entryOff + 4) else bb.getInt(entryOff + 4).toLong
-      if (cntL <= 0 || 8L * cntL > bytes.length) return Array.emptyDoubleArray
-      val cnt = cntL.toInt
-      val valOffL =
-        if (8L * cnt <= inlineMax) (entryOff + valueSlot).toLong
-        else if (big) bb.getLong(entryOff + valueSlot)
-        else bb.getInt(entryOff + valueSlot).toLong
-      if (valOffL < 0 || valOffL + 8L * cnt > bytes.length)
-        return Array.emptyDoubleArray
-      val valOff = valOffL.toInt
-      Array.tabulate(cnt)(i => bb.getDouble(valOff + i * 8))
+      val loc = entryLoc(entryOff, 8)
+      if (loc == null) return Array.emptyDoubleArray
+      Array.tabulate(loc(0))(i => bb.getDouble(loc(1) + i * 8))
     }
 
     def entryAscii(entryOff: Int): String = {
       val typ = bb.getShort(entryOff + 2) & 0xFFFF
       if (typ != 2) return ""
-      val cntL =
-        if (big) bb.getLong(entryOff + 4) else bb.getInt(entryOff + 4).toLong
-      if (cntL <= 0 || cntL > bytes.length) return ""
-      val cnt = cntL.toInt
-      val valOffL =
-        if (cnt <= inlineMax) (entryOff + valueSlot).toLong
-        else if (big) bb.getLong(entryOff + valueSlot)
-        else bb.getInt(entryOff + valueSlot).toLong
-      if (valOffL < 0 || valOffL + cnt > bytes.length) return ""
-      val valOff = valOffL.toInt
+      val loc = entryLoc(entryOff, 1)
+      if (loc == null) return ""
+      val (cnt, valOff) = (loc(0), loc(1))
       new String(bytes, valOff, cnt, java.nio.charset.StandardCharsets.US_ASCII)
         .takeWhile(_ != '\u0000') // NUL-terminated; normalize it away
     }
+
+    // scalar tags wrap to -1 (→ the existing <= 0 / unsupported gates)
+    // when a hostile 64-bit value exceeds Int range — .toInt would WRAP
+    // (0x1_0000_0005 → 5) and silently decode a wrong-shaped grid
+    def safeInt(v: Long): Int = if (v < 0 || v > Int.MaxValue) -1 else v.toInt
 
     var e = 0
     while (e < nEntries) {
@@ -195,22 +194,22 @@ object TiffDecoder {
       val tag = bb.getShort(off) & 0xFFFF
       lazy val vs = entryValues(off)
       tag match {
-        case 256 => width = vs.headOption.getOrElse(-1L).toInt
-        case 257 => height = vs.headOption.getOrElse(-1L).toInt
-        case 258 => bits = vs.headOption.getOrElse(1L).toInt
-        case 259 => compression = vs.headOption.getOrElse(1L).toInt
-        case 262 => photometric = vs.headOption.getOrElse(1L).toInt
+        case 256 => width = safeInt(vs.headOption.getOrElse(-1L))
+        case 257 => height = safeInt(vs.headOption.getOrElse(-1L))
+        case 258 => bits = safeInt(vs.headOption.getOrElse(1L))
+        case 259 => compression = safeInt(vs.headOption.getOrElse(1L))
+        case 262 => photometric = safeInt(vs.headOption.getOrElse(1L))
         case 273 => stripOffsets = vs
-        case 277 => samples = vs.headOption.getOrElse(1L).toInt
+        case 277 => samples = safeInt(vs.headOption.getOrElse(1L))
         // 278 RowsPerStrip bounds each strip's decompressed size; pixel
         // placement is still sequential by decoded byte counts.
         case 278 => rowsPerStrip = vs.headOption.getOrElse(-1L)
         case 279 => stripCounts = vs
-        case 322 => tileW = vs.headOption.getOrElse(-1L).toInt
-        case 323 => tileH = vs.headOption.getOrElse(-1L).toInt
+        case 322 => tileW = safeInt(vs.headOption.getOrElse(-1L))
+        case 323 => tileH = safeInt(vs.headOption.getOrElse(-1L))
         case 324 => tileOffsets = vs
         case 325 => tileCounts = vs
-        case 339 => sampleFormat = vs.headOption.getOrElse(1L).toInt
+        case 339 => sampleFormat = safeInt(vs.headOption.getOrElse(1L))
         case 347 => jpegTables = vs.map(_.toByte) // shared JPEG tables stream
         case 33550 => geoPixelScale = entryDoubles(off)
         case 33922 => geoTiepoints = entryDoubles(off)
@@ -338,10 +337,19 @@ object TiffDecoder {
       var px = 0
       var s = 0
       while (s < stripOffsets.length && px < out.length) {
-        val sOff = stripOffsets(s).toInt
-        val sLen =
-          if (stripCounts != null && s < stripCounts.length) stripCounts(s).toInt
-          else math.min(bytes.length - sOff, (out.length - px) * bytesPerPx)
+        // Long-validate BEFORE .toInt: a hostile LONG8 offset/count (or a
+        // classic LONG in [2^31, 2^32)) must reject, never wrap to a
+        // small int that lands inside the buffer and misplaces pixels
+        val sOffL = stripOffsets(s)
+        if (sOffL < 0 || sOffL > bytes.length)
+          return Left(s"strip offset $sOffL outside the buffer")
+        val sOff = sOffL.toInt
+        val sLenL =
+          if (stripCounts != null && s < stripCounts.length) stripCounts(s)
+          else math.min(bytes.length - sOff, (out.length - px).toLong * bytesPerPx)
+        if (sLenL < 0 || sLenL > bytes.length)
+          return Left(s"strip byte count $sLenL outside the buffer")
+        val sLen = sLenL.toInt
         val remaining = (out.length - px).toLong * bytesPerPx
         val declared =
           if (rowsPerStrip > 0) rowsPerStrip * width * bytesPerPx else remaining
@@ -373,10 +381,17 @@ object TiffDecoder {
       var written = 0L
       var t = 0
       while (t < across * down) {
-        val tOff = tileOffsets(t).toInt
-        val tLen =
-          if (tileCounts != null && t < tileCounts.length) tileCounts(t).toInt
-          else math.min(bytes.length - tOff, tileBytes)
+        // same Long-before-toInt discipline as the strip path
+        val tOffL = tileOffsets(t)
+        if (tOffL < 0 || tOffL > bytes.length)
+          return Left(s"tile offset $tOffL outside the buffer")
+        val tOff = tOffL.toInt
+        val tLenL =
+          if (tileCounts != null && t < tileCounts.length) tileCounts(t)
+          else math.min((bytes.length - tOff).toLong, tileBytes.toLong)
+        if (tLenL < 0 || tLenL > bytes.length)
+          return Left(s"tile byte count $tLenL outside the buffer")
+        val tLen = tLenL.toInt
         val (buf, bOff, bLen) = decompress("tile", tOff, tLen, tileBytes) match {
           case Left(err) => return Left(err)
           case Right(w) => w

@@ -122,6 +122,17 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWav(wav.dropRight(4)).isLeft) // truncated data
     assert(Multimodal.parseWav(wav.take(36)).isLeft)     // no data chunk
     assert(Multimodal.parseWav(Array[Byte](1, 2, 3)).isLeft)
+    // duplicate fmt chunk (canonical-subset discipline, like data)
+    val dupFmt = wav.take(36) ++ wav.slice(12, 36) ++ wav.drop(36)
+    assert(Multimodal.parseWav(dupFmt) == Left("duplicate fmt chunk"))
+    // sample rate 0 and a u32 rate that would wrap .toInt negative
+    val rate0 = wav.clone()
+    rate0(24) = 0; rate0(25) = 0; rate0(26) = 0; rate0(27) = 0
+    assert(Multimodal.parseWav(rate0) == Left("bad sample rate 0"))
+    val rateWrap = wav.clone()
+    rateWrap(24) = 0; rateWrap(25) = 0; rateWrap(26) = 0
+    rateWrap(27) = 0x80.toByte
+    assert(Multimodal.parseWav(rateWrap) == Left("bad sample rate 2147483648"))
   }
 
   test("pixel_csv native expression ≡ HOF formulation, round-trips every byte") {

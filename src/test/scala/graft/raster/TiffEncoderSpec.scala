@@ -46,9 +46,32 @@ class TiffEncoderSpec extends SparkSpec {
     val badHdr = bigBytes.clone(); badHdr(4) = 4.toByte
     assert(TiffDecoder.decode(badHdr) ==
       Left("bad BigTIFF header (offset size != 8)"))
-    // a LONG8 entry type inside a CLASSIC file is rejected (type gate)
+    // a LONG8 entry type inside a CLASSIC file is rejected (type gate):
+    // classic IFD at 8, entry 5 (tag 273 strip offsets) at 8+2+5*12 = 70,
+    // its type field at 72 — flipping LONG→LONG8 must drop the entry and
+    // fail as missing, never read an 8-byte value slot that isn't there
     val classic = TiffEncoder.encode(9, 13, px)
     assert(TiffDecoder.decode(classic).isRight) // sanity before mutation
+    val classicL8 = classic.clone()
+    classicL8(72) = 16.toByte; classicL8(73) = 0.toByte
+    // the entry drops to empty → zero strips place zero pixels → loud Left
+    // (the exact message is the coverage check's, not the type gate's)
+    assert(TiffDecoder.decode(classicL8).isLeft)
+    // hostile LONG8 WRAP: strip offset (1<<32)|16 would .toInt to 16 —
+    // inside the buffer — and misplace pixels; must reject on the Long
+    val wrapOff = bigBytes.clone()
+    val wb = java.nio.ByteBuffer.wrap(wrapOff).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wb.putLong(24 + 5 * 20 + 12, (1L << 32) | 16L) // entry 5 = tag 273
+    val wrapRes = TiffDecoder.decode(wrapOff)
+    assert(wrapRes.isLeft && wrapRes.swap.exists(_.contains("outside the buffer")),
+      wrapRes.toString)
+    // hostile LONG8 wrap of WIDTH ((1<<32)|13 → 13 under .toInt): the
+    // safeInt gate must turn it into a missing-dimension reject
+    val wrapW = bigBytes.clone()
+    val wwb = java.nio.ByteBuffer.wrap(wrapW).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wwb.putShort(24 + 2, 16.toShort) // entry 0 = tag 256: type LONG→LONG8
+    wwb.putLong(24 + 12, (1L << 32) | 13L)
+    assert(TiffDecoder.decode(wrapW) == Left("missing dimensions"))
   }
 
   test("golden fixture → decode → encode → decode is stable") {
