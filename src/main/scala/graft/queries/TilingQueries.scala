@@ -147,6 +147,7 @@ object TilingQueries {
       val root = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
         s"graft_q183_ingest_${ProcessHandle.current().pid()}")
+      Q183Cleanup.register(root) // per-pid dirs must not outlive the JVM
       if (java.nio.file.Files.exists(root)) { // idempotent per invocation
         import scala.jdk.CollectionConverters._
         val walk = java.nio.file.Files.walk(root)
@@ -423,4 +424,25 @@ object TilingQueries {
         |  (hr_nz * 100.0 / 64 >= 99) AND (lr_nz * 100.0 / 16 >= 99)
         |    AND (lr_nodata * 100.0 / 16 <= 1) AND (hr_inf * 100.0 / 64 <= 1) AS ok
         |FROM m ORDER BY p_partkey""".stripMargin)
+}
+
+/** Exit-time cleanup for q183's per-process ingest directory: the per-pid
+  * name prevents cross-JVM races, and this hook keeps each JVM's dir from
+  * outliving it (one leaked ~2 MB dir per Bench/Verify/test run otherwise). */
+private[queries] object Q183Cleanup {
+  private val registered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private var path: java.nio.file.Path = _
+
+  def register(p: java.nio.file.Path): Unit = {
+    path = p
+    if (registered.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try if (path != null && java.nio.file.Files.exists(path)) {
+          val walk = java.nio.file.Files.walk(path)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+          finally walk.close()
+        } catch { case _: Exception => () } // exit path: best effort
+      }))
+  }
 }

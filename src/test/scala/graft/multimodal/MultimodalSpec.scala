@@ -21,7 +21,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("binaryFile ingestion + batch decode + features, poison bytes dropped") {
-    val dir = Files.createTempDirectory("assets")
+    val dir = tempDir("assets")
     // two valid assets + one poison file
     Files.write(dir.resolve("img1.grft"),
       FakeCodec.encode(0, 3, 8, 8, Array(gradientFrame(3, 8, 8, 0))))

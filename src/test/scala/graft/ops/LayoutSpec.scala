@@ -14,7 +14,7 @@ class LayoutSpec extends SparkSpec {
   test("partition-column filter prunes at the directory level") {
     val events = spark.read.parquet(sf("events"))
       .select(col("event_id"), col("event_type"), col("user_id"))
-    val out = Files.createTempDirectory("layout").toString
+    val out = tempDir("layout").toString
     Layout.writePartitioned(events, out, Seq("event_type"))
 
     val filtered = spark.read.parquet(out).where(col("event_type") === "purchase")
@@ -36,8 +36,8 @@ class LayoutSpec extends SparkSpec {
     // (no y-skipping); the z-curve gives each file a tight (x, y) box
     val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
       .toDF("x", "y").repartition(8) // destroy any incidental order
-    val zDir = Files.createTempDirectory("zorder").toString
-    val xDir = Files.createTempDirectory("xsort").toString
+    val zDir = tempDir("zorder").toString
+    val xDir = tempDir("xsort").toString
     Layout.writeZOrdered(grid, zDir, $"x", $"y", numFiles = 16)
     grid.repartitionByRange(16, $"x").sortWithinPartitions("x")
       .write.mode("overwrite").parquet(xDir)
@@ -62,7 +62,7 @@ class LayoutSpec extends SparkSpec {
 
   test("compaction collapses small files without changing the data") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("compact").toString + "/t"
+    val dir = tempDir("compact").toString + "/t"
     val df = (1 to 5000).map(i => (i.toLong, s"row $i payload")).toDF("id", "s")
     df.repartition(64).write.parquet(dir) // 64 tiny files — ingest debris
     val before = spark.read.parquet(dir).inputFiles.length

@@ -33,11 +33,11 @@ class ManifestSpec extends SparkSpec {
     // XOR is its own inverse: manifest(corpus − doc) = manifest(corpus)
     // with the removed doc's fingerprint XORed back OUT — the retraction
     // path a GDPR delete or a recalled batch takes, no corpus re-read
-    val dir = java.nio.file.Files.createTempDirectory("q118r").toString
+    val dir = tempDir("q118r").toString
     val docs = (1L to 100L).map(i => (i, s"retract test doc $i"))
     docs.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
-    val dropDir = java.nio.file.Files.createTempDirectory("q118s").toString
+    val dropDir = tempDir("q118s").toString
     docs.filterNot(_._1 == 7L).toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$dropDir/documents.parquet")
     val fp7 = Seq(docs(6)).toDF("doc_id", "text")
@@ -51,8 +51,8 @@ class ManifestSpec extends SparkSpec {
   }
 
   test("q117 manifest: single-doc corruption flips exactly that shard's checksum") {
-    val base = java.nio.file.Files.createTempDirectory("q117a").toString
-    val edit = java.nio.file.Files.createTempDirectory("q117b").toString
+    val base = tempDir("q117a").toString
+    val edit = tempDir("q117b").toString
     val docs = (1L to 200L).map(i => (i, s"doc number $i payload"))
     docs.toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$base/documents.parquet")

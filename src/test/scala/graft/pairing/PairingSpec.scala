@@ -63,7 +63,7 @@ class PairingSpec extends SparkSpec {
       ("a", Seq("x/1", "x/2")),
       ("b", Seq.empty[String]),
       ("c", Seq("solo"))).toDF("data_1", "data_2")
-    val out = Files.createTempDirectory("paircsv").toString + "/pairs"
+    val out = tempDir("paircsv").toString + "/pairs"
     Pairing.writeCompatCsv(df, out)
     // cell format parity with Python repr
     val reprs = Pairing.pyListRepr($"data_2")

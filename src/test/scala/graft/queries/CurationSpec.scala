@@ -60,7 +60,7 @@ class CurationSpec extends SparkSpec {
     val target = 2000L
     val files = (0L until 200L).map(i =>
       (s"s${i % 5}", i, 1L + rnd.nextInt(900).toLong))
-    val dir = java.nio.file.Files.createTempDirectory("graft-q150").toString
+    val dir = tempDir("graft-q150").toString
     files.toDF("source", "doc_id", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = CurationQueries.queries("q150_compaction_plan")(spark, dir)

@@ -240,7 +240,7 @@ class TiffDecoderSpec extends SparkSpec {
   }
 
   test("jpeg: band file reads through the distributed readTiffDir path") {
-    val staged = Files.createTempDirectory("tiff_jpeg_in")
+    val staged = tempDir("tiff_jpeg_in")
     Files.copy(Paths.get(res, "jpeg_single.tif"), staged.resolve("x_B04.jp.tif"))
     val rows = TiffDecoder.readTiffDir(spark, staged.toString, Seq("B04"), glob = "*").collect()
     assert(rows.length == 1)

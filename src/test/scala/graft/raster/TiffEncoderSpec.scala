@@ -84,7 +84,7 @@ class TiffEncoderSpec extends SparkSpec {
 
   test("distributed sink writes decoder-readable files") {
     import spark.implicits._
-    val out = Files.createTempDirectory("tiff_out").toString
+    val out = tempDir("tiff_out").toString
     val rows = Seq(
       TiffDecoder.BandFile("/x/a_B02.tif", "B02", 4, 3, Array.tabulate(12)(_.toFloat)),
       TiffDecoder.BandFile("/x/b_B03.tif", "B03", 2, 5, Array.tabulate(10)(i => i * 2.0f)))
@@ -160,10 +160,10 @@ class TiffEncoderSpec extends SparkSpec {
   }
 
   test("geo meta: carried through the distributed read → write path") {
-    val out = Files.createTempDirectory("tiff_geo_out").toString
+    val out = tempDir("tiff_geo_out").toString
     // stage the geo fixture under a band-matched name, read it
     // distributed, write it back distributed, decode the written file
-    val staged = Files.createTempDirectory("tiff_geo_in")
+    val staged = tempDir("tiff_geo_in")
     Files.copy(Paths.get(res, "scene_geo.f32.tif"), staged.resolve("x_B04.geo.tif"))
     val rows = TiffDecoder.readTiffDir(spark, staged.toString, Seq("B04"), glob = "*")
     TiffEncoder.writeTiffDir(rows, out)

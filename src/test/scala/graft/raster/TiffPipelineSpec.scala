@@ -20,7 +20,7 @@ class TiffPipelineSpec extends SparkSpec {
     def grid(n: Int, seed: Int): Array[Float] =
       Array.tabulate(n)(i => ((i * 31 + seed * 7) % 997 + 1).toFloat)
 
-    val dir = Files.createTempDirectory("tiffpipe")
+    val dir = tempDir("tiffpipe")
     val hrDir = Files.createDirectory(dir.resolve("s2"))
     val lrDir = Files.createDirectory(dir.resolve("hls"))
     Bands.SentinelBands.zipWithIndex.foreach { case (b, i) =>

@@ -586,7 +586,7 @@ class StreamsSpec extends SparkSpec {
 
   test("idempotent foreachBatch sink: a replayed batch does not duplicate rows") {
     implicit val sqlCtx = spark.sqlContext
-    val out = java.nio.file.Files.createTempDirectory("sink").toString + "/t"
+    val out = tempDir("sink").toString + "/t"
     val sink = Streams.idempotentParquetSink(out)
     val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     sink(b0, 0L)
@@ -602,7 +602,7 @@ class StreamsSpec extends SparkSpec {
     // (Trigger.AvailableNow + checkpoint), and the idempotent per-batch
     // sink keeps reruns exactly-once — no MemoryStream anywhere.
     import org.apache.spark.sql.streaming.Trigger
-    val dir = java.nio.file.Files.createTempDirectory("jsonl_ingest")
+    val dir = tempDir("jsonl_ingest")
     val in = java.nio.file.Files.createDirectory(dir.resolve("in")).toString
     val out = dir.resolve("out").toString
     val ckpt = dir.resolve("ckpt").toString

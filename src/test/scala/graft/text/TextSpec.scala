@@ -133,7 +133,7 @@ class TextSpec extends SparkSpec {
 
   test("q114 span dedup: cross-doc 8-gram spans, overlap union, short-doc edge") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("q114docs").toString
+    val dir = tempDir("q114docs").toString
     Seq(
       (1L, "a b c d e f g h x1 y1"), // shares its first 8-gram with doc 2,
       (2L, "z a b c d e f g h w"),   //   all three with doc 5
@@ -157,7 +157,7 @@ class TextSpec extends SparkSpec {
 
   test("q116 quality classifier: exact integer logit, fluent kept, gibberish dropped") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("q116docs").toString
+    val dir = tempDir("q116docs").toString
     val fluent = "the cat sat on the mat and it was happy to be in the sun"
     val gibber = "zxqwv kjhgfdsapoiuy mnbvcxzlkjhgfdsa qwertyuiopasdfghjklzx"
     Seq((1L, fluent), (2L, gibber), (3L, "")).toDF("doc_id", "text")

@@ -28,7 +28,7 @@ class TorchExportSpec extends SparkSpec {
   }
 
   test("writePth: stub-torch unpickler accepts the archive, storages byte-exact") {
-    val dir = Files.createTempDirectory("pth")
+    val dir = tempDir("pth")
     val t0 = Array.tabulate(2 * 3 * 4 * 4)(i => i * 0.5f - 7f)
     val t1 = Array.tabulate(2 * 3 * 8 * 8)(i => (i % 113) * 0.25f)
     val pth = dir.resolve("ds.pth").toString
@@ -44,7 +44,7 @@ class TorchExportSpec extends SparkSpec {
   }
 
   test("writeTileDatasetPth: reference artifact shape from engine tiles") {
-    val dir = Files.createTempDirectory("pth2")
+    val dir = tempDir("pth2")
     val batch = 6; val scale = 3; val nBands = 2
     val lrEdge = batch / scale
     def tile(pid: String, tid: Int, seed: Int) = TileRow(
