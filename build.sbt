@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's stdout with a STRICT per-line JSON parse; sbt's
+// default LoggedOutput wraps forked-process stdout as "[info] {...}", which
+// that parse rejects (every BENCH_r*.json through r11 has parsed:null even
+// when the JSON line was fully inside the tail window). StdoutOutput makes
+// the forked JVM inherit the real stdout/stderr — bare lines, no prefix.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -84,7 +84,8 @@ def packbits_compress(data: bytes) -> bytes:
 
 def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=None,
                compression=1, overlong_first_strip=False, truncate_lzw=False,
-               raw_strip_bytes=False, tile_size=None, geo=None):
+               raw_strip_bytes=False, tile_size=None, geo=None,
+               omit_rows_per_strip=False):
     """pixels: list of ints/floats, row-major, len w*h.
     compression: 1 = none, 8 = deflate (zlib per strip), 5 = TIFF LZW;
     other values (or raw_strip_bytes=True) write raw strip data as-is
@@ -192,7 +193,11 @@ def write_tiff(path, w, h, pixels, bits=8, fmt=1, little=True, rows_per_strip=No
         tags.append((324, 4, len(strips), so))
         tags.append((325, 4, len(strips), sc))
     else:
-        tags.append((278, 3, 1, short(rps)))
+        # TIFF 6.0: RowsPerStrip defaults to "infinity" (all rows) when the
+        # tag is absent; a multi-strip file may legally omit it and readers
+        # must fall back to sequential placement (advisor r11 #1 fixture)
+        if not omit_rows_per_strip:
+            tags.append((278, 3, 1, short(rps)))
         tags.append((273, 4, len(strips), so))
         tags.append((279, 4, len(strips), sc))
     if geo:
@@ -272,6 +277,13 @@ def main():
                rows_per_strip=2, compression=32773, overlong_first_strip=True)
     write_tiff(out / "packbits_truncated.tif", 5, 6, runs, bits=8,
                compression=32773, truncate_lzw=True)
+    # multi-strip PackBits WITHOUT the RowsPerStrip tag (legal per TIFF 6.0:
+    # the tag defaults to all-rows, but strip offsets/counts still describe
+    # 3 strips): per-strip size is unknowable, so the decoder's per-block
+    # truncation check must defer to the aggregate coverage check
+    # (advisor r11 #1 — the outN<cap rejection falsely failed these)
+    write_tiff(out / "packbits_strips_norps.tif", 5, 6, runs, bits=8,
+               rows_per_strip=2, compression=32773, omit_rows_per_strip=True)
     # tiled organization (the COG layout): 4x4 tiles over 5x6 -> 2x2 tile
     # grid with padded edge tiles; uncompressed, deflate and LZW variants
     write_tiff(out / "tiled_plain.tif", 5, 6, grad, bits=8, tile_size=(4, 4))

@@ -56,6 +56,7 @@ def main():
         ("packbits_be16.tif", 6, 5, [v * 400 for v in RUNS]),
         ("packbits_f32.tif", 6, 5, [v for v in RUNS]),
         ("packbits_tiled.tif", 6, 5, [v * 4 for v in RUNS]),
+        ("packbits_strips_norps.tif", 6, 5, [v * 4 for v in RUNS]),
     ] + [(f"{n}.tif",) + jpeg(n) for n in
          ["jpeg_single", "jpeg_flat", "jpeg_strips",
           "jpeg_shared_tables", "jpeg_restart", "jpeg_tiled",

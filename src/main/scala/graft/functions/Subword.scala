@@ -29,7 +29,8 @@ object Subword {
     * probe, no long-key encoding cap). */
   def subwordStatsVocab(text: Column, vocab: Seq[String]): Column = {
     val sorted = graft.text.TextAnalysis.buildSubwordVocab(vocab)
-    toColumn(SubwordStatsVocabExpr(toExpr(text), sorted))
+    toColumn(SubwordStatsVocabExpr(toExpr(text),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(sorted)))
   }
 
   /** Vocab from a DataFrame's single string column: the load-a-trained-
@@ -79,12 +80,18 @@ case class SubwordStatsExpr(child: Expression)
   override def prettyName: String = "subword_stats"
 }
 
-/** [[SubwordStatsExpr]] with the vocab as DATA: `sorted` is a
-  * [[graft.text.TextAnalysis.buildSubwordVocab]] array serialized with the
+/** [[SubwordStatsExpr]] with the vocab as DATA: `vocab` is a
+  * [[graft.text.TextAnalysis.buildSubwordVocab]] result serialized with the
   * expression (task-binary broadcast — sent once per stage, not per row).
-  * Same greedy longest-prefix walk; unbounded unit length. */
-case class SubwordStatsVocabExpr(child: Expression, sorted: Array[String])
+  * Same greedy longest-prefix walk; unbounded unit length. The field is an
+  * IndexedSeq, NOT Array (advisor r11 #3): case-class equality over an
+  * Array is reference-based, so two semantically identical vocab
+  * expressions would never canonicalize equal, defeating subexpression
+  * elimination; Seq equality is structural. The hot loop probes the
+  * unwrapped array. */
+case class SubwordStatsVocabExpr(child: Expression, vocab: IndexedSeq[String])
     extends UnaryExpression with CodegenFallback {
+  @transient private lazy val sorted: Array[String] = vocab.toArray
   @transient private lazy val maxLen: Int = sorted.map(_.length).max
   override def dataType: DataType = StructType(
     StructField("n_words", LongType, nullable = false) ::

@@ -32,6 +32,11 @@ object RasterQueries {
     "tiled_lzw_wide.tif",
     "packbits_one.tif", "packbits_strips.tif", "packbits_be16.tif",
     "packbits_f32.tif", "packbits_tiled.tif",
+    // multi-strip with NO RowsPerStrip tag (legal: the tag defaults to
+    // all-rows): per-strip decoded size is unknowable, so the per-block
+    // truncation check must defer to the aggregate coverage check
+    // (advisor r11 #1)
+    "packbits_strips_norps.tif",
     "jpeg_single.tif", "jpeg_flat.tif", "jpeg_strips.tif",
     "jpeg_shared_tables.tif", "jpeg_restart.tif", "jpeg_tiled.tif",
     // color (YCbCr) JPEG: decoded grid = R plane (band 1, read(1) parity)
@@ -180,6 +185,8 @@ object RasterQueries {
         |SELECT 'packbits_overlong.tif' AS file, CAST(0 AS BIGINT) AS ok, CAST(NULL AS BIGINT) AS h, CAST(NULL AS BIGINT) AS w, CAST(NULL AS BIGINT) AS n_px, CAST(NULL AS BIGINT) AS sum_q, NULL AS px_md5
         |UNION ALL
         |SELECT 'packbits_strips.tif' AS file, CAST(1 AS BIGINT) AS ok, CAST(6 AS BIGINT) AS h, CAST(5 AS BIGINT) AS w, CAST(30 AS BIGINT) AS n_px, CAST(1992 AS BIGINT) AS sum_q, '86791daa709a597c26c8089e0192ad41' AS px_md5
+        |UNION ALL
+        |SELECT 'packbits_strips_norps.tif' AS file, CAST(1 AS BIGINT) AS ok, CAST(6 AS BIGINT) AS h, CAST(5 AS BIGINT) AS w, CAST(30 AS BIGINT) AS n_px, CAST(1992 AS BIGINT) AS sum_q, '86791daa709a597c26c8089e0192ad41' AS px_md5
         |UNION ALL
         |SELECT 'packbits_tiled.tif' AS file, CAST(1 AS BIGINT) AS ok, CAST(6 AS BIGINT) AS h, CAST(5 AS BIGINT) AS w, CAST(30 AS BIGINT) AS n_px, CAST(1992 AS BIGINT) AS sum_q, '86791daa709a597c26c8089e0192ad41' AS px_md5
         |UNION ALL

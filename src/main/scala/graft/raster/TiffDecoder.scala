@@ -282,8 +282,9 @@ object TiffDecoder {
       if (jpegTables == null) Right(JpegDecoder.emptyTables)
       else JpegDecoder.parseTables(jpegTables)
 
-    def decompress(kind: String, sOff: Int, sLen: Int,
-                   cap: Int): Either[String, (Array[Byte], Int, Int)] =
+    def decompress(kind: String, sOff: Int, sLen: Int, cap: Int,
+                   exactCap: Boolean = true
+                  ): Either[String, (Array[Byte], Int, Int)] =
       if (sOff < 0 || sOff + sLen > bytes.length) Left(s"$kind out of range")
       else if (jpeg) sharedJpegTables.flatMap { shared =>
         JpegDecoder.decode(
@@ -305,7 +306,7 @@ object TiffDecoder {
       else if (!compressed) Right((bytes, sOff, sLen))
       else if (lzw) lzwDecode(bytes, sOff, sLen, cap, kind)
         .map { case (tmp, n) => (tmp, 0, n) }
-      else if (packbits) packBitsDecode(bytes, sOff, sLen, cap, kind)
+      else if (packbits) packBitsDecode(bytes, sOff, sLen, cap, kind, exactCap)
         .map { case (tmp, n) => (tmp, 0, n) }
       else {
         val tmp = new Array[Byte](cap)
@@ -354,7 +355,12 @@ object TiffDecoder {
         val declared =
           if (rowsPerStrip > 0) rowsPerStrip * width * bytesPerPx else remaining
         val cap = math.min(remaining, declared).toInt
-        val (buf, bOff, bLen) = decompress("strip", sOff, sLen, cap) match {
+        // cap is exact when RowsPerStrip declares it, or on the last strip
+        // (which must supply ALL remaining pixels); otherwise (multi-strip,
+        // no RowsPerStrip) cap is just an upper bound — per-block
+        // truncation checks defer to the aggregate coverage check.
+        val exact = rowsPerStrip > 0 || s == stripOffsets.length - 1
+        val (buf, bOff, bLen) = decompress("strip", sOff, sLen, cap, exact) match {
           case Left(err) => return Left(err)
           case Right(w) => w
         }
@@ -434,7 +440,8 @@ object TiffDecoder {
     * The last common TIFF compression rasterio reads (ref
     * fct_data_extraction.py:23–24) that this decoder previously rejected. */
   private def packBitsDecode(src: Array[Byte], off: Int, len: Int, cap: Int,
-                             kind: String): Either[String, (Array[Byte], Int)] = {
+                             kind: String, exactCap: Boolean
+                            ): Either[String, (Array[Byte], Int)] = {
     val out = new Array[Byte](cap)
     var outN = 0
     var i = 0
@@ -467,8 +474,12 @@ object TiffDecoder {
     // input exhausted with the output still short of the block's declared
     // size → the stream is truncated; reject HERE (per the scaladoc's
     // per-block contract) rather than rely on the aggregate
-    // "pixel data incomplete" check downstream (advisor r10)
-    if (outN < cap) return Left(s"truncated packbits $kind")
+    // "pixel data incomplete" check downstream (advisor r10). SKIPPED when
+    // the caller couldn't compute an exact size (advisor r11 #1: a
+    // multi-strip file that omits RowsPerStrip gets cap = ALL remaining
+    // image bytes for every strip, so each strip but the last legitimately
+    // decodes short of cap — those fall through to the aggregate check).
+    if (exactCap && outN < cap) return Left(s"truncated packbits $kind")
     Right((out, outN))
   }
 

@@ -354,6 +354,15 @@ class TiffDecoderSpec extends SparkSpec {
     assert(t.pixels.toSeq == runs.toSeq)
   }
 
+  test("packbits: multi-strip with NO RowsPerStrip tag decodes (advisor r11 #1)") {
+    // per-strip cap falls back to ALL remaining image bytes, so each strip
+    // but the last decodes short of cap — the per-block truncation check
+    // must defer to the aggregate coverage check, not reject
+    val Right(t) = decodeFile("packbits_strips_norps.tif")
+    assert((t.h, t.w) == (6, 5))
+    assert(t.pixels.toSeq == runs.toSeq)
+  }
+
   test("packbits: a strip decoding past RowsPerStrip is rejected, not shifted") {
     assert(decodeFile("packbits_overlong.tif") ==
       Left("packbits strip decodes past its declared size"))

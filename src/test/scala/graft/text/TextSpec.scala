@@ -346,4 +346,58 @@ class TextSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq((1L, 2L, 3L), (2L, 1L, 3L), (3L, 0L, 0L), (4L, 2L, 4L)))
   }
+
+  test("trainFull: an early-exhausted corpus fails loudly (advisor r11 #2)") {
+    import graft.text.Bpe
+    // only 3 merges exist (see the hand-traced corpus above); asking for 5
+    // must throw instead of letting the Spark side silently apply fewer
+    // merges than a generated 5-round oracle replays
+    val docs = spark.createDataFrame(Seq(
+      (1L, "aaab aaab aaab ab ab"))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainFull(Bpe.wordTable(docs, col("text")), rounds = 5)
+    }
+    assert(e.getMessage.contains("exhausted after 3 of 5"))
+    // and a corpus with enough pairs passes through unchanged
+    assert(Bpe.trainFull(Bpe.wordTable(docs, col("text")), rounds = 3)
+      .map(m => (m.left, m.right)) == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+  }
+
+  test("q191 closed loop: the vocab the counter consumes IS the trained " +
+      "BPE vocabulary (merged symbols + base charset)") {
+    import graft.functions.Subword
+    import graft.text.Bpe
+    val docs = spark.createDataFrame(Seq(
+      (1L, "aaab aaab aaab ab ab zq"))).toDF("doc_id", "text")
+    val merges = Bpe.trainFull(Bpe.wordTable(docs, col("text")), rounds = 3)
+    val vocab = merges.map(m => m.left + m.right) ++ ('a' to 'z').map(_.toString)
+    // trained units: aa, ab, aaab. Greedy longest-prefix walk:
+    //  "aaab" → "aaab"(1); "ab" → "ab"(1); "zq" → z(1)+q(1)=2
+    val out = docs.select(
+        Subword.subwordStatsVocab(col("text"), vocab).as("sw"))
+      .select(col("sw.n_words"), col("sw.n_subwords")).collect().head
+    assert((out.getLong(0), out.getLong(1)) == (6L, 7L))
+  }
+
+  test("SubwordStatsVocabExpr canonicalizes structurally (advisor r11 #3)") {
+    import graft.functions.Subword
+    // two independently built vocab expressions over the same vocab must be
+    // semantically equal (Array fields would compare by reference and
+    // defeat subexpression elimination)
+    import graft.functions.{toExpr, SubwordStatsVocabExpr}
+    import graft.text.TextAnalysis.buildSubwordVocab
+    import scala.collection.immutable.ArraySeq
+    // the same child INSTANCE isolates the vocab field (a Column's origin
+    // carries per-call-site stack traces, which differ by construction);
+    // the vocab arrays are built independently so reference equality can't
+    // mask the regression the advisor flagged
+    val child = toExpr(col("text"))
+    def vocab(units: String*): IndexedSeq[String] =
+      ArraySeq.unsafeWrapArray(buildSubwordVocab(units))
+    val a = SubwordStatsVocabExpr(child, vocab("th", "e", "cat"))
+    val b = SubwordStatsVocabExpr(child, vocab("th", "e", "cat"))
+    assert(a == b)
+    assert(a.semanticEquals(b))
+    assert(a != SubwordStatsVocabExpr(child, vocab("th", "e")))
+  }
 }
