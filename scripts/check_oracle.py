@@ -42,7 +42,15 @@ def main():
     # (pairs with `graft.Verify <sf> <out> __oracle_only__`, which dumps the
     # full registry's oracle_sql.json without executing any Spark queries).
     types_only = "--types-only" in sys.argv
-    argv = [a for a in sys.argv if a != "--types-only"]
+    # --only=qA,qB: check just the named oracle entries (the sf1 coverage
+    # map drives each query in its own `timeout`-wrapped subprocess, so a
+    # DuckDB-intractable oracle can be classified instead of hanging)
+    only = None
+    for a in sys.argv:
+        if a.startswith("--only="):
+            only = set(a[len("--only="):].split(","))
+    argv = [a for a in sys.argv if a != "--types-only"
+            and not a.startswith("--only=")]
     sf_dir, out_dir = argv[1], argv[2]
     con = duckdb.connect()
     for t in TABLES:
@@ -53,6 +61,12 @@ def main():
             pat = f"{p}/*.parquet" if p.is_dir() else str(p)
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    if only is not None:
+        missing = only - oracle.keys()
+        if missing:
+            print(f"FAIL --only names not in oracle_sql.json: {sorted(missing)}")
+            sys.exit(1)
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_dir = Path(out_dir) / name

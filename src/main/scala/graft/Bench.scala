@@ -89,13 +89,27 @@ object Bench {
     // in the same slow window, so each query's median is also compared
     // against its own previous-round number and re-measured on >3x.
     val history: Map[String, Double] = {
+      def parseQ(f: java.io.File): Map[String, Double] =
+        if (!f.exists()) Map.empty
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          "\"(q[0-9]+[a-z0-9_]*)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      val raw = files.sortBy(_.getName.replaceAll("\\D+", "").toInt).lastOption.map { f =>
-        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        "\"(q[0-9]+[a-z0-9_]*)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }.getOrElse(Map.empty)
+      val artifact = files.sortBy(_.getName.replaceAll("\\D+", "").toInt)
+        .lastOption.map(parseQ).getOrElse(Map.empty)
+      // Merge with the previous run's own BENCH_SUMMARY.json (committed
+      // quiet-window runs land here), taking the MIN per query: ambient
+      // spikes only ever INFLATE a measurement, so the cheapest recent
+      // number is the trustworthy "previous cost" for a too-slow guard.
+      val summary = parseQ(new java.io.File("BENCH_SUMMARY.json"))
+      // drop failed-run markers (-1) so they can't mask a real measurement
+      val raw = (artifact.keySet ++ summary.keySet).flatMap { k =>
+        val vs = (artifact.get(k).toSeq ++ summary.get(k).toSeq).filter(_ >= 0.0)
+        if (vs.isEmpty) None else Some(k -> vs.min)
+      }.toMap
       // POISONED-HISTORY CAP (judge r11, What's wrong #1): a query whose
       // recorded value was itself an ambient spike (q182: 11.1 s artifact
       // vs 2.65 s isolated) would otherwise raise its own guard tolerance
@@ -198,11 +212,16 @@ object Bench {
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.length},"sf":"$sfDir"}""")
     // Belt and braces (judge r11, Next #1): the full object as a FILE, so
     // the totals survive any stdout windowing/wrapping the harness applies.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_SUMMARY.json"),
-      (detail + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] BENCH_SUMMARY.json write failed: ${e.getMessage}")
+    // FULL-REGISTRY runs only: a builder-side SPARK_GRAFT_BENCH_ONLY
+    // iteration run must not clobber the committed full-run summary (which
+    // also feeds the next run's min-merged history).
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+        (detail + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] BENCH_SUMMARY.json write failed: ${e.getMessage}")
+      }
     }
     spark.stop()
   }
