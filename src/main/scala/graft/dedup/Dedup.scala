@@ -53,6 +53,101 @@ object Dedup {
     df.join(keep, idCol === col("_kid"), "left_semi")
   }
 
+  // ------------------------------------------- exact substring (span) dedup
+
+  /** Non-empty space-split tokens per doc — the span family's shared base
+    * (q178's token convention, so 1-based positions index identically in
+    * the DuckDB twins). Output (doc_id, w: array<string>). */
+  def spanTokens(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"),
+      filter(split(coalesce(textCol, lit("")), " "), x => x =!= "").as("w"))
+
+  /** Duplicate k-token window occurrences: the q20–q24 family dedups whole
+    * documents; this is the SPAN form — the public exact-substring
+    * discipline of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", suffix-array driven there; the bounded
+    * k-token-window form here). Every window is md5-fingerprinted, the
+    * globally EARLIEST (doc_id, pos) occurrence of each fingerprint is the
+    * keeper, and the returned rows are every LATER occurrence. 100 TB
+    * shape: only (128-bit hash, doc_id, pos) shuffles — the window text
+    * dies in the map stage; earliest-wins is one window over the
+    * fingerprint. Input is [[spanTokens]] output; positions are 1-based. */
+  def spanDups(toks: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"window k=$k must be >= 2")
+    toks.where(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(w, i, $k))))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("g"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy("doc_id", "pos")))
+      .where(col("rn") > 1).select("doc_id", "pos")
+  }
+
+  /** Per-doc span-dedup statistics (q193): token count, k-gram occurrences,
+    * duplicate occurrences, DISTINCT covered positions (overlapping dup
+    * windows must not double-count) and the kept-token count a cleaned
+    * corpus would emit. One aggregate serves both dup stats — every dup
+    * occurrence emits exactly k position rows, so n_dups = count/k rides
+    * the coverage pass. */
+  def spanStats(df: DataFrame, textCol: Column, idCol: Column, k: Int): DataFrame = {
+    val toks = spanTokens(df, textCol, idCol)
+    val grams = toks.where(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(w) - ${k - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(w, i, $k))))")).as("g"))
+    val cov = spanDups(toks, k)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .groupBy("doc_id").agg(
+        (count(lit(1)) / k).cast("long").as("n_dups"),
+        countDistinct("p").as("n_covered"))
+    val gc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(gc, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered_tokens"),
+        (col("n_tokens") - coalesce(col("n_covered"), lit(0L)))
+          .as("n_kept_tokens"))
+  }
+
+  /** Span-CLEANED corpus (q194): every token position covered by a
+    * duplicate window is dropped; the earliest occurrence survives
+    * verbatim; docs fully covered keep a row with empty text. Output
+    * (doc_id, n_tokens, n_kept_tokens, clean_text).
+    *
+    * 100 TB shape: the TEXT never shuffles. The covered-position sets
+    * (only docs that carry duplicate windows, collect_set per doc —
+    * window-count-bounded arrays) come back to the token arrays on a
+    * doc_id join, and the removal is an in-place array filter on the
+    * original row. The alternative — per-token explode + anti-join —
+    * pushes the entire corpus through a shuffle to re-aggregate it in
+    * place; the per-element interpreted HOF here is strictly cheaper than
+    * moving every token over the network. */
+  def spanClean(df: DataFrame, textCol: Column, idCol: Column, k: Int): DataFrame = {
+    val toks = spanTokens(df, textCol, idCol)
+    // collect_set dedups overlapping windows' positions in the aggregate
+    val covArr = spanDups(toks, k)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
+    toks.join(covArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        when(col("cov").isNull, col("w")).otherwise(expr(
+          """transform(
+            |  filter(transform(sequence(1, size(w)),
+            |           i -> struct(i AS p, element_at(w, i) AS tok)),
+            |         s -> NOT array_contains(cov, CAST(s.p AS BIGINT))),
+            |  s -> s.tok)""".stripMargin)).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept_tokens"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Whitespace tokens. */

@@ -29,6 +29,38 @@ object DedupQueries {
       Dedup.exactGroups(t(s, dir, "documents"), col("text"), col("doc_id"))
         .orderBy("keep_id")),
 
+    // EXACT SUBSTRING (SPAN) DEDUP (round 12): the q20–q24 family dedups
+    // whole DOCUMENTS; training corpora also need the span form — repeated
+    // token SPANS removed from later occurrences while the earliest stays
+    // (the public exact-substring discipline of Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better" — there
+    // suffix-array driven; here the bounded-window k-gram form: every
+    // 8-token window is fingerprinted, the globally EARLIEST occurrence
+    // (doc_id, pos) of each fingerprint is kept, and every later
+    // occurrence marks its 8 token positions as covered). Per doc: token
+    // count, gram occurrences, duplicate occurrences, DISTINCT covered
+    // positions (overlapping dup windows must not double-count), and the
+    // kept-token count a span-cleaned corpus would emit. 100 TB shape:
+    // only (md5, doc_id, pos) shuffles — the gram TEXT dies in the map
+    // stage, the global earliest-wins is one window over the 128-bit
+    // fingerprint, and position coverage explodes k× the DUPLICATED grams
+    // only. Tokens are the non-empty space-split sequence (q178's
+    // convention) so positions index identically on both engines.
+    "q193_substring_dedup" -> ((s, dir) =>
+      Dedup.spanStats(t(s, dir, "documents"), col("text"), col("doc_id"), k = 8)
+        .orderBy("doc_id")),
+
+    // SPAN-CLEANED CORPUS EMIT (round 12): q193 measures the duplicated
+    // spans; this row actually REMOVES them — every covered token position
+    // dropped, the earliest occurrence surviving verbatim, a fully-covered
+    // doc keeping an empty-text row. The per-token explode is the linear
+    // materialization cost of emitting cleaned text (the real pipeline
+    // writes this table); the covered-set derivation is q193's identical
+    // hash-shuffle path. Oracle reconstructs with string_agg ORDER BY pos.
+    "q194_span_clean" -> ((s, dir) =>
+      Dedup.spanClean(t(s, dir, "documents"), col("text"), col("doc_id"), k = 8)
+        .orderBy("doc_id")),
+
     // exact word-trigram Jaccard near-dup pairs, verified ONLY within
     // MinHash-LSH candidate buckets (the scale path — no per-block all-pairs
     // join). The oracle is the plain global all-pairs SQL: at 16 bands × 2
@@ -493,6 +525,79 @@ object DedupQueries {
     "q20_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    // the same earliest-wins 8-token-window replay: md5 fingerprints,
+    // row_number over (doc_id, pos) per fingerprint, rn>1 occurrences
+    // cover their 8 positions, DISTINCT coverage per doc. DuckDB list
+    // slice w[i:j] is 1-based inclusive-end — w[i : i+7] is the same 8
+    // tokens as Spark's slice(w, i, 8).
+    "q193_substring_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+        |        FROM toks WHERE len(w) >= 8) t),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |  FROM grams),
+        |dups AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+        |cov AS (
+        |  SELECT doc_id, count(DISTINCT p) AS n_covered FROM (
+        |    SELECT doc_id, unnest(range(pos, pos + 8)) AS p FROM dups) t
+        |  GROUP BY doc_id),
+        |gc AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+        |dc AS (SELECT doc_id, count(*) AS n_dups FROM dups GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(gc.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(dc.n_dups, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(coalesce(cov.n_covered, 0) AS BIGINT) AS n_covered_tokens,
+        |  CAST(len(t.w) - coalesce(cov.n_covered, 0) AS BIGINT) AS n_kept_tokens
+        |FROM toks t
+        |LEFT JOIN gc USING (doc_id) LEFT JOIN dc USING (doc_id)
+        |LEFT JOIN cov USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // the cleaned-text emit: identical covered-set CTEs, then per-token
+    // anti join + string_agg(tok, ' ' ORDER BY p) reconstruct
+    "q194_span_clean" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+        |        FROM toks WHERE len(w) >= 8) t),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |  FROM grams),
+        |covp AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT doc_id, unnest(range(pos, pos + 8)) AS p
+        |    FROM ranked WHERE rn > 1) t),
+        |tokrows AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p, w[CAST(i AS INT)] AS tok
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks) t),
+        |kept AS (
+        |  SELECT tr.doc_id, tr.p, tr.tok FROM tokrows tr
+        |  LEFT JOIN covp c ON c.doc_id = tr.doc_id AND c.p = tr.p
+        |  WHERE c.p IS NULL),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY p) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+        |  coalesce(agg.clean_text, '') AS clean_text
+        |FROM toks t LEFT JOIN agg USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     // same integer set arithmetic (|∩| / (|A|+|B|-|∩|)) → bit-identical.
     // Intentionally the NAIVE global all-pairs formulation: the engine's

@@ -270,4 +270,43 @@ class DedupSpec extends SparkSpec {
     assert((r.getAs[Long]("n_prod"), r.getAs[Long]("n_ref"), r.getAs[Long]("n_both"),
       r.getAs[Long]("n_only_prod"), r.getAs[Long]("n_only_ref")) == (3L, 3L, 2L, 1L, 1L))
   }
+
+  test("q193 substring dedup: earliest span wins, overlap coverage distinct, " +
+      "short docs carry zero grams") {
+    // doc 1 (13 tokens): grams at pos 1..6. doc 2 shares its first 12
+    // tokens ("...runs far" = grams pos 1..5 identical to doc 1) then
+    // diverges ("home") — so doc 2's grams 1..5 are DUPS of doc 1's, gram
+    // 6 ("quick...home") is unique. doc 4 is an exact dup of doc 1: all 6
+    // grams dup. doc 5 (2 tokens) has no 8-gram. Coverage: doc 2 dups at
+    // pos 1..5 cover positions 1..12 (12 distinct — overlapping windows
+    // must not double count); doc 4 dups at 1..6 cover 1..13.
+    val local = Dedup.spanStats(docs, col("text"), col("doc_id"), k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(local.toSeq == Seq(
+      (1L, 13L, 0L, 0L),   // earliest occurrence of every gram: untouched
+      (2L, 13L, 5L, 12L),  // 5 dup windows, 12 DISTINCT covered positions
+      (3L, 10L, 0L, 0L),   // unique content
+      (4L, 13L, 6L, 13L),  // exact dup: every gram dup, whole doc covered
+      (5L, 2L, 0L, 0L)))   // < 8 tokens: no grams
+    // and the registry entry itself runs (column contract)
+    assert(graft.SparkEntry.queries("q193_substring_dedup")(spark, sfDir)
+      .columns.toSeq == Seq("doc_id", "n_tokens", "n_grams",
+      "n_dup_spans", "n_covered_tokens", "n_kept_tokens"))
+  }
+
+  test("q194 span clean: covered tokens removed, earliest doc verbatim, " +
+      "fully-covered doc keeps an empty row") {
+    val out = Dedup.spanClean(docs, col("text"), col("doc_id"), k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 13L, 13L,
+        "the quick brown fox jumps over the lazy dog and runs far away"),
+      (2L, 13L, 1L, "home"),     // positions 1..12 covered; the tail stays
+      (3L, 10L, 10L,
+        "completely different content with no overlap whatsoever here at all"),
+      (4L, 13L, 0L, ""),          // exact dup of doc 1: fully covered
+      (5L, 2L, 2L, "short text")))
+  }
 }
