@@ -72,7 +72,17 @@ object Dedup {
     * shape: only (128-bit hash, doc_id, pos) shuffles — the window text
     * dies in the map stage; earliest-wins is one window over the
     * fingerprint. Input is [[spanTokens]] output; positions are 1-based. */
-  def spanDups(toks: DataFrame, k: Int): DataFrame = {
+  def spanDups(toks: DataFrame, k: Int): DataFrame =
+    spanGrams(toks, k)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy("doc_id", "pos")))
+      .where(col("rn") > 1).select("doc_id", "pos")
+
+  /** Window-fingerprint occurrences (doc_id, pos, g): the map-side half of
+    * [[spanDups]], shared with the streaming form (the stream fingerprints
+    * the same way and replaces the batch window with per-fingerprint
+    * state). Positions 1-based; only the 128-bit md5 leaves the row. */
+  def spanGrams(toks: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"window k=$k must be >= 2")
     toks.where(size(col("w")) >= k)
       .select(col("doc_id"), posexplode(expr(
@@ -80,9 +90,6 @@ object Dedup {
           s"i -> md5(concat_ws(' ', slice(w, i, $k))))")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("g"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("g").orderBy("doc_id", "pos")))
-      .where(col("rn") > 1).select("doc_id", "pos")
   }
 
   /** Per-doc span-dedup statistics (q193): token count, k-gram occurrences,

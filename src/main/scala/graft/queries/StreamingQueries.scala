@@ -378,6 +378,54 @@ object StreamingQueries {
           (lit(nIn) - col("n_unique")).as("n_dupes"), col("uniq_md5"))
     }),
 
+    // STREAMING SPAN DEDUP (round 12) — q193's exact-substring operator in
+    // stream form: window-fingerprint occurrences (Dedup.spanGrams, the
+    // same map-side fingerprinting as batch) flow through
+    // Streams.spanDupStream — per-fingerprint earliest-wins state, later
+    // occurrences emitted as duplicates, within-batch SORTED so emission
+    // is arrival-order-independent. Feed: the replay-sampled docs'
+    // occurrences in (doc_id, pos) order over two micro-batches (a
+    // log-ordered corpus ingest) + a RE-DELIVERY batch of every
+    // doc_id % 4 == 0 doc's occurrences — keeper re-deliveries must be
+    // dropped by the ordinal-equality check, duplicate re-deliveries are
+    // absorbed by the sink distinct. Stream-end dup set ≡ the batch
+    // spanDups replay in DuckDB (count, doc spread, md5 of the
+    // numerically-ordered occurrence list).
+    "q195_stream_span_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(replayFilter("doc_id"))
+      val toks = graft.dedup.Dedup.spanTokens(docs, col("text"), col("doc_id"))
+      val occ = graft.dedup.Dedup.spanGrams(toks, k = 8)
+        .select(col("doc_id"), col("pos"), col("g"),
+          timestamp_micros(lit(1704067200000000L) +
+            (col("doc_id") % 3600) * 1000000L).as("ts"))
+      val rows = occ.as[(Long, Long, String, java.sql.Timestamp)]
+        .collect().sortBy(r => (r._1, r._2))
+      require(rows.nonEmpty, s"q195_stream_span_dedup: no occurrences at $dir")
+      val redelivered = rows.filter(_._1 % 4 == 0)
+      // conservation: the distinct dup set must be exactly the batch
+      // operator's — computed once, driver-side, before the replay
+      val expected = graft.dedup.Dedup.spanDups(toks, k = 8).count()
+      val sink = replay(s, "q195_span_dedup", "append",
+          halves(rows) :+ redelivered.toIndexedSeq,
+          sinkDistinctCount(expected, lit(true)))(ds =>
+        Streams.spanDupStream(ds.toDF("doc_id", "pos", "g", "ts"),
+          "2 hours", ttlMs = 2L * 3600 * 1000))
+      sink.select(col("doc_id"), col("pos")).distinct()
+        .agg(count(lit(1)).as("n_dup_spans"),
+          countDistinct(col("doc_id")).as("n_docs_with_dups"),
+          md5(concat_ws(";", transform(
+            array_sort(collect_list(struct(col("doc_id"), col("pos")))),
+            o => concat(o.getField("doc_id"), lit(":"), o.getField("pos")))))
+            .as("dups_md5"))
+        .select(
+          col("n_dup_spans").cast("long").as("n_dup_spans"),
+          col("n_docs_with_dups").cast("long").as("n_docs_with_dups"),
+          col("dups_md5"))
+    }),
+
     "q92_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.Streams
@@ -933,6 +981,34 @@ object StreamingQueries {
         |  CAST((SELECT count(*) FROM fed) - count(*) AS BIGINT) AS n_dupes,
         |  md5(string_agg(h, ';' ORDER BY h)) AS uniq_md5
         |FROM u""".stripMargin,
+
+    // the batch spanDups replay (q193's CTEs) over the replay-sampled
+    // docs: the stream's distinct dup set must equal it exactly. md5 over
+    // the NUMERICALLY-ordered occurrence list (ORDER BY doc_id, pos —
+    // lexicographic string order would diverge at doc_id 10 vs 2);
+    // md5(coalesce(agg,'')) so an empty dup set hashes '' on both engines.
+    "q195_stream_span_dedup" ->
+      s"""WITH sampled AS (
+        |  SELECT doc_id, text FROM documents WHERE ${replayWhereSql("doc_id")}),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+        |  FROM sampled),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+        |        FROM toks WHERE len(w) >= 8) t),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |  FROM grams),
+        |dups AS (SELECT doc_id, pos FROM ranked WHERE rn > 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_dup_spans,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_with_dups,
+        |  md5(coalesce(string_agg(doc_id || ':' || pos, ';' ORDER BY doc_id, pos), ''))
+        |    AS dups_md5
+        |FROM dups""".stripMargin,
 
     // q179's shared sketch chain over the replay-sampled WHERE (no exact
     // side — the estimate IS the checked value; q179 carries the

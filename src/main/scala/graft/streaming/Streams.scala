@@ -155,6 +155,57 @@ object Streams {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  final case class SpanOcc(doc_id: Long, pos: Long, g: String, ts: Timestamp)
+  final case class DupOcc(doc_id: Long, pos: Long)
+
+  /** Streaming EARLIEST-WINS span-duplicate emission — the stream form of
+    * [[graft.dedup.Dedup.spanDups]] (q193's operator; q195). Input rows
+    * are window-fingerprint occurrences (doc_id, pos, g, ts) from
+    * [[graft.dedup.Dedup.spanGrams]]; per fingerprint the minimum
+    * (doc_id, pos) ever seen is the keeper and every OTHER occurrence is
+    * emitted as a duplicate. Within a micro-batch the group's occurrences
+    * are SORTED before emission, so the result does not depend on
+    * partition arrival order (dropDuplicatesWithinWatermark keeps an
+    * arbitrary first-arrival — fine for dedup, wrong for an operator that
+    * must name the duplicates deterministically). Re-delivered keepers
+    * (ordinal equal to state) are dropped; re-delivered duplicates
+    * re-emit, and the sink dedups by (doc_id, pos) like every
+    * at-least-once consumer. Stream ≡ batch spanDups when the feed
+    * respects (doc_id, pos) order across batches (a log-ordered corpus
+    * ingest); a LATE occurrence smaller than the established keeper stays
+    * forward-consistent — the old keeper is not retroactively re-emitted,
+    * the late row is the duplicate.
+    *
+    * State is 16 bytes per live fingerprint, expired by EVENT-TIME TTL
+    * (`ttl` past the fingerprint's newest occurrence, the
+    * dropDuplicatesWithinWatermark bounding discipline) — at stream scale
+    * the state store holds one epoch of fingerprints, not the corpus. */
+  def spanDupStream(occ: DataFrame, watermarkDelay: String,
+                    ttlMs: Long): Dataset[DupOcc] = {
+    val spark = occ.sparkSession
+    import spark.implicits._
+    occ.withWatermark("ts", watermarkDelay)
+      .as[SpanOcc]
+      .groupByKey(_.g)
+      .flatMapGroupsWithState[(Long, Long), DupOcc](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, it: Iterator[SpanOcc], state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val items = it.toArray.sortBy(o => (o.doc_id, o.pos))
+            val keeper = state.getOption match {
+              case Some(s) => s // established keepers never lose (doc)
+              case None => (items.head.doc_id, items.head.pos)
+            }
+            state.update(keeper)
+            state.setTimeoutTimestamp(items.map(_.ts.getTime).max + ttlMs)
+            items.iterator
+              .filter(o => (o.doc_id, o.pos) != keeper)
+              .map(o => DupOcc(o.doc_id, o.pos))
+          }
+      }
+  }
+
   /** Time-bounded stream-stream inner join (click → purchase attribution):
     * each purchase pairs with the same user's clicks at most `maxGap`
     * before it. Both sides carry watermarks and the join condition bounds

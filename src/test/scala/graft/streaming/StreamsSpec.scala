@@ -819,4 +819,44 @@ class StreamsSpec extends SparkSpec {
       assert(default.nonEmpty)
     }
   }
+
+  test("streaming span dedup ≡ batch spanDups under every slicing; keeper " +
+      "re-delivery dropped; late smaller ordinal stays forward-consistent") {
+    import graft.streaming.Streams
+    // hand corpus: g1 at (1,1) (1,5) (2,1); g2 at (2,3); g3 at (3,1) (3,2)
+    val occ = Seq(
+      (1L, 1L, "g1"), (1L, 5L, "g1"), (2L, 1L, "g1"),
+      (2L, 3L, "g2"), (3L, 1L, "g3"), (3L, 2L, "g3"))
+      .map { case (d, p, g) =>
+        (d, p, g, new Timestamp(1704067200000L + d * 1000)) }
+    val expected = Set((1L, 5L), (2L, 1L), (3L, 2L)) // batch earliest-wins
+    def run(batches: Seq[Seq[(Long, Long, String, Timestamp)]],
+            name: String): Set[(Long, Long)] = {
+      implicit val sqlCtx = spark.sqlContext
+      spark.catalog.dropTempView(name)
+      val mem = MemoryStream[(Long, Long, String, Timestamp)]
+      val sq = Streams
+        .spanDupStream(mem.toDF().toDF("doc_id", "pos", "g", "ts"),
+          "1 hour", ttlMs = 3600L * 1000)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try batches.filter(_.nonEmpty).foreach { b =>
+        mem.addData(b: _*); sq.processAllAvailable()
+      } finally sq.stop()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // every contiguous 2-slicing + all-at-once + one-per-batch
+    for (cut <- 0 to occ.length) {
+      val got = run(Seq(occ.take(cut), occ.drop(cut)), "span_slice")
+      assert(got == expected, s"slicing at $cut")
+    }
+    assert(run(occ.map(Seq(_)), "span_single") == expected)
+    // keeper re-delivery in a later batch: dropped (ordinal equality),
+    // duplicate re-delivery re-emits the same row (set-identical)
+    assert(run(Seq(occ, Seq(occ.head), Seq(occ(1))), "span_redeliver") == expected)
+    // a LATE occurrence smaller than the established keeper: the old
+    // keeper stays kept, the late row is the duplicate
+    val late = run(Seq(Seq((2L, 1L, "gx", occ.head._4)),
+      Seq((1L, 1L, "gx", occ.head._4))), "span_late")
+    assert(late == Set((1L, 1L)))
+  }
 }
