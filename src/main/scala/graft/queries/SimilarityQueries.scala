@@ -409,7 +409,8 @@ object SimilarityQueries {
     // the code, not a sample) plus the same absolute 0.35 floor AnnSpec
     // pins. Frames are bounded top-k outputs (≤ |Q|·k);
     // persists pin single evaluation of the thrice-referenced truth and
-    // twice-referenced tiers, released by the SparkEntry.queries
+    // the twice-referenced trained tier (the sampled tier is consumed
+    // exactly once — no persist), released by the SparkEntry.queries
     // clearCache contract.
     "q192_ann_trained_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -418,7 +419,7 @@ object SimilarityQueries {
       val bf = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
         .persist(lvl)
       val sampled = Ann.ivfTopK(q, emb, "vec_id", "embedding",
-        k = 10, nCentroids = 16, nProbe = 4).persist(lvl)
+        k = 10, nCentroids = 16, nProbe = 4)
       val trained = Ann.ivfTopK(q, emb, "vec_id", "embedding",
         k = 10, nCentroids = 16, nProbe = 4, trainIters = 3).persist(lvl)
       def hitsOf(df: DataFrame, tag: String): DataFrame =

@@ -198,7 +198,14 @@ object Streams {
               case None => (items.head.doc_id, items.head.pos)
             }
             state.update(keeper)
-            state.setTimeoutTimestamp(items.map(_.ts.getTime).max + ttlMs)
+            // clamp: setTimeoutTimestamp THROWS if the requested expiry is
+            // not past the current watermark — reachable when a group's
+            // newest occurrence is itself older than watermark − ttl (deep
+            // late data admitted by a larger watermark delay); such state
+            // expires at the next watermark tick instead
+            state.setTimeoutTimestamp(math.max(
+              items.map(_.ts.getTime).max + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
             items.iterator
               .filter(o => (o.doc_id, o.pos) != keeper)
               .map(o => DupOcc(o.doc_id, o.pos))
