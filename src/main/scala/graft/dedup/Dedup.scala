@@ -127,14 +127,16 @@ object Dedup {
     * verbatim; docs fully covered keep a row with empty text. Output
     * (doc_id, n_tokens, n_kept_tokens, clean_text).
     *
-    * 100 TB shape: the TEXT never shuffles. The covered-position sets
-    * (only docs that carry duplicate windows, collect_set per doc —
-    * window-count-bounded arrays) come back to the token arrays on a
-    * doc_id join, and the removal is an in-place array filter on the
-    * original row. The alternative — per-token explode + anti-join —
-    * pushes the entire corpus through a shuffle to re-aggregate it in
-    * place; the per-element interpreted HOF here is strictly cheaper than
-    * moving every token over the network. */
+    * 100 TB shape: the covered-position sets (only docs that carry
+    * duplicate windows) come back to the token arrays on a doc_id join —
+    * BROADCAST when the dup-doc set fits the threshold (the planned shape
+    * at every driver SF, PlanSpec-pinned: the token arrays never shuffle),
+    * SMJ fallback when it doesn't, where a doc_id-bucketed corpus table
+    * confines the shuffle to the covered sets alone. Even the unbucketed
+    * fallback moves the compact per-doc arrays ONCE — the alternative
+    * (per-token explode + anti-join) pushes k× more rows through a
+    * shuffle AND re-aggregates them; the per-element interpreted HOF here
+    * is strictly cheaper than moving every token over the network. */
   def spanClean(df: DataFrame, textCol: Column, idCol: Column, k: Int): DataFrame = {
     val toks = spanTokens(df, textCol, idCol)
     // collect_set dedups overlapping windows' positions in the aggregate

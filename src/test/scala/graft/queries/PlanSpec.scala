@@ -220,6 +220,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q194 span clean: covered sets broadcast — token arrays never shuffle") {
+    import org.apache.spark.sql.functions.col
+    // the LIBRARY frame (no presentation orderBy): the doc_id join must
+    // build on the broadcast covered-set side, and no hash exchange may
+    // carry the token arrays (w) or any text column — the corpus moves
+    // zero bytes for the removal itself
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.dedup.Dedup.spanClean(docs, col("text"), col("doc_id"), k = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p).foreach { m =>
+      assert(!m.group(1).contains("text") && !m.group(1).matches(".*\\bw\\b.*"),
+        s"token/text column in a shuffle: ${m.matched}")
+    }
+  }
+
   test("q77 quota sample group-limits before the stratum shuffle") {
     val p = plan("q77_quota_sample")
     // rank<=quota must push WindowGroupLimit below the exchange: each map
