@@ -342,6 +342,29 @@ object DedupQueries {
     * `lsh_pairs(a_id, b_id, est_sim)`. Parameterized by the source
     * relation/CTE (must expose doc_id, text) so q48 and the incremental
     * dedup (q72) replay the IDENTICAL semantics over different inputs. */
+  /** ONE copy of the span-dedup oracle CTE chain (q193 stats, q194 clean,
+    * q195 streaming — the q179/q180 shared-SQL discipline): toks (q178's
+    * non-empty space-split convention), grams (8-token windows; DuckDB
+    * list slice w[i:j] is 1-based inclusive-end, so w[i : i+7] is the same
+    * 8 tokens as Spark's slice(w, i, 8)), ranked (earliest-wins
+    * row_number per md5 fingerprint), dups (rn > 1 occurrences). `source`
+    * is the doc relation — `documents`, or q195's replay-sampled CTE. */
+  private[queries] def spanOracleCtes(source: String): String =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+       |  FROM $source),
+       |grams AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    md5(array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS g
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+       |        FROM toks WHERE len(w) >= 8) t),
+       |ranked AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+       |  FROM grams),
+       |dups AS (SELECT doc_id, pos FROM ranked WHERE rn > 1)""".stripMargin
+
   private def portableLshPairsSql(src: String): String =
     s"""tk AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
@@ -528,24 +551,9 @@ object DedupQueries {
 
     // the same earliest-wins 8-token-window replay: md5 fingerprints,
     // row_number over (doc_id, pos) per fingerprint, rn>1 occurrences
-    // cover their 8 positions, DISTINCT coverage per doc. DuckDB list
-    // slice w[i:j] is 1-based inclusive-end — w[i : i+7] is the same 8
-    // tokens as Spark's slice(w, i, 8).
+    // cover their 8 positions, DISTINCT coverage per doc.
     "q193_substring_dedup" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    md5(array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS g
-        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
-        |        FROM toks WHERE len(w) >= 8) t),
-        |ranked AS (
-        |  SELECT doc_id, pos,
-        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
-        |  FROM grams),
-        |dups AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+      s"""WITH ${spanOracleCtes("documents")},
         |cov AS (
         |  SELECT doc_id, count(DISTINCT p) AS n_covered FROM (
         |    SELECT doc_id, unnest(range(pos, pos + 8)) AS p FROM dups) t
@@ -565,23 +573,10 @@ object DedupQueries {
     // the cleaned-text emit: identical covered-set CTEs, then per-token
     // anti join + string_agg(tok, ' ' ORDER BY p) reconstruct
     "q194_span_clean" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    md5(array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS g
-        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
-        |        FROM toks WHERE len(w) >= 8) t),
-        |ranked AS (
-        |  SELECT doc_id, pos,
-        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
-        |  FROM grams),
+      s"""WITH ${spanOracleCtes("documents")},
         |covp AS (
         |  SELECT DISTINCT doc_id, p FROM (
-        |    SELECT doc_id, unnest(range(pos, pos + 8)) AS p
-        |    FROM ranked WHERE rn > 1) t),
+        |    SELECT doc_id, unnest(range(pos, pos + 8)) AS p FROM dups) t),
         |tokrows AS (
         |  SELECT doc_id, CAST(i AS BIGINT) AS p, w[CAST(i AS INT)] AS tok
         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks) t),

@@ -990,20 +990,7 @@ object StreamingQueries {
     "q195_stream_span_dedup" ->
       s"""WITH sampled AS (
         |  SELECT doc_id, text FROM documents WHERE ${replayWhereSql("doc_id")}),
-        |toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
-        |  FROM sampled),
-        |grams AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    md5(array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS g
-        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
-        |        FROM toks WHERE len(w) >= 8) t),
-        |ranked AS (
-        |  SELECT doc_id, pos,
-        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
-        |  FROM grams),
-        |dups AS (SELECT doc_id, pos FROM ranked WHERE rn > 1)
+        |${DedupQueries.spanOracleCtes("sampled")}
         |SELECT CAST(count(*) AS BIGINT) AS n_dup_spans,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_with_dups,
         |  md5(coalesce(string_agg(doc_id || ':' || pos, ';' ORDER BY doc_id, pos), ''))
