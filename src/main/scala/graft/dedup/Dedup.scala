@@ -122,6 +122,49 @@ object Dedup {
           .as("n_kept_tokens"))
   }
 
+  /** INCREMENTAL span dedup (q196) — the q72 discipline at span level:
+    * a NEW batch dedups against an already-ingested corpus, then against
+    * itself. Any window whose fingerprint exists in the corpus index is a
+    * duplicate outright (the corpus came first — its ordinals all precede
+    * the batch's); the remaining "fresh" windows run batch-internal
+    * earliest-wins. Per batch doc: token/gram counts, duplicates split by
+    * reason (vs_corpus / within_batch), DISTINCT covered positions, kept
+    * tokens. 100 TB shape: the corpus contributes ONLY its distinct
+    * 128-bit fingerprint column (in production a stored index table —
+    * never re-derived from text); batch grams semi/anti-join it on the
+    * hash, and only the fresh residue pays the earliest-wins window. */
+  def spanIncremental(corpus: DataFrame, batch: DataFrame,
+                      textCol: Column, idCol: Column, k: Int): DataFrame = {
+    val cG = spanGrams(spanTokens(corpus, textCol, idCol), k)
+      .select(col("g")).distinct()
+    val bToks = spanTokens(batch, textCol, idCol)
+    val bG = spanGrams(bToks, k)
+    val vsCorpus = bG.join(cG, Seq("g"), "left_semi").select("doc_id", "pos")
+    val withinBatch = bG.join(cG, Seq("g"), "left_anti")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy("doc_id", "pos")))
+      .where(col("rn") > 1).select("doc_id", "pos")
+    val cov = vsCorpus.union(withinBatch)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .groupBy("doc_id").agg(countDistinct("p").as("n_covered"))
+    val gc = bG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val vc = vsCorpus.groupBy("doc_id").agg(count(lit(1)).as("n_vs"))
+    val wc = withinBatch.groupBy("doc_id").agg(count(lit(1)).as("n_wb"))
+    bToks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(gc, Seq("doc_id"), "left")
+      .join(vc, Seq("doc_id"), "left")
+      .join(wc, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_vs"), lit(0L)).as("n_dup_vs_corpus"),
+        coalesce(col("n_wb"), lit(0L)).as("n_dup_within_batch"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered_tokens"),
+        (col("n_tokens") - coalesce(col("n_covered"), lit(0L)))
+          .as("n_kept_tokens"))
+  }
+
   /** Span-CLEANED corpus (q194): every token position covered by a
     * duplicate window is dropped; the earliest occurrence survives
     * verbatim; docs fully covered keep a row with empty text. Output

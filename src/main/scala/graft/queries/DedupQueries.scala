@@ -61,6 +61,20 @@ object DedupQueries {
       Dedup.spanClean(t(s, dir, "documents"), col("text"), col("doc_id"), k = 8)
         .orderBy("doc_id")),
 
+    // INCREMENTAL SPAN DEDUP (round 12) — the q72 discipline at span
+    // level: even doc_ids play the already-ingested corpus, odd doc_ids
+    // the incoming batch. Corpus-known fingerprints are duplicates
+    // outright; the fresh residue runs batch-internal earliest-wins.
+    // Duplicates reported split by reason, coverage distinct across both.
+    "q196_span_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.spanIncremental(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 =!= 0),
+          col("text"), col("doc_id"), k = 8)
+        .orderBy("doc_id")
+    }),
+
     // exact word-trigram Jaccard near-dup pairs, verified ONLY within
     // MinHash-LSH candidate buckets (the scale path — no per-block all-pairs
     // join). The oracle is the plain global all-pairs SQL: at 16 bands × 2
@@ -348,22 +362,24 @@ object DedupQueries {
     * list slice w[i:j] is 1-based inclusive-end, so w[i : i+7] is the same
     * 8 tokens as Spark's slice(w, i, 8)), ranked (earliest-wins
     * row_number per md5 fingerprint), dups (rn > 1 occurrences). `source`
-    * is the doc relation — `documents`, or q195's replay-sampled CTE. */
-  private[queries] def spanOracleCtes(source: String): String =
-    s"""toks AS (
+    * is the doc relation — `documents`, or q195's replay-sampled CTE.
+    * `p` prefixes every CTE name so q196 can instantiate the chain twice
+    * (corpus + batch) in one query without collisions. */
+  private[queries] def spanOracleCtes(source: String, p: String = ""): String =
+    s"""${p}toks AS (
        |  SELECT doc_id,
        |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
        |  FROM $source),
-       |grams AS (
+       |${p}grams AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
        |    md5(array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS g
        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
-       |        FROM toks WHERE len(w) >= 8) t),
-       |ranked AS (
+       |        FROM ${p}toks WHERE len(w) >= 8) t),
+       |${p}ranked AS (
        |  SELECT doc_id, pos,
        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
-       |  FROM grams),
-       |dups AS (SELECT doc_id, pos FROM ranked WHERE rn > 1)""".stripMargin
+       |  FROM ${p}grams),
+       |${p}dups AS (SELECT doc_id, pos FROM ${p}ranked WHERE rn > 1)""".stripMargin
 
   private def portableLshPairsSql(src: String): String =
     s"""tk AS (
@@ -568,6 +584,42 @@ object DedupQueries {
         |FROM toks t
         |LEFT JOIN gc USING (doc_id) LEFT JOIN dc USING (doc_id)
         |LEFT JOIN cov USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // two prefixed instantiations of the shared chain (corpus c*, batch
+    // b*); corpus-known via IN on the distinct fingerprint set, fresh
+    // residue re-ranked batch-internally
+    "q196_span_incremental" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |batchd AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 <> 0),
+        |${spanOracleCtes("corpus", "c")},
+        |${spanOracleCtes("batchd", "b")},
+        |cg AS (SELECT DISTINCT g FROM cgrams),
+        |vs AS (SELECT doc_id, pos FROM bgrams WHERE g IN (SELECT g FROM cg)),
+        |fr AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |  FROM bgrams WHERE g NOT IN (SELECT g FROM cg)),
+        |wb AS (SELECT doc_id, pos FROM fr WHERE rn > 1),
+        |alld AS (SELECT doc_id, pos FROM vs UNION ALL SELECT doc_id, pos FROM wb),
+        |cov AS (
+        |  SELECT doc_id, count(DISTINCT p) AS n_covered FROM (
+        |    SELECT doc_id, unnest(range(pos, pos + 8)) AS p FROM alld) t
+        |  GROUP BY doc_id),
+        |gc AS (SELECT doc_id, count(*) AS n_grams FROM bgrams GROUP BY doc_id),
+        |vc AS (SELECT doc_id, count(*) AS n_vs FROM vs GROUP BY doc_id),
+        |wc AS (SELECT doc_id, count(*) AS n_wb FROM wb GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(gc.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(vc.n_vs, 0) AS BIGINT) AS n_dup_vs_corpus,
+        |  CAST(coalesce(wc.n_wb, 0) AS BIGINT) AS n_dup_within_batch,
+        |  CAST(coalesce(cov.n_covered, 0) AS BIGINT) AS n_covered_tokens,
+        |  CAST(len(t.w) - coalesce(cov.n_covered, 0) AS BIGINT) AS n_kept_tokens
+        |FROM btoks t
+        |LEFT JOIN gc USING (doc_id) LEFT JOIN vc USING (doc_id)
+        |LEFT JOIN wc USING (doc_id) LEFT JOIN cov USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
 
     // the cleaned-text emit: identical covered-set CTEs, then per-token

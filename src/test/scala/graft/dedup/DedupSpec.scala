@@ -295,6 +295,27 @@ class DedupSpec extends SparkSpec {
       "n_dup_spans", "n_covered_tokens", "n_kept_tokens"))
   }
 
+  test("q196 incremental span dedup: corpus fingerprints win outright, " +
+      "fresh residue runs batch-internal earliest-wins") {
+    val corpus = Seq((10L, "c1 c2 c3 c4 c5 c6 c7 c8 tail1"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "c1 c2 c3 c4 c5 c6 c7 c8 x9"), // gram1 ∈ corpus, gram2 fresh
+      (3L, "f1 f2 f3 f4 f5 f6 f7 f8 f9"), // both grams fresh keepers
+      (5L, "f1 f2 f3 f4 f5 f6 f7 f8"),    // = doc 3's gram1 → within-batch dup
+      (7L, "short"))                      // < 8 tokens: no grams
+      .toDF("doc_id", "text")
+    val out = Dedup.spanIncremental(corpus, batch, col("text"), col("doc_id"), k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (1L, 9L, 2L, 1L, 0L, 8L, 1L),  // vs-corpus dup covers pos 1..8; x9 kept
+      (3L, 9L, 2L, 0L, 0L, 0L, 9L),  // fresh keepers: untouched
+      (5L, 8L, 1L, 0L, 1L, 8L, 0L),  // doc 3 is the earlier keeper
+      (7L, 1L, 0L, 0L, 0L, 0L, 1L)))
+  }
+
   test("q194 span clean: covered tokens removed, earliest doc verbatim, " +
       "fully-covered doc keeps an empty row") {
     val out = Dedup.spanClean(docs, col("text"), col("doc_id"), k = 8)
