@@ -176,10 +176,20 @@ object Streams {
     * forward-consistent — the old keeper is not retroactively re-emitted,
     * the late row is the duplicate.
     *
-    * State is 16 bytes per live fingerprint, expired by EVENT-TIME TTL
-    * (`ttl` past the fingerprint's newest occurrence, the
+    * PERSISTED state is 16 bytes per live fingerprint, expired by
+    * EVENT-TIME TTL (`ttl` past the fingerprint's newest occurrence, the
     * dropDuplicatesWithinWatermark bounding discipline) — at stream scale
-    * the state store holds one epoch of fingerprints, not the corpus. */
+    * the state store holds one epoch of fingerprints, not the corpus.
+    * TRANSIENT memory is a different bound (advisor r12): the
+    * arrival-order-independence sort materializes each fingerprint's
+    * PER-MICRO-BATCH occurrence group (`it.toArray`), so a heavy-hitter
+    * span concentrated in one batch costs O(occurrences-per-fingerprint-
+    * per-batch) executor memory for the duration of its group. At-scale
+    * deployments feeding from a log should pre-aggregate the feed per
+    * (g, doc_id) micro-batch partition or cap batch size (trigger
+    * interval) so the worst-case group stays bounded; the batch path
+    * ([[graft.dedup.Dedup.spanDupsOfGrams]]) has no such transient — its
+    * keeper aggregate collapses hot fingerprints map-side. */
   def spanDupStream(occ: DataFrame, watermarkDelay: String,
                     ttlMs: Long): Dataset[DupOcc] = {
     val spark = occ.sparkSession

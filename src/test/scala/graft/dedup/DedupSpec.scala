@@ -330,4 +330,35 @@ class DedupSpec extends SparkSpec {
       (4L, 13L, 0L, ""),          // exact dup of doc 1: fully covered
       (5L, 2L, 2L, "short text")))
   }
+
+  test("q197 maximal spans: overlapping dup windows merge to [start, end) runs, " +
+      "disjoint runs stay separate") {
+    // doc 1 plants t1..t8; doc 2 plants v1..v8; doc 3 repeats BOTH with a
+    // 5-token unique gap — dup windows at pos 1 and pos 14, two DISJOINT
+    // maximal spans. doc 4 repeats t1..t8 twice back to back (16 tokens):
+    // dup windows at pos 1 AND pos 9 (the 7 bridging windows t2..t8 t1, …
+    // are globally unique keepers), so the covered intervals [1,9) and
+    // [9,17) are ADJACENT half-open runs — the gap-merge must fuse them
+    // into one 16-token span (s=9 is not past pmax=9).
+    val corpus = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8"),
+      (2L, "v1 v2 v3 v4 v5 v6 v7 v8"),
+      (3L, "t1 t2 t3 t4 t5 t6 t7 t8 u1 u2 u3 u4 u5 v1 v2 v3 v4 v5 v6 v7 v8"),
+      (4L, "t1 t2 t3 t4 t5 t6 t7 t8 t1 t2 t3 t4 t5 t6 t7 t8"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanMaximal(corpus, col("text"), col("doc_id"), k = 8)
+      .orderBy("doc_id", "span_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      // doc 3: two disjoint 8-token runs separated by the unique u-gap
+      (3L, 1L, 1L, 9L, 8L),
+      (3L, 2L, 14L, 22L, 8L),
+      // doc 4: dup windows at pos 1 and pos 9 — [1,9) and [9,17) are
+      // adjacent half-open intervals, so the covered run is contiguous
+      // and merges to ONE 16-token span
+      (4L, 1L, 1L, 17L, 16L)))
+    // docs 1 and 2 are the earliest occurrences: no rows at all
+    assert(!out.exists(r => r._1 == 1L || r._1 == 2L))
+  }
 }
