@@ -627,12 +627,29 @@ object Dedup {
       maxHamming)
 
   private def simhashPairsOf(df: DataFrame, idCol: Column, shCol: Column,
-                             maxHamming: Int): DataFrame = {
-    val base = df.select(idCol.as("id"), shCol.as("sh"))
+                             maxHamming: Int): DataFrame =
+    fingerprintPairs(df, idCol, shCol, maxHamming, nChunks = 4)
+
+  /** Banded hamming near-dup pairs over ANY 64-bit fingerprint column —
+    * the chunk-LSH shared by SimHash (q23/q53) and the perceptual dHash
+    * (q198/q199): the fingerprint splits into `nChunks` equal bit chunks,
+    * pairs agreeing on at least one chunk are candidates (pigeonhole:
+    * hamming < nChunks GUARANTEES a shared chunk; beyond that recall is
+    * the documented LSH property), exact hamming verifies in-band (the
+    * 8-byte fingerprints are already co-located — no join-back), and the
+    * narrow survivors dedupe. Output (a_id, b_id, hamming). The chunk-key
+    * space is 2^(64/nChunks) — at corpus scale keep chunks ≥ 16 bits or
+    * add a blocking key so buckets stay selective. */
+  def fingerprintPairs(df: DataFrame, idCol: Column, fpCol: Column,
+                       maxHamming: Int, nChunks: Int): DataFrame = {
+    require(nChunks > 0 && 64 % nChunks == 0, s"nChunks $nChunks must divide 64")
+    val bits = 64 / nChunks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val base = df.select(idCol.as("id"), fpCol.as("sh"))
     val chunks = base.select(col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        i => call_function("shiftrightunsigned", col("sh"), i * 16)
-          .bitwiseAND(lit(0xFFFFL)))))
+      posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
+        i => call_function("shiftrightunsigned", col("sh"), i * bits)
+          .bitwiseAND(lit(mask)))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
     val l = chunks.select(col("chunk"), col("ckey"), col("id").as("a_id"), col("sh").as("sha"))
     val r = chunks.select(col("chunk"), col("ckey"), col("id").as("b_id"), col("sh").as("shb"))

@@ -149,6 +149,53 @@ object Multimodal {
     out
   }
 
+  /** 64-bit difference-hash (dHash) perceptual fingerprint of a decoded
+    * frame — the public perceptual-hash discipline (gradient signs of a
+    * coarse grayscale grid): channel-SUM gray (division-free, so the
+    * whole kernel is exact integer arithmetic a SQL twin replays
+    * bit-for-bit), box-averaged to an 8-row × 9-column grid with
+    * [[resizeBox]]'s pooling partition (cell = (y·8 div h, x·9 div w),
+    * value = sum div count), bit r·8+c set when cell (r, c+1) > cell
+    * (r, c). Invariant under resolution changes and monotone brightness /
+    * contrast maps (up to boundary-mixing / tie-collapse bits) — the
+    * near-dup signal exact frame hashing (q98) cannot see. Bytes are
+    * reconstructed from the decoded floats via Math.round(px·255), exact
+    * for the b/255f decode (the q98 argument). */
+  def dHash64(pixels: Array[Float], c: Int, h: Int, w: Int): Long = {
+    val gh = 8; val gw = 9
+    val hw = h * w
+    val sums = new Array[Long](gh * gw)
+    val cnts = new Array[Long](gh * gw)
+    var y = 0
+    while (y < h) {
+      val r = y * gh / h
+      var x = 0
+      while (x < w) {
+        val cell = r * gw + x * gw / w
+        var s = 0L
+        var ch = 0
+        while (ch < c) { s += Math.round(pixels(ch * hw + y * w + x) * 255f); ch += 1 }
+        sums(cell) += s
+        cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var r = 0
+    while (r < gh) {
+      var cc = 0
+      while (cc < gw - 1) {
+        if (sums(r * gw + cc + 1) / cnts(r * gw + cc + 1) >
+            sums(r * gw + cc) / cnts(r * gw + cc))
+          bits |= 1L << (r * (gw - 1) + cc)
+        cc += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
   final case class FrameFeatures(
       asset_id: String, frame_idx: Int,
       mean: Array[Float], std: Array[Float], thumb: Array[Float])

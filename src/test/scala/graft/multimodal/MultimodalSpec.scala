@@ -181,4 +181,41 @@ class MultimodalSpec extends SparkSpec {
     val full = df.collect()(0).getString(0).split(",").map(_.toInt)
     assert(full.toSeq == (0 until 256))
   }
+
+  test("dHash64: gradient signs, resolution invariance on aligned cells, " +
+      "monotone-tone-map invariance, sensitivity to a flipped gradient") {
+    def toPx(bytes: Array[Int]): Array[Float] =
+      bytes.map(b => (b & 0xFF).toFloat / 255.0f)
+    // hand-computable 8×9-pixel single-channel image: one pixel per dHash
+    // grid cell, value = (r*9 + c)*3 → every row strictly increasing →
+    // all 64 gradient bits set
+    val inc = Array.tabulate(8 * 9)(i => i * 3)
+    assert(Multimodal.dHash64(toPx(inc), 1, 8, 9) == -1L) // 64 ones
+    // strictly decreasing rows → no bit set
+    val dec = inc.map(255 - _)
+    assert(Multimodal.dHash64(toPx(dec), 1, 8, 9) == 0L)
+    // resolution invariance: 2× nearest upscale (16×18, cells align with
+    // the 8×9 partition exactly: 16·r/8 and 18·c/9 are integral) hashes
+    // identically at ANY cell content
+    val rnd = Array.tabulate(8 * 9)(i =>
+      (((i + 1) * 2654435761L) % 251).toInt)
+    val up = Array.tabulate(16 * 18)(i => rnd((i / 18 / 2) * 9 + (i % 18) / 2))
+    assert(Multimodal.dHash64(toPx(rnd), 1, 8, 9) ==
+      Multimodal.dHash64(toPx(up), 1, 16, 18))
+    // strictly-monotone tone map preserves every gradient sign (v/2-style
+    // compressions can TIE adjacent cells differing by 1 — use a shift)
+    val toned = rnd.map(_ + 4)
+    assert(Multimodal.dHash64(toPx(rnd), 1, 8, 9) ==
+      Multimodal.dHash64(toPx(toned), 1, 8, 9))
+    // flipping one adjacent-cell order flips exactly the bits that
+    // comparison feeds: swap cells (0,0)=0 and (0,1)=3 of `inc` — bit 0
+    // (cell1>cell0) flips to 0 and bit 1 (cell2>cell1) stays (6>0)
+    val sw = inc.clone(); sw(0) = 3; sw(1) = 0
+    assert(Multimodal.dHash64(toPx(sw), 1, 8, 9) == (-1L & ~1L))
+    // channel-sum gray: a 2-channel frame whose SUM reproduces `inc`
+    // hashes like the 1-channel original
+    val two = inc.map(v => v / 2 + v % 2) ++ inc.map(_ / 2)
+    assert(Multimodal.dHash64(toPx(two), 2, 8, 9) ==
+      Multimodal.dHash64(toPx(inc), 1, 8, 9))
+  }
 }
