@@ -128,6 +128,19 @@ object Ann {
     val centroids =
       if (trainIters > 0) trainedCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
       else sampleCentroids(corpus, idCol, vecCol, nCentroids)
+    ivfTopKWith(queries, corpus, idCol, vecCol, k, nProbe, centroids)
+  }
+
+  /** [[ivfTopK]]'s serve half with an EXPLICIT coarse quantizer — the
+    * production shape where the trained centroids are a STORED table
+    * (written once, loaded at serve time — q200's write→load→serve
+    * contract) rather than retrained in-plan. `centroids` must expose
+    * (centroid_id, cvec); assignments and rankings are pure functions of
+    * the centroid floats, so a Parquet round-trip of the model changes
+    * nothing (floats round-trip bit-exactly). */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
+                  idCol: String, vecCol: String, k: Int, nProbe: Int,
+                  centroids: DataFrame): DataFrame = {
     val corpusCells = assignCells(corpus, idCol, vecCol, centroids)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
     val queryCells = assignCells(queries, idCol, vecCol, centroids, n = nProbe)

@@ -469,12 +469,15 @@ class PlanSpec extends SparkSpec {
     // quantizers), plus q182-style 1-row scalar-broadcast assembly joins
     // q199's cross joins are q182-style 1-row aggregate assembly
     // (summary-row stitching), bounded by construction
+    // q200 embeds q41's bounded 16-row centroid-assignment broadcasts
+    // (twice: in-memory + loaded model) plus 1-row assembly joins
     val allowed = Set("q40_ann_topk", "q41_ann_ivf", "q47_ivf_recall",
       "q79_ann_pq", "q80_pq_recall", "q84_ivfpq_recall", "q106_knn_classify",
       "q111_hll_setops", "q112_pq_rerank", "q113_rerank_recall",
       "q132_skew_advisor", "q140_ivf_recall_curve", "q141_ivfpq_portable",
       "q142_rerank_curve", "q182_ann_float_guarantee",
-      "q192_ann_trained_ivf", "q199_image_neardup_recall")
+      "q192_ann_trained_ivf", "q199_image_neardup_recall",
+      "q200_vector_model_store")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>

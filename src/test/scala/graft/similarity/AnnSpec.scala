@@ -196,6 +196,17 @@ class AnnSpec extends SparkSpec {
     assert(curve4 == q47overall, s"curve@4 $curve4 != q47 $q47overall")
   }
 
+  test("q200: stored IVF centroids / PQ codebook serve identically to the " +
+      "in-memory models") {
+    val r = graft.SparkEntry.queries("q200_vector_model_store")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_centroids") == 16L, s"model row lost centroids: $r")
+    assert(r.getAs[Long]("n_codebook_entries") == 128L, s"codebook shape: $r")
+    assert(r.getAs[Boolean]("assign_match"), s"stored-model assignment drift: $r")
+    assert(r.getAs[Boolean]("topk_match"), s"stored-model serve drift: $r")
+    assert(r.getAs[Boolean]("codes_match"), s"stored-codebook encode drift: $r")
+  }
+
   test("q139: prod and portable hyperplane pair sets agree at sf0.001") {
     val r = graft.SparkEntry.queries("q139_hyperplane_path_equiv")(spark, sfDir)
       .collect().head
