@@ -90,11 +90,20 @@ object Bench {
     // in the same slow window, so each query's median is also compared
     // against its own previous-round number and re-measured on >3x.
     val history: Map[String, Double] = {
+      val sfName = new java.io.File(sfDir).getName
+      // parse (sf tag, per-query map) — files recording a DIFFERENT scale
+      // factor are excluded outright (advisor r12 #2: a full-registry run
+      // at a smaller SF would min-merge tiny timings into a larger-SF
+      // run's history and trip the >3x guard on every query); files
+      // without an sf tag merge as before (pre-tag artifacts).
       def parseQ(f: java.io.File): Map[String, Double] =
         if (!f.exists()) Map.empty
         else {
           val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          "\"(q[0-9]+[a-z0-9_]*)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+          val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+            .map(m => new java.io.File(m.group(1)).getName)
+          if (sf.exists(_ != sfName)) Map.empty
+          else "\"(q[0-9]+[a-z0-9_]*)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
@@ -117,11 +126,22 @@ object Bench {
       // to 3× the spike. Cap every history entry at 10× the artifact's own
       // median s/q — an entry can't be trusted to be >10× more expensive
       // than the run it came from says a typical query costs.
+      // CORROBORATED entries are exempt (advisor r12 #1): when the
+      // artifact and the summary agree within 2×, two independent runs
+      // measured the same magnitude — a genuinely heavy query must not be
+      // permanently capped to the registry median (and then re-measured
+      // with a misleading warning every round forever).
+      val corroborated = (artifact.keySet & summary.keySet).filter { k =>
+        val (a, b) = (artifact(k), summary(k))
+        a >= 0.0 && b >= 0.0 && math.max(a, b) <= 2.0 * math.min(a, b)
+      }
       val good = raw.values.filter(_ >= 0.0).toSeq.sorted
       if (good.isEmpty) raw
       else {
         val cap = 10.0 * good(good.length / 2)
-        raw.map { case (k, v) => k -> math.min(v, cap) }
+        raw.map { case (k, v) =>
+          k -> (if (corroborated(k)) v else math.min(v, cap))
+        }
       }
     }
     val results = selected.map { case (name, fn) =>

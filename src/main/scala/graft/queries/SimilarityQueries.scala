@@ -401,13 +401,13 @@ object SimilarityQueries {
     // Booleans: STRUCTURE (k rows/query, ranks 1..k, distinct non-self
     // neighbors — any breakage in the trained assign/window plumbing
     // flips it) and RECALL@10 vs the exact truth — the trained quantizer
-    // must match-or-beat the SAMPLED quantizer on hits (measured at 16/4
-    // via tools/AnnProbe: sampled 0.425/0.405/0.510 vs trained
-    // 0.520/0.530/0.515 across sf0.001/0.01/0.1 — training wins by
-    // 19/25/1 hits of 200; the driver-gated SFs carry the wide margins,
-    // and the deterministic seeded chains make each value a constant of
-    // the code, not a sample) plus the same absolute 0.35 floor AnnSpec
-    // pins. Frames are bounded top-k outputs (≤ |Q|·k);
+    // must match-or-beat the SAMPLED quantizer on hits within a 2-hit
+    // slack (measured at 16/4 via tools/AnnProbe: sampled
+    // 0.425/0.405/0.510 vs trained 0.520/0.530/0.515 across
+    // sf0.001/0.01/0.1 — training wins by 19/25/1 hits of 200; the sf0.1
+    // margin is a single hit, so the strict form was one benign reseed
+    // away from a false red — advisor r12) plus the same absolute 0.35
+    // floor AnnSpec pins, which stays the hard guarantee everywhere. Frames are bounded top-k outputs (≤ |Q|·k);
     // persists pin single evaluation of the thrice-referenced truth and
     // the twice-referenced trained tier (the sampled tier is consumed
     // exactly once — no persist), released by the SparkEntry.queries
@@ -440,7 +440,13 @@ object SimilarityQueries {
         .select(
           col("nq").cast("long").as("n_queries"),
           col("trained_shape_ok"),
-          (col("trained_hits") >= col("sampled_hits"))
+          // match-or-beat with a 2-hit slack (advisor r12): the sf0.1
+          // margin is 1 hit of 200, so a benign change to the seeded
+          // sampling/centroid chain could flip a STRICT >= without any
+          // real recall regression; the wide sf0.001/0.01 margins
+          // (19/25 hits) and the hard 0.35 absolute floor below are the
+          // real guarantees
+          (col("trained_hits") + 2L >= col("sampled_hits"))
             .as("trained_ge_sampled"),
           (col("trained_hits") * 100L >= col("n_true") * 35L)
             .as("trained_recall_floor"),
