@@ -130,11 +130,17 @@ object Bench {
       // artifact and the summary agree within 2×, two independent runs
       // measured the same magnitude — a genuinely heavy query must not be
       // permanently capped to the registry median (and then re-measured
-      // with a misleading warning every round forever).
-      val corroborated = (artifact.keySet & summary.keySet).filter { k =>
-        val (a, b) = (artifact(k), summary(k))
-        a >= 0.0 && b >= 0.0 && math.max(a, b) <= 2.0 * math.min(a, b)
-      }
+      // with a misleading warning every round forever). Identical MAPS
+      // are NOT corroboration: the driver writes BENCH_SUMMARY.json from
+      // the same run that becomes the newest artifact, and one run can't
+      // corroborate itself — in that case every entry stays cap-eligible.
+      val sameRun = artifact.nonEmpty && artifact == summary
+      val corroborated =
+        if (sameRun) Set.empty[String]
+        else (artifact.keySet & summary.keySet).filter { k =>
+          val (a, b) = (artifact(k), summary(k))
+          a >= 0.0 && b >= 0.0 && math.max(a, b) <= 2.0 * math.min(a, b)
+        }
       val good = raw.values.filter(_ >= 0.0).toSeq.sorted
       if (good.isEmpty) raw
       else {
