@@ -263,6 +263,30 @@ object Multimodal {
     out.result()
   }
 
+  /** 64-bit perceptual AUDIO fingerprint — the [[dHash64]] discipline on
+    * the energy envelope: per-window sum-of-squares over `nWin`
+    * consecutive `win`-sample s16le windows (computed by the SAME
+    * [[pcmS16Windows]] kernel the feature rows use, so the fingerprint is
+    * definitionally tied to the verified windowing), bit i set when
+    * window i+1 carries more energy than window i. Exact integers
+    * end-to-end. Invariant under uniform volume scaling (energy scales
+    * monotonically) and codec containerization; small hamming under
+    * additive noise — the near-dup signal an exact PCM hash cannot see.
+    * Requires at least nWin full windows. */
+  def audioHash64(data: Array[Byte], win: Int = 64, nWin: Int = 65): Long = {
+    require(nWin >= 2 && nWin <= 65, s"nWin $nWin must be in [2, 65]")
+    val ws = pcmS16Windows("", data, win)
+    require(ws.length >= nWin,
+      s"audioHash64 needs $nWin full windows, got ${ws.length}")
+    var bits = 0L
+    var i = 0
+    while (i < nWin - 1) {
+      if (ws(i + 1).sum_sq > ws(i).sum_sq) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
   final case class WavAudio(channels: Int, sampleRate: Int,
                             bitsPerSample: Int, data: Array[Byte])
 

@@ -52,17 +52,22 @@ object MultimodalQueries {
     * like random 64-bit strings across docs while PLANTED transformed
     * copies (resolution ×2, contrast-compressed) stay perceptually close.
     * All-integer so the DuckDB twin regenerates every pixel. */
-  def dhashCellByte(docId: Long, r: Int, c: Int): Int = {
-    // a plain per-term product is LINEAR in the cell index: every doc
-    // becomes an arithmetic-progression grid and unrelated dHashes
-    // correlate (measured 3169 false pairs at 600 assets). xor-multiply
-    // mix instead — all-integer, 31-bit operands so every product stays
-    // inside BIGINT, xor/div/mod only: the DuckDB twin replays it exactly.
+  /** Shared fixture byte mixer: a plain per-term product is LINEAR in the
+    * index (every doc becomes an arithmetic-progression pattern and
+    * unrelated fingerprints correlate — measured 3169 false dHash pairs at
+    * 600 assets); xor-multiply mix instead. All-integer, 31-bit operands
+    * so every product stays inside BIGINT, xor/div/mod only: the DuckDB
+    * twins replay it exactly. Index streams: image cells use 0..71,
+    * audio window amplitudes 200.., audio jitter 300.. — disjoint, so the
+    * modalities stay independent. */
+  def mixByte(docId: Long, idx: Int): Int = {
     val a = ((docId + 1) * 2654435761L) % 2147483648L
-    val b = ((r * 9 + c + 1) * 2246822519L) % 2147483648L
+    val b = ((idx + 1) * 2246822519L) % 2147483648L
     val v = ((a ^ b) * 2654435761L) % 2147483648L
     ((v / 8388608L) % 256).toInt // top byte of the 31-bit mix
   }
+
+  def dhashCellByte(docId: Long, r: Int, c: Int): Int = mixByte(docId, r * 9 + c)
 
   /** Perceptual-dedup asset corpus: per doc one 16×16 single-channel
     * original (img_id = doc_id·4); docs with doc_id % 10 == 0 plant two
@@ -89,6 +94,43 @@ object MultimodalQueries {
         } else Seq(orig)
       }
       .toDF("img_id", "content")
+  }
+
+  /** q201 audio perceptual near-dup fixture: 65-window envelope-structured
+    * WAV assets — window w of doc's original carries amplitude
+    * mixByte(id, 200+w)·100 (samples alternate ±amp, so window energy is
+    * exactly 64·amp²). Per tenth doc two planted copies: VOLUME-scaled
+    * (amp·3/4 — exact at these amplitudes since amp is a multiple of 100;
+    * energy scales monotonically, so the envelope fingerprint is
+    * invariant structurally) and additive-JITTER (amp + mixByte(id,
+    * 300+w), one amplitude step of noise — flips only bits whose adjacent
+    * amplitudes nearly tie). Real WAV containers through encodeWav. */
+  private def audioAssets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        def wav(amp: Int => Int): Array[Byte] = {
+          val bb = java.nio.ByteBuffer.allocate(65 * 64 * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var w = 0
+          while (w < 65) {
+            val a = amp(w)
+            var j = 0
+            while (j < 64) { bb.putShort((if (j % 2 == 0) a else -a).toShort); j += 1 }
+            w += 1
+          }
+          Multimodal.encodeWav(1, 16000, bb.array())
+        }
+        def base(w: Int): Int = mixByte(id, 200 + w) * 100
+        val orig = (id * 4, wav(base))
+        if (id % 10 == 0)
+          Seq(orig,
+            (id * 4 + 1, wav(w => base(w) * 3 / 4)),
+            (id * 4 + 2, wav(w => base(w) + mixByte(id, 300 + w))))
+        else Seq(orig)
+      }
+      .toDF("aud_id", "content")
   }
 
   /** Decode → dHash per asset (img_id, fp): the shared front half of
@@ -123,6 +165,32 @@ object MultimodalQueries {
       graft.dedup.Dedup.fingerprintPairs(dhashFps(s, dir),
           col("img_id"), col("fp"), maxHamming = 6, nChunks = 8)
         .orderBy("a_id", "b_id")),
+
+    // AUDIO PERCEPTUAL NEAR-DUP (round 13): the q198 discipline on the
+    // energy envelope — audioHash64 (gradient signs of 65 window energies,
+    // computed by the SAME pcmS16Windows kernel q173 verifies) + the
+    // SHARED Dedup.fingerprintPairs chunk LSH at 8×8 bits, threshold 6.
+    // Volume-scaled copies fingerprint IDENTICALLY (energy scales
+    // monotonically — hamming 0 structurally, pinned in MultimodalSpec);
+    // jitter copies stay within the pigeonhole-guaranteed shell. Assets
+    // are real WAV containers through the q190-verified parse path
+    // (unparseable bytes drop — data, not exceptions). The oracle replays
+    // amplitudes → exact 64·amp² window energies → bits → chunks → pairs;
+    // the container/windowing plumbing itself is oracle-verified by
+    // q173/q190, so the closed-form energy is the same integer the engine
+    // sums sample-by-sample.
+    "q201_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val fps = audioAssets(s, dir).as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          Multimodal.parseWav(bytes).toOption
+            .map(a => (id, Multimodal.audioHash64(a.data)))
+        }
+        .toDF("aud_id", "fp")
+      graft.dedup.Dedup.fingerprintPairs(fps, col("aud_id"), col("fp"),
+          maxHamming = 6, nChunks = 8)
+        .orderBy("a_id", "b_id")
+    }),
 
     // MEASURED PLANTED RECALL for q198 (the q137-style path check made
     // self-contained): planted pairs are the same-doc asset pairs
@@ -438,7 +506,15 @@ object MultimodalQueries {
        |  FROM hc l JOIN hc rg
        |    ON rg.img_id = l.img_id AND rg.r = l.r AND rg.c = l.c + 1
        |  WHERE l.c < 8),
-       |fpu AS (
+       |$hammingTailSql""".stripMargin
+
+  /** The fingerprint-pack → chunk-band → hamming-pair oracle tail shared
+    * by the image (q198/q199) and audio (q201) chains: consumes a CTE
+    * `cmp(img_id, bit, b)` (bit index 0..63, b ∈ {0,1}) and ends in
+    * `sfp(img_id, sh)` + `prs(a_id, b_id, hamming)` — the exact replay of
+    * Dedup.fingerprintPairs at 8 chunks × 8 bits, threshold 6. */
+  private def hammingTailSql: String =
+    s"""fpu AS (
        |  SELECT img_id,
        |    sum(CASE WHEN b = 1 THEN pws.pw[CAST(bit + 1 AS INT)]
        |             ELSE 0::HUGEINT END)::HUGEINT AS fpu
@@ -471,7 +547,46 @@ object MultimodalQueries {
     * f ≤ doc_id mod 3 (frame count) and f mod 2 = 0 (sampling stride);
     * channel ch occupies payload indices [ch·256, ch·256+256); thumbnail
     * source pixel of thumb (r,c,ch) is payload index ch·256 + 4r·16 + 4c. */
+  /** The xor-multiply mixer as SQL over (docExpr, idxExpr) — generated
+    * next to [[mixByte]] so the two can't drift. */
+  private def mixSql(doc: String, idx: String): String =
+    s"(xor(($doc + 1) * 2654435761 % 2147483648, " +
+      s"($idx + 1) * 2246822519 % 2147483648) " +
+      s"* 2654435761 % 2147483648) // 8388608 % 256"
+
+  /** The audio oracle chain (q201): amplitudes via the closed form
+    * (window energy = 64·amp² exactly — every sample in a window is ±amp;
+    * the sample-level windowing itself is q173/q190's oracle-verified
+    * kernel), envelope-gradient bits, then the shared hamming tail. */
+  private def audioOracleCtes: String =
+    s"""aassets AS (
+       |  SELECT doc_id*4 AS img_id, doc_id, 0 AS kind FROM documents
+       |  UNION ALL
+       |  SELECT doc_id*4+1, doc_id, 1 FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id*4+2, doc_id, 2 FROM documents WHERE doc_id % 10 = 0),
+       |aw AS (
+       |  SELECT img_id, CAST(w AS BIGINT) AS w,
+       |    CASE kind WHEN 1 THEN amp * 3 // 4
+       |         WHEN 2 THEN amp + jit ELSE amp END AS a
+       |  FROM (
+       |    SELECT img_id, kind, w,
+       |      (${mixSql("doc_id", "200 + w")}) * 100 AS amp,
+       |      ${mixSql("doc_id", "300 + w")} AS jit
+       |    FROM aassets, range(0, 65) t(w)) t1),
+       |aen AS (SELECT img_id, w, 64 * a * a AS e FROM aw),
+       |cmp AS (
+       |  SELECT l.img_id, l.w AS bit,
+       |    CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS b
+       |  FROM aen l JOIN aen r ON r.img_id = l.img_id AND r.w = l.w + 1
+       |  WHERE l.w < 64),
+       |$hammingTailSql""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q201_audio_neardup" ->
+      s"""WITH $audioOracleCtes
+         |SELECT a_id, b_id, hamming FROM prs ORDER BY a_id, b_id""".stripMargin,
+
     "q198_image_dhash_pairs" ->
       s"""WITH $dhashOracleCtes
          |SELECT a_id, b_id, hamming FROM prs ORDER BY a_id, b_id""".stripMargin,
