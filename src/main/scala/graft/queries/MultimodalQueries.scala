@@ -46,12 +46,6 @@ object MultimodalQueries {
       .toDF("asset_id", "doc_id", "content")
   }
 
-  /** q198/q199 perceptual-near-dup fixture: cell-structured images whose
-    * pixel bytes are constant over each dHash grid cell — the cell byte is
-    * a multiplicative integer hash of (doc_id, cell), so dHashes spread
-    * like random 64-bit strings across docs while PLANTED transformed
-    * copies (resolution ×2, contrast-compressed) stay perceptually close.
-    * All-integer so the DuckDB twin regenerates every pixel. */
   /** Shared fixture byte mixer: a plain per-term product is LINEAR in the
     * index (every doc becomes an arithmetic-progression pattern and
     * unrelated fingerprints correlate — measured 3169 false dHash pairs at
@@ -134,9 +128,9 @@ object MultimodalQueries {
   }
 
   /** Decode → dHash per asset (img_id, fp): the shared front half of
-    * q198/q199. Containers decode in-row; only the 8-byte fingerprint
-    * ever shuffles. */
-  private def dhashFps(s: SparkSession, dir: String): DataFrame = {
+    * q198/q199, and q202's stream feed. Containers decode in-row; only
+    * the 8-byte fingerprint ever shuffles. */
+  private[queries] def dhashFps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     dhashAssets(s, dir).as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
@@ -472,13 +466,13 @@ object MultimodalQueries {
     * 64 bits, pack to a HUGEINT, band 8 chunks of 8 bits, pair-join and
     * hamming-verify — ending in CTEs `sfp(img_id, sh)` (signed 64-bit
     * fingerprints) and `prs(a_id, b_id, hamming)`. */
-  private def dhashOracleCtes: String =
+  private[queries] def dhashOracleCtes(src: String = "documents"): String =
     s"""assets AS (
-       |  SELECT doc_id*4 AS img_id, doc_id, 0 AS kind, 16 AS dim FROM documents
+       |  SELECT doc_id*4 AS img_id, doc_id, 0 AS kind, 16 AS dim FROM $src
        |  UNION ALL
-       |  SELECT doc_id*4+1, doc_id, 1, 32 FROM documents WHERE doc_id % 10 = 0
+       |  SELECT doc_id*4+1, doc_id, 1, 32 FROM $src WHERE doc_id % 10 = 0
        |  UNION ALL
-       |  SELECT doc_id*4+2, doc_id, 2, 16 FROM documents WHERE doc_id % 10 = 0),
+       |  SELECT doc_id*4+2, doc_id, 2, 16 FROM $src WHERE doc_id % 10 = 0),
        |px AS (
        |  SELECT img_id, doc_id, kind, dim,
        |    CAST(i // dim AS BIGINT) AS y, CAST(i % dim AS BIGINT) AS x
@@ -588,14 +582,14 @@ object MultimodalQueries {
          |SELECT a_id, b_id, hamming FROM prs ORDER BY a_id, b_id""".stripMargin,
 
     "q198_image_dhash_pairs" ->
-      s"""WITH $dhashOracleCtes
+      s"""WITH ${dhashOracleCtes()}
          |SELECT a_id, b_id, hamming FROM prs ORDER BY a_id, b_id""".stripMargin,
 
     // planted pairs = same-doc asset pairs; their exact hamming computed
     // directly (no LSH), recall = found/planted; every field recomputed
     // from the oracle's own replay
     "q199_image_neardup_recall" ->
-      s"""WITH $dhashOracleCtes,
+      s"""WITH ${dhashOracleCtes()},
          |pl AS (
          |  SELECT a.img_id AS a_id, b.img_id AS b_id
          |  FROM assets a JOIN assets b

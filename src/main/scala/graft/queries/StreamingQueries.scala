@@ -426,6 +426,53 @@ object StreamingQueries {
           col("dups_md5"))
     }),
 
+    // STREAMING PERCEPTUAL NEAR-DUP (round 13) — q198's image dHash
+    // pipeline in stream form: the replay-capped docs' fingerprints flow
+    // through Streams.fingerprintDupStream (per-(chunk, ckey) bucket
+    // state, pairs emitted against the bucket's live fingerprints,
+    // within-batch sorted). Feed: id-ordered halves + a RE-DELIVERY batch
+    // of every img_id % 4 == 0 asset — re-deliveries re-emit pairs and
+    // never re-append state; the sink distinct absorbs them AND the
+    // once-per-shared-chunk multiplicity. Conservation: the sink's
+    // distinct pair count must equal the batch fingerprintPairs count on
+    // the same feed (proving no bucket evicted and no state expired —
+    // the operator's documented ≡-batch condition). Oracle = the q198
+    // pixel→bits→pairs SQL chain over the replay-sampled docs, summarized.
+    "q202_stream_fp_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      val fps = MultimodalQueries.dhashFps(s, dir)
+        .where(graft.functions.Mix64.sampleCoord(expr("img_id div 4")) < ReplayCap)
+      val rows = fps.select(col("img_id"), col("fp"),
+          timestamp_micros(lit(1704067200000000L) +
+            (col("img_id") % 3600) * 1000000L).as("ts"))
+        .as[(Long, Long, java.sql.Timestamp)]
+        .collect().sortBy(_._1)
+      require(rows.nonEmpty, s"q202_stream_fp_dedup: no fingerprints at $dir")
+      val expected = graft.dedup.Dedup.fingerprintPairs(fps,
+        col("img_id"), col("fp"), maxHamming = 6, nChunks = 8).count()
+      require(expected > 0, s"q202_stream_fp_dedup: degenerate feed at $dir")
+      val redelivered = rows.filter(_._1 % 4 == 0)
+      val sink = replay(s, "q202_fp_dedup", "append",
+          halves(rows) :+ redelivered.toIndexedSeq,
+          sinkDistinctCount(expected, lit(true)))(ds =>
+        Streams.fingerprintDupStream(ds.toDF("id", "fp", "ts"),
+          nChunks = 8, maxHamming = 6, maxPerBucket = 4096,
+          "2 hours", ttlMs = 2L * 3600 * 1000))
+      sink.select(col("a_id"), col("b_id"), col("hamming")).distinct()
+        .agg(count(lit(1)).as("n_pairs"),
+          max(col("hamming")).as("max_hamming"),
+          md5(concat_ws(";", transform(
+            array_sort(collect_list(struct(col("a_id"), col("b_id"),
+              col("hamming")))),
+            p => concat(p.getField("a_id"), lit(":"), p.getField("b_id"),
+              lit(":"), p.getField("hamming")))))
+            .as("pairs_md5"))
+        .select(col("n_pairs").cast("long").as("n_pairs"),
+          col("max_hamming").cast("int").as("max_hamming"),
+          col("pairs_md5"))
+    }),
+
     "q92_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.Streams
@@ -987,6 +1034,19 @@ object StreamingQueries {
     // the NUMERICALLY-ordered occurrence list (ORDER BY doc_id, pos —
     // lexicographic string order would diverge at doc_id 10 vs 2);
     // md5(coalesce(agg,'')) so an empty dup set hashes '' on both engines.
+    // the q198 pixel→bits→chunk→pair chain over the replay-sampled docs,
+    // summarized the q195 way (count + max + md5 of the ordered list)
+    "q202_stream_fp_dedup" ->
+      s"""WITH rdocs AS (
+        |  SELECT doc_id FROM documents WHERE ${replayWhereSql("doc_id")}),
+        |${MultimodalQueries.dhashOracleCtes("rdocs")}
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(max(hamming) AS INT) AS max_hamming,
+        |  md5(coalesce(string_agg(a_id || ':' || b_id || ':' || hamming,
+        |    ';' ORDER BY a_id, b_id), ''))
+        |    AS pairs_md5
+        |FROM prs""".stripMargin,
+
     "q195_stream_span_dedup" ->
       s"""WITH sampled AS (
         |  SELECT doc_id, text FROM documents WHERE ${replayWhereSql("doc_id")}),

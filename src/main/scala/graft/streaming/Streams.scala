@@ -223,6 +223,85 @@ object Streams {
       }
   }
 
+  final case class FpPair(a_id: Long, b_id: Long, hamming: Int)
+
+  /** Streaming banded-hamming near-dup pairing —
+    * [[graft.dedup.Dedup.fingerprintPairs]] in stream form (q202): each
+    * incoming 64-bit fingerprint row (id, fp, ts) is exploded into its
+    * nChunks chunk keys; per (chunk, ckey) bucket the state holds the
+    * bucket's live (id, fp) entries, a new arrival emits a pair for every
+    * stored fingerprint within `maxHamming` and appends itself. Within a
+    * micro-batch the bucket's arrivals are SORTED by id, so emission is
+    * arrival-order-independent; a pair surfaces once per shared chunk and
+    * re-deliveries re-emit, so an at-least-once sink dedups by the pair —
+    * exactly the batch operator's post-LSH distinct. Stream-end distinct
+    * pair set ≡ the batch [[graft.dedup.Dedup.fingerprintPairs]] whenever
+    * no bucket evicts and no state expires mid-stream (q202's replay
+    * PROVES it per run: its feed-conservation check compares the sink's
+    * distinct count against the batch count and fails loudly otherwise).
+    *
+    * State per live bucket: at most `maxPerBucket` 16-byte entries with
+    * event-time TTL (`ttl` past the bucket's newest arrival). On overflow
+    * the OLDEST entries evict — a documented recall bound, not silent
+    * growth: production sizes maxPerBucket by memory budget (total state
+    * ≈ nChunks · 16 B per live fingerprint, spread over buckets), and a
+    * hot bucket (near-constant content, e.g. black frames) degrades to
+    * "pairs against the K most recent" instead of OOM. Transient memory
+    * per batch is the bucket's per-batch arrival group (the spanDupStream
+    * heavy-hitter caveat applies). */
+  def fingerprintDupStream(occ: DataFrame, nChunks: Int, maxHamming: Int,
+                           maxPerBucket: Int, watermarkDelay: String,
+                           ttlMs: Long): Dataset[FpPair] = {
+    require(nChunks > 0 && 64 % nChunks == 0, s"nChunks $nChunks must divide 64")
+    require(maxPerBucket > 0, "maxPerBucket must be positive")
+    val bits = 64 / nChunks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val spark = occ.sparkSession
+    import spark.implicits._
+    occ.withWatermark("ts", watermarkDelay)
+      .select(col("id"), col("fp"), col("ts"),
+        posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
+          i => call_function("shiftrightunsigned", col("fp"), i * bits)
+            .bitwiseAND(lit(mask)))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+      .select(col("chunk"), col("ckey"), col("id"), col("fp"), col("ts"))
+      .as[(Int, Long, Long, Long, Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Seq[(Long, Long)], FpPair](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), it: Iterator[(Int, Long, Long, Long, Timestamp)],
+         state: GroupState[Seq[(Long, Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val items = it.toArray.sortBy(_._3)
+            var cur = state.getOption.getOrElse(Seq.empty)
+            val out = Seq.newBuilder[FpPair]
+            items.foreach { o =>
+              val id = o._3; val fp = o._4
+              cur.foreach { case (eid, efp) =>
+                if (eid != id) {
+                  val h = java.lang.Long.bitCount(efp ^ fp)
+                  if (h <= maxHamming)
+                    out += FpPair(math.min(eid, id), math.max(eid, id), h)
+                }
+              }
+              if (!cur.exists(_._1 == id)) { // re-deliveries never re-append
+                cur = cur :+ ((id, fp))
+                if (cur.length > maxPerBucket)
+                  cur = cur.drop(cur.length - maxPerBucket) // evict oldest
+              }
+            }
+            state.update(cur)
+            // same expiry clamp as spanDupStream: the requested timestamp
+            // must sit past the current watermark
+            state.setTimeoutTimestamp(math.max(
+              items.map(_._5.getTime).max + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Time-bounded stream-stream inner join (click → purchase attribution):
     * each purchase pairs with the same user's clicks at most `maxGap`
     * before it. Both sides carry watermarks and the join condition bounds

@@ -859,4 +859,46 @@ class StreamsSpec extends SparkSpec {
       Seq((1L, 1L, "gx", occ.head._4))), "span_late")
     assert(late == Set((1L, 1L)))
   }
+
+  test("streaming fingerprint near-dup ≡ batch pairs under every slicing; " +
+      "re-delivery absorbed; eviction degrades to recent-K loudly-by-count") {
+    import graft.streaming.Streams
+    val fpA = 0x1111222233334444L
+    val rows = Seq(
+      (1L, fpA), (2L, fpA), (3L, fpA ^ 0x7L), // hamming(1,3) = 3
+      (4L, ~fpA))                             // shares no 16-bit chunk
+      .map { case (id, fp) => (id, fp, new Timestamp(1704067200000L + id * 1000)) }
+    val expected = Set((1L, 2L, 0), (1L, 3L, 3), (2L, 3L, 3))
+    def run(batches: Seq[Seq[(Long, Long, Timestamp)]], name: String,
+            maxPerBucket: Int = 64): Set[(Long, Long, Int)] = {
+      implicit val sqlCtx = spark.sqlContext
+      spark.catalog.dropTempView(name)
+      val mem = MemoryStream[(Long, Long, Timestamp)]
+      val sq = Streams
+        .fingerprintDupStream(mem.toDF().toDF("id", "fp", "ts"),
+          nChunks = 4, maxHamming = 3, maxPerBucket = maxPerBucket,
+          "1 hour", ttlMs = 3600L * 1000)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try batches.filter(_.nonEmpty).foreach { b =>
+        mem.addData(b: _*); sq.processAllAvailable()
+      } finally sq.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    // every contiguous 2-slicing + all-at-once + one-per-batch
+    for (cut <- 0 to rows.length) {
+      assert(run(Seq(rows.take(cut), rows.drop(cut)), "fp_slice") == expected,
+        s"slicing at $cut")
+    }
+    assert(run(rows.map(Seq(_)), "fp_single") == expected)
+    // re-delivery in a later batch: pairs re-emit (set-identical), state
+    // never re-appends
+    assert(run(Seq(rows, Seq(rows.head), Seq(rows(2))), "fp_redeliver") == expected)
+    // eviction at maxPerBucket = 1 (one-per-batch to pin arrival order):
+    // each bucket holds only the most recent fingerprint, so (1,3) is
+    // LOST — the documented recall bound, visible as a smaller pair set
+    // (q202's conservation check is exactly what catches this in replays)
+    assert(run(rows.map(Seq(_)), "fp_evict", maxPerBucket = 1) ==
+      Set((1L, 2L, 0), (2L, 3L, 3)))
+  }
 }
