@@ -17,7 +17,9 @@ object SparkEntry {
     * judge r11 Next #6): a query body may `.persist()` loop-invariant /
     * multiply-referenced BOUNDED frames (currently q91, q97, q151, q165,
     * q169, q176, q182's three tier frames, q188's `members`, q192's truth/
-    * tier frames) and does NOT unpersist them — unpersisting inside the
+    * tier frames, the span family's grams frames inside Dedup.spanDups/
+    * spanIncremental — q193/q194/q196/q197 — and q199's fingerprint
+    * frame) and does NOT unpersist them — unpersisting inside the
     * query body would evict the cache before the caller's action
     * materializes the plan, which is the only moment the persist pays.
     * Consumers that run MANY registry entries in one session (Bench,

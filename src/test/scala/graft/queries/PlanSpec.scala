@@ -266,6 +266,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q98 frame dedup: keeper aggregate, no content-hash Window, pixels " +
+      "never shuffle") {
+    val df = graft.SparkEntry.queries("q98_frame_dedup")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"frame_md5 window is back:\n${p.take(600)}")
+    "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p).foreach { m =>
+      assert(!m.group(1).contains("pixels"),
+        s"pixel payload in a shuffle: ${m.matched}")
+    }
+  }
+
   test("q77 quota sample group-limits before the stratum shuffle") {
     val p = plan("q77_quota_sample")
     // rank<=quota must push WindowGroupLimit below the exchange: each map
