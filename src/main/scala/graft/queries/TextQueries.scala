@@ -36,6 +36,48 @@ object TextQueries {
   private val PiiLongId = "[0-9]{9,}"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MARKUP → TRAINING-TEXT EXTRACTION (round 13): the front-most stage
+    // of a web-corpus pipeline (C4-style, Raffel et al. 2020) — strip
+    // tags, decode the five XML entities (amp LAST — &amp;lt; must yield
+    // the literal &lt;), collapse whitespace, keep prose lines (≥ 4 words
+    // + terminal punctuation). The fixture wraps each doc's text in a
+    // deterministic page — title/nav/footer boilerplate that the line
+    // rule must DROP, an entity-laden prose line it must DECODE AND KEEP,
+    // 10-token <p> paragraphs (a short tail paragraph exercises the
+    // word-count rule) — built identically in Spark and the oracle, so
+    // the extraction chain is compared end-to-end per doc. All codegen'd
+    // string functions over the page's line array; text never shuffles
+    // (the per-doc rollup is computed in-row).
+    "q203_markup_extract" -> ((s, dir) => {
+      val w = filter(split(coalesce(col("text"), lit("")), " "), x => x =!= "")
+      val pageLines = concat(
+        array(
+          concat(lit("<html><head><title>Doc "), col("doc_id"),
+            lit("</title></head>")),
+          lit("<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a>" +
+            " | <a href=\"/c\">Contact</a></nav>"),
+          lit("<p>Tom &amp; Jerry&#39;s &quot;hi&quot; &lt;tag&gt; done.</p>")),
+        when(size(col("w")) >= 1,
+          transform(sequence(lit(1), expr("(size(w) + 9) div 10")),
+            i => concat(lit("<p>"),
+              concat_ws(" ", slice(col("w"), (i - 1) * 10 + 1, lit(10))),
+              lit(".</p>"))))
+          .otherwise(array().cast("array<string>")),
+        array(lit("<div class=\"footer\">&copy; 2024 GraftCorp</div>")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"), array_join(pageLines, "\n").as("html"))
+        .select(col("doc_id"),
+          size(split(col("html"), "\n")).cast("long").as("n_lines"),
+          graft.text.Markup.extractText(col("html"), minWords = 4).as("kept"))
+        .select(col("doc_id"), col("n_lines"),
+          size(col("kept")).cast("long").as("n_kept_lines"),
+          expr("aggregate(kept, 0, (a, l) -> a + size(split(l, ' ')))")
+            .cast("long").as("n_words_kept"),
+          array_join(col("kept"), "\n").as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // PII REDACTION AUDIT (round 10): q96 checks per-doc detection +
     // byte-exact scrub of two classes; this is the GOVERNANCE view a
     // release review reads — three ORDERED redaction classes (emails,
@@ -1010,6 +1052,52 @@ object TextQueries {
     }.mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    // the identical page build (list form — order-preserving, no unnest),
+    // then the same strip → decode(amp last) → collapse → trim → prose
+    // rule, all as list_transform/list_filter over the page lines
+    "q203_markup_extract" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |pg AS (
+        |  SELECT doc_id,
+        |    list_concat(list_concat(
+        |      ['<html><head><title>Doc ' || doc_id || '</title></head>',
+        |       '<nav><a href="/">Home</a> | <a href="/about">About</a> | <a href="/c">Contact</a></nav>',
+        |       '<p>Tom &amp; Jerry&#39;s &quot;hi&quot; &lt;tag&gt; done.</p>'],
+        |      CASE WHEN len(w) >= 1 THEN
+        |        list_transform(range(1, (len(w) + 9) // 10 + 1),
+        |          i -> '<p>' ||
+        |            array_to_string(w[CAST((i-1)*10+1 AS INT):CAST((i-1)*10+10 AS INT)], ' ')
+        |            || '.</p>')
+        |      ELSE [] END),
+        |      ['<div class="footer">&copy; 2024 GraftCorp</div>']) AS pl
+        |  FROM tk),
+        |cl AS (
+        |  SELECT doc_id, len(pl) AS n_lines,
+        |    list_transform(pl, l ->
+        |      trim(regexp_replace(
+        |        replace(replace(replace(replace(replace(
+        |          regexp_replace(l, '<[^>]*>', ' ', 'g'),
+        |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |          '&#39;', ''''), '&amp;', '&'),
+        |        '[ \t\r]+', ' ', 'g'))) AS cls
+        |  FROM pg),
+        |kp AS (
+        |  SELECT doc_id, n_lines,
+        |    list_filter(cls, c -> c <> ''
+        |      AND len(string_split(c, ' ')) >= 4
+        |      AND right(c, 1) IN ('.', '!', '?')) AS kept
+        |  FROM cl)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  CAST(coalesce(list_aggregate(
+        |    list_transform(kept, l -> len(string_split(l, ' '))), 'sum'), 0)
+        |    AS BIGINT) AS n_words_kept,
+        |  array_to_string(kept, chr(10)) AS clean_text
+        |FROM kp ORDER BY doc_id""".stripMargin,
+
     // same planting (CASE/||), same three ordered global regexp_replace
     // passes (RE2 'g' flag = Spark's replace-all default), same patterns
     "q170_pii_redaction" ->

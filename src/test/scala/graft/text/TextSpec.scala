@@ -400,4 +400,36 @@ class TextSpec extends SparkSpec {
     assert(a.semanticEquals(b))
     assert(a != SubwordStatsVocabExpr(child, vocab("th", "e")))
   }
+
+  test("markup extraction: strip-before-decode order, amp-last chain, " +
+      "malformed markup is data, C4 line rule") {
+    def clean(s: String): String =
+      one[String](Markup.cleanLine(col("t")), s)
+    // strip BEFORE decode: an encoded tag survives as literal text
+    assert(clean("<p>a &lt;script&gt; b</p>") == "a <script> b")
+    // amp decodes LAST: &amp;lt; is the literal entity, never '<'
+    assert(clean("x &amp;lt; y") == "x &lt; y")
+    // all five entities + whitespace collapse + trim
+    assert(clean("  <b>Tom &amp; Jerry&#39;s\t&quot;hi&quot;</b>  ") ==
+      "Tom & Jerry's \"hi\"")
+    // malformed: unclosed '<' tail stays verbatim (data, not an error);
+    // an attribute '>' inside a quoted value is beyond the regex contract
+    assert(clean("broken <tag") == "broken <tag")
+    // exotic entities pass through (documented boundary)
+    assert(clean("&copy; 2024") == "&copy; 2024")
+    // line rule: word minimum AND terminal punctuation
+    def kept(s: String): Seq[String] =
+      Seq(s).toDF("t").select(Markup.extractText(col("t"), 4).as("v"))
+        .collect()(0).getSeq[String](0).toSeq
+    val page = Seq(
+      "<title>Doc 7</title>",              // 2 words, no punct: drop
+      "<nav>Home | About | Contact</nav>", // no terminal punct: drop
+      "<p>this line is real prose.</p>",   // kept
+      "<p>too short.</p>",                 // 2 words: drop
+      "<p>does it end right?</p>",         // kept ('?')
+      "var x = {1};"                       // ends ';': drop (code-ish)
+    ).mkString("\n")
+    assert(kept(page) ==
+      Seq("this line is real prose.", "does it end right?"))
+  }
 }
