@@ -48,33 +48,29 @@ object TextQueries {
     // the extraction chain is compared end-to-end per doc. All codegen'd
     // string functions over the page's line array; text never shuffles
     // (the per-doc rollup is computed in-row).
-    "q203_markup_extract" -> ((s, dir) => {
-      val w = filter(split(coalesce(col("text"), lit("")), " "), x => x =!= "")
-      val pageLines = concat(
-        array(
-          concat(lit("<html><head><title>Doc "), col("doc_id"),
-            lit("</title></head>")),
-          lit("<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a>" +
-            " | <a href=\"/c\">Contact</a></nav>"),
-          lit("<p>Tom &amp; Jerry&#39;s &quot;hi&quot; &lt;tag&gt; done.</p>")),
-        when(size(col("w")) >= 1,
-          transform(sequence(lit(1), expr("(size(w) + 9) div 10")),
-            i => concat(lit("<p>"),
-              concat_ws(" ", slice(col("w"), (i - 1) * 10 + 1, lit(10))),
-              lit(".</p>"))))
-          .otherwise(array().cast("array<string>")),
-        array(lit("<div class=\"footer\">&copy; 2024 GraftCorp</div>")))
-      t(s, dir, "documents")
-        .select(col("doc_id"), w.as("w"))
-        .select(col("doc_id"), array_join(pageLines, "\n").as("html"))
-        .select(col("doc_id"),
-          size(split(col("html"), "\n")).cast("long").as("n_lines"),
-          graft.text.Markup.extractText(col("html"), minWords = 4).as("kept"))
+    "q203_markup_extract" -> ((s, dir) =>
+      markupExtracted(s, dir)
         .select(col("doc_id"), col("n_lines"),
           size(col("kept")).cast("long").as("n_kept_lines"),
           expr("aggregate(kept, 0, (a, l) -> a + size(split(l, ' ')))")
             .cast("long").as("n_words_kept"),
           array_join(col("kept"), "\n").as("clean_text"))
+        .orderBy("doc_id")),
+
+    // WEB-CURATION COMPOSITION (round 13) — the q165 discipline over the
+    // round's new stages, composed the way a web corpus is actually
+    // built: markup extraction (q203) → drop pages with no prose → exact
+    // dedup on the EXTRACTED text (identical pages collapse AFTER
+    // boilerplate removal — deduping raw HTML would miss re-skinned
+    // copies) → exact-substring span stats (q193's operator, k=8) over
+    // the cleaned corpus. Every stage is individually oracle-verified;
+    // this row pins their composition end-to-end (one chained SQL replay).
+    "q204_web_curation" -> ((s, dir) => {
+      val ext = markupExtracted(s, dir)
+        .where(size(col("kept")) > 0)
+        .select(col("doc_id"), array_join(col("kept"), " ").as("text"))
+      val surv = graft.dedup.Dedup.exactDedup(ext, col("text"), col("doc_id"))
+      graft.dedup.Dedup.spanStats(surv, col("text"), col("doc_id"), k = 8)
         .orderBy("doc_id")
     }),
 
@@ -1051,45 +1047,109 @@ object TextQueries {
       s"{'score': len(list_filter(toks, x -> list_contains($swList, x))), 'lang': '$lang'}"
     }.mkString("[", ", ", "]")
 
+  /** q203/q204's shared front half: the deterministic page per doc and
+    * its extracted prose lines — (doc_id, n_lines, kept: array<string>).
+    * ONE copy so the composition row can never drift from the extraction
+    * row. */
+  private def markupExtracted(s: SparkSession, dir: String): DataFrame = {
+    val w = filter(split(coalesce(col("text"), lit("")), " "), x => x =!= "")
+    val pageLines = concat(
+      array(
+        concat(lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title></head>")),
+        lit("<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a>" +
+          " | <a href=\"/c\">Contact</a></nav>"),
+        lit("<p>Tom &amp; Jerry&#39;s &quot;hi&quot; &lt;tag&gt; done.</p>")),
+      when(size(col("w")) >= 1,
+        transform(sequence(lit(1), expr("(size(w) + 9) div 10")),
+          i => concat(lit("<p>"),
+            concat_ws(" ", slice(col("w"), (i - 1) * 10 + 1, lit(10))),
+            lit(".</p>"))))
+        .otherwise(array().cast("array<string>")),
+      array(lit("<div class=\"footer\">&copy; 2024 GraftCorp</div>")))
+    t(s, dir, "documents")
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), array_join(pageLines, "\n").as("html"))
+      .select(col("doc_id"),
+        size(split(col("html"), "\n")).cast("long").as("n_lines"),
+        graft.text.Markup.extractText(col("html"), minWords = 4).as("kept"))
+  }
+
+  /** q203's extraction chain as SQL CTEs ending in
+    * `kp(doc_id, n_lines, kept)` — shared verbatim by the q204
+    * composition oracle. */
+  private def markupOracleCtes: String =
+    """tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |pg AS (
+      |  SELECT doc_id,
+      |    list_concat(list_concat(
+      |      ['<html><head><title>Doc ' || doc_id || '</title></head>',
+      |       '<nav><a href="/">Home</a> | <a href="/about">About</a> | <a href="/c">Contact</a></nav>',
+      |       '<p>Tom &amp; Jerry&#39;s &quot;hi&quot; &lt;tag&gt; done.</p>'],
+      |      CASE WHEN len(w) >= 1 THEN
+      |        list_transform(range(1, (len(w) + 9) // 10 + 1),
+      |          i -> '<p>' ||
+      |            array_to_string(w[CAST((i-1)*10+1 AS INT):CAST((i-1)*10+10 AS INT)], ' ') ||
+      |            '.</p>')
+      |      ELSE [] END),
+      |      ['<div class="footer">&copy; 2024 GraftCorp</div>']) AS pl
+      |  FROM tk),
+      |cl AS (
+      |  SELECT doc_id, len(pl) AS n_lines,
+      |    list_transform(pl, l ->
+      |      trim(regexp_replace(
+      |        replace(replace(replace(replace(replace(
+      |          regexp_replace(l, '<[^>]*>', ' ', 'g'),
+      |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |          '&#39;', ''''), '&amp;', '&'),
+      |        '[ \t\r]+', ' ', 'g'))) AS cls
+      |  FROM pg),
+      |kp AS (
+      |  SELECT doc_id, n_lines,
+      |    list_filter(cls, c -> c <> ''
+      |      AND len(string_split(c, ' ')) >= 4
+      |      AND right(c, 1) IN ('.', '!', '?')) AS kept
+      |  FROM cl)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // the composed replay: extraction CTEs → non-empty pages → md5
+    // min-id exact dedup on the extracted text → the shared span-dedup
+    // CTE chain (q193's oracle) over the survivors
+    "q204_web_curation" ->
+      s"""WITH $markupOracleCtes,
+        |ext AS (
+        |  SELECT doc_id, array_to_string(kept, ' ') AS text
+        |  FROM kp WHERE len(kept) > 0),
+        |reps AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        |  FROM ext),
+        |surv AS (
+        |  SELECT ext.doc_id, ext.text FROM ext
+        |  JOIN reps ON reps.doc_id = ext.doc_id AND reps.rep = ext.doc_id),
+        |${DedupQueries.spanOracleCtes("surv")},
+        |cov AS (
+        |  SELECT doc_id, count(DISTINCT p) AS n_covered FROM (
+        |    SELECT doc_id, unnest(range(pos, pos + 8)) AS p FROM dups) t
+        |  GROUP BY doc_id),
+        |dc AS (SELECT doc_id, count(*) AS n_dups FROM dups GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(greatest(len(t.w) - 7, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(dc.n_dups, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(coalesce(cov.n_covered, 0) AS BIGINT) AS n_covered_tokens,
+        |  CAST(len(t.w) - coalesce(cov.n_covered, 0) AS BIGINT) AS n_kept_tokens
+        |FROM toks t
+        |LEFT JOIN dc USING (doc_id)
+        |LEFT JOIN cov USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
     // the identical page build (list form — order-preserving, no unnest),
     // then the same strip → decode(amp last) → collapse → trim → prose
     // rule, all as list_transform/list_filter over the page lines
     "q203_markup_extract" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
-        |  FROM documents),
-        |pg AS (
-        |  SELECT doc_id,
-        |    list_concat(list_concat(
-        |      ['<html><head><title>Doc ' || doc_id || '</title></head>',
-        |       '<nav><a href="/">Home</a> | <a href="/about">About</a> | <a href="/c">Contact</a></nav>',
-        |       '<p>Tom &amp; Jerry&#39;s &quot;hi&quot; &lt;tag&gt; done.</p>'],
-        |      CASE WHEN len(w) >= 1 THEN
-        |        list_transform(range(1, (len(w) + 9) // 10 + 1),
-        |          i -> '<p>' ||
-        |            array_to_string(w[CAST((i-1)*10+1 AS INT):CAST((i-1)*10+10 AS INT)], ' ')
-        |            || '.</p>')
-        |      ELSE [] END),
-        |      ['<div class="footer">&copy; 2024 GraftCorp</div>']) AS pl
-        |  FROM tk),
-        |cl AS (
-        |  SELECT doc_id, len(pl) AS n_lines,
-        |    list_transform(pl, l ->
-        |      trim(regexp_replace(
-        |        replace(replace(replace(replace(replace(
-        |          regexp_replace(l, '<[^>]*>', ' ', 'g'),
-        |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |          '&#39;', ''''), '&amp;', '&'),
-        |        '[ \t\r]+', ' ', 'g'))) AS cls
-        |  FROM pg),
-        |kp AS (
-        |  SELECT doc_id, n_lines,
-        |    list_filter(cls, c -> c <> ''
-        |      AND len(string_split(c, ' ')) >= 4
-        |      AND right(c, 1) IN ('.', '!', '?')) AS kept
-        |  FROM cl)
+      s"""WITH $markupOracleCtes
         |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
         |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
         |  CAST(coalesce(list_aggregate(
