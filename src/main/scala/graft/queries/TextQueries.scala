@@ -66,9 +66,14 @@ object TextQueries {
     // the cleaned corpus. Every stage is individually oracle-verified;
     // this row pins their composition end-to-end (one chained SQL replay).
     "q204_web_curation" -> ((s, dir) => {
+      // the extraction chain feeds the dedup hash projection, the
+      // survivor semi-join AND the span tokenization — persist it (the
+      // q151/q169 loop-invariant lesson) or the string-heavy page build
+      // re-runs once per consumer subtree
       val ext = markupExtracted(s, dir)
         .where(size(col("kept")) > 0)
         .select(col("doc_id"), array_join(col("kept"), " ").as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val surv = graft.dedup.Dedup.exactDedup(ext, col("text"), col("doc_id"))
       graft.dedup.Dedup.spanStats(surv, col("text"), col("doc_id"), k = 8)
         .orderBy("doc_id")
