@@ -18,8 +18,9 @@ object SparkEntry {
     * multiply-referenced BOUNDED frames (currently q91, q97, q151, q165,
     * q169, q176, q182's three tier frames, q188's `members`, q192's truth/
     * tier frames, the span family's grams frames inside Dedup.spanDups/
-    * spanIncremental — q193/q194/q196/q197 — and q199's fingerprint
-    * frame) and does NOT unpersist them — unpersisting inside the
+    * spanIncremental — q193/q194/q196/q197 — q199's fingerprint frame
+    * and q204's extracted frame) and does NOT unpersist them —
+    * unpersisting inside the
     * query body would evict the cache before the caller's action
     * materializes the plan, which is the only moment the persist pays.
     * Consumers that run MANY registry entries in one session (Bench,
