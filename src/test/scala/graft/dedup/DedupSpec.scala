@@ -361,4 +361,54 @@ class DedupSpec extends SparkSpec {
     // docs 1 and 2 are the earliest occurrences: no rows at all
     assert(!out.exists(r => r._1 == 1L || r._1 == 2L))
   }
+
+  test("fingerprintPairs: pigeonhole guarantee — every pair within the " +
+      "threshold surfaces when maxHamming < nChunks, none beyond it") {
+    // 40 deterministic pseudo-random fingerprints + planted neighbors at
+    // controlled hamming distances (flip the lowest h bits): with
+    // 8 chunks, hamming ≤ 7 GUARANTEES a shared chunk — the banded pair
+    // set must equal the brute-force pair set at threshold 6 exactly
+    val base = (0L until 40L).map(i =>
+      (i, (i + 1) * -7046029254386353131L + 0x9E3779B97F4A7C15L)) // fmix-ish spread
+    val planted = Seq(
+      (100L, base(3)._2 ^ 0x3FL),  // hamming 6 from id 3: within threshold
+      (101L, base(5)._2 ^ 0x7FL),  // hamming 7: beyond threshold 6 -> out
+      (102L, base(7)._2))          // hamming 0
+    val fps = (base ++ planted).toDF("id", "fp")
+    val got = Dedup.fingerprintPairs(fps, col("id"), col("fp"),
+        maxHamming = 6, nChunks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force truth
+    val all = (base ++ planted)
+    val want = (for {
+      (a, fa) <- all; (b, fb) <- all if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 6
+    } yield (a, b, h)).toSet
+    assert(got == want, s"banded=${got.size} truth=${want.size}")
+    assert(want.contains((3L, 100L, 6)) && want.contains((7L, 102L, 0)))
+    assert(!got.exists(p => p._1 == 5L && p._2 == 101L),
+      "hamming-7 pair must be outside the threshold-6 operator")
+  }
+
+  test("span keeper aggregate: a hot fingerprint (many occurrences of one " +
+      "gram) keeps exactly its global minimum") {
+    // one 8-token span repeated across 60 docs at varying positions — the
+    // viral-boilerplate shape the keeper aggregate exists for
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val corpus = (1L to 60L).map { id =>
+      val pad = (1L to (id % 5)).map(j => s"u${id}_$j").mkString(" ")
+      (id, if (pad.isEmpty) boiler else s"$pad $boiler")
+    }.toDF("doc_id", "text")
+    val dups = Dedup.spanDups(
+        Dedup.spanTokens(corpus, col("text"), col("doc_id")), k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // earliest-wins is lexicographic on (doc_id, pos): doc 1 (pad 1,
+    // boiler at pos 2) is the global keeper — NOT doc 5's pos-1
+    // occurrence (doc_id orders first)
+    assert(!dups.contains((1L, 2L)), "the global-minimum occurrence must survive")
+    // every other doc's boiler occurrence is a duplicate: doc id with
+    // pad p = id % 5 carries the boiler window at pos p + 1
+    val expected = (1L to 60L).map(id => (id, id % 5 + 1)).toSet - ((1L, 2L))
+    assert(dups == expected, s"got ${dups.size}, want ${expected.size}")
+  }
 }
