@@ -73,7 +73,16 @@ object Dedup {
     * dies in the map stage; earliest-wins is [[spanDupsOfGrams]]'s
     * map-side-combinable keeper aggregate (never a per-fingerprint window
     * sort). The grams frame feeds both halves of the keeper join, so it is
-    * persisted — the fingerprint map stage runs ONCE per action. Input is
+    * persisted — the fingerprint map stage runs ONCE per action.
+    *
+    * CALLER CONTRACT (advisor r13): every call persists a grams frame
+    * (MEMORY_AND_DISK) and deliberately does NOT unpersist it — the cache
+    * must survive until the caller's action materializes the plan.
+    * Registry consumers (Bench/Verify) release it via their documented
+    * `spark.catalog.clearCache()` between queries; a library caller that
+    * invokes this repeatedly in one session must do the same (or derive
+    * grams once with [[spanGrams]], persist under its own lifecycle, and
+    * call [[spanDupsOfGrams]] — the persist-free entry point). Input is
     * [[spanTokens]] output; positions are 1-based. */
   def spanDups(toks: DataFrame, k: Int): DataFrame =
     spanDupsOfGrams(spanGrams(toks, k)

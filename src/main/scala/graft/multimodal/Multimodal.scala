@@ -272,19 +272,23 @@ object Multimodal {
     * end-to-end. Invariant under uniform volume scaling (energy scales
     * monotonically) and codec containerization; small hamming under
     * additive noise — the near-dup signal an exact PCM hash cannot see.
-    * Requires at least nWin full windows. */
-  def audioHash64(data: Array[Byte], win: Int = 64, nWin: Int = 65): Long = {
+    * Returns None when the clip carries fewer than `nWin` full windows —
+    * a short-but-valid WAV is DATA and drops like an unparseable one
+    * (advisor r13: q201's contract is "drop, don't throw"; a require here
+    * would fail the whole job on one short asset). */
+  def audioHash64(data: Array[Byte], win: Int = 64, nWin: Int = 65): Option[Long] = {
     require(nWin >= 2 && nWin <= 65, s"nWin $nWin must be in [2, 65]")
     val ws = pcmS16Windows("", data, win)
-    require(ws.length >= nWin,
-      s"audioHash64 needs $nWin full windows, got ${ws.length}")
-    var bits = 0L
-    var i = 0
-    while (i < nWin - 1) {
-      if (ws(i + 1).sum_sq > ws(i).sum_sq) bits |= 1L << i
-      i += 1
+    if (ws.length < nWin) None
+    else {
+      var bits = 0L
+      var i = 0
+      while (i < nWin - 1) {
+        if (ws(i + 1).sum_sq > ws(i).sum_sq) bits |= 1L << i
+        i += 1
+      }
+      Some(bits)
     }
-    bits
   }
 
   final case class WavAudio(channels: Int, sampleRate: Int,

@@ -178,7 +178,7 @@ object MultimodalQueries {
       val fps = audioAssets(s, dir).as[(Long, Array[Byte])]
         .flatMap { case (id, bytes) =>
           Multimodal.parseWav(bytes).toOption
-            .map(a => (id, Multimodal.audioHash64(a.data)))
+            .flatMap(a => Multimodal.audioHash64(a.data).map(h => (id, h)))
         }
         .toDF("aud_id", "fp")
       graft.dedup.Dedup.fingerprintPairs(fps, col("aud_id"), col("fp"),

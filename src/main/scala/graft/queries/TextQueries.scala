@@ -1052,11 +1052,15 @@ object TextQueries {
       s"{'score': len(list_filter(toks, x -> list_contains($swList, x))), 'lang': '$lang'}"
     }.mkString("[", ", ", "]")
 
-  /** q203/q204's shared front half: the deterministic page per doc and
-    * its extracted prose lines — (doc_id, n_lines, kept: array<string>).
-    * ONE copy so the composition row can never drift from the extraction
-    * row. */
-  private def markupExtracted(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic page per doc as a LINE ARRAY — (doc_id, pl).
+    * Shared by the batch extraction rows (q203/q204 via
+    * [[markupExtracted]]), the streaming extraction (q208) and the
+    * URL-curation composition; pure column ops, so it applies to batch
+    * and streaming frames alike. The page stays an array end-to-end
+    * (advisor r13: a "\n"-join → split round-trip would re-segment any
+    * document text that itself contains a newline — the oracle's list
+    * form never joins, so neither does the engine). */
+  private[queries] def markupPageLines(docs: DataFrame): DataFrame = {
     val w = filter(split(coalesce(col("text"), lit("")), " "), x => x =!= "")
     val pageLines = concat(
       array(
@@ -1072,22 +1076,31 @@ object TextQueries {
             lit(".</p>"))))
         .otherwise(array().cast("array<string>")),
       array(lit("<div class=\"footer\">&copy; 2024 GraftCorp</div>")))
-    t(s, dir, "documents")
+    docs
       .select(col("doc_id"), w.as("w"))
-      .select(col("doc_id"), array_join(pageLines, "\n").as("html"))
-      .select(col("doc_id"),
-        size(split(col("html"), "\n")).cast("long").as("n_lines"),
-        graft.text.Markup.extractText(col("html"), minWords = 4).as("kept"))
+      .select(col("doc_id"), pageLines.as("pl"))
   }
+
+  /** q203/q204's shared front half: the deterministic page per doc and
+    * its extracted prose lines — (doc_id, n_lines, kept: array<string>).
+    * ONE copy so the composition row can never drift from the extraction
+    * row. */
+  private[queries] def markupExtracted(s: SparkSession, dir: String): DataFrame =
+    markupPageLines(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        size(col("pl")).cast("long").as("n_lines"),
+        graft.text.Markup.extractTextOfLines(col("pl"), minWords = 4).as("kept"))
 
   /** q203's extraction chain as SQL CTEs ending in
     * `kp(doc_id, n_lines, kept)` — shared verbatim by the q204
-    * composition oracle. */
-  private def markupOracleCtes: String =
-    """tk AS (
+    * composition oracle, the streaming extraction (q208) and the URL
+    * composition; `source` is the doc relation (documents, or a sampled
+    * CTE). */
+  private[queries] def markupOracleCtes(source: String = "documents"): String =
+    s"""tk AS (
       |  SELECT doc_id,
       |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
-      |  FROM documents),
+      |  FROM $source),
       |pg AS (
       |  SELECT doc_id,
       |    list_concat(list_concat(
@@ -1124,7 +1137,7 @@ object TextQueries {
     // min-id exact dedup on the extracted text → the shared span-dedup
     // CTE chain (q193's oracle) over the survivors
     "q204_web_curation" ->
-      s"""WITH $markupOracleCtes,
+      s"""WITH ${markupOracleCtes()},
         |ext AS (
         |  SELECT doc_id, array_to_string(kept, ' ') AS text
         |  FROM kp WHERE len(kept) > 0),
@@ -1154,7 +1167,7 @@ object TextQueries {
     // then the same strip → decode(amp last) → collapse → trim → prose
     // rule, all as list_transform/list_filter over the page lines
     "q203_markup_extract" ->
-      s"""WITH $markupOracleCtes
+      s"""WITH ${markupOracleCtes()}
         |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
         |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
         |  CAST(coalesce(list_aggregate(

@@ -45,6 +45,15 @@ object Markup {
   def extractLines(html: Column): Column =
     transform(split(html, "\n"), l => cleanLine(l))
 
+  /** Per-line cleaning of a page already held as a LINE ARRAY — callers
+    * that build pages line-wise keep the array form end-to-end (advisor
+    * r13: an array_join("\n") → split("\n") round-trip would re-segment
+    * any line whose content itself contains a newline; [[cleanLine]]
+    * deliberately does not collapse \n, so the invariant must be
+    * structural, not fixture luck). */
+  def cleanLines(lines: Column): Column =
+    transform(lines, l => cleanLine(l))
+
   /** C4-style prose rule: at least `minWords` space-separated words AND
     * terminal punctuation ('.', '!', '?') — navigation, titles, footers
     * and code fragments fail it. */
@@ -56,4 +65,9 @@ object Markup {
     * order. */
   def extractText(html: Column, minWords: Int = 4): Column =
     filter(extractLines(html), l => keepLine(l, minWords))
+
+  /** [[extractText]] over a page held as a line array (no newline-join
+    * round-trip — see [[cleanLines]]). */
+  def extractTextOfLines(lines: Column, minWords: Int = 4): Column =
+    filter(cleanLines(lines), l => keepLine(l, minWords))
 }

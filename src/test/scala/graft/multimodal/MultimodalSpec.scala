@@ -235,27 +235,31 @@ class MultimodalSpec extends SparkSpec {
     // hamming-7 shell with the threshold-6 margin
     for (id <- Seq(0L, 10L, 130L, 250L, 490L, 1000L, 4990L)) {
       def base(w: Int): Int = graft.queries.MultimodalQueries.mixByte(id, 200 + w) * 100
-      val h0 = Multimodal.audioHash64(pcm(base))
-      assert(Multimodal.audioHash64(pcm(w => base(w) * 3 / 4)) == h0,
+      val h0 = Multimodal.audioHash64(pcm(base)).get
+      assert(Multimodal.audioHash64(pcm(w => base(w) * 3 / 4)).get == h0,
         s"volume scaling changed the envelope fingerprint for doc $id")
       val hj = Multimodal.audioHash64(pcm(w => base(w) +
-        graft.queries.MultimodalQueries.mixByte(id, 300 + w)))
+        graft.queries.MultimodalQueries.mixByte(id, 300 + w))).get
       assert(ham(h0, hj) <= 6, s"jitter copy drifted past the threshold: doc $id ${ham(h0, hj)}")
     }
     // sensitivity: swapping two adjacent window energies flips the bits
     // that compare them — a monotone envelope (all-ones) loses bit w when
     // window w+1 no longer exceeds window w
     val mono = pcm(w => 100 + w * 50)
-    val hMono = Multimodal.audioHash64(mono)
+    val hMono = Multimodal.audioHash64(mono).get
     assert(hMono == -1L) // 64 strictly-increasing comparisons
     val dip = pcm(w => if (w == 5) 100 + 6 * 50 else if (w == 6) 100 + 5 * 50 else 100 + w * 50)
-    val hDip = Multimodal.audioHash64(dip)
+    val hDip = Multimodal.audioHash64(dip).get
     // windows 4..6 energies: e4<e6'<e5' with e5'=e6, e6'=e5 → bit4 stays
     // (e5' > e4), bit5 flips (e6' < e5'), bit6 stays (e7 > e6')
     assert(ham(hMono, hDip) == 1 && (hDip & (1L << 5)) == 0L)
     // WAV containerization is transparent: parse(encode(pcm)) hashes equal
     val viaWav = Multimodal.parseWav(Multimodal.encodeWav(1, 16000, mono))
       .toOption.get
-    assert(Multimodal.audioHash64(viaWav.data) == hMono)
+    assert(Multimodal.audioHash64(viaWav.data).get == hMono)
+    // a short-but-valid clip is DATA: it drops (None), never throws
+    // (advisor r13 — q201's "drop, don't throw" contract)
+    assert(Multimodal.audioHash64(mono.take(64 * 64 * 2)).isEmpty)
+    assert(Multimodal.audioHash64(Array.emptyByteArray).isEmpty)
   }
 }
