@@ -18,8 +18,9 @@ object SparkEntry {
     * multiply-referenced BOUNDED frames (currently q91, q97, q151, q165,
     * q169, q176, q182's three tier frames, q188's `members`, q192's truth/
     * tier frames, the span family's grams frames inside Dedup.spanDups/
-    * spanIncremental — q193/q194/q196/q197 — q199's fingerprint frame
-    * and q204's extracted frame) and does NOT unpersist them —
+    * spanIncremental/spanSweep — q193/q194/q196/q197/q207 (q207 also the
+    * shared token frame) — q199's fingerprint frame and q204's/q210's
+    * extracted frames) and does NOT unpersist them —
     * unpersisting inside the
     * query body would evict the cache before the caller's action
     * materializes the plan, which is the only moment the persist pays.
@@ -39,7 +40,8 @@ object SparkEntry {
       graft.queries.OpsQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.RasterQueries.queries ++
-      graft.queries.FormatQueries.queries
+      graft.queries.FormatQueries.queries ++
+      graft.queries.WebQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -54,5 +56,6 @@ object SparkEntry {
       graft.queries.OpsQueries.oracle ++
       graft.queries.CurationQueries.oracle ++
       graft.queries.RasterQueries.oracle ++
-      graft.queries.FormatQueries.oracle
+      graft.queries.FormatQueries.oracle ++
+      graft.queries.WebQueries.oracle
 }

@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.Urls
+
+/** URL/host-level web curation over `documents` (judge r13 Next #1): the
+  * stage every public web pipeline (C4, RefinedWeb) runs BEFORE text-level
+  * dedup — URL canonicalization, exact URL dedup, host + registered-domain
+  * extraction, per-host document quotas — and the composed curation chain
+  * that feeds them into the q203/q204 markup→dedup→span pipeline.
+  *
+  * The synthetic corpus carries no URL column, so the fixture PLANTS a
+  * deterministic per-doc URL (the q70/q170 pattern: fake payload, real
+  * operators) with exactly the variation the operators exist to collapse:
+  * per-group scheme/host case drift, a default :443 port, a trailing
+  * slash, shuffled query-parameter order, a fragment — three syntactic
+  * variants per canonical URL — plus hot-host skew (≈40% of groups land
+  * on one co.uk host, exercising both the ccTLD registered-domain rule
+  * and the quota) and singleton paths (every 4th group stays unique).
+  * Both engines build the identical string, so canonicalization is
+  * compared end-to-end per doc.
+  */
+object WebQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Host-quota cap for q206 (standalone) and the q210 composition —
+    * interpolated into both engine and oracle so a one-sided edit reddens
+    * the row instead of silently diverging. */
+  private val HostQuota = 6
+  private val CompositionQuota = 16
+
+  /** The deterministic per-doc URL — (doc_id, url). Group = doc_id div 3:
+    * the three members render three syntactic variants of one canonical
+    * URL (unless the group is a singleton-path group, grp % 4 == 0, whose
+    * members stay unique per doc). */
+  private[queries] def urlFixture(docs: DataFrame): DataFrame = {
+    val grp = expr("doc_id div 3")
+    val hostC = when(grp % 5 < 2, lit("Media.Example.CO.UK"))
+      .otherwise(concat(lit("site"), grp % 13, lit(".example.com")))
+    val pathC = when(grp % 4 === 0, concat(lit("/p/"), col("doc_id")))
+      .otherwise(concat(lit("/a/"), grp))
+    val v = col("doc_id") % 3
+    val url =
+      when(v === 0, concat(lit("https://"), hostC, pathC, lit("?a=1&b=2")))
+        .when(v === 1, concat(lit("HTTPS://"), upper(hostC), lit(":443"),
+          pathC, lit("/?b=2&a=1")))
+        .otherwise(concat(lit("https://"), hostC, pathC, lit("?b=2&a=1#frag")))
+    docs.select(col("doc_id"), url.as("url"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // URL CANONICALIZATION + EXACT URL DEDUP (round 14): lowercase
+    // scheme/host, drop the default port, strip the trailing slash, sort
+    // query params, drop the fragment — then exact dedup on the canonical
+    // string. 100 TB shape: canonicalization is a narrow codegen'd map
+    // (zero shuffle); the dedup is the keeper-aggregate discipline — the
+    // map-side-combinable min(doc_id) per canonical URL collapses a viral
+    // URL's 10^8 copies per map partition, and occurrences mark
+    // themselves by a streaming hash probe (no per-group sort, no window).
+    "q205_url_dedup" -> ((s, dir) => {
+      val canon = urlFixture(t(s, dir, "documents"))
+        .select(col("doc_id"), Urls.canonicalize(col("url")).as("canon_url"))
+      val keep = canon.groupBy("canon_url").agg(min("doc_id").as("keep_id"))
+      canon.join(keep.hint("shuffle_hash"), Seq("canon_url"))
+        .select(col("doc_id"), col("canon_url"), col("keep_id"),
+          (col("doc_id") =!= col("keep_id")).as("is_dup"))
+        .orderBy("doc_id")
+    }),
+
+    // HOST QUOTA CURATION (round 14): host + registered-domain extraction
+    // (codegen string expressions; the ccTLD second-level heuristic is the
+    // documented offline PSL boundary) + q77's quota machinery keyed by
+    // host — exactly HostQuota docs per host, the quota winners being the
+    // host's smallest Mix64 coordinates (deterministic, nesting). The
+    // rank<=quota predicate compiles to WindowGroupLimit, so each map task
+    // forwards at most quota rows per host; host_total rides a tiny
+    // per-host rollup joined back (broadcast at any real host cardinality
+    // vs corpus size). Output: the kept docs with their host's pre-quota
+    // size — the curation decision AND its evidence in one row.
+    "q206_host_quota" -> ((s, dir) => {
+      val base = urlFixture(t(s, dir, "documents"))
+        .select(col("doc_id"), Urls.host(col("url")).as("host"))
+        .withColumn("domain", Urls.registeredDomain(col("host")))
+      val tot = base.groupBy("host").agg(count(lit(1)).as("host_total"))
+      graft.ops.Sampling.quotaSample(base, col("doc_id"), col("host"), HostQuota)
+        .join(broadcast(tot), Seq("host"))
+        .select(col("doc_id"), col("host"), col("domain"), col("rank"),
+          col("host_total"))
+        .orderBy("doc_id")
+    }),
+
+    // WEB CURATION v2 (round 14) — the complete public-pipeline order,
+    // composed: URL dedup (syntactic re-skins of one page collapse FIRST,
+    // on a canonical-string key — cheaper than any text op) → per-host
+    // quota over the URL survivors (no host dominates the corpus) →
+    // markup extraction (q203's chain) → exact dedup on the EXTRACTED
+    // text (re-skinned copies on different URLs collapse here) → q193's
+    // span stats over the cleaned survivors. Every stage is individually
+    // oracle-verified (q205/q206/q203/q20/q193); this row pins their
+    // composition end-to-end as one chained SQL replay. The extracted
+    // frame feeds the dedup hash, the survivor semi-join and the span
+    // tokenization — persisted (the q204 lesson: the string-heavy page
+    // build must not re-run once per consumer subtree).
+    "q210_web_curation_host" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val urls = urlFixture(docs)
+      val canon = urls.select(col("doc_id"),
+        Urls.canonicalize(col("url")).as("canon_url"))
+      val urlKeep = canon.groupBy("canon_url")
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val hosts = urls.join(urlKeep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), Urls.host(col("url")).as("host"))
+      val quotaIds = graft.ops.Sampling
+        .quotaSample(hosts, col("doc_id"), col("host"), CompositionQuota)
+        .select("doc_id")
+      val cur = docs.join(quotaIds, Seq("doc_id"), "left_semi")
+      val ext = TextQueries.markupPageLines(cur)
+        .select(col("doc_id"),
+          graft.text.Markup.extractTextOfLines(col("pl"), minWords = 4)
+            .as("kept"))
+        .where(size(col("kept")) > 0)
+        .select(col("doc_id"), array_join(col("kept"), " ").as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val surv = graft.dedup.Dedup.exactDedup(ext, col("text"), col("doc_id"))
+      graft.dedup.Dedup.spanStats(surv, col("text"), col("doc_id"), k = 8)
+        .orderBy("doc_id")
+    }))
+
+  /** The fixture URL build as a CTE `u(doc_id, url)` — the oracle twin of
+    * [[urlFixture]] (CASE/|| over the same arithmetic). */
+  private def urlFixtureSql(source: String): String =
+    s"""u AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'https://' || h || p || '?a=1&b=2'
+       |         WHEN doc_id % 3 = 1 THEN 'HTTPS://' || upper(h) || ':443' || p || '/?b=2&a=1'
+       |         ELSE 'https://' || h || p || '?b=2&a=1#frag' END AS url
+       |  FROM (SELECT doc_id,
+       |      CASE WHEN (doc_id // 3) % 5 < 2 THEN 'Media.Example.CO.UK'
+       |           ELSE 'site' || ((doc_id // 3) % 13) || '.example.com' END AS h,
+       |      CASE WHEN (doc_id // 3) % 4 = 0 THEN '/p/' || doc_id
+       |           ELSE '/a/' || (doc_id // 3) END AS p
+       |    FROM $source) t)""".stripMargin
+
+  /** Canonicalization as CTEs `cparts` → `canon(doc_id, canon_url)` over
+    * `u` — the exact regex/lower/sort chain of [[Urls.canonicalize]]
+    * (portable constructs only; DuckDB's RE2 and Java's regex agree on
+    * every pattern here). */
+  private def canonSql: String =
+    """cparts AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS hst,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:([0-9]+)', 1) AS prt,
+      |    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS pth,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS qry
+      |  FROM u),
+      |canon AS (
+      |  SELECT doc_id,
+      |    CASE WHEN sch = '' THEN url
+      |    ELSE sch || '://' || hst ||
+      |      CASE WHEN prt = '' OR (sch = 'http' AND prt = '80')
+      |                OR (sch = 'https' AND prt = '443')
+      |           THEN '' ELSE ':' || prt END ||
+      |      pth ||
+      |      CASE WHEN len(list_filter(string_split(qry, '&'), x -> x <> '')) > 0
+      |           THEN '?' || array_to_string(
+      |             list_sort(list_filter(string_split(qry, '&'), x -> x <> '')), '&')
+      |           ELSE '' END
+      |    END AS canon_url
+      |  FROM cparts)""".stripMargin
+
+  /** Host + registered-domain extraction as a CTE `hd(doc_id, host,
+    * domain)` over `u` — same ccTLD second-level heuristic, same suffix
+    * list ([[Urls.SecondLevelSuffixes]] interpolated, never copied). */
+  private def hostDomainSql: String = {
+    val suffixes = Urls.SecondLevelSuffixes.map(s => s"'$s'")
+      .mkString("[", ", ", "]")
+    s"""hh AS (
+       |  SELECT doc_id,
+       |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host
+       |  FROM u),
+       |hd AS (
+       |  SELECT doc_id, host,
+       |    CASE WHEN len(ls) <= 2 THEN host
+       |         WHEN list_contains($suffixes, ls[-2]) AND len(ls[-1]) = 2
+       |           THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+       |         ELSE ls[-2] || '.' || ls[-1] END AS domain
+       |  FROM (SELECT doc_id, host, string_split(host, '.') AS ls FROM hh) t)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q205_url_dedup" ->
+      s"""WITH ${urlFixtureSql("documents")},
+         |$canonSql,
+         |k AS (SELECT canon_url, min(doc_id) AS keep_id FROM canon GROUP BY 1)
+         |SELECT c.doc_id, c.canon_url, k.keep_id,
+         |  c.doc_id <> k.keep_id AS is_dup
+         |FROM canon c JOIN k USING (canon_url)
+         |ORDER BY c.doc_id""".stripMargin,
+
+    "q206_host_quota" ->
+      s"""WITH ${urlFixtureSql("documents")},
+         |$hostDomainSql,
+         |r AS (
+         |  SELECT doc_id, host, domain,
+         |    CAST(row_number() OVER (PARTITION BY host
+         |         ORDER BY ${OpsQueries.coordSql("doc_id")}, doc_id) AS INT) AS rank
+         |  FROM hd),
+         |tt AS (SELECT host, CAST(count(*) AS BIGINT) AS host_total
+         |       FROM hd GROUP BY 1)
+         |SELECT doc_id, r.host, domain, rank, host_total
+         |FROM r JOIN tt USING (host)
+         |WHERE rank <= $HostQuota ORDER BY doc_id""".stripMargin,
+
+    // the full chain replayed: url fixture → canonical dedup winners →
+    // host quota over the winners → documents filtered → the q203
+    // extraction CTEs over the curated set → md5 min-id text dedup → the
+    // shared q193 span chain over the survivors
+    "q210_web_curation_host" ->
+      s"""WITH ${urlFixtureSql("documents")},
+         |$canonSql,
+         |uk AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canon_url),
+         |$hostDomainSql,
+         |qr AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY host
+         |      ORDER BY ${OpsQueries.coordSql("doc_id")}, doc_id) AS r
+         |  FROM hd JOIN uk USING (doc_id)),
+         |cur AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  JOIN qr ON qr.doc_id = d.doc_id AND qr.r <= $CompositionQuota),
+         |${TextQueries.markupOracleCtes("cur")},
+         |ext AS (
+         |  SELECT doc_id, array_to_string(kept, ' ') AS text
+         |  FROM kp WHERE len(kept) > 0),
+         |reps AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+         |  FROM ext),
+         |surv AS (
+         |  SELECT ext.doc_id, ext.text FROM ext
+         |  JOIN reps ON reps.doc_id = ext.doc_id AND reps.rep = ext.doc_id),
+         |${DedupQueries.spanOracleCtes("surv")},
+         |cov AS (
+         |  SELECT doc_id, count(DISTINCT p) AS n_covered FROM (
+         |    SELECT doc_id, unnest(range(pos, pos + 8)) AS p FROM dups) t
+         |  GROUP BY doc_id),
+         |dc AS (SELECT doc_id, count(*) AS n_dups FROM dups GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+         |  CAST(greatest(len(t.w) - 7, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(dc.n_dups, 0) AS BIGINT) AS n_dup_spans,
+         |  CAST(coalesce(cov.n_covered, 0) AS BIGINT) AS n_covered_tokens,
+         |  CAST(len(t.w) - coalesce(cov.n_covered, 0) AS BIGINT) AS n_kept_tokens
+         |FROM toks t
+         |LEFT JOIN dc USING (doc_id)
+         |LEFT JOIN cov USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin)
+}

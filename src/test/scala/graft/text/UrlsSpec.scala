@@ -1,0 +1,89 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Pins [[Urls]] canonicalization + host/registered-domain semantics on
+  * the edge cases the q205/q206 fixtures cannot plant (they build
+  * well-formed URLs by construction): malformed values, ports that are
+  * NOT default, multi-slash tails, empty queries, deep ccTLD hosts. */
+class UrlsSpec extends AnyFunSuite with SparkSpec {
+
+  private def canon(urls: String*): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("url").select(Urls.canonicalize(col("url"))).as[String].collect().toSeq
+  }
+
+  private def hostDomain(urls: String*): Seq[(String, String)] = {
+    import spark.implicits._
+    urls.toDF("url").select(Urls.host(col("url")).as("h"))
+      .select(col("h"), Urls.registeredDomain(col("h")))
+      .as[(String, String)].collect().toSeq
+  }
+
+  test("canonicalize: case, default port, trailing slash, query sort, fragment") {
+    assert(canon(
+      "HTTPS://Www.Example.COM:443/A/b/?b=2&a=1#frag",
+      "https://www.example.com/A/b?a=1&b=2",
+      "http://example.com:80/",
+      "http://example.com",
+      "https://example.com:8443/x/",          // NON-default port stays
+      "http://example.com:443/x",             // 443 is not http's default
+      "https://example.com/x//",              // trailing-slash RUN strips
+      "https://example.com/x?&&",             // empty params drop
+      "https://example.com/x?single") == Seq(
+      "https://www.example.com/A/b?a=1&b=2",
+      "https://www.example.com/A/b?a=1&b=2",
+      "http://example.com",
+      "http://example.com",
+      "https://example.com:8443/x",
+      "http://example.com:443/x",
+      "https://example.com/x",
+      "https://example.com/x",
+      "https://example.com/x?single"))
+  }
+
+  test("canonicalize: path case is preserved (paths are case-sensitive; " +
+      "only scheme and host fold)") {
+    assert(canon("HTTP://EXAMPLE.COM/CaseSensitive/Path") ==
+      Seq("http://example.com/CaseSensitive/Path"))
+  }
+
+  test("canonicalize: non-URL values pass through verbatim") {
+    assert(canon("not a url", "ftp-like-no-scheme/x", "") ==
+      Seq("not a url", "ftp-like-no-scheme/x", ""))
+  }
+
+  test("host + registered domain: plain, subdomained, ccTLD second-level, " +
+      "single-label") {
+    assert(hostDomain(
+      "https://example.com/x",
+      "https://a.b.news.example.com/x",
+      "https://Media.Example.CO.UK/x",
+      "https://deep.sub.example.co.uk/x",
+      "https://example.ac.jp/x",
+      "https://localhost/x",
+      "https://co.uk/x" // a bare suffix host: nothing above it to take
+    ) == Seq(
+      ("example.com", "example.com"),
+      ("a.b.news.example.com", "example.com"),
+      ("media.example.co.uk", "example.co.uk"),
+      ("deep.sub.example.co.uk", "example.co.uk"),
+      ("example.ac.jp", "example.ac.jp"),
+      ("localhost", "localhost"),
+      ("co.uk", "co.uk")))
+  }
+
+  test("host strips ports and is lowercased; query/path/port extractors " +
+      "return '' when absent") {
+    import spark.implicits._
+    val r = Seq("HTTPS://HOST.Example.COM:8080")
+      .toDF("url")
+      .select(Urls.host(col("url")), Urls.port(col("url")),
+        Urls.path(col("url")), Urls.query(col("url")))
+      .as[(String, String, String, String)].collect().head
+    assert(r == (("host.example.com", "8080", "", "")))
+  }
+}
