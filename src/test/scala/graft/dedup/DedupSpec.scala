@@ -390,6 +390,86 @@ class DedupSpec extends SparkSpec {
       "hamming-7 pair must be outside the threshold-6 operator")
   }
 
+  test("signature index serve: Parquet round-trip of portable signatures " +
+      "is bit-identical, and the index join equals the corpus-wide " +
+      "portable pair set's corpus->batch slice") {
+    // planted corpus: ids 1-10 = ingested corpus, 11-20 = new batch, with
+    // a batch near-dup of a corpus doc and a batch exact copy of one
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val corpus = (1L to 20L).map { id =>
+      val text =
+        if (id == 15L) base + " tail15"      // near-dup of corpus doc 2
+        else if (id == 18L) base             // exact copy of corpus doc 2
+        else if (id == 2L) base
+        else s"d$id " + (1L to 10L).map(j => s"t${id}_$j").mkString(" ")
+      (id, text)
+    }.toDF("doc_id", "text")
+    val split = 11L
+    val sigs = Dedup.portableSignatures(
+      corpus.where(col("doc_id") < split), col("doc_id"), col("text"),
+      n = 3, m = 32)
+    val dir = tempDir("sigindex").toString
+    sigs.write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    // round-trip exactness: the stored longs ARE the computed longs
+    val mem = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val disk = loaded.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(mem == disk, "parquet round-trip changed a signature")
+    val batch = Dedup.portableSignatures(
+      corpus.where(col("doc_id") >= split), col("doc_id"), col("text"),
+      n = 3, m = 32)
+    val got = Dedup.minhashIndexPairsPortable(loaded, batch,
+        m = 32, bands = 8, minEstSim = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the from-scratch corpus-wide chain, sliced to corpus->batch pairs
+    val want = Dedup.minhashLshPairsPortable(corpus, col("doc_id"),
+        col("text"), n = 3, m = 32, bands = 8, minEstSim = 0.3)
+      .where(col("a_id") < split && col("b_id") >= split)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"index serve ${got.size} != from-scratch ${want.size}")
+    // the planted pairs are actually in it (exact copy at est_sim 1.0)
+    assert(got.contains((2L, 18L, 1.0)))
+    assert(got.exists(p => p._1 == 2L && p._2 == 15L))
+  }
+
+  test("spanSweep: per-k dup mass equals the per-k spanDups derivation, " +
+      "and the k-floor is visible (a short duplicate vanishes at larger k)") {
+    // doc 1/2 share an 8-token run; doc 3/4 share a 20-token run (visible
+    // at k=8 and 16, gone at 32); all tokens otherwise unique
+    val run8 = (1 to 8).map(i => s"r$i").mkString(" ")
+    val run20 = (1 to 20).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"a1 a2 $run8"), (2L, s"b1 b2 b3 $run8 b4"),
+      (3L, s"c1 $run20"), (4L, s"$run20 d1 d2"),
+      (5L, (1 to 40).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.spanSweep(corpus, col("text"), col("doc_id"),
+        ks = Seq(8, 16, 32))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def brute(k: Int): (Long, Long, Long) = {
+      val dups = Dedup.spanDups(Dedup.spanTokens(corpus, col("text"),
+          col("doc_id")), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val cov = dups.flatMap { case (d, p) => (p until p + k).map(d -> _) }
+        .distinct.length.toLong
+      (dups.length.toLong, dups.map(_._1).distinct.length.toLong, cov)
+    }
+    for (k <- Seq(8, 16, 32)) {
+      val (spans, docsWith, cov) = brute(k)
+      val (_, gSpans, gDocs, gCov) = got(k.toLong)
+      assert((gSpans, gDocs, gCov) == ((spans, docsWith, cov)), s"k=$k")
+    }
+    // k-floor: the 8-token run pairs at k=8 only; the 20-token run
+    // survives to k=16 but not k=32
+    assert(got(8L)._2 > 0 && got(16L)._2 > 0)
+    assert(got(32L)._2 == 0L, "no 32-token duplicate exists in the fixture")
+    // gram totals: sum over docs of max(0, n - k + 1)
+    val toks = Dedup.spanTokens(corpus, col("text"), col("doc_id"))
+      .collect().map(r => r.getSeq[String](1).length)
+    for (k <- Seq(8, 16, 32))
+      assert(got(k.toLong)._1 == toks.map(n => math.max(0, n - k + 1)).sum)
+  }
+
   test("span keeper aggregate: a hot fingerprint (many occurrences of one " +
       "gram) keeps exactly its global minimum") {
     // one 8-token span repeated across 60 docs at varying positions — the
