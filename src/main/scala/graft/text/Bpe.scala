@@ -45,17 +45,18 @@ object Bpe {
   /** Learn `rounds` merges from the word table. Driver state per round is
     * ONE row (the argmax pair); the returned merge list is the model. */
   def train(words: DataFrame, rounds: Int): Seq[Merge] = {
-    require(rounds >= 1 && rounds <= 64,
-      s"rounds=$rounds out of range: each BPE round is a corpus-table pass")
+    require(rounds >= 1 && rounds <= 256,
+      s"rounds=$rounds out of range: each BPE round is a word-table pass + " +
+        "one driver round-trip — 256 is the measured-practical ceiling " +
+        "(BASELINE.md round-cost curve); beyond it, batch merges per pass")
     var seqs = words.select(col("cnt"),
       expr("transform(sequence(1, char_length(word)), i -> substring(word, i, 1))")
         .as("syms"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // both consumers below read the materialized blocks
     val merges = Seq.newBuilder[Merge]
-    try {
-      var r = 1
-      var exhausted = false
-      while (r <= rounds && !exhausted) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
         val best = seqs.where(size(col("syms")) >= 2)
           .select(col("cnt"), explode(expr(
             "transform(sequence(1, size(syms) - 1), " +
@@ -69,17 +70,25 @@ object Bpe {
         else {
           val (l, rr, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
           merges += Merge(r, l, rr, c)
+          // localCheckpoint every CHECKPOINT_EVERY rounds, not persist
+          // every round: a persist chain keeps the FULL logical lineage,
+          // so round r pays Catalyst analysis over r nested merge
+          // expressions — O(rounds²) planning that measured 3.3 s/round
+          // by round 64 (r14). The periodic checkpoint bounds the lineage
+          // at ≤ 8 kernel applications (constant planning; the argmax
+          // pass recomputes at most 7 cheap merges over the compacted
+          // word table between checkpoints — the knob trades that
+          // recompute against one materialization job per round, worth it
+          // even at a 10^7-row word table since the merge kernel is a
+          // narrow codegen'd map). Superseded checkpoint blocks are GC'd
+          // by the ContextCleaner.
           val next = seqs.select(col("cnt"),
-              graft.functions.BpeMerge.bpeMerge(col("syms"), l, rr).as("syms"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize before releasing the parent round
-          seqs.unpersist()
-          seqs = next
+            graft.functions.BpeMerge.bpeMerge(col("syms"), l, rr).as("syms"))
+          seqs = if (r % 8 == 0) next.localCheckpoint() else next
           r += 1
-        }
       }
-      merges.result()
-    } finally seqs.unpersist()
+    }
+    merges.result()
   }
 
   /** [[train]] that REQUIRES all `rounds` merges to exist (advisor r11 #2):
@@ -187,28 +196,42 @@ object Bpe {
   /** Shared train-replay CTE prefix: w (word table), s1..s{rounds}
     * (symbol sequences per round), p{r}/b{r} (pair counts / argmax).
     * `recursive = true` emits WITH RECURSIVE so a caller can chain a
-    * recursive CTE (q191's greedy walk) onto the prefix. */
+    * recursive CTE (q191's greedy walk) onto the prefix.
+    *
+    * In the NON-recursive form every round CTE is AS MATERIALIZED: each
+    * s{r} is referenced twice (p{r} and s{r+1}) and each b{r} four times
+    * (the s{r+1} scalar subqueries) — DuckDB's default CTE INLINING
+    * re-expands those references, which at 5 rounds is waste and at
+    * q211's 64 rounds is an exponential plan that exhausts file handles
+    * before it exhausts time (r14 measurement: 64 inlined rounds died on
+    * fd limits; materialized, the full replay runs in seconds). The
+    * RECURSIVE form (q191) stays inlined: DuckDB 1.0.0 mis-evaluates the
+    * recursive greedy-walk's correlated scalar subquery when upstream
+    * CTEs are materialized (r14 measurement: identical trained units,
+    * yet 91→94 subwords on doc 0 — matches silently missed inside the
+    * recursion), and q191's 5-round prefix is cheap inlined. */
   private def trainingCtes(rounds: Int, recursive: Boolean = false): String = {
+    val matKw = if (recursive) "" else "MATERIALIZED "
     val cte = new StringBuilder
     cte.append(if (recursive) "WITH RECURSIVE " else "WITH ")
     cte.append(
-      """w AS (
+      s"""w AS ${matKw}(
         |  SELECT word, count(*) AS cnt FROM (
         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
-        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word),
-        |s1 AS (
+        |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+        |s1 AS ${matKw}(
         |  SELECT cnt, list_transform(range(1, len(word) + 1),
         |    i -> substring(word, CAST(i AS INT), 1)) AS syms FROM w)""".stripMargin)
     for (r <- 1 to rounds) {
       cte.append(s""",
-        |p$r AS (
+        |p$r AS ${matKw}(
         |  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
         |    sum(cnt) AS c
         |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM s$r) t
         |  GROUP BY 1, 2),
-        |b$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l ASC, r ASC LIMIT 1)""".stripMargin)
+        |b$r AS ${matKw}(SELECT l, r, c FROM p$r ORDER BY c DESC, l ASC, r ASC LIMIT 1)""".stripMargin)
       if (r < rounds) cte.append(s""",
-        |s${r + 1} AS (
+        |s${r + 1} AS ${matKw}(
         |  SELECT cnt, regexp_extract_all(
         |    replace('(' || array_to_string(syms, ')(') || ')',
         |      '(' || coalesce((SELECT l FROM b$r), chr(1)) || ')(' || coalesce((SELECT r FROM b$r), chr(1)) || ')',
