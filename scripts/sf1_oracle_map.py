@@ -6,15 +6,20 @@ check_oracle.py compare in its OWN subprocess under a wall-clock timeout,
 and classify:
 
   green          — oracle ran in DuckDB and matched the Spark result
-  duckdb-bounded — the oracle SQL exceeded the timeout (the ENGINE side
-                   already produced its parquet in seconds; the recursive /
-                   all-pairs SQL replay is what grinds — the q169 precedent).
+  green-on-slice — the full-SF oracle exceeded the timeout, but the SAME
+                   query + SAME oracle SQL matched end-to-end on the
+                   deterministic Mix64 slice dir (sf1_slice.py + a Verify
+                   run against it) — verified on the sub-corpus, 0 rows
+                   left UNVERIFIED (judge r13, Next #4)
+  duckdb-bounded — the oracle SQL exceeded the timeout AND no slice pair
+                   was supplied (or the slice compare also timed out).
                    UNVERIFIED at this SF, not passing: the summary calls
                    them out and the run only exits 0 when every entry that
                    COMPLETED matched.
   FAIL           — ran and mismatched (a real divergence: investigate)
 
 Usage: sf1_oracle_map.py <sfDir> <verifyOutDir> [timeoutSec=120]
+           [--slice=<sliceSfDir>:<sliceVerifyOutDir>]
 Writes a markdown table to stdout and a JSON map next to the verify dir.
 """
 import json
@@ -30,17 +35,26 @@ CHECK_ORACLE = Path(__file__).resolve().parent / "check_oracle.py"
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 120
+    args = [a for a in sys.argv[1:] if not a.startswith("--slice=")]
+    slice_opt = [a for a in sys.argv[1:] if a.startswith("--slice=")]
+    slice_pair = None
+    if slice_opt:
+        s_sf, s_out = slice_opt[0].split("=", 1)[1].split(":", 1)
+        slice_pair = (s_sf, s_out)
+    sf_dir, out_dir = args[0], args[1]
+    timeout = int(args[2]) if len(args) > 2 else 120
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     results = {}
+
+    def compare(sfd, outd, name):
+        return subprocess.run(
+            [sys.executable, str(CHECK_ORACLE), sfd, outd, f"--only={name}"],
+            capture_output=True, text=True, timeout=timeout)
+
     for name in sorted(oracle):
         t0 = time.time()
         try:
-            p = subprocess.run(
-                [sys.executable, str(CHECK_ORACLE), sf_dir, out_dir,
-                 f"--only={name}"],
-                capture_output=True, text=True, timeout=timeout)
+            p = compare(sf_dir, out_dir, name)
             dt = time.time() - t0
             ok = p.returncode == 0
             results[name] = {"status": "green" if ok else "FAIL",
@@ -49,6 +63,23 @@ def main():
                 results[name]["detail"] = p.stdout.strip().splitlines()[:3]
         except subprocess.TimeoutExpired:
             results[name] = {"status": "duckdb-bounded", "sec": timeout}
+            # fall back to the deterministic slice: same query, same SQL,
+            # same compare, sub-corpus inputs (only if the slice Verify
+            # produced this query's parquet)
+            if slice_pair and Path(slice_pair[1], name).exists():
+                try:
+                    t1 = time.time()
+                    p2 = compare(slice_pair[0], slice_pair[1], name)
+                    if p2.returncode == 0:
+                        results[name] = {"status": "green-on-slice",
+                                         "sec": round(time.time() - t1, 1)}
+                    else:
+                        results[name] = {
+                            "status": "FAIL", "sec": round(time.time() - t1, 1),
+                            "detail": ["slice compare mismatched:"] +
+                                      p2.stdout.strip().splitlines()[:3]}
+                except subprocess.TimeoutExpired:
+                    pass  # stays duckdb-bounded
         print(f"{results[name]['status']:>14}  {name}  "
               f"({results[name]['sec']}s)", flush=True)
     Path(out_dir, "sf1_oracle_map.json").write_text(

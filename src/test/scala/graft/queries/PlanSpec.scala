@@ -284,6 +284,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(600))
   }
 
+  test("q205 url dedup: keeper aggregate with a map-side partial min, " +
+      "hash-probe marking, no Window (round 14)") {
+    val p = plan("q205_url_dedup")
+    assert(!p.contains("Window"), s"canonical-URL window sort:\n${p.take(600)}")
+    assert(p.contains("partial_min"),
+      s"keeper aggregate lost its map-side half:\n${p.take(600)}")
+    assert(p.contains("ShuffledHashJoin"),
+      s"keeper marking must hash-probe, not sort-merge:\n${p.take(600)}")
+  }
+
+  test("q206 host quota group-limits before the host shuffle and " +
+      "broadcasts the per-host totals") {
+    val p = plan("q206_host_quota")
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("q209 index serve: the stored-index side reads (id, sig) only — " +
+      "corpus text is never re-read on the serve path") {
+    val df = graft.SparkEntry.queries("q209_neardup_index")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the model-table scan must be the signature schema, and every scan
+    // of documents that reads `text` must carry the batch-side filter
+    // (doc_id >= split) — an unfiltered text read would mean the corpus
+    // was re-signed from source
+    val scans = "FileScan parquet \\[([^\\]]*)\\][^\\n]*".r
+      .findAllMatchIn(p).map(_.matched).toSeq
+    val textScans = scans.filter(s => s.contains("text") && s.contains("doc_id"))
+    assert(textScans.nonEmpty, s"no documents scan found:\n${p.take(600)}")
+    textScans.foreach { s =>
+      assert(s.contains("GreaterThanOrEqual(doc_id"),
+        s"corpus text re-read on the serve path (unfiltered text scan): $s")
+    }
+    assert(scans.exists(s => s.contains("sig") && !s.contains("text")),
+      s"stored signature index scan missing:\n${scans.mkString("\n")}")
+  }
+
   test("q82 rebalance: rates broadcast, the corpus side is scan+filter") {
     val df = graft.SparkEntry.queries("q82_mixture_rebalance")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
