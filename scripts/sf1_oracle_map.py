@@ -19,7 +19,10 @@ and classify:
   FAIL           — ran and mismatched (a real divergence: investigate)
 
 Usage: sf1_oracle_map.py <sfDir> <verifyOutDir> [timeoutSec=120]
-           [--slice=<sliceSfDir>:<sliceVerifyOutDir>]
+           [--slice=<sliceSfDir>:<sliceVerifyOutDir>] [--only=qA,qB,...]
+--only restricts to the named entries and MERGES their fresh statuses
+into an existing sf1_oracle_map.json (re-measuring a few heavy rows at a
+higher timeout without re-burning the full sweep).
 Writes a markdown table to stdout and a JSON map next to the verify dir.
 """
 import json
@@ -35,15 +38,21 @@ CHECK_ORACLE = Path(__file__).resolve().parent / "check_oracle.py"
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--slice=")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     slice_opt = [a for a in sys.argv[1:] if a.startswith("--slice=")]
+    only_opt = [a for a in sys.argv[1:] if a.startswith("--only=")]
     slice_pair = None
     if slice_opt:
         s_sf, s_out = slice_opt[0].split("=", 1)[1].split(":", 1)
         slice_pair = (s_sf, s_out)
+    only = set(only_opt[0].split("=", 1)[1].split(",")) if only_opt else None
     sf_dir, out_dir = args[0], args[1]
     timeout = int(args[2]) if len(args) > 2 else 120
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    if only is not None:
+        missing = only - oracle.keys()
+        assert not missing, f"--only names not in oracle_sql.json: {missing}"
+        oracle = {k: v for k, v in oracle.items() if k in only}
     results = {}
 
     def compare(sfd, outd, name):
@@ -82,8 +91,12 @@ def main():
                     pass  # stays duckdb-bounded
         print(f"{results[name]['status']:>14}  {name}  "
               f"({results[name]['sec']}s)", flush=True)
-    Path(out_dir, "sf1_oracle_map.json").write_text(
-        json.dumps(results, indent=1))
+    map_path = Path(out_dir, "sf1_oracle_map.json")
+    if only is not None and map_path.exists():
+        merged = json.loads(map_path.read_text())
+        merged.update(results)
+        results = merged
+    map_path.write_text(json.dumps(results, indent=1))
     counts = {}
     for r in results.values():
         counts[r["status"]] = counts.get(r["status"], 0) + 1

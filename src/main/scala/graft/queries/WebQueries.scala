@@ -48,7 +48,8 @@ object WebQueries {
       when(v === 0, concat(lit("https://"), hostC, pathC, lit("?a=1&b=2")))
         .when(v === 1, concat(lit("HTTPS://"), upper(hostC), lit(":443"),
           pathC, lit("/?b=2&a=1")))
-        .otherwise(concat(lit("https://"), hostC, pathC, lit("?b=2&a=1#frag")))
+        .otherwise(concat(lit("https://"), hostC, pathC,
+          lit("?b=2&utm_source=feed&a=1#frag")))
     docs.select(col("doc_id"), url.as("url"))
   }
 
@@ -147,16 +148,20 @@ object WebQueries {
 
   /** Canonicalization as CTEs `cparts` → `canon(doc_id, canon_url)` over
     * `u` — the exact regex/lower/sort chain of [[Urls.canonicalize]]
-    * (portable constructs only; DuckDB's RE2 and Java's regex agree on
-    * every pattern here). */
-  private def canonSql: String =
-    """cparts AS (
+    * (portable constructs only — \A..\z anchors mean the same thing to
+    * DuckDB's RE2 and Java's regex; the tracking-param pattern is
+    * interpolated from [[Urls.TrackingParamRegex]], never copied). */
+  private def canonSql: String = {
+    // DuckDB single-quoted literals pass backslashes through verbatim —
+    // RE2 sees the same \A..\z anchors Java does
+    val keep = s"x -> x <> '' AND NOT regexp_matches(x, '${Urls.TrackingParamRegex}')"
+    s"""cparts AS (
       |  SELECT doc_id, url,
       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
       |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS hst,
       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:([0-9]+)', 1) AS prt,
-      |    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS pth,
-      |    regexp_extract(url, '\?([^#]*)', 1) AS qry
+      |    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '') AS pth,
+      |    regexp_extract(url, '\\?([^#]*)', 1) AS qry
       |  FROM u),
       |canon AS (
       |  SELECT doc_id,
@@ -166,12 +171,13 @@ object WebQueries {
       |                OR (sch = 'https' AND prt = '443')
       |           THEN '' ELSE ':' || prt END ||
       |      pth ||
-      |      CASE WHEN len(list_filter(string_split(qry, '&'), x -> x <> '')) > 0
+      |      CASE WHEN len(list_filter(string_split(qry, '&'), $keep)) > 0
       |           THEN '?' || array_to_string(
-      |             list_sort(list_filter(string_split(qry, '&'), x -> x <> '')), '&')
+      |             list_sort(list_filter(string_split(qry, '&'), $keep)), '&')
       |           ELSE '' END
       |    END AS canon_url
       |  FROM cparts)""".stripMargin
+  }
 
   /** Host + registered-domain extraction as a CTE `hd(doc_id, host,
     * domain)` over `u` — same ccTLD second-level heuristic, same suffix

@@ -42,10 +42,19 @@ object Urls {
   /** Raw query string (after ?, before #; "" when absent). */
   def query(url: Column): Column = regexp_extract(url, "\\?([^#]*)", 1)
 
-  /** Canonical query part: params split on &, empties dropped, sorted,
-    * rejoined — "?a=1&b=2" for any arrival order; "" when no params. */
+  /** Tracking parameters stripped during canonicalization — the C4/
+    * RefinedWeb discipline: two renders of one page differing only in
+    * campaign attribution are the same document. ONE definition, shared
+    * with the oracle SQL generation. Anchored full-param regex (a
+    * CONTENT value like `x=utm_source` must survive). */
+  val TrackingParamRegex: String = "\\A(utm_[a-z]+|fbclid|gclid|msclkid)=.*\\z"
+
+  /** Canonical query part: params split on &, empties and tracking params
+    * dropped, sorted, rejoined — "?a=1&b=2" for any arrival order; ""
+    * when nothing survives. */
   def canonicalQuery(url: Column): Column = {
-    val params = array_sort(filter(split(query(url), "&"), p => p =!= ""))
+    val params = array_sort(filter(split(query(url), "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRegex)))
     when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
       .otherwise(lit(""))
   }

@@ -45,6 +45,19 @@ class UrlsSpec extends AnyFunSuite with SparkSpec {
       "https://example.com/x?single"))
   }
 
+  test("canonicalize strips tracking params (utm_*/fbclid/gclid/msclkid) " +
+      "but never CONTENT values that merely mention them") {
+    assert(canon(
+      "https://example.com/x?utm_source=feed&b=2&fbclid=z123",
+      "https://example.com/x?utm_source=a&utm_medium=b&gclid=1&msclkid=2",
+      "https://example.com/x?q=utm_source&b=2", // utm_ as a VALUE survives
+      "https://example.com/x?gclid=only") == Seq(
+      "https://example.com/x?b=2",
+      "https://example.com/x",
+      "https://example.com/x?b=2&q=utm_source",
+      "https://example.com/x"))
+  }
+
   test("canonicalize: path case is preserved (paths are case-sensitive; " +
       "only scheme and host fold)") {
     assert(canon("HTTP://EXAMPLE.COM/CaseSensitive/Path") ==
