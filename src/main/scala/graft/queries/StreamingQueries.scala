@@ -522,6 +522,54 @@ object StreamingQueries {
           col("pages_md5"))
     }),
 
+    // STREAMING URL DEDUP (round 14): q205's operator at ingestion time —
+    // production web crawl dedups by canonical URL in-stream, BEFORE
+    // fetching/extracting (the cheapest place to drop a re-skinned copy).
+    // Canonicalization is the SAME stateless Urls.canonicalize column the
+    // batch row runs; the dedup state (Streams.dedupStream —
+    // dropDuplicatesWithinWatermark) holds canonical-URL KEYS only,
+    // expired by the watermark. Which syntactic variant wins is
+    // stream-order-dependent, so the result projects only the canonical
+    // key set (count + sorted-md5, the q171 shape); conservation pins
+    // distinct survivors == the batch-computed unique canonical count
+    // before any row is returned. Oracle = the batch fixture + canon
+    // chain over the same sampled WHERE, DISTINCT.
+    "q212_stream_url_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      val sampled = s.read.parquet(s"$dir/documents.parquet")
+        .where(replayFilter("doc_id"))
+      val urls = WebQueries.urlFixture(sampled)
+        .select(col("doc_id"), col("url"),
+          timestamp_micros(lit(1704067200000000L) +
+            (col("doc_id") % 3600) * 1000000L).as("ts"))
+      val rows = urls.as[(Long, String, java.sql.Timestamp)]
+        .collect().sortBy(_._1)
+      require(rows.nonEmpty, s"q212_stream_url_dedup: no documents at $dir")
+      val redelivered = rows.filter(_._1 % 4 == 0)
+      val nIn = rows.length.toLong + redelivered.length.toLong
+      val nUnique = WebQueries.urlFixture(sampled)
+        .select(graft.text.Urls.canonicalize(col("url")).as("c"))
+        .distinct().count()
+      val sink = replay(s, "q212_url_dedup", "append",
+          halves(rows) :+ redelivered.toIndexedSeq,
+          sinkDistinctCount(nUnique, lit(true)))(ds =>
+        Streams.dedupStream(
+          ds.toDF("doc_id", "url", "ts")
+            .select(col("doc_id"),
+              graft.text.Urls.canonicalize(col("url")).as("canon_url"),
+              col("ts")),
+          Seq("canon_url"), "ts", "2 hours"))
+      sink.select(col("canon_url")).distinct()
+        .agg(count(lit(1)).as("n_unique_urls"),
+          md5(concat_ws(";", sort_array(collect_list(col("canon_url")))))
+            .as("uniq_md5"))
+        .select(lit(nIn).as("n_in"),
+          col("n_unique_urls").cast("long").as("n_unique_urls"),
+          (lit(nIn) - col("n_unique_urls")).cast("long").as("n_dup_urls"),
+          col("uniq_md5"))
+    }),
+
     "q92_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.Streams
@@ -1065,6 +1113,22 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     // batch DISTINCT over the same sampled WHERE — n_in recomputed from
     // the filter, survivors by sorted-hash md5
+    // the batch fixture + canonicalization chain (WebQueries' CTEs — the
+    // SAME SQL q205 is verified by) over the sampled WHERE, DISTINCT'd
+    "q212_stream_url_dedup" ->
+      s"""WITH docs_s AS (
+        |  SELECT doc_id FROM documents WHERE ${replayWhereSql("doc_id")}),
+        |${WebQueries.urlFixtureSql("docs_s")},
+        |${WebQueries.canonSql},
+        |fed AS (SELECT doc_id FROM docs_s
+        |        UNION ALL SELECT doc_id FROM docs_s WHERE doc_id % 4 = 0),
+        |cu AS (SELECT DISTINCT canon_url FROM canon)
+        |SELECT CAST((SELECT count(*) FROM fed) AS BIGINT) AS n_in,
+        |  CAST(count(*) AS BIGINT) AS n_unique_urls,
+        |  CAST((SELECT count(*) FROM fed) - count(*) AS BIGINT) AS n_dup_urls,
+        |  md5(string_agg(canon_url, ';' ORDER BY canon_url)) AS uniq_md5
+        |FROM cu""".stripMargin,
+
     "q171_stream_dedup" ->
       s"""WITH sampled AS (
         |  SELECT doc_id, md5(text) AS h FROM documents

@@ -133,12 +133,12 @@ object WebQueries {
 
   /** The fixture URL build as a CTE `u(doc_id, url)` — the oracle twin of
     * [[urlFixture]] (CASE/|| over the same arithmetic). */
-  private def urlFixtureSql(source: String): String =
+  private[queries] def urlFixtureSql(source: String): String =
     s"""u AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 3 = 0 THEN 'https://' || h || p || '?a=1&b=2'
        |         WHEN doc_id % 3 = 1 THEN 'HTTPS://' || upper(h) || ':443' || p || '/?b=2&a=1'
-       |         ELSE 'https://' || h || p || '?b=2&a=1#frag' END AS url
+       |         ELSE 'https://' || h || p || '?b=2&utm_source=feed&a=1#frag' END AS url
        |  FROM (SELECT doc_id,
        |      CASE WHEN (doc_id // 3) % 5 < 2 THEN 'Media.Example.CO.UK'
        |           ELSE 'site' || ((doc_id // 3) % 13) || '.example.com' END AS h,
@@ -151,7 +151,7 @@ object WebQueries {
     * (portable constructs only — \A..\z anchors mean the same thing to
     * DuckDB's RE2 and Java's regex; the tracking-param pattern is
     * interpolated from [[Urls.TrackingParamRegex]], never copied). */
-  private def canonSql: String = {
+  private[queries] def canonSql: String = {
     // DuckDB single-quoted literals pass backslashes through verbatim —
     // RE2 sees the same \A..\z anchors Java does
     val keep = s"x -> x <> '' AND NOT regexp_matches(x, '${Urls.TrackingParamRegex}')"

@@ -89,6 +89,56 @@ class UrlsSpec extends AnyFunSuite with SparkSpec {
       ("co.uk", "co.uk")))
   }
 
+  test("canonicalize over the full component lattice (5376 URLs): matches " +
+      "an independent JVM reference and is idempotent") {
+    import spark.implicits._
+    // independent reference: plain-JVM string logic, no shared code with
+    // the Column implementation (the TextStats property-test discipline)
+    def ref(u: String): String = {
+      val m = "^([A-Za-z][A-Za-z0-9+.-]*)://".r.findFirstMatchIn(u)
+      if (m.isEmpty) return u
+      val sch = m.get.group(1).toLowerCase
+      val rest = u.substring(m.get.end)
+      val auth = rest.takeWhile(c => c != '/' && c != '?' && c != '#')
+      val (host, port) = auth.indexOf(':') match {
+        case -1 => (auth.toLowerCase, "")
+        case i => (auth.take(i).toLowerCase, auth.drop(i + 1))
+      }
+      val afterAuth = rest.drop(auth.length)
+      val path0 = afterAuth.takeWhile(c => c != '?' && c != '#')
+      val path = path0.reverse.dropWhile(_ == '/').reverse
+      val qRaw = afterAuth.drop(path0.length) match {
+        case s if s.startsWith("?") => s.drop(1).takeWhile(_ != '#')
+        case _ => ""
+      }
+      val params = qRaw.split("&").filter(p => p.nonEmpty &&
+        !p.matches("(utm_[a-z]+|fbclid|gclid|msclkid)=.*")).sorted
+      val portPart =
+        if (port.isEmpty || (sch == "http" && port == "80") ||
+          (sch == "https" && port == "443")) "" else ":" + port
+      sch + "://" + host + portPart + path +
+        (if (params.nonEmpty) "?" + params.mkString("&") else "")
+    }
+    val urls = for {
+      sch <- Seq("https", "HTTPS", "Http", "http")
+      host <- Seq("Example.COM", "sub.Example.co.uk", "LOCALHOST", "a.b.C.net")
+      port <- Seq("", ":443", ":80", ":8080")
+      path <- Seq("", "/", "/A/b", "/A/b/", "/x//", "/p/1")
+      q <- Seq("", "?", "?a=1&b=2", "?b=2&a=1", "?b=2&utm_source=x&a=1",
+        "?utm_source=x", "?a=1&&b=2")
+      frag <- Seq("", "#f")
+    } yield s"$sch://$host$port$path$q$frag"
+    assert(urls.length == 5376)
+    val got = urls.toDF("url")
+      .select(col("url"), Urls.canonicalize(col("url")).as("c"))
+      .select(col("url"), col("c"), Urls.canonicalize(col("c")).as("cc"))
+      .as[(String, String, String)].collect()
+    got.foreach { case (u, c, cc) =>
+      assert(c == ref(u), s"engine vs reference diverged on $u: $c != ${ref(u)}")
+      assert(cc == c, s"not idempotent on $u: $c -> $cc")
+    }
+  }
+
   test("host strips ports and is lowercased; query/path/port extractors " +
       "return '' when absent") {
     import spark.implicits._
