@@ -39,18 +39,40 @@ object Bench {
     * the post-guard MEDIAN was still the spike). When the median is >3×
     * the query's corroborated history AND the run's control queries
     * measured calm (≤1.3× their own history — so the host, not the code,
-    * is the only suspect), keep the SMALLEST successful rep: the extra
-    * guard reps escape the spike window, and a genuine 3× regression keeps
-    * a 3×-slow minimum anyway, so nothing real is hidden. On a non-calm
-    * run (controls inflated too) the median stands — min-reporting there
-    * would understate a loaded-host artifact across the board. */
-  def adjudicate(times: Seq[Double], hist: Option[Double],
+    * is the only suspect), the POST-GUARD reps adjudicate: if their own
+    * median corroborates the run's fastest rep (≤1.5×), report that
+    * post-guard MEDIAN — a corroborated re-measurement outside the spike
+    * window, NOT the single luckiest rep (advisor r14 #1: raw-min
+    * reporting hid intermittent regressions — a change slow on 3 of 5
+    * reps reported the lucky fast one — and min-merged history ratcheted
+    * downward). An intermittent real regression puts slow readings into
+    * the post-guard reps too, so their median stays slow and the overall
+    * median stands; a genuine uniform 3× regression corroborates a
+    * 3×-slow minimum, so nothing real is hidden either way. On a
+    * non-calm run (controls inflated too) the median always stands. */
+  def adjudicate(times: Seq[Double], postGuard: Seq[Double], hist: Option[Double],
                  controlsCalm: Boolean): Double = {
     val m = med(times)
     val good = times.filter(_ >= 0.0)
     val ambient =
       controlsCalm && good.nonEmpty && hist.exists(h => h >= 0.05 && m > 3.0 * h)
-    if (ambient) good.min else m
+    if (!ambient) m
+    else {
+      val post = postGuard.filter(_ >= 0.0)
+      val corroborated = post.length >= 2 && med(post) <= 1.5 * good.min
+      if (corroborated) med(post) else m
+    }
+  }
+
+  /** Ambient inflation of this run's windows, from the controls' measured
+    * median ÷ history ratios (geometric mean, floored at 1.0 — a FASTER-
+    * than-history control never deflates the total). Feeds the artifact's
+    * `value_normalized` field (judge r14 Next #6) so cross-round
+    * comparison of hot-window runs stops needing manual adjudication. */
+  def inflation(ratios: Seq[Double]): Double = {
+    val g = ratios.filter(r => r > 0.0 && !r.isNaN && !r.isInfinite)
+    if (g.isEmpty) 1.0
+    else math.max(1.0, math.exp(g.map(math.log).sum / g.length))
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -208,24 +230,43 @@ object Bench {
     // enough that a later >3× outlier is the HOST's fault, unlocking
     // min-rep adjudication in [[adjudicate]]. Without history (first
     // round, foreign SF) the run is conservatively non-calm.
-    val controlsCalm: Boolean = {
+    // per-control measured-median / history ratio; None when the control
+    // has no usable history or ANY of its reps failed — a fast FAILURE
+    // must not certify a calm window (advisor r14 #2: the old path timed
+    // the failed attempt, and a missing-fixture error measured "calm")
+    val controlRatios: Seq[Option[Double]] = {
       val controls = Seq("q30_token_stats", "q45_salted_agg")
-      val calm = controls.forall { cn =>
+      val rs = controls.map { cn =>
         (SparkEntry.queries.get(cn), history.get(cn.takeWhile(_ != '_'))) match {
           case (Some(fn), Some(h)) if h >= 0.05 =>
             val ts = (1 to 3).map { _ =>
               val t0 = System.nanoTime()
-              try { materialize(fn(spark, sfDir)) } catch { case _: Exception => () }
-              (System.nanoTime() - t0) / 1e9
+              val ok =
+                try { materialize(fn(spark, sfDir)); true }
+                catch { case e: Exception =>
+                  System.err.println(s"[bench] control $cn FAILED: ${e.getMessage}")
+                  false
+                }
+              if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
             }
-            med(ts) <= 1.3 * h
-          case _ => false
+            if (ts.forall(_ >= 0.0)) Some(med(ts) / h) else None
+          case _ => None
         }
       }
       spark.catalog.clearCache()
-      System.err.println(s"[bench] controls calm: $calm")
-      calm
+      rs
     }
+    val controlsCalm: Boolean = controlRatios.forall(_.exists(_ <= 1.3))
+    // geometric-mean window inflation (1.0 when any control is unusable —
+    // an unknown window is reported raw, never "normalized" by guesswork)
+    val runInflation: Double =
+      if (controlRatios.exists(_.isEmpty)) 1.0
+      else inflation(controlRatios.flatten)
+    System.err.println(f"[bench] controls calm: $controlsCalm " +
+      f"(inflation ${runInflation}%.2fx)")
+    // name -> (rejected median, reported value) for every ambient-
+    // adjudicated query this run — emitted into the artifact
+    val adjudicated = scala.collection.mutable.Map.empty[String, (Double, Double)]
     val results = selected.map { case (name, fn) =>
       def rep(): Double = {
         val t0 = System.nanoTime()
@@ -265,20 +306,27 @@ object Bench {
       // (short-key lookup) → re-measure with 2 extra reps. The 0.05 s floor
       // keeps sub-tick noise from triggering it.
       val hist = history.get(name.takeWhile(_ != '_'))
+      var postGuard = Seq.empty[Double]
       hist.filter(h => h >= 0.05 && med(times) > 3.0 * h).foreach { h =>
         System.err.println(
           f"[bench] $name median ${med(times)}%.2f s is >3x its previous-round " +
             f"$h%.2f s: running 2 extra reps")
-        times = times ++ (1 to 2).map(_ => rep())
+        postGuard = (1 to 2).map(_ => rep())
+        times = times ++ postGuard
       }
       // median of the successful reps (-1 only if every rep failed) —
-      // min-rep on a calm-control run whose median is still >3x history
-      // (the q191 ambient scenario; see adjudicate's scaladoc)
-      val adj = adjudicate(times, hist, controlsCalm)
-      if (adj != med(times))
+      // post-guard-corroborated re-measurement on a calm-control run whose
+      // median is still >3x history (the q191 ambient scenario; see
+      // adjudicate's scaladoc). Adjudicated entries are FLAGGED in the
+      // artifact (advisor r14 #1) so history consumers can tell a
+      // re-measured value from a raw median.
+      val adj = adjudicate(times, postGuard, hist, controlsCalm)
+      if (adj != med(times)) {
         System.err.println(
           f"[bench] $name median ${med(times)}%.2f s >3x history on a " +
-            f"calm-control run: ambient-adjudicated to min rep $adj%.2f s")
+            f"calm-control run: ambient-adjudicated to post-guard median $adj%.2f s")
+        adjudicated += name -> ((med(times), adj))
+      }
       val out = name -> adj
       // release this query's persisted frames (q151/q165/q169/q176-style
       // loop-invariant caches): unreleased they accumulate for the whole
@@ -311,7 +359,20 @@ object Bench {
     // independent runs agree" from "one run read twice" (advisor r13 #3)
     val runId = java.util.UUID.randomUUID().toString.take(8) +
       "-" + System.currentTimeMillis()
-    val detail = s"""{"metric":"total_detail","value":${ms(total)},"unit":"sec","run_id":"$runId","queries":$qs,"sf":"$sfDir"}"""
+    // value_normalized = total ÷ the controls' measured window inflation
+    // (judge r14 Next #6): a hot-window artifact carries its own
+    // correction factor, so cross-round totals compare without manual
+    // adjudication. Raw value stays the value of record.
+    val normFields = s""","value_normalized":${ms(total / runInflation)},"control_inflation":${ms(runInflation)}"""
+    // adjudicated entries: {"qNN":[rejected_median, reported]} — flags
+    // every ambient-adjudicated value so history consumers can tell a
+    // post-guard re-measurement from a raw median (advisor r14 #1)
+    val adjField =
+      if (adjudicated.isEmpty) ""
+      else adjudicated.toSeq.sortBy(_._1).map { case (k, (m, v)) =>
+        "\"" + shortKey(k) + "\":[" + ms(m) + "," + ms(v) + "]"
+      }.mkString(""","adjudicated":{""", ",", "}")
+    val detail = s"""{"metric":"total_detail","value":${ms(total)}$normFields,"unit":"sec","run_id":"$runId"$adjField,"queries":$qs,"sf":"$sfDir"}"""
     println(detail)
     // The driver records only a bounded TAIL of stdout, and at 180+ queries
     // the per-query line above is ~3 KB — r10's artifact lost the line's
@@ -320,7 +381,7 @@ object Bench {
     // is, the last ~100 bytes are always inside it, so the driver's
     // single-line JSON parse finds a complete object with the total. This
     // is the ONE line tagged "total" (the driver contract's line).
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.length},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"value_normalized":${ms(total / runInflation)},"unit":"sec","n":${results.length},"sf":"$sfDir"}""")
     // Belt and braces (judge r11, Next #1): the full object as a FILE, so
     // the totals survive any stdout windowing/wrapping the harness applies.
     // FULL-REGISTRY runs only: a builder-side SPARK_GRAFT_BENCH_ONLY

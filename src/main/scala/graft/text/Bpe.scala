@@ -53,7 +53,14 @@ object Bpe {
       expr("transform(sequence(1, char_length(word)), i -> substring(word, i, 1))")
         .as("syms"))
       .localCheckpoint() // both consumers below read the materialized blocks
+    // the checkpointed frame currently holding blocks — released
+    // DETERMINISTICALLY when superseded or on exit (advisor r14 #5: leaving
+    // superseded checkpoint RDDs to driver-GC/ContextCleaner made memory
+    // pressure in a 200+-query session nondeterministic, and
+    // spark.catalog.clearCache() does not clear checkpoint blocks)
+    var liveCp = seqs
     val merges = Seq.newBuilder[Merge]
+    try {
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
@@ -80,16 +87,35 @@ object Bpe {
           // word table between checkpoints — the knob trades that
           // recompute against one materialization job per round, worth it
           // even at a 10^7-row word table since the merge kernel is a
-          // narrow codegen'd map). Superseded checkpoint blocks are GC'd
-          // by the ContextCleaner.
+          // narrow codegen'd map). The superseded checkpoint's blocks are
+          // released EXPLICITLY once the new one has materialized (the
+          // eager localCheckpoint call returns only after its blocks
+          // exist, so nothing can still need the old ones).
           val next = seqs.select(col("cnt"),
             graft.functions.BpeMerge.bpeMerge(col("syms"), l, rr).as("syms"))
-          seqs = if (r % 8 == 0) next.localCheckpoint() else next
+          if (r % 8 == 0) {
+            val cp = next.localCheckpoint()
+            unpersistCheckpoint(liveCp)
+            liveCp = cp
+            seqs = cp
+          } else seqs = next
           r += 1
       }
     }
+    } finally unpersistCheckpoint(liveCp)
     merges.result()
   }
+
+  /** Release a localCheckpoint'd frame's cached RDD blocks. The checkpoint
+    * lives as the `rdd` of the frame's LogicalRDD leaf; a frame of any
+    * other shape (never produced here) is a silent no-op rather than an
+    * error — cleanup must not fail training. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 
   /** [[train]] that REQUIRES all `rounds` merges to exist (advisor r11 #2):
     * the generated DuckDB oracles replay exactly `rounds` merges, so a
