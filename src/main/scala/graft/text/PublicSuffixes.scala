@@ -1,0 +1,191 @@
+package graft.text
+
+/** Public-suffix table for registered-domain extraction — the model-as-data
+  * pattern (q200's discipline: the model ships as a committed table, both
+  * engines consume the SAME rows, drift is impossible by construction).
+  *
+  * Contents: a SNAPSHOT SUBSET of the ICANN section of the Public Suffix
+  * List (publicsuffix.org — public data, CC0-style terms for the list
+  * itself), restricted to TWO-LABEL rules: the `<suffix>.<cc>` second-level
+  * registration pattern (`co.uk`, `com.au`, `go.jp`, …) that dominates
+  * real web corpora. Documented boundaries of the snapshot:
+  *   - single-label rules need no table (every TLD is a public suffix —
+  *     the default rule, applied structurally by
+  *     [[Urls.registeredDomain]]);
+  *   - three-plus-label rules (US k12 districts, JP prefecture cities) and
+  *     wildcard/exception rules (`*.ck`, `!www.ck`) are OUT of the
+  *     snapshot — hosts under them resolve one label short, exactly as
+  *     any offline PSL subset would;
+  *   - the PRIVATE section (github.io, blogspot.com, …) is out of scope
+  *     by design: per-host curation quotas want the OPERATOR (github.io),
+  *     not the tenant, as the key.
+  *
+  * This environment has no egress, so the snapshot is compiled in rather
+  * than fetched; swapping in a fresher file is a one-constant change, and
+  * the oracle SQL interpolates THIS seq ([[Urls]] call sites), so engine
+  * and oracle can never disagree about the table contents.
+  */
+object PublicSuffixes {
+
+  /** Two-label public suffixes, grouped by ccTLD. Kept sorted within each
+    * group for diff-ability; the consumer treats it as a set. */
+  val TwoLabel: Seq[String] = Seq(
+    // .uk
+    "ac.uk", "co.uk", "gov.uk", "ltd.uk", "me.uk", "net.uk", "nhs.uk",
+    "org.uk", "plc.uk", "police.uk", "sch.uk",
+    // .au
+    "asn.au", "com.au", "edu.au", "gov.au", "id.au", "net.au", "org.au",
+    // .nz
+    "ac.nz", "co.nz", "cri.nz", "geek.nz", "gen.nz", "govt.nz", "health.nz",
+    "iwi.nz", "kiwi.nz", "maori.nz", "mil.nz", "net.nz", "org.nz",
+    "parliament.nz", "school.nz",
+    // .jp
+    "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp", "ne.jp",
+    "or.jp",
+    // .kr
+    "ac.kr", "co.kr", "es.kr", "go.kr", "hs.kr", "kg.kr", "mil.kr", "ms.kr",
+    "ne.kr", "or.kr", "pe.kr", "re.kr", "sc.kr",
+    // .cn
+    "ac.cn", "com.cn", "edu.cn", "gov.cn", "mil.cn", "net.cn", "org.cn",
+    // .tw
+    "com.tw", "edu.tw", "gov.tw", "idv.tw", "mil.tw", "net.tw", "org.tw",
+    // .hk
+    "com.hk", "edu.hk", "gov.hk", "idv.hk", "net.hk", "org.hk",
+    // .sg
+    "com.sg", "edu.sg", "gov.sg", "net.sg", "org.sg", "per.sg",
+    // .my
+    "com.my", "edu.my", "gov.my", "mil.my", "name.my", "net.my", "org.my",
+    // .id
+    "ac.id", "biz.id", "co.id", "desa.id", "go.id", "mil.id", "my.id",
+    "net.id", "or.id", "ponpes.id", "sch.id", "web.id",
+    // .th
+    "ac.th", "co.th", "go.th", "in.th", "mi.th", "net.th", "or.th",
+    // .vn
+    "ac.vn", "biz.vn", "com.vn", "edu.vn", "gov.vn", "health.vn", "info.vn",
+    "int.vn", "name.vn", "net.vn", "org.vn", "pro.vn",
+    // .ph
+    "com.ph", "edu.ph", "gov.ph", "i.ph", "mil.ph", "net.ph", "ngo.ph",
+    "org.ph",
+    // .in
+    "ac.in", "co.in", "edu.in", "firm.in", "gen.in", "gov.in", "ind.in",
+    "mil.in", "net.in", "nic.in", "org.in", "res.in",
+    // .pk
+    "biz.pk", "com.pk", "edu.pk", "fam.pk", "gov.pk", "info.pk", "net.pk",
+    "org.pk", "web.pk",
+    // .bd
+    "ac.bd", "com.bd", "edu.bd", "gov.bd", "mil.bd", "net.bd", "org.bd",
+    // .lk
+    "ac.lk", "assn.lk", "com.lk", "edu.lk", "gov.lk", "grp.lk", "hotel.lk",
+    "int.lk", "ltd.lk", "net.lk", "ngo.lk", "org.lk", "sch.lk", "soc.lk",
+    "web.lk",
+    // .np
+    "com.np", "edu.np", "gov.np", "mil.np", "net.np", "org.np",
+    // .ir
+    "ac.ir", "co.ir", "gov.ir", "id.ir", "net.ir", "org.ir", "sch.ir",
+    // .kz
+    "com.kz", "edu.kz", "gov.kz", "mil.kz", "net.kz", "org.kz",
+    // .il
+    "ac.il", "co.il", "gov.il", "idf.il", "k12.il", "muni.il", "net.il",
+    "org.il",
+    // .sa
+    "com.sa", "edu.sa", "gov.sa", "med.sa", "net.sa", "org.sa", "pub.sa",
+    "sch.sa",
+    // .ae
+    "ac.ae", "co.ae", "gov.ae", "mil.ae", "net.ae", "org.ae", "sch.ae",
+    // .tr
+    "av.tr", "bbs.tr", "bel.tr", "biz.tr", "com.tr", "dr.tr", "edu.tr",
+    "gen.tr", "gov.tr", "info.tr", "k12.tr", "mil.tr", "name.tr", "net.tr",
+    "org.tr", "pol.tr", "tel.tr", "tv.tr", "web.tr",
+    // .eg
+    "com.eg", "edu.eg", "eun.eg", "gov.eg", "mil.eg", "name.eg", "net.eg",
+    "org.eg", "sci.eg",
+    // .za
+    "ac.za", "co.za", "edu.za", "gov.za", "net.za", "org.za", "web.za",
+    // .ng
+    "com.ng", "edu.ng", "gov.ng", "i.ng", "mil.ng", "mobi.ng", "name.ng",
+    "net.ng", "org.ng", "sch.ng",
+    // .ke
+    "ac.ke", "co.ke", "go.ke", "info.ke", "me.ke", "mobi.ke", "ne.ke",
+    "or.ke", "sc.ke",
+    // .gh
+    "com.gh", "edu.gh", "gov.gh", "mil.gh", "org.gh",
+    // .tz
+    "ac.tz", "co.tz", "go.tz", "hotel.tz", "info.tz", "me.tz", "mil.tz",
+    "mobi.tz", "ne.tz", "or.tz", "sc.tz", "tv.tz",
+    // .br
+    "adv.br", "com.br", "edu.br", "gov.br", "mil.br", "net.br", "org.br",
+    // .mx
+    "com.mx", "edu.mx", "gob.mx", "net.mx", "org.mx",
+    // .ar
+    "com.ar", "edu.ar", "gob.ar", "int.ar", "mil.ar", "net.ar", "org.ar",
+    "tur.ar",
+    // .co (Colombia)
+    "arts.co", "com.co", "edu.co", "firm.co", "gov.co", "info.co", "int.co",
+    "mil.co", "net.co", "nom.co", "org.co", "rec.co", "web.co",
+    // .pe
+    "com.pe", "edu.pe", "gob.pe", "mil.pe", "net.pe", "nom.pe", "org.pe",
+    // .cl
+    "gob.cl", "gov.cl", "mil.cl",
+    // .ve
+    "co.ve", "com.ve", "edu.ve", "gob.ve", "info.ve", "mil.ve", "net.ve",
+    "org.ve", "web.ve",
+    // .uy
+    "com.uy", "edu.uy", "gub.uy", "mil.uy", "net.uy", "org.uy",
+    // .ec
+    "com.ec", "edu.ec", "fin.ec", "gob.ec", "gov.ec", "info.ec", "k12.ec",
+    "med.ec", "mil.ec", "net.ec", "org.ec", "pro.ec",
+    // .ru
+    "ac.ru", "com.ru", "edu.ru", "gov.ru", "int.ru", "mil.ru", "net.ru",
+    "org.ru", "pp.ru",
+    // .ua
+    "com.ua", "edu.ua", "gov.ua", "in.ua", "net.ua", "org.ua",
+    // .pl
+    "biz.pl", "com.pl", "edu.pl", "gov.pl", "info.pl", "mil.pl", "net.pl",
+    "org.pl", "waw.pl",
+    // .gr
+    "com.gr", "edu.gr", "gov.gr", "net.gr", "org.gr",
+    // .pt
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "nome.pt", "org.pt",
+    "publ.pt",
+    // .ro
+    "arts.ro", "com.ro", "firm.ro", "info.ro", "nom.ro", "nt.ro", "org.ro",
+    "rec.ro", "store.ro", "tm.ro",
+    // .hu
+    "co.hu", "info.hu", "org.hu", "priv.hu", "sport.hu", "tm.hu",
+    // .lv
+    "asn.lv", "com.lv", "conf.lv", "edu.lv", "gov.lv", "id.lv", "mil.lv",
+    "net.lv", "org.lv",
+    // .ee
+    "com.ee", "edu.ee", "fie.ee", "gov.ee", "lib.ee", "med.ee", "org.ee",
+    "pri.ee", "riik.ee",
+    // .lt
+    "gov.lt",
+    // .ie
+    "gov.ie",
+    // .hr
+    "com.hr", "from.hr", "iz.hr", "name.hr",
+    // .rs
+    "ac.rs", "co.rs", "edu.rs", "gov.rs", "in.rs", "org.rs",
+    // .ba
+    "com.ba", "edu.ba", "gov.ba", "mil.ba", "net.ba", "org.ba",
+    // .mk
+    "com.mk", "edu.mk", "gov.mk", "inf.mk", "name.mk", "net.mk", "org.mk",
+    // .es
+    "com.es", "edu.es", "gob.es", "nom.es", "org.es",
+    // .fr
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    // .it
+    "edu.it", "gov.it",
+    // .at
+    "ac.at", "co.at", "gv.at", "or.at",
+    // .be
+    "ac.be",
+    // .no
+    "dep.no", "herad.no", "kommune.no", "mil.no", "priv.no", "stat.no",
+    // .ca (provinces + federal)
+    "ab.ca", "bc.ca", "gc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca", "ns.ca",
+    "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yk.ca")
+
+  /** Membership set (the [[Urls.registeredDomain]] probe side). */
+  val TwoLabelSet: Set[String] = TwoLabel.toSet
+}
