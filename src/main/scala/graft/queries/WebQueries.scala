@@ -232,14 +232,20 @@ object WebQueries {
     * public-suffix-plus-one rule, the suffix table interpolated from the
     * ONE committed snapshot ([[graft.text.PublicSuffixes.TwoLabel]]),
     * never copied. */
-  private def hostDomainSql: String = {
-    val suffixes = graft.text.PublicSuffixes.TwoLabel.map(s => s"'$s'")
-      .mkString("[", ", ", "]")
+  /** Canonical-host extraction alone, as a CTE `hh(doc_id, host)` over
+    * `u` — the oracle twin of [[Urls.canonicalHost]] (q213's streaming
+    * quota replays the batch rule over exactly this host key). */
+  private[queries] def hostCanonSql: String =
     s"""hh AS (
        |  SELECT doc_id, ${foldWwwSql("h0")} AS host
        |  FROM (SELECT doc_id,
        |      lower(regexp_extract(${normalizeEscapesSql("url")}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS h0
-       |    FROM u) t0),
+       |    FROM u) t0)""".stripMargin
+
+  private def hostDomainSql: String = {
+    val suffixes = graft.text.PublicSuffixes.TwoLabel.map(s => s"'$s'")
+      .mkString("[", ", ", "]")
+    s"""$hostCanonSql,
        |hd AS (
        |  SELECT doc_id, host,
        |    CASE WHEN len(ls) <= 2 THEN host

@@ -223,6 +223,68 @@ object Streams {
       }
   }
 
+  final case class HostDoc(doc_id: Long, host: String, ts: Timestamp)
+  final case class HostQuotaVerdict(doc_id: Long, host: String,
+                                    admitted: Boolean, rank: Int)
+
+  /** Streaming per-host admission quota — the q206 curation cap at
+    * INGESTION time (judge r14 Next #2): a crawler front-end admits at
+    * most `quota` documents per canonical host and rejects the rest as
+    * they arrive. Semantics are ADMIT-FIRST-N in arrival order — the only
+    * decision an online gate can make — vs the batch quota's
+    * smallest-Mix64-coordinate winners (a uniform sample chosen with the
+    * whole corpus in hand); with a feed that arrives in doc_id order the
+    * two rules coincide on ORDER BY doc_id, which is exactly what q213's
+    * oracle replays. Emission is one verdict row per input row
+    * (admitted + admission rank, or rejected), deterministic given the
+    * feed order: within a micro-batch the host's arrivals are SORTED by
+    * doc_id (partition arrival order must not pick winners), and
+    * re-delivered docs re-emit their ORIGINAL verdict (admitted ids are
+    * the state, so an at-least-once feed cannot double-admit or flip a
+    * verdict; the sink dedups by row like every at-least-once consumer).
+    *
+    * State per live host: the admitted doc ids — at most `quota` longs,
+    * expired by event-time TTL (`ttl` past the host's newest arrival; an
+    * expired host's quota RESETS, the crawl-epoch semantics). Transient
+    * memory is the host's per-micro-batch arrival group (the
+    * spanDupStream heavy-hitter caveat: a hot host concentrated in one
+    * batch costs O(its arrivals that batch) during the sort). */
+  def hostQuotaStream(docs: DataFrame, quota: Int, watermarkDelay: String,
+                      ttlMs: Long): Dataset[HostQuotaVerdict] = {
+    require(quota >= 1, s"quota $quota must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.withWatermark("ts", watermarkDelay)
+      .as[HostDoc]
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[List[Long], HostQuotaVerdict](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (host: String, it: Iterator[HostDoc], state: GroupState[List[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val items = it.toArray.sortBy(_.doc_id)
+            var admitted = state.getOption.getOrElse(Nil) // admission order
+            val out = items.map { d =>
+              val idx = admitted.indexOf(d.doc_id)
+              if (idx >= 0) // re-delivery of an admitted doc: same verdict
+                HostQuotaVerdict(d.doc_id, host, admitted = true, idx + 1)
+              else if (admitted.length < quota) {
+                admitted = admitted :+ d.doc_id
+                HostQuotaVerdict(d.doc_id, host, admitted = true,
+                  admitted.length)
+              } else // full (and never shrinks): rejections re-emit stably
+                HostQuotaVerdict(d.doc_id, host, admitted = false, 0)
+            }
+            state.update(admitted)
+            // clamp: see spanDupStream — expiry must sit past the watermark
+            state.setTimeoutTimestamp(math.max(
+              items.map(_.ts.getTime).max + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   final case class FpPair(a_id: Long, b_id: Long, hamming: Int)
 
   /** Streaming banded-hamming near-dup pairing —

@@ -860,6 +860,58 @@ class StreamsSpec extends SparkSpec {
     assert(late == Set((1L, 1L)))
   }
 
+  test("streaming host quota ≡ batch first-N under every slicing of an " +
+      "ordered feed; re-delivery idempotent; rank stable; TTL resets") {
+    import graft.streaming.Streams
+    val t0 = 1704067200000L
+    // host a: 5 docs (quota 3 -> 2 rejected); host b: 2 docs (under quota)
+    val rows = Seq(
+      (1L, "a"), (2L, "b"), (3L, "a"), (4L, "a"), (5L, "a"),
+      (6L, "b"), (7L, "a"))
+      .map { case (d, h) => (d, h, new Timestamp(t0 + d * 1000)) }
+    val expected = Set(
+      (1L, "a", true, 1), (3L, "a", true, 2), (4L, "a", true, 3),
+      (5L, "a", false, 0), (7L, "a", false, 0),
+      (2L, "b", true, 1), (6L, "b", true, 2))
+    def run(batches: Seq[Seq[(Long, String, Timestamp)]],
+            name: String): Set[(Long, String, Boolean, Int)] = {
+      implicit val sqlCtx = spark.sqlContext
+      spark.catalog.dropTempView(name)
+      val mem = MemoryStream[(Long, String, Timestamp)]
+      val sq = Streams
+        .hostQuotaStream(mem.toDF().toDF("doc_id", "host", "ts"),
+          quota = 3, "1 hour", ttlMs = 3600L * 1000)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try batches.filter(_.nonEmpty).foreach { b =>
+        mem.addData(b: _*); sq.processAllAvailable()
+      } finally sq.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getInt(3)))
+        .toSet
+    }
+    // every contiguous 2-slicing + all-at-once + one-per-batch: the feed
+    // is doc_id-ordered, so admit-first-N == first-N-by-doc_id throughout
+    for (cut <- 0 to rows.length) {
+      val got = run(Seq(rows.take(cut), rows.drop(cut)), "hq_slice")
+      assert(got == expected, s"slicing at $cut: $got")
+    }
+    assert(run(rows.map(Seq(_)), "hq_single") == expected)
+    // re-delivery of an admitted AND a rejected doc: identical verdicts
+    // re-emitted (set-identical sink), no double-admission, ranks stable
+    assert(run(Seq(rows, Seq(rows.head, rows(4))), "hq_redeliver") == expected)
+    // TTL epoch reset: once the watermark passes arrival+ttl AND the host
+    // sees a batch without data (timeout fires, state removes), the quota
+    // opens again — crawl-epoch semantics. Two pusher batches: the first
+    // advances the watermark past host a's timeout, the second (no host-a
+    // data) lets the timeout fire; then a new host-a doc admits fresh.
+    val far = t0 + 10L * 3600 * 1000
+    val gotLate = run(Seq(rows,
+      Seq((98L, "zz", new Timestamp(far))),
+      Seq((97L, "zy", new Timestamp(far))),
+      Seq((99L, "a", new Timestamp(far)))), "hq_ttl")
+    assert(gotLate((99L, "a", true, 1)), gotLate.toString)
+  }
+
   test("streaming fingerprint near-dup ≡ batch pairs under every slicing; " +
       "re-delivery absorbed; eviction degrades to recent-K loudly-by-count") {
     import graft.streaming.Streams
