@@ -432,6 +432,74 @@ class DedupSpec extends SparkSpec {
     assert(got.exists(p => p._1 == 2L && p._2 == 15L))
   }
 
+  test("signature index maintenance: upsert-append + deletion ledger + " +
+      "compaction; removed docs STOP pairing; hashed serve == slice serve") {
+    // thirds: 1-10 corpus A (index v1), 11-20 batch B (appended),
+    // 21-30 serve C. Deletion ledger (the q214 rule): id % 7 == 3 among
+    // A∪B -> {3, 10, 17}. Plants: 24 copies DELETED doc 3 (its only
+    // partner -> must flip to keep), 21 copies DELETED doc 17 (appended
+    // then deleted -> keep), 25 copies live doc 5 (stays drop_near).
+    val t3 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    val t17 = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    val t5 = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    val corpus = (1L to 30L).map { id =>
+      val text = id match {
+        case 3L | 24L => t3
+        case 17L | 21L => t17
+        case 5L | 25L => t5
+        case _ => s"d$id " + (1L to 10L).map(j => s"t${id}_$j").mkString(" ")
+      }
+      (id, text)
+    }.toDF("doc_id", "text")
+    val (s1, s2) = (11L, 21L)
+    val deleted = Set(3L, 10L, 17L)
+    val base = tempDir("sigidx_maint").toString
+    Dedup.portableSignaturesIndexed(corpus.where(col("doc_id") < s1),
+        col("doc_id"), col("text"), n = 3, m = 32, bands = 8)
+      .write.mode("overwrite").parquet(s"$base/v1")
+    val sigsB = Dedup.portableSignaturesIndexed(
+      corpus.where(col("doc_id") >= s1 && col("doc_id") < s2),
+      col("doc_id"), col("text"), n = 3, m = 32, bands = 8)
+    val ledger = corpus.where(col("doc_id") < s2 && col("doc_id") % 7 === 3)
+      .select(col("doc_id").as("id"))
+    assert(ledger.collect().map(_.getLong(0)).toSet == deleted)
+    graft.ops.Layout.upsert(spark.read.parquet(s"$base/v1"), sigsB, Seq("id"))
+      .join(broadcast(ledger), Seq("id"), "left_anti")
+      .repartition(8) // plant small-files debris for compact to fold
+      .write.mode("overwrite").parquet(s"$base/v2")
+    val (before, after) = graft.ops.Layout.compact(spark, s"$base/v2",
+      targetFileBytes = 64L << 20, tmpPath = s"$base/v2_tmp")
+    assert(before == 8 && after == 1, s"compact $before -> $after")
+    val index = spark.read.parquet(s"$base/v2")
+    // maintained membership: A ∪ B minus the ledger
+    assert(index.select("id").collect().map(_.getLong(0)).toSet ==
+      ((1L until s2).toSet -- deleted))
+    val batch = Dedup.portableSignatures(corpus.where(col("doc_id") >= s2),
+      col("doc_id"), col("text"), n = 3, m = 32)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = pairSet(Dedup.minhashIndexPairsHashed(index, batch,
+      m = 32, bands = 8, minEstSim = 0.3))
+    // serve-after-maintenance == full re-sign from text minus deleted
+    val want = pairSet(Dedup.minhashLshPairsPortable(corpus, col("doc_id"),
+        col("text"), n = 3, m = 32, bands = 8, minEstSim = 0.3)
+      .where(col("a_id") < s2 && col("b_id") >= s2 &&
+        !col("a_id").isin(deleted.toSeq: _*)))
+    assert(got == want, s"maintained serve $got != from-scratch $want")
+    // the hashed join equals the slice join on the same inputs
+    assert(got == pairSet(Dedup.minhashIndexPairsPortable(
+      index.select("id", "sig"), batch, m = 32, bands = 8, minEstSim = 0.3)))
+    // deletions BITE: 24's only partner (3) and 21's only partner (17)
+    // are gone; 25 still pairs with live doc 5 at est 1.0
+    assert(!got.exists(_._2 == 24L) && !got.exists(_._2 == 21L))
+    assert(got.contains((5L, 25L, 1.0)))
+    // counterfactual: an UNmaintained index (no deletion) would pair 24
+    val leaky = pairSet(Dedup.minhashIndexPairsHashed(
+      graft.ops.Layout.upsert(spark.read.parquet(s"$base/v1"), sigsB, Seq("id")),
+      batch, m = 32, bands = 8, minEstSim = 0.3))
+    assert(leaky.contains((3L, 24L, 1.0)) && leaky.contains((17L, 21L, 1.0)))
+  }
+
   test("spanSweep: per-k dup mass equals the per-k spanDups derivation, " +
       "and the k-floor is visible (a short duplicate vanishes at larger k)") {
     // doc 1/2 share an 8-token run; doc 3/4 share a 20-token run (visible
