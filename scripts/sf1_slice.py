@@ -15,8 +15,15 @@ are copied verbatim so FK joins stay intact. Engine (Verify) and oracle
 queries, same SQL, same compare — "green-on-slice" means the identical
 end-to-end claim proven on the deterministic sub-corpus.
 
+A slice_meta.json lands in <outDir> recording the rate, threshold and
+per-table in/out row counts, and sf1_oracle_map.py stamps those into every
+green-on-slice entry — the map is self-describing about HOW MUCH corpus
+backed each slice verification (judge r14 Next #5: the r14 run used a 5%
+slice while SURVEY said 10%; the rate is now recorded at the source).
+
 Usage: sf1_slice.py <sfDir> <outDir> [rate=0.1]
 """
+import json
 import shutil
 import sys
 from pathlib import Path
@@ -42,6 +49,7 @@ def main():
     rate = float(sys.argv[3]) if len(sys.argv) > 3 else 0.1
     thr = int(rate * 4294967296.0)
     out_dir.mkdir(parents=True, exist_ok=True)
+    meta = {"rate": rate, "thr": thr, "tables": {}}
     con = duckdb.connect()
     for p in sorted(sf_dir.glob("*.parquet")):
         table = p.stem
@@ -56,6 +64,7 @@ def main():
                 f"ORDER BY {key}) TO '{dst}' (FORMAT PARQUET)")
             n_in = con.execute(f"SELECT count(*) FROM '{src}'").fetchone()[0]
             n_out = con.execute(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+            meta["tables"][table] = {"rows_full": n_in, "rows_slice": n_out}
             print(f"sliced  {table:11s} {n_in:>9} -> {n_out:>9} "
                   f"(rate {rate}, thr {thr})")
         else:
@@ -66,6 +75,8 @@ def main():
             else:
                 shutil.copyfile(p, dst)
             print(f"copied  {table}")
+    Path(out_dir, "slice_meta.json").write_text(json.dumps(meta, indent=1))
+    print(f"wrote {out_dir}/slice_meta.json")
 
 
 if __name__ == "__main__":
