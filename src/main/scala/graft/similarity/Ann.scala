@@ -140,14 +140,29 @@ object Ann {
     * nothing (floats round-trip bit-exactly). */
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
                   idCol: String, vecCol: String, k: Int, nProbe: Int,
-                  centroids: DataFrame): DataFrame = {
-    val corpusCells = assignCells(corpus, idCol, vecCol, centroids)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
+                  centroids: DataFrame): DataFrame =
+    ivfTopKOnCells(queries,
+      assignCells(corpus, idCol, vecCol, centroids)
+        .select(col(idCol), col(vecCol), col("centroid_id")),
+      idCol, vecCol, k, nProbe, centroids)
+
+  /** [[ivfTopKWith]]'s serve half against a PRE-ASSIGNED corpus — the
+    * maintained-index shape (q215): the cells table (id, vec,
+    * centroid_id) is a STORED model (vectors live inside their cells,
+    * the inverted-file layout), so serving assigns only the queries and
+    * the corpus source table is never re-read or re-assigned. Exact
+    * cosine ranks within the probed cells, same output shape as
+    * [[bruteForceTopK]]. */
+  def ivfTopKOnCells(queries: DataFrame, corpusCells: DataFrame,
+                     idCol: String, vecCol: String, k: Int, nProbe: Int,
+                     centroids: DataFrame): DataFrame = {
+    val cells = corpusCells.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col("centroid_id"))
     val queryCells = assignCells(queries, idCol, vecCol, centroids, n = nProbe)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("centroid_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    queryCells.join(corpusCells, Seq("centroid_id"))
+    queryCells.join(cells, Seq("centroid_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", CosineSim.cosineSim(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))

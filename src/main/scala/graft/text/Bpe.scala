@@ -45,10 +45,12 @@ object Bpe {
   /** Learn `rounds` merges from the word table. Driver state per round is
     * ONE row (the argmax pair); the returned merge list is the model. */
   def train(words: DataFrame, rounds: Int): Seq[Merge] = {
-    require(rounds >= 1 && rounds <= 256,
+    require(rounds >= 1 && rounds <= 4096,
       s"rounds=$rounds out of range: each BPE round is a word-table pass + " +
-        "one driver round-trip — 256 is the measured-practical ceiling " +
-        "(BASELINE.md round-cost curve); beyond it, batch merges per pass")
+        "one driver round-trip, measured FLAT per round out to 1024 rounds " +
+        "on a 3·10^4-word vocabulary (BASELINE.md round-cost curve, r15) — " +
+        "the 4096 guard is a runaway-loop backstop, not a cost cliff; at " +
+        "tokenizer scale (32k merges) batch merges per pass")
     var seqs = words.select(col("cnt"),
       expr("transform(sequence(1, char_length(word)), i -> substring(word, i, 1))")
         .as("syms"))

@@ -333,6 +333,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q215 maintained-IVF serve: corpus vectors come from the stored " +
+      "cells model — every embeddings scan carries the query filter") {
+    val df = graft.SparkEntry.queries("q215_ann_index_maintain")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet \\[([^\\]]*)\\][^\\n]*".r
+      .findAllMatchIn(p).map(_.matched).toSeq
+    // embeddings-source scans (vec_id + embedding, no centroid) must be
+    // query-filtered; the corpus side must ride the cells model table
+    val srcScans = scans.filter(s =>
+      s.contains("embedding") && !s.contains("centroid_id"))
+    assert(srcScans.nonEmpty, s"no embeddings scan:\n${p.take(600)}")
+    srcScans.foreach { s =>
+      assert(s.contains("LessThan(vec_id"),
+        s"corpus embeddings re-read on the serve path: $s")
+    }
+    assert(scans.exists(_.contains("centroid_id")),
+      s"stored cells model scan missing:\n${scans.mkString("\n")}")
+  }
+
   test("q82 rebalance: rates broadcast, the corpus side is scan+filter") {
     val df = graft.SparkEntry.queries("q82_mixture_rebalance")(spark, dir)
     val p = df.queryExecution.executedPlan.toString

@@ -86,6 +86,44 @@ class AnnSpec extends SparkSpec {
     assert(ivfAll == bf)
   }
 
+  test("maintained IVF index (q215 lifecycle): serve-on-stored-cells == " +
+      "from-scratch assign; appended vectors pair; deleted vectors STOP " +
+      "appearing as neighbors") {
+    val maxId = emb.agg(max($"vec_id")).head().getLong(0)
+    val (s1, s2) = (maxId / 3 + 1, 2 * maxId / 3 + 1)
+    val cents = Ann.sampleCentroids(emb.where($"vec_id" < s1),
+      "vec_id", "embedding", nCentroids = 16)
+    val membership = emb.where($"vec_id" < s2 && $"vec_id" % 7 =!= 3)
+    // the maintained cells table: A assigned + B assigned to the SAME
+    // stored centroids, deletions removed — built the q215 way
+    val cellsA = Ann.assignCells(emb.where($"vec_id" < s1),
+      "vec_id", "embedding", cents).select("vec_id", "embedding", "centroid_id")
+    val cellsB = Ann.assignCells(
+      emb.where($"vec_id" >= s1 && $"vec_id" < s2),
+      "vec_id", "embedding", cents).select("vec_id", "embedding", "centroid_id")
+    val ledger = emb.where($"vec_id" < s2 && $"vec_id" % 7 === 3).select("vec_id")
+    val maintained = graft.ops.Layout.upsert(cellsA, cellsB, Seq("vec_id"))
+      .join(broadcast(ledger), Seq("vec_id"), "left_anti")
+    val q = emb.where($"vec_id" < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = rows(Ann.ivfTopKOnCells(q, maintained, "vec_id", "embedding",
+      k = 10, nProbe = 4, centroids = cents))
+    // incremental assignment to FIXED centroids == assigning the whole
+    // membership at once (the append-never-shifts-cells contract)
+    val want = rows(Ann.ivfTopKWith(q, membership, "vec_id", "embedding",
+      k = 10, nProbe = 4, centroids = cents))
+    assert(got == want)
+    // appended (B-third) vectors ARE served; deleted ones never surface
+    assert(got.exists { case (_, _, n) => n >= s1 && n < s2 })
+    assert(!got.exists { case (_, _, n) => n % 7 == 3 })
+    // counterfactual: without the deletion anti-join, deleted ids surface
+    val leaky = rows(Ann.ivfTopKOnCells(q,
+      graft.ops.Layout.upsert(cellsA, cellsB, Seq("vec_id")),
+      "vec_id", "embedding", k = 10, nProbe = 4, centroids = cents))
+    assert(leaky.exists { case (_, _, n) => n % 7 == 3 })
+  }
+
   test("hyperplane signatures: deterministic; close vectors agree on more bits") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.2f, -0.3f, 0.5f)),
