@@ -6,16 +6,18 @@ package graft.text
   *
   * Contents: a SNAPSHOT SUBSET of the ICANN section of the Public Suffix
   * List (publicsuffix.org — public data, CC0-style terms for the list
-  * itself), restricted to TWO-LABEL rules: the `<suffix>.<cc>` second-level
-  * registration pattern (`co.uk`, `com.au`, `go.jp`, …) that dominates
-  * real web corpora. Documented boundaries of the snapshot:
+  * itself), in the PSL's three rule forms: explicit TWO-LABEL rules (the
+  * `<suffix>.<cc>` second-level registration pattern — `co.uk`, `com.au`,
+  * `go.jp`, … — that dominates real web corpora), WILDCARD TLD rules
+  * (`*.ck`-style: every second-level name under the TLD is itself a
+  * public suffix), and their EXCEPTIONS (`!www.ck`: registrable despite
+  * the wildcard). Documented boundaries of the snapshot:
   *   - single-label rules need no table (every TLD is a public suffix —
   *     the default rule, applied structurally by
   *     [[Urls.registeredDomain]]);
-  *   - three-plus-label rules (US k12 districts, JP prefecture cities) and
-  *     wildcard/exception rules (`*.ck`, `!www.ck`) are OUT of the
-  *     snapshot — hosts under them resolve one label short, exactly as
-  *     any offline PSL subset would;
+  *   - three-plus-label rules (US k12 districts, JP prefecture cities)
+  *     are OUT of the snapshot — hosts under them resolve one label
+  *     short, exactly as any offline PSL subset would;
   *   - the PRIVATE section (github.io, blogspot.com, …) is out of scope
   *     by design: per-host curation quotas want the OPERATOR (github.io),
   *     not the tenant, as the key.
@@ -72,14 +74,10 @@ object PublicSuffixes {
     // .pk
     "biz.pk", "com.pk", "edu.pk", "fam.pk", "gov.pk", "info.pk", "net.pk",
     "org.pk", "web.pk",
-    // .bd
-    "ac.bd", "com.bd", "edu.bd", "gov.bd", "mil.bd", "net.bd", "org.bd",
     // .lk
     "ac.lk", "assn.lk", "com.lk", "edu.lk", "gov.lk", "grp.lk", "hotel.lk",
     "int.lk", "ltd.lk", "net.lk", "ngo.lk", "org.lk", "sch.lk", "soc.lk",
     "web.lk",
-    // .np
-    "com.np", "edu.np", "gov.np", "mil.np", "net.np", "org.np",
     // .ir
     "ac.ir", "co.ir", "gov.ir", "id.ir", "net.ir", "org.ir", "sch.ir",
     // .kz
@@ -188,4 +186,16 @@ object PublicSuffixes {
 
   /** Membership set (the [[Urls.registeredDomain]] probe side). */
   val TwoLabelSet: Set[String] = TwoLabel.toSet
+
+  /** Wildcard TLD rules (`*.<tld>` in the PSL): every two-label tail under
+    * these is a public suffix. The PSL models .bd and .np this way (there
+    * is no explicit `com.bd` list upstream — earlier snapshots here
+    * approximated them as two-label rows; v3 restores the wildcard form,
+    * which also covers unlisted second levels like `random.bd`). */
+  val Wildcard: Seq[String] = Seq(
+    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg")
+
+  /** Exception rules (`!<name>` in the PSL): registrable names carved out
+    * of a wildcard — `www.ck` is a real registered site, not a suffix. */
+  val WildcardException: Seq[String] = Seq("www.ck")
 }
