@@ -1092,7 +1092,7 @@ object SimilarityQueries {
        |  JOIN e qe ON qe.vec_id = ca.query_id
        |  JOIN e ne ON ne.vec_id = ca.neighbor_id)""".stripMargin
 
-  private def ivfSql: String =
+  private[queries] def ivfSql: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |cent AS (
        |  SELECT row_number() OVER (ORDER BY coord, vec_id) - 1 AS centroid_id,

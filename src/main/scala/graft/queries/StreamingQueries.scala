@@ -612,6 +612,65 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // STREAMING ANN SERVE (round 15): query vectors arrive as a stream and
+    // are answered from a STORED IVF index — the vector-family twin of the
+    // text side's ingestion-time serve chain (q202 fingerprints, q209/q214
+    // signature index). The index is built and WRITTEN first (q200's
+    // write→load→serve contract: sampleCentroids quantizer + assignCells
+    // inverted file, both Parquet); the stream then routes each query to
+    // its 4 nearest centroids via the loaded 16×64-float local quantizer
+    // (per-row expression chain, watermark-preserving), joins the cells
+    // table stream-static on centroid_id, and accumulates per-query top-10
+    // in bounded flatMapGroupsWithState (k pairs per live query), emitting
+    // the ranked verdict when the query's event-time TTL passes. The
+    // verdict set is deterministic and ≡ the batch serve (same tie-breaks:
+    // sim DESC, neighbor_id ASC), so the oracle replays q41's full IVF
+    // chain in DuckDB; conservation pins distinct verdict rows == the
+    // batch-served row count before any row is returned. The flush batch
+    // (query_id −1, far-future ts) advances the watermark so every real
+    // query's timeout fires — the sentinel itself never times out and is
+    // filtered from the result (the q92 flush discipline).
+    "q216_stream_ann_serve" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      import graft.similarity.Ann
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_model_annserve${OpsQueries.suffix(dir)}").getAbsolutePath
+      Ann.sampleCentroids(emb, "vec_id", "embedding", nCentroids = 16)
+        .write.mode("overwrite").parquet(s"$base/centroids")
+      val cents = s.read.parquet(s"$base/centroids")
+      Ann.assignCells(emb, "vec_id", "embedding", cents)
+        .select("vec_id", "embedding", "centroid_id")
+        .write.mode("overwrite").parquet(s"$base/cells")
+      val cellsStored = s.read.parquet(s"$base/cells")
+      val cells = cellsStored.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), col("centroid_id"))
+      // the loaded quantizer: what a serve node holds in memory (16×64 floats)
+      val centLocal = cents.select(col("centroid_id"), col("cvec"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+      val baseUs = 1704067200000000L
+      val rows = emb.where(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"),
+          timestamp_micros(lit(baseUs) + col("vec_id") * 1000000L).as("ts"))
+        .as[(Long, Array[Float], java.sql.Timestamp)].collect().sortBy(_._1)
+      require(rows.nonEmpty, s"q216_stream_ann_serve: no embeddings at $dir")
+      // conservation expectation: the batch serve over the SAME stored index
+      val nBatchRows = Ann.ivfTopKOnCells(emb.where(col("vec_id") < 20),
+        cellsStored, "vec_id", "embedding", k = 10, nProbe = 4,
+        centroids = cents).count()
+      val flush = new java.sql.Timestamp(
+        rows.map(_._3.getTime).max + 48L * 3600 * 1000)
+      val batches = halves(rows) :+ Seq((-1L, rows.head._2, flush))
+      val sink = replay(s, "q216_ann_serve", "append", batches,
+          sinkDistinctCount(nBatchRows, col("query_id") =!= -1L))(ds =>
+        Streams.annServeStream(ds.toDF("query_id", "qv", "ts"), cells,
+          centLocal, k = 10, nProbe = 4, "2 hours", ttlMs = 3600L * 1000))
+      sink.where(col("query_id") =!= -1L).distinct()
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q92_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.Streams
@@ -1185,6 +1244,15 @@ object StreamingQueries {
         |  CAST((SELECT count(*) FROM fed) - count(*) AS BIGINT) AS n_dup_urls,
         |  md5(string_agg(canon_url, ';' ORDER BY canon_url)) AS uniq_md5
         |FROM cu""".stripMargin,
+
+    // the batch IVF serve replayed end-to-end in DuckDB (q41's chain: the
+    // stream builds its index with the SAME sampleCentroids/assignCells
+    // params, and the stream-end verdict set ≡ the batch serve exactly —
+    // same sim DESC, neighbor_id ASC tie-breaks)
+    "q216_stream_ann_serve" ->
+      s"""WITH ${SimilarityQueries.ivfSql}
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM ivf
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q171_stream_dedup" ->
       s"""WITH sampled AS (

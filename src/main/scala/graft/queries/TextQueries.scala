@@ -1016,7 +1016,7 @@ object TextQueries {
     * token ratios and the exact q31 quality score over rows of
     * `fromSql` (which must expose doc_id, source, text and any columns
     * named in `carry` — e.g. ", is_cont" — that ride the chain). */
-  private def qualityCtesSql(fromSql: String, carry: String): String =
+  private[queries] def qualityCtesSql(fromSql: String, carry: String): String =
     s"""base AS (
        |  SELECT doc_id, source, text$carry, length(text) AS n,
        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,

@@ -33,6 +33,14 @@ object WebQueries {
   private val HostQuota = 6
   private val CompositionQuota = 16
 
+  /** q217 blocklist knobs: a domain is ELIGIBLE for blocking only with
+    * ≥ MinDocs documents (one bad page must not ban a domain), and the
+    * worst BlockBottom eligible domains by mean quality block. Rank-based
+    * (bottom-B), not a fixed score threshold: deterministic at every SF
+    * regardless of where the corpus's quality mass sits. */
+  private val BlockMinDocs = 5
+  private val BlockBottom = 2
+
   /** The deterministic per-doc URL — (doc_id, url). Group = doc_id div 3:
     * the three members render three syntactic variants of one canonical
     * URL (unless the group is a singleton-path group, grp % 4 == 0, whose
@@ -129,6 +137,51 @@ object WebQueries {
     // frame feeds the dedup hash, the survivor semi-join and the span
     // tokenization — persisted (the q204 lesson: the string-heavy page
     // build must not re-run once per consumer subtree).
+    // DOMAIN BLOCKLIST DERIVATION (round 15): the C4/RefinedWeb pattern —
+    // aggregate per-REGISTERED-DOMAIN quality (v3's PSL machinery as a
+    // curation key: all site{N}.example.com hosts roll up to example.com),
+    // derive a blocklist (the BlockBottom worst eligible domains by mean
+    // quality; eligibility = ≥ BlockMinDocs docs so one bad page can't ban
+    // a domain), and emit the per-doc verdict with its evidence. 100 TB
+    // shape: quality is a narrow per-doc map (q31's codegen'd chain); the
+    // rollup shuffles (domain, partial sums) only — text never moves; the
+    // bottom-B selection is orderBy+limit (TakeOrderedAndProject, never a
+    // global window over domains); the blocklist broadcasts back. Float
+    // parity: per-doc quality rounds ONCE to DECIMAL(20,12), per-domain
+    // sums stay exact decimals on both engines, and mean_q is the one
+    // double division both engines perform on identical operands.
+    "q217_domain_blocklist" -> ((s, dir) => {
+      import graft.text.TextAnalysis._
+      val docs = t(s, dir, "documents")
+      val hd = urlFixture(docs)
+        .select(col("doc_id"), Urls.canonicalHost(col("url")).as("host"))
+        .select(col("doc_id"), Urls.registeredDomain(col("host")).as("domain"))
+      // persisted: feeds BOTH the rollup and the per-doc verdict join —
+      // without it the whole quality chain (regex/tokenization over text)
+      // re-runs per consumer subtree (the q204 lesson; registry cache
+      // contract in SparkEntry). Narrow (id, domain, decimal) rows only.
+      val scored = docs.join(hd, Seq("doc_id"))
+        .select(col("doc_id"), col("domain"),
+          textStats(col("text")).as("st"),
+          punctRatio(col("text")).as("pr"), digitRatio(col("text")).as("dr"))
+        .select(col("doc_id"), col("domain"),
+          qualityScoreFrom(col("st"), col("pr"), col("dr"))
+            .cast("decimal(20,12)").as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val roll = scored.groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"), sum("q").as("q_sum"))
+        .select(col("domain"), col("n_docs"),
+          (col("q_sum").cast("double") / col("n_docs")).as("mean_q"))
+      val blk = roll.where(col("n_docs") >= BlockMinDocs)
+        .orderBy(col("mean_q"), col("domain")).limit(BlockBottom)
+        .select(col("domain"), lit(true).as("blocked"))
+      scored.join(broadcast(roll), Seq("domain"))
+        .join(broadcast(blk), Seq("domain"), "left")
+        .select(col("doc_id"), col("domain"), col("n_docs"), col("mean_q"),
+          coalesce(col("blocked"), lit(false)).as("blocked"))
+        .orderBy("doc_id")
+    }),
+
     "q210_web_curation_host" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val urls = urlFixture(docs)
@@ -297,6 +350,32 @@ object WebQueries {
          |SELECT doc_id, r.host, domain, rank, host_total
          |FROM r JOIN tt USING (host)
          |WHERE rank <= $HostQuota ORDER BY doc_id""".stripMargin,
+
+    // the fixture + canonical-host/domain CTEs, q31's quality CTEs over
+    // the domain-joined corpus, exact-decimal per-domain sums, the same
+    // bottom-B rank rule, verdict per doc
+    "q217_domain_blocklist" ->
+      s"""WITH ${urlFixtureSql("documents")},
+         |$hostDomainSql,
+         |${TextQueries.qualityCtesSql(
+           "(SELECT d.doc_id, d.source, d.text, hd.domain " +
+             "FROM documents d JOIN hd USING (doc_id)) dj", ", domain")},
+         |qd AS (SELECT doc_id, domain, CAST(quality AS DECIMAL(20,12)) AS q
+         |       FROM scored),
+         |roll AS (
+         |  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, sum(q) AS q_sum
+         |  FROM qd GROUP BY 1),
+         |mq AS (SELECT domain, n_docs, q_sum::DOUBLE / n_docs AS mean_q
+         |       FROM roll),
+         |blk AS (
+         |  SELECT domain FROM (
+         |    SELECT domain, row_number() OVER (ORDER BY mean_q, domain) AS rn
+         |    FROM mq WHERE n_docs >= $BlockMinDocs) t
+         |  WHERE rn <= $BlockBottom)
+         |SELECT qd.doc_id, qd.domain, mq.n_docs, mq.mean_q,
+         |  (qd.domain IN (SELECT domain FROM blk)) AS blocked
+         |FROM qd JOIN mq USING (domain)
+         |ORDER BY qd.doc_id""".stripMargin,
 
     // the full chain replayed: url fixture → canonical dedup winners →
     // host quota over the winners → documents filtered → the q203

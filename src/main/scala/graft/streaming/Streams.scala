@@ -285,6 +285,91 @@ object Streams {
       }
   }
 
+  final case class AnnCand(query_id: Long, neighbor_id: Long, sim: Double,
+                           ts: Timestamp)
+  final case class AnnHit(query_id: Long, rank: Int, neighbor_id: Long)
+
+  /** Streaming ANN serve against a STORED IVF index — the vector twin of
+    * the text family's ingestion-time near-dup serve (q202/q209/q214 all
+    * consult a maintained model table; until this, the vector index had
+    * batch serve only). Each arriving query vector is routed to its
+    * `nProbe` nearest coarse centroids (the quantizer is a SMALL loaded
+    * model — a 16×64-float local array here, exactly what a serve node
+    * holds in memory; scoring it is a per-row codegen'd expression chain,
+    * zero shuffle), then joined stream-static against the inverted-file
+    * `cells` table on `centroid_id` (stateless — Spark executes it per
+    * micro-batch as a batch join; at 100 TB the cells table is laid out
+    * partitioned BY centroid_id so the probed cells prune), and the
+    * per-query top-k accumulates in flatMapGroupsWithState.
+    *
+    * Emission: NOTHING until the query's event-time timeout fires (a
+    * query's candidates can span micro-batches — the verdict is final
+    * only once the watermark passes its TTL), then the ranked top-k rows
+    * at once. The accumulator keeps (neighbor_id, sim) pairs deduped by
+    * neighbor (re-deliveries and multi-batch arrivals collapse — sims
+    * are deterministic recomputes) and truncated to k each update:
+    * top-k of a union is top-k of (top-k of any prefix) ∪ rest, so
+    * BOUNDED state (k pairs per live query) loses nothing. Ties rank by
+    * (sim DESC, neighbor_id ASC) — bit-identical to the batch
+    * [[graft.similarity.Ann.ivfTopKOnCells]] ordering, so the stream-end
+    * verdict set ≡ the batch serve over the same index, which is exactly
+    * what q216's oracle replays. */
+  def annServeStream(queries: DataFrame, cells: DataFrame,
+      centroids: Seq[(Long, Array[Float])], k: Int, nProbe: Int,
+      watermarkDelay: String, ttlMs: Long): Dataset[AnnHit] = {
+    require(k >= 1 && nProbe >= 1 && centroids.nonEmpty,
+      s"annServeStream: k=$k nProbe=$nProbe |centroids|=${centroids.length}")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // (-sim, centroid_id) structs sort ascending = sim DESC, id ASC — the
+    // assignCells window order. Built as untyped Columns (not a typed
+    // flatMap) so the event-time watermark attribute survives to the
+    // stateful operator below.
+    val scored = array(centroids.map { case (cid, cv) =>
+      struct(
+        (-graft.functions.CosineSim.cosineSim(col("qv"), lit(cv))).as("negsim"),
+        lit(cid).as("centroid_id"))
+    }: _*)
+    val probed = queries.withWatermark("ts", watermarkDelay)
+      .select(col("query_id"), col("qv"), col("ts"),
+        explode(slice(sort_array(scored), 1, nProbe)).as("pc"))
+      .select(col("query_id"), col("qv"), col("ts"),
+        col("pc.centroid_id").as("centroid_id"))
+    val cands = probed
+      .join(cells.select(col("neighbor_id"), col("cv"), col("centroid_id")),
+        Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.CosineSim.cosineSim(col("qv"), col("cv")).as("sim"),
+        col("ts"))
+      .as[AnnCand]
+    cands.groupByKey(_.query_id)
+      .flatMapGroupsWithState[List[(Long, Double)], AnnHit](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (qid: Long, it: Iterator[AnnCand], state: GroupState[List[(Long, Double)]]) =>
+          if (state.hasTimedOut) {
+            val top = state.getOption.getOrElse(Nil)
+            state.remove()
+            top.iterator.zipWithIndex.map { case ((n, _), i) =>
+              AnnHit(qid, i + 1, n)
+            }
+          } else {
+            val arrivals = it.toArray
+            val merged = (state.getOption.getOrElse(Nil) ++
+                arrivals.iterator.map(c => (c.neighbor_id, c.sim)))
+              .distinct // re-deliveries: same (neighbor, sim) recompute
+              .sortBy { case (n, s) => (-s, n) }
+              .take(k)
+            state.update(merged)
+            // clamp: see spanDupStream — expiry must sit past the watermark
+            state.setTimeoutTimestamp(math.max(
+              arrivals.map(_.ts.getTime).max + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   final case class FpPair(a_id: Long, b_id: Long, hamming: Int)
 
   /** Streaming banded-hamming near-dup pairing —

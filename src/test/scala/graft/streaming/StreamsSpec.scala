@@ -912,6 +912,59 @@ class StreamsSpec extends SparkSpec {
     assert(gotLate((99L, "a", true, 1)), gotLate.toString)
   }
 
+  test("streaming ANN serve ≡ stored-index IVF top-k under every slicing; " +
+      "re-delivery idempotent; self excluded; partial k emits what exists") {
+    import graft.streaming.Streams
+    val t0 = 1704067200000L
+    // 2-D toy geometry, hand-checkable cosines. Quantizer: c0=(1,0),
+    // c1=(0,1). Inverted file: n1,n2 in cell 0; n3,n4 in cell 1.
+    val centroids = Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f))
+    val cellRows = Seq(
+      (1L, Array(0.95f, 0.05f), 0L), (2L, Array(0.8f, 0.2f), 0L),
+      (3L, Array(0.1f, 0.9f), 1L), (4L, Array(0.2f, 0.8f), 1L))
+    // queries (nProbe=1, k=2): 100→cell0 {n1,n2}; 101→cell1 {n3,n4};
+    // 102=(0.6,0.8)→cell1 where n4 outranks n3; 1 shares n1's id — the
+    // self candidate is excluded, so only n2 remains (partial k: 1 row)
+    val rows = Seq(
+      (100L, Array(1f, 0f)), (101L, Array(0f, 1f)),
+      (102L, Array(0.6f, 0.8f)), (1L, Array(0.95f, 0.05f)))
+      .map { case (q, v) => (q, v, new Timestamp(t0 + q * 1000)) }
+    val flush = Seq((-1L, Array(1f, 0f), new Timestamp(t0 + 10L * 3600 * 1000)))
+    val expected = Set(
+      (100L, 1, 1L), (100L, 2, 2L),
+      (101L, 1, 3L), (101L, 2, 4L),
+      (102L, 1, 4L), (102L, 2, 3L),
+      (1L, 1, 2L))
+    def run(batches: Seq[Seq[(Long, Array[Float], Timestamp)]],
+            name: String): Set[(Long, Int, Long)] = {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      spark.catalog.dropTempView(name)
+      val cells = cellRows.toDF("neighbor_id", "cv", "centroid_id")
+      val mem = MemoryStream[(Long, Array[Float], Timestamp)]
+      val sq = Streams
+        .annServeStream(mem.toDF().toDF("query_id", "qv", "ts"), cells,
+          centroids.map { case (c, v) => (c, v) }, k = 2, nProbe = 1,
+          "1 hour", ttlMs = 3600L * 1000)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try (batches :+ flush).filter(_.nonEmpty).foreach { b =>
+        mem.addData(b: _*); sq.processAllAvailable()
+      } finally sq.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .filter(_._1 >= 0).toSet
+    }
+    // every contiguous 2-slicing + all-at-once + one-per-batch
+    for (cut <- 0 to rows.length) {
+      val got = run(Seq(rows.take(cut), rows.drop(cut)), "ann_slice")
+      assert(got == expected, s"slicing at $cut: $got")
+    }
+    assert(run(rows.map(Seq(_)), "ann_single") == expected)
+    // re-delivery before the flush: the accumulator dedups the identical
+    // (neighbor, sim) recomputes — verdicts unchanged, no rank drift
+    assert(run(Seq(rows, Seq(rows.head, rows(2))), "ann_redeliver") == expected)
+  }
+
   test("streaming fingerprint near-dup ≡ batch pairs under every slicing; " +
       "re-delivery absorbed; eviction degrades to recent-K loudly-by-count") {
     import graft.streaming.Streams
