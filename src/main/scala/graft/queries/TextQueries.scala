@@ -65,6 +65,41 @@ object TextQueries {
     // copies) → exact-substring span stats (q193's operator, k=8) over
     // the cleaned corpus. Every stage is individually oracle-verified;
     // this row pins their composition end-to-end (one chained SQL replay).
+    // GLOBAL PARAGRAPH DEDUP (round 15): cross-document dedup at
+    // PARAGRAPH granularity — the CCNet/Dolma discipline that kills
+    // shared boilerplate (a paragraph repeated across pages survives only
+    // at its earliest (doc, position) occurrence; the fixture's planted
+    // entity line, present on EVERY page, demonstrates it: one survivor
+    // corpus-wide). Distinct from token-span dedup (q193: fixed-k grams
+    // WITHIN continuous text) — the unit here is the extracted prose
+    // line. 100 TB shape: the keeper aggregate and its probe see KEYS
+    // only ((md5, doc_id, idx) — paragraph text never rides the hash
+    // shuffle); kept positions come back as one small per-doc int array,
+    // and reassembly filters each doc's own kept-lines array IN PLACE
+    // (higher-order filter on the stored array — the corpus text moves
+    // exactly once, on the doc_id join). Output: per-doc paragraph
+    // counts + the md5 of the cleaned reassembly.
+    "q219_paragraph_dedup" -> ((s, dir) => {
+      val ext = markupExtracted(s, dir).select(col("doc_id"), col("kept"))
+      val pars = ext
+        .select(col("doc_id"), posexplode(col("kept")).as(Seq("idx", "par")))
+        .select(col("doc_id"), col("idx"), md5(col("par")).as("h"))
+      val keeper = pars.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("idx"))).as("k"))
+      val keptIdx = pars.join(keeper.hint("shuffle_hash"), Seq("h"))
+        .where(col("k.doc_id") === col("doc_id") && col("k.idx") === col("idx"))
+        .groupBy("doc_id").agg(sort_array(collect_list(col("idx"))).as("ki"))
+      ext.join(keptIdx, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(col("kept")).cast("long").as("n_pars"),
+          coalesce(size(col("ki")), lit(0)).cast("long").as("n_kept"),
+          md5(concat_ws(" ", filter(col("kept"), (p, i) =>
+            array_contains(
+              coalesce(col("ki"), array().cast("array<int>")), i))))
+            .as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q204_web_curation" -> ((s, dir) => {
       // the extraction chain feeds the dedup hash projection, the
       // survivor semi-join AND the span tokenization — persist it (the
@@ -1154,6 +1189,31 @@ object TextQueries {
       |  FROM cl)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the shared page/extraction CTEs → 1-based position explode →
+    // earliest-(doc,idx) keeper via row_number → per-doc reassembly
+    // (string_agg FILTER rn=1 ORDER BY idx), docs with zero survivors
+    // kept by the LEFT join with md5('') like the engine's empty filter
+    "q219_paragraph_dedup" ->
+      s"""WITH ${markupOracleCtes()},
+         |pr AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS idx, kept[CAST(i AS INT)] AS par
+         |  FROM (SELECT doc_id, kept, unnest(range(1, len(kept) + 1)) AS i
+         |        FROM kp) t),
+         |rk AS (
+         |  SELECT doc_id, idx, par,
+         |    row_number() OVER (PARTITION BY md5(par) ORDER BY doc_id, idx) AS rn
+         |  FROM pr),
+         |ag AS (
+         |  SELECT doc_id,
+         |    count(*) FILTER (WHERE rn = 1) AS n_kept,
+         |    string_agg(par, ' ' ORDER BY idx) FILTER (WHERE rn = 1) AS txt
+         |  FROM rk GROUP BY 1)
+         |SELECT kp.doc_id, CAST(len(kp.kept) AS BIGINT) AS n_pars,
+         |  CAST(coalesce(ag.n_kept, 0) AS BIGINT) AS n_kept,
+         |  md5(coalesce(ag.txt, '')) AS clean_md5
+         |FROM kp LEFT JOIN ag USING (doc_id)
+         |ORDER BY kp.doc_id""".stripMargin,
+
     // the composed replay: extraction CTEs → non-empty pages → md5
     // min-id exact dedup on the extracted text → the shared span-dedup
     // CTE chain (q193's oracle) over the survivors
