@@ -1,0 +1,75 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Independent anchors for the round-15 web-curation rows beyond their
+  * DuckDB oracles: q218's verdicts re-derived from the planted rule by
+  * plain arithmetic, and q219's keeper/reassembly re-derived by a naive
+  * single-threaded JVM pass over the extracted lines (the TextStats
+  * property-test discipline: no shared code with the engine path). */
+class WebRowsSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q218: every verdict follows the planted noindex/canonical rule " +
+      "(noindex on doc%7==3; singleton-v2 aliases resolve to the group's " +
+      "v0 doc; everything else keeps itself)") {
+    val rows = graft.SparkEntry.queries("q218_noindex_canonical")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val noidx = r.getBoolean(1)
+      val canon = r.getLong(2)
+      val kept = r.getBoolean(3)
+      val grp = id / 3
+      assert(noidx == (id % 7 == 3), s"doc $id noindex")
+      val alias = grp % 4 == 0 && id % 3 == 2
+      assert(canon == (if (alias) grp * 3 else id), s"doc $id canonical_doc")
+      assert(kept == (!noidx && canon == id), s"doc $id kept")
+    }
+    // the fixture plants BOTH classes at this SF — the rule test above
+    // would pass vacuously on a corpus where neither fires
+    assert(rows.exists(_.getBoolean(1)))
+    assert(rows.exists(r => r.getLong(2) != r.getLong(0)))
+  }
+
+  test("q219: paragraph keeper + reassembly match a naive single-threaded " +
+      "reimplementation over the same extracted lines") {
+    import org.apache.spark.sql.functions._
+    val ext = TextQueries.markupPageLines(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id"),
+        graft.text.Markup.extractTextOfLines(col("pl"), minWords = 4)
+          .as("kept"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+      .sortBy(_._1)
+    // naive global pass in (doc, idx) order: first occurrence of each
+    // distinct paragraph wins
+    val seen = scala.collection.mutable.HashSet[String]()
+    val expected = ext.map { case (id, pars) =>
+      val kept = pars.filter(p => seen.add(p))
+      val md = MessageDigest.getInstance("MD5")
+        .digest(kept.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      id -> ((pars.length.toLong, kept.length.toLong, md))
+    }.toMap
+    val got = graft.SparkEntry.queries("q219_paragraph_dedup")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, v) =>
+      assert(v == expected(id), s"doc $id: got $v expected ${expected(id)}")
+    }
+    // the planted entity line is on EVERY page: exactly one survivor
+    val totalKept = got.values.map(_._2).sum
+    val totalPars = got.values.map(_._1).sum
+    assert(totalKept < totalPars, "dedup must actually drop something")
+  }
+}
