@@ -671,6 +671,50 @@ object StreamingQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // STREAMING BLOCKLIST GATE (round 15): q217's domain blocklist as a
+    // SERVED model — derived batch-side over the full corpus, WRITTEN to
+    // Parquet (the q200/q209 write→load→serve contract applied to a
+    // curation model), then enforced at ingestion as a STATELESS
+    // stream-static left-outer join on the registered domain (the gate a
+    // crawler front-end runs on every fetched page; at any real scale the
+    // blocklist is thousands of domains — broadcast-size — while the
+    // feed is unbounded). Per-doc verdict rows are deterministic, so
+    // re-deliveries re-emit identically and the sink dedups; conservation
+    // pins distinct verdicts == docs fed. Oracle replays the ENTIRE
+    // derivation + gate from source via the shared blocklist CTEs —
+    // model drift between the stored table and the batch rule reddens
+    // the row.
+    "q220_stream_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_model_blocklist${OpsQueries.suffix(dir)}").getAbsolutePath
+      WebQueries.blocklistOf(WebQueries.domainRoll(
+          WebQueries.domainScored(docs)))
+        .write.mode("overwrite").parquet(s"$base/blocklist")
+      val stored = s.read.parquet(s"$base/blocklist")
+      val feed = WebQueries.urlFixture(docs.where(replayFilter("doc_id")))
+        .select(col("doc_id"),
+          graft.text.Urls.registeredDomain(
+            graft.text.Urls.canonicalHost(col("url"))).as("domain"),
+          timestamp_micros(lit(1704067200000000L) +
+            (col("doc_id") % 3600) * 1000000L).as("ts"))
+      val rows = feed.as[(Long, String, java.sql.Timestamp)]
+        .collect().sortBy(_._1)
+      require(rows.nonEmpty, s"q220_stream_blocklist: no documents at $dir")
+      val redelivered = rows.filter(_._1 % 4 == 0)
+      val sink = replay(s, "q220_blocklist", "append",
+          halves(rows) :+ redelivered.toIndexedSeq,
+          sinkDistinctCount(rows.length.toLong, lit(true)))(ds =>
+        ds.toDF("doc_id", "domain", "ts")
+          .join(stored, Seq("domain"), "left_outer")
+          .select(col("doc_id"), col("domain"),
+            coalesce(col("blocked"), lit(false)).as("blocked")))
+      sink.distinct()
+        .select(col("doc_id"), col("domain"), col("blocked"))
+        .orderBy("doc_id")
+    }),
+
     "q92_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.Streams
@@ -1253,6 +1297,18 @@ object StreamingQueries {
       s"""WITH ${SimilarityQueries.ivfSql}
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM ivf
          |ORDER BY query_id, rank""".stripMargin,
+
+    // the full blocklist derivation replayed from source (shared CTEs
+    // with q217 — the stored model can never drift from the batch rule),
+    // gated over the sampled feed
+    "q220_stream_blocklist" ->
+      s"""WITH ${WebQueries.blocklistCtesSql},
+         |docs_s AS (SELECT doc_id FROM documents
+         |           WHERE ${replayWhereSql("doc_id")})
+         |SELECT qd.doc_id, qd.domain,
+         |  (qd.domain IN (SELECT domain FROM blk)) AS blocked
+         |FROM qd JOIN docs_s USING (doc_id)
+         |ORDER BY qd.doc_id""".stripMargin,
 
     "q171_stream_dedup" ->
       s"""WITH sampled AS (

@@ -41,6 +41,39 @@ object WebQueries {
   private val BlockMinDocs = 5
   private val BlockBottom = 2
 
+  /** The per-doc (doc_id, domain, q) frame behind q217/q220: fixture URL →
+    * canonical host → registered domain, q31's quality score rounded ONCE
+    * to DECIMAL(20,12) (float parity: domain sums stay exact decimals in
+    * both engines). Callers persist it when they consume it twice. */
+  private[queries] def domainScored(docs: DataFrame): DataFrame = {
+    import graft.text.TextAnalysis._
+    val hd = urlFixture(docs)
+      .select(col("doc_id"), Urls.canonicalHost(col("url")).as("host"))
+      .select(col("doc_id"), Urls.registeredDomain(col("host")).as("domain"))
+    docs.join(hd, Seq("doc_id"))
+      .select(col("doc_id"), col("domain"),
+        textStats(col("text")).as("st"),
+        punctRatio(col("text")).as("pr"), digitRatio(col("text")).as("dr"))
+      .select(col("doc_id"), col("domain"),
+        qualityScoreFrom(col("st"), col("pr"), col("dr"))
+          .cast("decimal(20,12)").as("q"))
+  }
+
+  /** Per-domain rollup: (domain, n_docs, mean_q) — mean_q is the ONE
+    * double division both engines perform on identical exact operands. */
+  private[queries] def domainRoll(scored: DataFrame): DataFrame =
+    scored.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("q").as("q_sum"))
+      .select(col("domain"), col("n_docs"),
+        (col("q_sum").cast("double") / col("n_docs")).as("mean_q"))
+
+  /** The blocklist: bottom-[[BlockBottom]] eligible domains by mean
+    * quality — orderBy+limit (TakeOrderedAndProject), never a window. */
+  private[queries] def blocklistOf(roll: DataFrame): DataFrame =
+    roll.where(col("n_docs") >= BlockMinDocs)
+      .orderBy(col("mean_q"), col("domain")).limit(BlockBottom)
+      .select(col("domain"), lit(true).as("blocked"))
+
   /** The deterministic per-doc URL — (doc_id, url). Group = doc_id div 3:
     * the three members render three syntactic variants of one canonical
     * URL (unless the group is a singleton-path group, grp % 4 == 0, whose
@@ -164,30 +197,14 @@ object WebQueries {
     // sums stay exact decimals on both engines, and mean_q is the one
     // double division both engines perform on identical operands.
     "q217_domain_blocklist" -> ((s, dir) => {
-      import graft.text.TextAnalysis._
-      val docs = t(s, dir, "documents")
-      val hd = urlFixture(docs)
-        .select(col("doc_id"), Urls.canonicalHost(col("url")).as("host"))
-        .select(col("doc_id"), Urls.registeredDomain(col("host")).as("domain"))
       // persisted: feeds BOTH the rollup and the per-doc verdict join —
       // without it the whole quality chain (regex/tokenization over text)
       // re-runs per consumer subtree (the q204 lesson; registry cache
       // contract in SparkEntry). Narrow (id, domain, decimal) rows only.
-      val scored = docs.join(hd, Seq("doc_id"))
-        .select(col("doc_id"), col("domain"),
-          textStats(col("text")).as("st"),
-          punctRatio(col("text")).as("pr"), digitRatio(col("text")).as("dr"))
-        .select(col("doc_id"), col("domain"),
-          qualityScoreFrom(col("st"), col("pr"), col("dr"))
-            .cast("decimal(20,12)").as("q"))
+      val scored = domainScored(t(s, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val roll = scored.groupBy("domain")
-        .agg(count(lit(1)).as("n_docs"), sum("q").as("q_sum"))
-        .select(col("domain"), col("n_docs"),
-          (col("q_sum").cast("double") / col("n_docs")).as("mean_q"))
-      val blk = roll.where(col("n_docs") >= BlockMinDocs)
-        .orderBy(col("mean_q"), col("domain")).limit(BlockBottom)
-        .select(col("domain"), lit(true).as("blocked"))
+      val roll = domainRoll(scored)
+      val blk = blocklistOf(roll)
       scored.join(broadcast(roll), Seq("domain"))
         .join(broadcast(blk), Seq("domain"), "left")
         .select(col("doc_id"), col("domain"), col("n_docs"), col("mean_q"),
@@ -370,6 +387,29 @@ object WebQueries {
        |      lower(regexp_extract(${normalizeEscapesSql("url")}, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#:@]*)', 1)) AS h0
        |    FROM u) t0)""".stripMargin
 
+  /** The full blocklist derivation as CTEs ending in `qd` (per-doc
+    * domain+quality), `mq` (domain rollup) and `blk` (blocked domains) —
+    * shared verbatim by q217 and the streaming gate's oracle (q220),
+    * so the served model and the batch rule can never drift. */
+  private[queries] def blocklistCtesSql: String =
+    s"""${urlFixtureSql("documents")},
+       |$hostDomainSql,
+       |${TextQueries.qualityCtesSql(
+         "(SELECT d.doc_id, d.source, d.text, hd.domain " +
+           "FROM documents d JOIN hd USING (doc_id)) dj", ", domain")},
+       |qd AS (SELECT doc_id, domain, CAST(quality AS DECIMAL(20,12)) AS q
+       |       FROM scored),
+       |roll AS (
+       |  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, sum(q) AS q_sum
+       |  FROM qd GROUP BY 1),
+       |mq AS (SELECT domain, n_docs, q_sum::DOUBLE / n_docs AS mean_q
+       |       FROM roll),
+       |blk AS (
+       |  SELECT domain FROM (
+       |    SELECT domain, row_number() OVER (ORDER BY mean_q, domain) AS rn
+       |    FROM mq WHERE n_docs >= $BlockMinDocs) t
+       |  WHERE rn <= $BlockBottom)""".stripMargin
+
   private def hostDomainSql: String = {
     val suffixes = graft.text.PublicSuffixes.TwoLabel.map(s => s"'$s'")
       .mkString("[", ", ", "]")
@@ -421,23 +461,7 @@ object WebQueries {
     // the domain-joined corpus, exact-decimal per-domain sums, the same
     // bottom-B rank rule, verdict per doc
     "q217_domain_blocklist" ->
-      s"""WITH ${urlFixtureSql("documents")},
-         |$hostDomainSql,
-         |${TextQueries.qualityCtesSql(
-           "(SELECT d.doc_id, d.source, d.text, hd.domain " +
-             "FROM documents d JOIN hd USING (doc_id)) dj", ", domain")},
-         |qd AS (SELECT doc_id, domain, CAST(quality AS DECIMAL(20,12)) AS q
-         |       FROM scored),
-         |roll AS (
-         |  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, sum(q) AS q_sum
-         |  FROM qd GROUP BY 1),
-         |mq AS (SELECT domain, n_docs, q_sum::DOUBLE / n_docs AS mean_q
-         |       FROM roll),
-         |blk AS (
-         |  SELECT domain FROM (
-         |    SELECT domain, row_number() OVER (ORDER BY mean_q, domain) AS rn
-         |    FROM mq WHERE n_docs >= $BlockMinDocs) t
-         |  WHERE rn <= $BlockBottom)
+      s"""WITH $blocklistCtesSql
          |SELECT qd.doc_id, qd.domain, mq.n_docs, mq.mean_q,
          |  (qd.domain IN (SELECT domain FROM blk)) AS blocked
          |FROM qd JOIN mq USING (domain)
