@@ -64,16 +64,30 @@ object Bench {
     }
   }
 
-  /** Ambient inflation of this run's windows, from the controls' measured
-    * median ÷ history ratios (geometric mean, floored at 1.0 — a FASTER-
-    * than-history control never deflates the total). Feeds the artifact's
-    * `value_normalized` field (judge r14 Next #6) so cross-round
-    * comparison of hot-window runs stops needing manual adjudication. */
+  /** Ambient inflation of ONE measurement window, from the controls'
+    * measured median ÷ history ratios (geometric mean, floored at 1.0 — a
+    * FASTER-than-history control never deflates the total). Feeds the
+    * artifact's `value_normalized` field (judge r14 Next #6) so
+    * cross-round comparison of hot-window runs stops needing manual
+    * adjudication. */
   def inflation(ratios: Seq[Double]): Double = {
     val g = ratios.filter(r => r > 0.0 && !r.isNaN && !r.isInfinite)
     if (g.isEmpty) 1.0
     else math.max(1.0, math.exp(g.map(math.log).sum / g.length))
   }
+
+  /** Segment-normalized total (judge r15 Next #1): each query's value is
+    * divided by ITS segment's measured control inflation — the structural
+    * fix for the start-anchored window model, where a mid-run ambient
+    * shift after calm start controls certified `inflation 1.0` and
+    * `value_normalized` corrected nothing (BENCH_r15.json carried ~100 s
+    * of hot window that way). `vals` pairs each query's reported seconds
+    * with its segment index; `segInfl` maps a segment to its inflation
+    * (floored at 1.0 — a fast window never inflates the normalized
+    * total). Failed queries (-1) contribute nothing. */
+  def normalizedTotal(vals: Seq[(Double, Int)], segInfl: Int => Double): Double =
+    vals.filter(_._1 >= 0.0)
+      .map { case (v, s) => v / math.max(1.0, segInfl(s)) }.sum
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -224,17 +238,33 @@ object Bench {
         }
       }
     }
-    // CONTROL CALIBRATION (judge r13 Next #3): two small, code-stable
-    // queries measured up front against their own history. A calm result
-    // (both ≤ 1.3× history) certifies the run's windows are trustworthy
-    // enough that a later >3× outlier is the HOST's fault, unlocking
-    // min-rep adjudication in [[adjudicate]]. Without history (first
-    // round, foreign SF) the run is conservatively non-calm.
+    // CONTROL CALIBRATION, INTERLEAVED (judge r13 Next #3; segment model
+    // judge r15 Next #1): two small, code-stable queries measured against
+    // their own history — no longer once up front, but BEFORE EVERY
+    // SegmentSize-query segment of the registry. The r15 artifact showed
+    // the start-anchored blind spot: calm start controls certified
+    // `inflation 1.0` for a run whose middle and tail sat in a ~100 s hot
+    // window, so `value_normalized` corrected nothing and per-query
+    // adjudication (which needs post-guard corroboration) caught only 4
+    // of ~30 spiked rows. Per-segment controls bound the blind spot to
+    // one segment: each query's calm flag and inflation come from the
+    // control pair measured at ITS segment's start, the artifact carries
+    // per-segment inflations + per-query wall-clock offsets, and
+    // `value_normalized` is the segment-weighted sum ([[normalizedTotal]]).
+    // A calm segment (both controls ≤ 1.3× history) certifies that
+    // segment's windows enough that a >3× outlier inside it is the HOST's
+    // fault, unlocking adjudication in [[adjudicate]]. Without history
+    // (first round, foreign SF) a segment is conservatively non-calm and
+    // its inflation 1.0 (an unknown window is reported raw, never
+    // "normalized" by guesswork). Cost: ~2 s of control reps per segment
+    // (≈10 s per full run) — cheap against the ~100 s adjudication burden
+    // it retires.
+    val SegmentSize = 50
     // per-control measured-median / history ratio; None when the control
     // has no usable history or ANY of its reps failed — a fast FAILURE
     // must not certify a calm window (advisor r14 #2: the old path timed
     // the failed attempt, and a missing-fixture error measured "calm")
-    val controlRatios: Seq[Option[Double]] = {
+    def controlPass(): Seq[Option[Double]] = {
       val controls = Seq("q30_token_stats", "q45_salted_agg")
       val rs = controls.map { cn =>
         (SparkEntry.queries.get(cn), history.get(cn.takeWhile(_ != '_'))) match {
@@ -256,18 +286,24 @@ object Bench {
       spark.catalog.clearCache()
       rs
     }
-    val controlsCalm: Boolean = controlRatios.forall(_.exists(_ <= 1.3))
-    // geometric-mean window inflation (1.0 when any control is unusable —
-    // an unknown window is reported raw, never "normalized" by guesswork)
-    val runInflation: Double =
-      if (controlRatios.exists(_.isEmpty)) 1.0
-      else inflation(controlRatios.flatten)
-    System.err.println(f"[bench] controls calm: $controlsCalm " +
-      f"(inflation ${runInflation}%.2fx)")
+    val segInflations = scala.collection.mutable.ArrayBuffer.empty[Double]
     // name -> (rejected median, reported value) for every ambient-
     // adjudicated query this run — emitted into the artifact
     val adjudicated = scala.collection.mutable.Map.empty[String, (Double, Double)]
-    val results = selected.map { case (name, fn) =>
+    // name -> seconds since the timed section started (wall-clock stamp:
+    // judge r15 Next #1 — hot windows identifiable post-hoc)
+    val tsOffsets = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val runT0Ms = System.currentTimeMillis()
+    val results = selected.grouped(SegmentSize).toSeq.zipWithIndex.flatMap {
+      case (segment, segIdx) =>
+      val ratios = controlPass()
+      val segCalm = ratios.forall(_.exists(_ <= 1.3))
+      val segInfl = if (ratios.exists(_.isEmpty)) 1.0 else inflation(ratios.flatten)
+      segInflations += segInfl
+      System.err.println(f"[bench] segment $segIdx controls calm: $segCalm " +
+        f"(inflation ${segInfl}%.2fx)")
+      segment.map { case (name, fn) =>
+      tsOffsets(name) = (System.currentTimeMillis() - runT0Ms) / 1000.0
       def rep(): Double = {
         val t0 = System.nanoTime()
         val ok =
@@ -320,19 +356,20 @@ object Bench {
       // adjudicate's scaladoc). Adjudicated entries are FLAGGED in the
       // artifact (advisor r14 #1) so history consumers can tell a
       // re-measured value from a raw median.
-      val adj = adjudicate(times, postGuard, hist, controlsCalm)
+      val adj = adjudicate(times, postGuard, hist, segCalm)
       if (adj != med(times)) {
         System.err.println(
           f"[bench] $name median ${med(times)}%.2f s >3x history on a " +
-            f"calm-control run: ambient-adjudicated to post-guard median $adj%.2f s")
+            f"calm-control segment: ambient-adjudicated to post-guard median $adj%.2f s")
         adjudicated += name -> ((med(times), adj))
       }
-      val out = name -> adj
+      val out = (name, adj, segIdx)
       // release this query's persisted frames (q151/q165/q169/q176-style
       // loop-invariant caches): unreleased they accumulate for the whole
       // 170+-query session and force LRU churn on later memory-hungry rows
       spark.catalog.clearCache()
       out
+      }
     }
     // The driver records only a bounded TAIL of stdout: the r6 artifact lost
     // the line's head (metric/value) because 91 full query names at nanosecond
@@ -343,11 +380,11 @@ object Bench {
     def ms(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val shortKey: Map[String, String] = {
-      val pref = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+      val pref = results.map { case (k, _, _) => k -> k.takeWhile(_ != '_') }.toMap
       if (pref.values.toSeq.distinct.length == pref.size) pref
-      else results.map { case (k, _) => k -> k }.toMap // collision: full names
+      else results.map { case (k, _, _) => k -> k }.toMap // collision: full names
     }
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + ms(v) }
+    val qs = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Per-query detail line under a DISTINCT metric name (advisor r11 #4:
@@ -359,11 +396,19 @@ object Bench {
     // independent runs agree" from "one run read twice" (advisor r13 #3)
     val runId = java.util.UUID.randomUUID().toString.take(8) +
       "-" + System.currentTimeMillis()
-    // value_normalized = total ÷ the controls' measured window inflation
-    // (judge r14 Next #6): a hot-window artifact carries its own
-    // correction factor, so cross-round totals compare without manual
-    // adjudication. Raw value stays the value of record.
-    val normFields = s""","value_normalized":${ms(total / runInflation)},"control_inflation":${ms(runInflation)}"""
+    // value_normalized = each query divided by ITS segment's control
+    // inflation, summed ([[normalizedTotal]] — judge r15 Next #1): a run
+    // whose hot window hit only the middle segments carries a correction
+    // that actually corrects it (the old run-level divisor, certified by
+    // start-anchored controls, stamped `inflation 1.0` on exactly that
+    // shape). control_inflation = the EFFECTIVE run divisor
+    // (total ÷ normalized) for cross-round continuity; the per-segment
+    // factors ship alongside. Raw value stays the value of record.
+    val normTotal = normalizedTotal(
+      results.map { case (_, v, si) => (v, si) },
+      si => if (si >= 0 && si < segInflations.length) segInflations(si) else 1.0)
+    val runInflation = if (normTotal > 0.0) total / normTotal else 1.0
+    val normFields = s""","value_normalized":${ms(normTotal)},"control_inflation":${ms(runInflation)}"""
     // adjudicated entries: {"qNN":[rejected_median, reported]} — flags
     // every ambient-adjudicated value so history consumers can tell a
     // post-guard re-measurement from a raw median (advisor r14 #1)
@@ -372,7 +417,17 @@ object Bench {
       else adjudicated.toSeq.sortBy(_._1).map { case (k, (m, v)) =>
         "\"" + shortKey(k) + "\":[" + ms(m) + "," + ms(v) + "]"
       }.mkString(""","adjudicated":{""", ",", "}")
-    val detail = s"""{"metric":"total_detail","value":${ms(total)}$normFields,"unit":"sec","run_id":"$runId"$adjField,"queries":$qs,"sf":"$sfDir"}"""
+    // per-segment inflations + per-query wall-clock offsets (seconds since
+    // the timed section began; t0 is the absolute epoch anchor): the
+    // post-hoc hot-window forensics the r14/r15 judges had to reconstruct
+    // by hand. ts keys are "t_"-prefixed so the history parser's
+    // quote-anchored "qNN": regex can never read an offset as a timing.
+    val segField = segInflations.map(ms).mkString(""","segment_inflations":[""", ",", "]") +
+      s""","segment_size":$SegmentSize,"t0_epoch_ms":$runT0Ms"""
+    val tsField = tsOffsets.map { case (k, off) =>
+      "\"t_" + shortKey(k) + "\":" + String.format(java.util.Locale.ROOT, "%.1f", Double.box(off))
+    }.mkString(""","ts":{""", ",", "}")
+    val detail = s"""{"metric":"total_detail","value":${ms(total)}$normFields,"unit":"sec","run_id":"$runId"$segField$adjField,"queries":$qs$tsField,"sf":"$sfDir"}"""
     println(detail)
     // The driver records only a bounded TAIL of stdout, and at 180+ queries
     // the per-query line above is ~3 KB — r10's artifact lost the line's
@@ -381,7 +436,7 @@ object Bench {
     // is, the last ~100 bytes are always inside it, so the driver's
     // single-line JSON parse finds a complete object with the total. This
     // is the ONE line tagged "total" (the driver contract's line).
-    println(s"""{"metric":"total","value":${ms(total)},"value_normalized":${ms(total / runInflation)},"unit":"sec","n":${results.length},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"value_normalized":${ms(normTotal)},"unit":"sec","n":${results.length},"sf":"$sfDir"}""")
     // Belt and braces (judge r11, Next #1): the full object as a FILE, so
     // the totals survive any stdout windowing/wrapping the harness applies.
     // FULL-REGISTRY runs only: a builder-side SPARK_GRAFT_BENCH_ONLY

@@ -80,7 +80,12 @@ object TextQueries {
     // exactly once, on the doc_id join). Output: per-doc paragraph
     // counts + the md5 of the cleaned reassembly.
     "q219_paragraph_dedup" -> ((s, dir) => {
+      // persisted (advisor r15 #1, the q204/q217 lesson): ext feeds three
+      // consumer subtrees — pars→keeper, pars→keptIdx probe, and the final
+      // reassembly join — and the string-heavy page build + extraction
+      // must not re-run once per subtree. Registry cache contract applies.
       val ext = markupExtracted(s, dir).select(col("doc_id"), col("kept"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pars = ext
         .select(col("doc_id"), posexplode(col("kept")).as(Seq("idx", "par")))
         .select(col("doc_id"), col("idx"), md5(col("par")).as("h"))

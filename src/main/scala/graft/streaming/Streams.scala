@@ -342,6 +342,14 @@ object Streams {
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.CosineSim.cosineSim(col("qv"), col("cv")).as("sim"),
         col("ts"))
+      // CosineSim is NULL on a zero-norm side (advisor r15 #2): decoding
+      // NULL into AnnCand's primitive Double would crash the stream at
+      // runtime. Null-sim candidates are dropped — a zero-norm QUERY thus
+      // emits no hits (its every sim is NULL; the batch path merely ranks
+      // such rows arbitrarily), and a zero-norm INDEX vector is invisible
+      // to serve — both the defensible serve semantics for degenerate
+      // vectors, neither a crash.
+      .where(col("sim").isNotNull)
       .as[AnnCand]
     cands.groupByKey(_.query_id)
       .flatMapGroupsWithState[List[(Long, Double)], AnnHit](
@@ -357,7 +365,16 @@ object Streams {
             val arrivals = it.toArray
             val merged = (state.getOption.getOrElse(Nil) ++
                 arrivals.iterator.map(c => (c.neighbor_id, c.sim)))
-              .distinct // re-deliveries: same (neighbor, sim) recompute
+              // PRE-TIMEOUT re-deliveries collapse: the same (neighbor,
+              // sim) recompute is a distinct() no-op against live state.
+              // A re-delivery arriving AFTER the query's timeout fired
+              // re-creates state and emits a second, partial verdict the
+              // sink's distinct cannot collapse (advisor r15 #3) — the
+              // at-least-once contract here is therefore scoped to the
+              // TTL horizon, like every watermark-bounded operator in
+              // this file: feed re-deliveries within the TTL (q216's
+              // conservation check would catch a violation in replay).
+              .distinct
               .sortBy { case (n, s) => (-s, n) }
               .take(k)
             state.update(merged)

@@ -29,6 +29,10 @@ object Scratch {
       val t0 = System.nanoTime()
       graft.Bench.materialize(graft.SparkEntry.queries(name)(spark, sfDir))
       println(f"[scratch] $name rep=$r ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // registry cache contract (SparkEntry): a multi-query session must
+      // release each query's persisted frames, or this adjudication tool
+      // measures LRU churn instead of the operator (judge r15 hygiene)
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -73,6 +73,30 @@ class BenchSpec extends AnyFunSuite {
       controlsCalm = true) == -1.0)
   }
 
+  test("mid-run-spike scenario (judge r15 Next #1): start controls calm, " +
+      "a middle segment 3x hot -> normalizedTotal corrects exactly that " +
+      "segment (the start-anchored run-level model corrected nothing)") {
+    // 3 segments x 2 queries; the BENCH_r15 shape — the run starts and
+    // ends calm, the middle segment's window runs 3x hot
+    val vals = Seq((1.0, 0), (1.0, 0), (3.0, 1), (3.0, 1), (1.0, 2), (1.0, 2))
+    val segInfl = Map(0 -> 1.0, 1 -> 3.0, 2 -> 1.0)
+    // OLD model: the up-front controls (segment 0's window) measure calm,
+    // run inflation stamps 1.0, value_normalized == value — the blind spot
+    assert(Bench.inflation(Seq(1.0, 1.0)) == 1.0)
+    // SEGMENT model: the spiked segment's values divide by ITS inflation;
+    // 1+1 + 3/3+3/3 + 1+1 = 6.0 (the true calm-window cost), not 10.0
+    assert(Bench.normalizedTotal(vals, segInfl) == 6.0)
+    // effective run divisor reported as control_inflation: 10/6
+    assert(math.abs(vals.map(_._1).sum / Bench.normalizedTotal(vals, segInfl)
+      - 10.0 / 6.0) < 1e-12)
+  }
+
+  test("normalizedTotal: failed queries drop; a faster-than-history " +
+      "segment (inflation < 1) never inflates the normalized total") {
+    assert(Bench.normalizedTotal(Seq((2.0, 0), (-1.0, 0)), _ => 0.5) == 2.0)
+    assert(Bench.normalizedTotal(Nil, _ => 2.0) == 0.0)
+  }
+
   test("control inflation: geometric mean of the ratios, floored at 1.0, " +
       "garbage-tolerant (judge r14 Next #6)") {
     assert(Bench.inflation(Seq(2.0, 2.0)) == 2.0)
