@@ -456,7 +456,7 @@ object Dedup {
     * text); a cross-slice 64-bit collision within a band is the usual
     * astronomically-unlikely LSH false candidate and is bounded by the
     * est_sim verify riding the join. */
-  private def bandedHashKeys(sig: Column, bands: Int, rows: Int): Column =
+  private[graft] def bandedHashKeys(sig: Column, bands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       bnd => xxhash64(bnd, slice(sig, bnd * rows + 1, lit(rows))))
 

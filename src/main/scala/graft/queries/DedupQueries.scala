@@ -316,25 +316,8 @@ object DedupQueries {
     // appended one, or any Parquet/compaction drift reddens the row.
     "q214_index_maintain" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-      val s1 = maxId / 3 + 1
-      val s2 = 2 * maxId / 3 + 1
-      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_model_sigidx_maint${OpsQueries.suffix(dir)}").getAbsolutePath
-      Dedup.portableSignaturesIndexed(docs.where(col("doc_id") < s1),
-          col("doc_id"), col("text"), n = 3, m = 32, bands = 8)
-        .write.mode("overwrite").parquet(s"$base/v1")
-      val sigsB = Dedup.portableSignaturesIndexed(
-        docs.where(col("doc_id") >= s1 && col("doc_id") < s2),
-        col("doc_id"), col("text"), n = 3, m = 32, bands = 8)
-      val ledger = docs.where(col("doc_id") < s2 && col("doc_id") % 7 === 3)
-        .select(col("doc_id").as("id"))
-      graft.ops.Layout.upsert(s.read.parquet(s"$base/v1"), sigsB, Seq("id"))
-        .join(broadcast(ledger), Seq("id"), "left_anti")
-        .write.mode("overwrite").parquet(s"$base/v2")
-      graft.ops.Layout.compact(s, s"$base/v2",
-        targetFileBytes = 8L << 20, tmpPath = s"$base/v2_tmp")
-      val index = s.read.parquet(s"$base/v2")
+      val (indexPath, s2) = buildMaintainedSigIndex(s, dir, "q214")
+      val index = s.read.parquet(indexPath)
       val batchSigs = Dedup.portableSignatures(
         docs.where(col("doc_id") >= s2), col("doc_id"), col("text"),
         n = 3, m = 32)
@@ -503,7 +486,39 @@ object DedupQueries {
        |  FROM ${p}grams),
        |${p}dups AS (SELECT doc_id, pos FROM ${p}ranked WHERE rn > 1)""".stripMargin
 
-  private def portableLshPairsSql(src: String): String =
+  /** q214's maintained-index BUILD (phases 1+2): signs corpus third A →
+    * index v1, appends third B via Layout.upsert, propagates the deletion
+    * ledger (doc_id % 7 == 3 — interpolated into the oracles), compacts,
+    * and returns (index path, serve split s2). ONE copy shared by q214's
+    * batch serve and q222's STREAMING serve, so the maintained membership
+    * rule (A∪B ∖ ledger) can never drift between the two rows. `tag`
+    * keeps the two rows' model directories separate (bench reps of one
+    * must not race the other's reads). */
+  private[queries] def buildMaintainedSigIndex(s: SparkSession, dir: String,
+      tag: String): (String, Long) = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val s1 = maxId / 3 + 1
+    val s2 = 2 * maxId / 3 + 1
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_model_sigidx_maint_$tag${OpsQueries.suffix(dir)}").getAbsolutePath
+    Dedup.portableSignaturesIndexed(docs.where(col("doc_id") < s1),
+        col("doc_id"), col("text"), n = 3, m = 32, bands = 8)
+      .write.mode("overwrite").parquet(s"$base/v1")
+    val sigsB = Dedup.portableSignaturesIndexed(
+      docs.where(col("doc_id") >= s1 && col("doc_id") < s2),
+      col("doc_id"), col("text"), n = 3, m = 32, bands = 8)
+    val ledger = docs.where(col("doc_id") < s2 && col("doc_id") % 7 === 3)
+      .select(col("doc_id").as("id"))
+    graft.ops.Layout.upsert(s.read.parquet(s"$base/v1"), sigsB, Seq("id"))
+      .join(broadcast(ledger), Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$base/v2")
+    graft.ops.Layout.compact(s, s"$base/v2",
+      targetFileBytes = 8L << 20, tmpPath = s"$base/v2_tmp")
+    (s"$base/v2", s2)
+  }
+
+  private[queries] def portableLshPairsSql(src: String): String =
     s"""tk AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
        |  WHERE len(string_split(text, ' ')) >= 3),

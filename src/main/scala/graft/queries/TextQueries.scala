@@ -1121,7 +1121,16 @@ object TextQueries {
     * (advisor r13: a "\n"-join → split round-trip would re-segment any
     * document text that itself contains a newline — the oracle's list
     * form never joins, so neither does the engine). */
-  private[queries] def markupPageLines(docs: DataFrame): DataFrame = {
+  private[queries] def markupPageLines(docs: DataFrame): DataFrame =
+    markupPageLinesCarry(docs, Nil)
+
+  /** [[markupPageLines]] with extra columns CARRIED through the two
+    * binding selects — the streaming gates (q221/q225) must keep their
+    * event-time/url columns alongside the page without a join-back (a
+    * stream-stream self-join is exactly what a stateless projection must
+    * not become). */
+  private[queries] def markupPageLinesCarry(docs: DataFrame,
+      carry: Seq[String]): DataFrame = {
     val w = filter(split(coalesce(col("text"), lit("")), " "), x => x =!= "")
     val pageLines = concat(
       array(
@@ -1138,8 +1147,8 @@ object TextQueries {
         .otherwise(array().cast("array<string>")),
       array(lit("<div class=\"footer\">&copy; 2024 GraftCorp</div>")))
     docs
-      .select(col("doc_id"), w.as("w"))
-      .select(col("doc_id"), pageLines.as("pl"))
+      .select(col("doc_id") +: w.as("w") +: carry.map(col): _*)
+      .select(col("doc_id") +: pageLines.as("pl") +: carry.map(col): _*)
   }
 
   /** q203/q204's shared front half: the deterministic page per doc and
@@ -1147,7 +1156,13 @@ object TextQueries {
     * ONE copy so the composition row can never drift from the extraction
     * row. */
   private[queries] def markupExtracted(s: SparkSession, dir: String): DataFrame =
-    markupPageLines(t(s, dir, "documents"))
+    markupExtractedOf(t(s, dir, "documents"))
+
+  /** [[markupExtracted]] over an arbitrary (doc_id, text) frame — q221's
+    * streaming replay extracts over its SAMPLED feed with the same
+    * chain. */
+  private[queries] def markupExtractedOf(docs: DataFrame): DataFrame =
+    markupPageLines(docs)
       .select(col("doc_id"),
         size(col("pl")).cast("long").as("n_lines"),
         graft.text.Markup.extractTextOfLines(col("pl"), minWords = 4).as("kept"))

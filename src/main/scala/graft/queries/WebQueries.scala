@@ -130,6 +130,63 @@ object WebQueries {
       "sub.\u4E2D\u56FD.example"),
     ("xn--abc_def.com", "xn--abc_def.com")) // invalid body: pass-through
 
+  /** q218/q225's shared directive stage: the planted page (noindex meta
+    * on doc_id % 7 == 3; a rel=canonical link on singleton-group v2
+    * members naming their group's v0 URL) + stateless DETECTION — per
+    * doc: `noindex` (regex over the lines) and `href_canon` (the first
+    * canonical link's href through the full v3 canonicalization chain;
+    * NULL when the page declares none). `carry` columns ride through the
+    * projection (q225's streaming gate keeps url/ts without a join-back).
+    * ONE copy so the batch row and the stream gate detect on identical
+    * pages — stream ≡ batch is structural. SQL twin: [[directiveFlSql]]. */
+  private[queries] def directiveFlagged(docs: DataFrame,
+      carry: Seq[String]): DataFrame = {
+    val grp = expr("doc_id div 3")
+    val noidx = col("doc_id") % 7 === 3
+    val isAlias = grp % 4 === 0 && col("doc_id") % 3 === 2
+    val href = concat(lit("https://"), hostCol(grp), lit("/p/"), grp * 3,
+      lit("?a=1&c=x%2Fy&b=2"))
+    val emptyArr = array().cast("array<string>")
+    val pages = TextQueries.markupPageLinesCarry(docs, carry)
+      .select(col("doc_id") +: concat(
+        when(noidx,
+          array(lit("<meta name=\"robots\" content=\"noindex\">")))
+          .otherwise(emptyArr),
+        when(isAlias, array(concat(
+            lit("<link rel=\"canonical\" href=\""), href, lit("\">"))))
+          .otherwise(emptyArr),
+        col("pl")).as("pl") +: carry.map(col): _*)
+    pages.select(col("doc_id") +:
+      exists(col("pl"), l => l.rlike("name=\"robots\"[^>]*noindex"))
+        .as("noindex") +:
+      Urls.canonicalize(regexp_extract(
+          try_element_at(
+            filter(col("pl"), l => l.rlike("rel=\"canonical\"")), lit(1)),
+          "href=\"([^\"]*)\"", 1)).as("href_canon") +:
+      carry.map(col): _*)
+  }
+
+  /** The directive plant + detection as SQL CTEs `pg2` → `fl(doc_id,
+    * noindex, href)` over an existing `pg(doc_id, pl)` — shared verbatim
+    * by q218's oracle and q225's streaming-gate oracle. */
+  private[queries] def directiveFlSql: String =
+    s"""pg2 AS (
+       |  SELECT doc_id, list_concat(list_concat(
+       |    CASE WHEN doc_id % 7 = 3
+       |         THEN ['<meta name="robots" content="noindex">'] ELSE [] END,
+       |    CASE WHEN (doc_id // 3) % 4 = 0 AND doc_id % 3 = 2
+       |         THEN ['<link rel="canonical" href="https://' ||
+       |               ${hostCaseSql("doc_id // 3")} ||
+       |               '/p/' || ((doc_id // 3) * 3) || '?a=1&c=x%2Fy&b=2">']
+       |         ELSE [] END), pl) AS pl
+       |  FROM pg),
+       |fl AS (
+       |  SELECT doc_id,
+       |    len(list_filter(pl, l -> regexp_matches(l, 'name="robots"[^>]*noindex'))) > 0 AS noindex,
+       |    regexp_extract(list_filter(pl, l -> regexp_matches(l, 'rel="canonical"'))[1],
+       |      'href="([^"]*)"', 1) AS href
+       |  FROM pg2)""".stripMargin
+
   private[queries] def urlFixture(docs: DataFrame): DataFrame = {
     val grp = expr("doc_id div 3")
     val hostC = hostCol(grp)
@@ -249,28 +306,7 @@ object WebQueries {
     // hash-joins the (canon_url, keeper) map — strings-only shuffle.
     "q218_noindex_canonical" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val grp = expr("doc_id div 3")
-      val noidx = col("doc_id") % 7 === 3
-      val isAlias = grp % 4 === 0 && col("doc_id") % 3 === 2
-      val href = concat(lit("https://"), hostCol(grp), lit("/p/"), grp * 3,
-        lit("?a=1&c=x%2Fy&b=2"))
-      val emptyArr = array().cast("array<string>")
-      val pages = TextQueries.markupPageLines(docs)
-        .select(col("doc_id"), concat(
-          when(noidx,
-            array(lit("<meta name=\"robots\" content=\"noindex\">")))
-            .otherwise(emptyArr),
-          when(isAlias, array(concat(
-              lit("<link rel=\"canonical\" href=\""), href, lit("\">"))))
-            .otherwise(emptyArr),
-          col("pl")).as("pl"))
-      val flags = pages.select(col("doc_id"),
-        exists(col("pl"), l => l.rlike("name=\"robots\"[^>]*noindex"))
-          .as("noindex"),
-        Urls.canonicalize(regexp_extract(
-            try_element_at(
-              filter(col("pl"), l => l.rlike("rel=\"canonical\"")), lit(1)),
-            "href=\"([^\"]*)\"", 1)).as("href_canon"))
+      val flags = directiveFlagged(docs, Nil)
       val keepers = urlFixture(docs)
         .select(Urls.canonicalize(col("url")).as("canon_url"), col("doc_id"))
         .groupBy("canon_url").agg(min("doc_id").as("keep_id"))
@@ -561,22 +597,7 @@ object WebQueries {
          |$canonSql,
          |k AS (SELECT canon_url, min(doc_id) AS keep_id FROM canon GROUP BY 1),
          |${TextQueries.markupOracleCtes("documents")},
-         |pg2 AS (
-         |  SELECT doc_id, list_concat(list_concat(
-         |    CASE WHEN doc_id % 7 = 3
-         |         THEN ['<meta name="robots" content="noindex">'] ELSE [] END,
-         |    CASE WHEN (doc_id // 3) % 4 = 0 AND doc_id % 3 = 2
-         |         THEN ['<link rel="canonical" href="https://' ||
-         |               ${hostCaseSql("doc_id // 3")} ||
-         |               '/p/' || ((doc_id // 3) * 3) || '?a=1&c=x%2Fy&b=2">']
-         |         ELSE [] END), pl) AS pl
-         |  FROM pg),
-         |fl AS (
-         |  SELECT doc_id,
-         |    len(list_filter(pl, l -> regexp_matches(l, 'name="robots"[^>]*noindex'))) > 0 AS noindex,
-         |    regexp_extract(list_filter(pl, l -> regexp_matches(l, 'rel="canonical"'))[1],
-         |      'href="([^"]*)"', 1) AS href
-         |  FROM pg2),
+         |$directiveFlSql,
          |hu AS (SELECT doc_id, href AS url FROM fl),
          |${canonSqlOver("hu", "h")},
          |res AS (
