@@ -124,6 +124,66 @@ class AnnSpec extends SparkSpec {
     assert(leaky.exists { case (_, _, n) => n % 7 == 3 })
   }
 
+  test("rebalance counterfactual (q224): retraining on a skew-drifted " +
+      "membership rebalances cells and serves equivalently through the " +
+      "stored-model round-trip; without the retrain the skew persists") {
+    // planted drift: the 'maintained' membership is two tight clusters —
+    // one around (1,0,...) with 40 members, one around (0,1,...) with 4 —
+    // but the sampled quantizer (k=2 over the FIRST ids) lands both its
+    // centroids inside the big cluster, so the small cluster's members
+    // crowd into whichever centroid is least-unlike them: a degenerate
+    // partition the q223 gauge would flag
+    val dim = 8
+    def v(axis: Int, i: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.01f * ((i * 7 + 3) % 5))
+      a(axis) = 1f + 0.001f * i
+      a
+    }
+    val members = (
+      (0 until 40).map(i => (i.toLong, v(0, i))) ++
+      (0 until 4).map(i => (100L + i, v(1, i)))).toDF("vec_id", "embedding")
+    val sampled = Ann.sampleCentroids(members, "vec_id", "embedding", 2)
+    // cluster purity of a partition: does any cell mix the two planted
+    // clusters (id < 100 vs >= 100)?
+    def mixedCells(asg: org.apache.spark.sql.DataFrame): Long =
+      asg.groupBy("centroid_id")
+        .agg(countDistinct(when(col("vec_id") >= 100L, 1).otherwise(0))
+          .as("kinds"))
+        .where(col("kinds") > 1).count()
+    val beforeAsg = Ann.assignCells(members, "vec_id", "embedding", sampled)
+    val before = beforeAsg
+      .groupBy("centroid_id").count().collect().map(_.getLong(1)).sorted
+    // retrain on the membership, reassign, round-trip the model via
+    // Parquet (the q224 swap), serve from the stored tables
+    val trained = Ann.trainedCentroids(members, "vec_id", "embedding", 2, 3)
+    val tmp = java.nio.file.Files.createTempDirectory("reb").toString
+    trained.write.mode("overwrite").parquet(s"$tmp/cents")
+    val stored = spark.read.parquet(s"$tmp/cents")
+    val reassigned = Ann.assignCells(members, "vec_id", "embedding", stored)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    reassigned.write.mode("overwrite").parquet(s"$tmp/cells")
+    val after = spark.read.parquet(s"$tmp/cells")
+      .groupBy("centroid_id").count().collect().map(_.getLong(1)).sorted
+    // counterfactual: the Mix64-sampled quantizer lands both centroids
+    // inside the big cluster (measured: a 9/35 split that buries the
+    // small cluster in a mixed cell); the retrain separates the planted
+    // clusters exactly — 4/40, zero mixed cells
+    assert(mixedCells(beforeAsg) > 0,
+      s"planted drift vanished: sampled split ${before.toSeq} is already pure")
+    assert(after.toSeq == Seq(4L, 40L), s"rebalance did not split: ${after.toSeq}")
+    assert(mixedCells(spark.read.parquet(s"$tmp/cells")
+      .select(col("vec_id"), col("centroid_id"))) == 0)
+    // serve-equivalence: the stored-model serve == the in-memory serve
+    val q = members.where(col("vec_id").isin(0L, 100L))
+    val onStored = Ann.ivfTopKOnCells(q, spark.read.parquet(s"$tmp/cells"),
+        "vec_id", "embedding", k = 3, nProbe = 1, centroids = stored)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val inMem = Ann.ivfTopKWith(q, members, "vec_id", "embedding",
+        k = 3, nProbe = 1, centroids = trained)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(onStored == inMem && onStored.nonEmpty)
+  }
+
   test("hyperplane signatures: deterministic; close vectors agree on more bits") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.2f, -0.3f, 0.5f)),
