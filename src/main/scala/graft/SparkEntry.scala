@@ -19,8 +19,9 @@ object SparkEntry {
     * q169, q176, q182's three tier frames, q188's `members`, q192's truth/
     * tier frames, the span family's grams frames inside Dedup.spanDups/
     * spanIncremental/spanSweep — q193/q194/q196/q197/q207 (q207 also the
-    * shared token frame) — q199's fingerprint frame, q204's/q210's
-    * extracted frames and q217's scored frame) and does NOT unpersist
+    * shared token frame) — q199's fingerprint frame, q204's/q210's/
+    * q219's extracted frames, q217's scored frame and q224's three
+    * bounded serve frames) and does NOT unpersist
     * them —
     * unpersisting inside the
     * query body would evict the cache before the caller's action

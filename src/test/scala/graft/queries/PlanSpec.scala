@@ -562,13 +562,17 @@ class PlanSpec extends SparkSpec {
     // (twice: in-memory + loaded model) plus 1-row assembly joins
     // q215 embeds the same bounded 16-row centroid-assignment broadcast
     // as q41/q200 (query-side assignCells against the stored quantizer)
+    // q223 embeds q41's bounded 16-row centroid-assignment broadcast plus
+    // a q132-style 1-row total broadcast onto the 16-row per-cell rollup
+    // (the drift gauge's share/mean columns) — both bounded by construction
     val allowed = Set("q40_ann_topk", "q41_ann_ivf", "q47_ivf_recall",
       "q79_ann_pq", "q80_pq_recall", "q84_ivfpq_recall", "q106_knn_classify",
       "q111_hll_setops", "q112_pq_rerank", "q113_rerank_recall",
       "q132_skew_advisor", "q140_ivf_recall_curve", "q141_ivfpq_portable",
       "q142_rerank_curve", "q182_ann_float_guarantee",
       "q192_ann_trained_ivf", "q199_image_neardup_recall",
-      "q200_vector_model_store", "q215_ann_index_maintain")
+      "q200_vector_model_store", "q215_ann_index_maintain",
+      "q223_ivf_drift")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
