@@ -145,7 +145,10 @@ object Bench {
       "q128_stream_trending", "q135_stream_abandoned", "q156_stream_cluster",
       "q171_stream_dedup", "q180_stream_loghist", "q187_stream_rocksdb",
       "q195_stream_span_dedup", "q202_stream_fp_dedup", "q208_stream_markup",
-      "q212_stream_url_dedup", "q213_stream_host_quota")
+      "q212_stream_url_dedup", "q213_stream_host_quota",
+      "q216_stream_ann_serve", "q220_stream_blocklist",
+      "q221_stream_par_dedup", "q222_stream_sig_serve",
+      "q225_stream_directive_gate")
     // Per-query history: the newest BENCH_r*.json in the working directory
     // (the driver runs from the repo root, where it also writes them).
     // The r8 artifact carried 16-39x ambient outliers on individually tiny
