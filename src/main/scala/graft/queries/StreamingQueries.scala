@@ -760,7 +760,9 @@ object StreamingQueries {
       val pars = TextQueries.markupExtractedOf(sampled)
         .select(col("doc_id"), posexplode(col("kept")).as(Seq("idx", "par")))
         .select(md5(col("par")).as("g"))
-      val expected = pars.count() - pars.distinct().count()
+      // ONE pass: dups = occurrences - distinct fingerprints (q219's rule)
+      val pr = pars.agg(count(lit(1)), countDistinct(col("g"))).head()
+      val expected = pr.getLong(0) - pr.getLong(1)
       require(expected > 0, s"q221_stream_par_dedup: degenerate corpus at $dir")
       val redelivered = rows.filter(_._1 % 4 == 0)
       val sink = replay(s, "q221_par_dedup", "append",
@@ -820,8 +822,9 @@ object StreamingQueries {
       val redelivered = rows.filter(_._1 % 4 == 0)
       val flush = new java.sql.Timestamp(
         rows.map(_._3.getTime).max + 48L * 3600 * 1000)
-      val batches = halves(rows) :+ redelivered.toIndexedSeq :+
-        Seq((-1L, "", flush))
+      // re-delivery rides the flush batch: one fewer micro-batch, and each
+      // costs a full stream-static pass against the exploded index
+      val batches = halves(rows) :+ (redelivered.toIndexedSeq :+ (-1L, "", flush))
       // conservation: one verdict per fed doc (presence rows guarantee
       // even hit-less / unsignable docs verdict), flush sentinel excluded
       val sink = replay(s, "q222_sig_serve", "append", batches,
@@ -869,12 +872,12 @@ object StreamingQueries {
             coalesce(col("href_canon"),
               graft.text.Urls.canonicalize(col("url"))).as("gate_key"),
             col("ts"))
-      // batch truth over the same frame-shaped input
-      val truth = gateKeys(feed).persist()
-      val nNoindex = truth.where(col("noindex")).count()
-      val nUnique = truth.where(!col("noindex"))
-        .select("gate_key").distinct().count()
-      truth.unpersist()
+      // batch truth over the same frame-shaped input — ONE pass
+      val tr = gateKeys(feed).agg(
+        count(when(col("noindex"), 1)),
+        countDistinct(when(!col("noindex"), col("gate_key")))).head()
+      val nNoindex = tr.getLong(0)
+      val nUnique = tr.getLong(1)
       val sink = replay(s, "q225_directive_gate", "append",
           halves(rows) :+ redelivered.toIndexedSeq,
           sinkDistinctCount(nUnique, lit(true)))(ds =>

@@ -438,9 +438,17 @@ object Streams {
     val banded = sigs.select(col("doc_id"), col("ts"), col("sig"),
         posexplode(Dedup.bandedHashKeys(col("sig"), bands, rows)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "hkey")
+    // the exploded static side PERSISTS (bounded: |index| × bands narrow
+    // rows — the loaded-model discipline): a stream-static join re-plans
+    // its static side EVERY micro-batch, and without the cache each batch
+    // re-reads the index parquet and re-explodes all its band keys —
+    // measured as the dominant cost of the q222 replay. Callers running
+    // many queries per session release it via clearCache (the registry
+    // cache contract in SparkEntry).
     val idx = index.select(col("id").as("partner_id"), col("sig").as("siga"),
         posexplode(col("hkeys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "hkey")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = banded.join(idx, Seq("band", "hkey"))
       .where(Dedup.signatureSimilarity(col("sig"), col("siga")) >= minEstSim)
       .select(col("doc_id"), col("partner_id").cast("long").as("partner_id"),
