@@ -148,7 +148,7 @@ object Bench {
       "q212_stream_url_dedup", "q213_stream_host_quota",
       "q216_stream_ann_serve", "q220_stream_blocklist",
       "q221_stream_par_dedup", "q222_stream_sig_serve",
-      "q225_stream_directive_gate")
+      "q225_stream_directive_gate", "q228_stream_robots_gate")
     // Per-query history: the newest BENCH_r*.json in the working directory
     // (the driver runs from the repo root, where it also writes them).
     // The r8 artifact carried 16-39x ambient outliers on individually tiny

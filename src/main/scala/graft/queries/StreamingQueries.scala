@@ -896,6 +896,62 @@ object StreamingQueries {
           col("uniq_md5"))
     }),
 
+    // STREAMING ROBOTS GATE (round 16 — q227 at ingestion time, the
+    // politeness symmetry of q220's blocklist gate): the per-host
+    // APPLICABLE rule arrays are derived batch-side (parser + group
+    // selection — q227's shared robotsRulesTable), WRITTEN to Parquet
+    // (the write→load→serve contract), and enforced on the feed as a
+    // fully STATELESS stage: stream-static LEFT join on host (the rules
+    // table is broadcast-small — a serve node holds robots rules in
+    // memory), then the longest-prefix/Allow-on-tie winner as a PER-ROW
+    // array expression (filter → sort_array desc on (len, allow) → head)
+    // — no state store, no watermark, a DIFFERENT formulation from
+    // q227's groupBy max(struct), so the oracle's shared rule
+    // application checks BOTH against the same hand-derived VALUES.
+    // Verdicts are deterministic; re-deliveries re-emit identically and
+    // the sink dedups; conservation pins distinct verdicts == docs fed.
+    "q228_stream_robots_gate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_model_robots${OpsQueries.suffix(dir)}").getAbsolutePath
+      WebQueries.robotsRulesTable(
+          WebQueries.robotsDocKeys(docs).select("host").distinct())
+        .write.mode("overwrite").parquet(s"$base/rules")
+      val stored = s.read.parquet(s"$base/rules")
+      val feed = WebQueries.robotsDocKeys(docs.where(replayFilter("doc_id")))
+        .select(col("doc_id"), col("host"), col("path"),
+          timestamp_micros(lit(1704067200000000L) +
+            (col("doc_id") % 3600) * 1000000L).as("ts"))
+      val rows = feed.as[(Long, String, String, java.sql.Timestamp)]
+        .collect().sortBy(_._1)
+      require(rows.nonEmpty, s"q228_stream_robots_gate: no documents at $dir")
+      val redelivered = rows.filter(_._1 % 4 == 0)
+      val sink = replay(s, "q228_robots_gate", "append",
+          halves(rows) :+ redelivered.toIndexedSeq,
+          sinkDistinctCount(rows.length.toLong, lit(true)))(ds => {
+        val joined = ds.toDF("doc_id", "host", "path", "ts")
+          .join(broadcast(stored), Seq("host"), "left_outer")
+        val ranked = sort_array(transform(
+          filter(coalesce(col("rules"),
+              array().cast("array<struct<ua:string,dir:string,pfx:string>>")),
+            r => col("path").startsWith(r.getField("pfx"))),
+          r => struct(length(r.getField("pfx")).as("l"),
+            (r.getField("dir") === "allow").as("a"),
+            r.getField("dir").as("dir"), r.getField("pfx").as("pfx"))),
+          asc = false)
+        joined.select(col("doc_id"), col("host"), col("path"),
+          try_element_at(ranked, lit(1)).as("w"))
+          .select(col("doc_id"), col("host"), col("path"),
+            coalesce(col("w.a"), lit(true)).as("allowed"),
+            col("w.dir").as("rule_dir"), col("w.pfx").as("rule_pfx"))
+      })
+      sink.distinct()
+        .select(col("doc_id"), col("host"), col("path"), col("allowed"),
+          col("rule_dir"), col("rule_pfx"))
+        .orderBy("doc_id")
+    }),
+
     "q92_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.Streams
@@ -1564,6 +1620,20 @@ object StreamingQueries {
          |  CAST(count(*) AS BIGINT) AS n_admitted,
          |  md5(string_agg(gate_key, ';' ORDER BY gate_key)) AS uniq_md5
          |FROM adm""".stripMargin,
+
+    // the shared robots rule application (hand-derived VALUES — see
+    // WebQueries.robotsGateSql) over the sampled feed's (host, path) keys
+    "q228_stream_robots_gate" ->
+      s"""WITH docs_s AS (
+         |  SELECT doc_id FROM documents WHERE ${replayWhereSql("doc_id")}),
+         |${WebQueries.urlFixtureSql("docs_s")},
+         |${WebQueries.hostCanonSql},
+         |${WebQueries.canonSql},
+         |rdocs AS (
+         |  SELECT hh.doc_id, hh.host, cp.pth
+         |  FROM hh JOIN cparts cp ON cp.doc_id = hh.doc_id),
+         |${WebQueries.robotsGateSql}
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q171_stream_dedup" ->
       s"""WITH sampled AS (

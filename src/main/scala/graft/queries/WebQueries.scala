@@ -385,16 +385,10 @@ object WebQueries {
     // the parser), so a parse or group-selection bug reddens the row
     // rather than self-verifying (the IdnExamples discipline).
     "q227_robots_gate" -> ((s, dir) => {
-      import graft.text.Robots
-      val base = urlFixture(t(s, dir, "documents"))
-        .select(col("doc_id"),
-          Urls.canonicalHost(col("url")).as("host"),
-          regexp_replace(Urls.path(Urls.normalizeEscapes(col("url"))),
-            "/+$", "").as("path"))
+      val base = robotsDocKeys(t(s, dir, "documents"))
       val hosts = base.select("host").distinct()
-      val rules = hosts.select(col("host"),
-          explode(Robots.applicableRules(
-            Robots.parseRules(robotsTxtCol(col("host"))), "graftbot")).as("r"))
+      val rules = robotsRulesTable(hosts)
+        .select(col("host"), explode(col("rules")).as("r"))
         .select(col("host"), col("r.dir").as("dir"), col("r.pfx").as("pfx"))
       val matched = base.join(broadcast(rules), Seq("host"))
         .where(col("path").startsWith(col("pfx")))
@@ -487,6 +481,51 @@ object WebQueries {
        |            AND NOT list_contains($exc, $r)))
        |  THEN $r ELSE $h END""".stripMargin
   }
+
+  /** The q227/q228 shared oracle tail over an existing `rdocs(doc_id,
+    * host, pth)` CTE: the HAND-DERIVED applicable robots rules (VALUES —
+    * independent of the parser) + longest-prefix/Allow-on-tie winner +
+    * the final verdict SELECT (no ORDER BY — callers append theirs). */
+  private[queries] def robotsGateSql: String =
+    s"""rrules AS (
+       |  SELECT * FROM (VALUES
+       |    ('media.example.co.uk', 'disallow', '/a/'),
+       |    ('media.example.co.uk', 'allow', '/a/1'),
+       |    ('shop.example.com.au', 'disallow', '/'),
+       |    ('docs.www.ck', 'disallow', '/A/'),
+       |    ('docs.www.ck', 'disallow', '/p/'),
+       |    ('sitepat', 'disallow', '/p/9')) t(h, dir, pfx)),
+       |rm AS (
+       |  SELECT d.doc_id, r.dir, r.pfx,
+       |    row_number() OVER (PARTITION BY d.doc_id
+       |      ORDER BY len(r.pfx) DESC, (r.dir = 'allow') DESC) AS rn
+       |  FROM rdocs d JOIN rrules r
+       |    ON (r.h = d.host
+       |        OR (r.h = 'sitepat' AND d.host LIKE 'site%.example.com'))
+       |  WHERE starts_with(d.pth, r.pfx)),
+       |rw AS (SELECT doc_id, dir, pfx FROM rm WHERE rn = 1)
+       |SELECT d.doc_id, d.host, d.pth AS path,
+       |  coalesce(rw.dir = 'allow', true) AS allowed,
+       |  rw.dir AS rule_dir, rw.pfx AS rule_pfx
+       |FROM rdocs d LEFT JOIN rw USING (doc_id)""".stripMargin
+
+  /** q228's served robots model: per canonical host, the APPLICABLE rule
+    * array (parser + group selection batch-side — what a crawl serve
+    * node holds in memory). */
+  private[queries] def robotsRulesTable(hosts: DataFrame): DataFrame =
+    hosts.select(col("host"),
+      graft.text.Robots.applicableRules(
+        graft.text.Robots.parseRules(robotsTxtCol(col("host"))), "graftbot")
+        .as("rules"))
+
+  /** The per-doc (doc_id, host, path) projection q227 gates — shared with
+    * q228's stream feed so the two rows gate identical keys. */
+  private[queries] def robotsDocKeys(docs: DataFrame): DataFrame =
+    urlFixture(docs)
+      .select(col("doc_id"),
+        Urls.canonicalHost(col("url")).as("host"),
+        regexp_replace(Urls.path(Urls.normalizeEscapes(col("url"))),
+          "/+$", "").as("path"))
 
   /** Canonicalization as CTEs `nurl` → `cp0` → `cparts` → `canon(doc_id,
     * canon_url)` over `u` — the exact escape-normalize/regex/lower/fold/
@@ -637,27 +676,7 @@ object WebQueries {
          |rdocs AS (
          |  SELECT hh.doc_id, hh.host, cp.pth
          |  FROM hh JOIN cparts cp ON cp.doc_id = hh.doc_id),
-         |rrules AS (
-         |  SELECT * FROM (VALUES
-         |    ('media.example.co.uk', 'disallow', '/a/'),
-         |    ('media.example.co.uk', 'allow', '/a/1'),
-         |    ('shop.example.com.au', 'disallow', '/'),
-         |    ('docs.www.ck', 'disallow', '/A/'),
-         |    ('docs.www.ck', 'disallow', '/p/'),
-         |    ('sitepat', 'disallow', '/p/9')) t(h, dir, pfx)),
-         |rm AS (
-         |  SELECT d.doc_id, r.dir, r.pfx,
-         |    row_number() OVER (PARTITION BY d.doc_id
-         |      ORDER BY len(r.pfx) DESC, (r.dir = 'allow') DESC) AS rn
-         |  FROM rdocs d JOIN rrules r
-         |    ON (r.h = d.host
-         |        OR (r.h = 'sitepat' AND d.host LIKE 'site%.example.com'))
-         |  WHERE starts_with(d.pth, r.pfx)),
-         |rw AS (SELECT doc_id, dir, pfx FROM rm WHERE rn = 1)
-         |SELECT d.doc_id, d.host, d.pth AS path,
-         |  coalesce(rw.dir = 'allow', true) AS allowed,
-         |  rw.dir AS rule_dir, rw.pfx AS rule_pfx
-         |FROM rdocs d LEFT JOIN rw USING (doc_id)
+         |$robotsGateSql
          |ORDER BY d.doc_id""".stripMargin,
 
     // the committed expected hosts (independent of the engine's decoder —
