@@ -289,7 +289,33 @@ object Bench {
       spark.catalog.clearCache()
       rs
     }
+    // I/O PROBE (round-16 run 5's finding): the q30/q45 controls are
+    // CPU-narrow scans, and a window where /tmp (the streaming replays'
+    // state-store home) runs hot reads "calm" on them while every
+    // state-store row runs 2–4×. Each segment therefore also times one
+    // deterministic 16 MiB tmp-file write+fsync+read+delete; the per-
+    // segment seconds ship in the artifact as `segment_io_secs` —
+    // DIAGNOSTIC ONLY (no normalization: the probe has no history yet),
+    // so an I/O-mode window is localizable post-hoc by comparing
+    // segments within and across rounds.
+    def ioProbe(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        val f = java.io.File.createTempFile("graft_bench_io", ".bin")
+        try {
+          val buf = new Array[Byte](1 << 20)
+          java.util.Arrays.fill(buf, 0x5a.toByte)
+          val out = new java.io.FileOutputStream(f)
+          try { var i = 0; while (i < 16) { out.write(buf); i += 1 }
+            out.getFD.sync() } finally out.close()
+          val in = new java.io.FileInputStream(f)
+          try { while (in.read(buf) > 0) () } finally in.close()
+        } finally f.delete()
+      } catch { case _: Exception => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
     val segInflations = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val segIoSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     // name -> (rejected median, reported value) for every ambient-
     // adjudicated query this run — emitted into the artifact
     val adjudicated = scala.collection.mutable.Map.empty[String, (Double, Double)]
@@ -303,8 +329,10 @@ object Bench {
       val segCalm = ratios.forall(_.exists(_ <= 1.3))
       val segInfl = if (ratios.exists(_.isEmpty)) 1.0 else inflation(ratios.flatten)
       segInflations += segInfl
+      val io = ioProbe()
+      segIoSecs += io
       System.err.println(f"[bench] segment $segIdx controls calm: $segCalm " +
-        f"(inflation ${segInfl}%.2fx)")
+        f"(inflation ${segInfl}%.2fx, io ${io}%.3f s)")
       segment.map { case (name, fn) =>
       tsOffsets(name) = (System.currentTimeMillis() - runT0Ms) / 1000.0
       def rep(): Double = {
@@ -426,6 +454,7 @@ object Bench {
     // by hand. ts keys are "t_"-prefixed so the history parser's
     // quote-anchored "qNN": regex can never read an offset as a timing.
     val segField = segInflations.map(ms).mkString(""","segment_inflations":[""", ",", "]") +
+      segIoSecs.map(ms).mkString(""","segment_io_secs":[""", ",", "]") +
       s""","segment_size":$SegmentSize,"t0_epoch_ms":$runT0Ms"""
     val tsField = tsOffsets.map { case (k, off) =>
       "\"t_" + shortKey(k) + "\":" + String.format(java.util.Locale.ROOT, "%.1f", Double.box(off))
