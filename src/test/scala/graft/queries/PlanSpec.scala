@@ -357,6 +357,20 @@ class PlanSpec extends SparkSpec {
       s"stored cells model scan missing:\n${scans.mkString("\n")}")
   }
 
+  test("q227 robots gate: the rule table broadcasts and no documents scan " +
+      "carries text — the gate path reads doc_id only") {
+    val df = graft.SparkEntry.queries("q227_robots_gate")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    val docScans = "FileScan parquet [^\\n]*documents[^\\n]*".r
+      .findAllMatchIn(p).map(_.matched).toSeq
+    assert(docScans.nonEmpty)
+    docScans.foreach { s =>
+      assert(!s.contains("text"),
+        s"document text leaked onto the robots gate path: $s")
+    }
+  }
+
   test("q82 rebalance: rates broadcast, the corpus side is scan+filter") {
     val df = graft.SparkEntry.queries("q82_mixture_rebalance")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
