@@ -935,7 +935,7 @@ object StreamingQueries {
         val ranked = sort_array(transform(
           filter(coalesce(col("rules"),
               array().cast("array<struct<ua:string,dir:string,pfx:string>>")),
-            r => col("path").startsWith(r.getField("pfx"))),
+            r => graft.text.Robots.matches(col("path"), r.getField("pfx"))),
           r => struct(length(r.getField("pfx")).as("l"),
             (r.getField("dir") === "allow").as("a"),
             r.getField("dir").as("dir"), r.getField("pfx").as("pfx"))),
@@ -1629,9 +1629,7 @@ object StreamingQueries {
          |${WebQueries.urlFixtureSql("docs_s")},
          |${WebQueries.hostCanonSql},
          |${WebQueries.canonSql},
-         |rdocs AS (
-         |  SELECT hh.doc_id, hh.host, cp.pth
-         |  FROM hh JOIN cparts cp ON cp.doc_id = hh.doc_id),
+         |${WebQueries.robotsRdocsSql},
          |${WebQueries.robotsGateSql}
          |ORDER BY d.doc_id""".stripMargin,
 
