@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Write-once cache for VERIFICATION-HARNESS artifacts — stored models
+  * and batch-truth expectation scalars that a registry row's harness
+  * rebuilds identically on every invocation (judge r16 Next #2: the
+  * streaming replay rows rebuilt their served models and re-derived
+  * their conservation expectations per bench rep — q216's IVF
+  * centroids+cells and batch-serve count, q220's blocklist, q222's
+  * maintained signature index, q228's rule table, q221/q225's corpus
+  * truth counts — pure harness cost, ~none of it the operator under
+  * measurement; the serve/gate path the row times starts AT the stored
+  * model, exactly like a production serve node).
+  *
+  * Scope rules:
+  *   - ONLY harness setup is cacheable. An operator whose MEASUREMENT is
+  *     the build (q214's maintain, q224's retrain) must keep building
+  *     live — callers cache at most the setup UPSTREAM of the measured
+  *     step.
+  *   - Everything cached is a DETERMINISTIC function of (sfDir, code).
+  *     The key carries the sf suffix; [[Version]] carries the code: bump
+  *     it whenever any cached builder's logic changes, or a stale /tmp
+  *     entry from the previous code serves silently. The staleness
+  *     failure mode is LOUD anyway — every cached model feeds an
+  *     oracle-replayed row (the oracle re-derives from source, so a
+  *     stale model reddens the row) or a conservation check (a stale
+  *     expectation fails the replay validator) — but the version token
+  *     keeps the failure from happening at all.
+  *   - /tmp is per-machine scratch: a cold machine just pays the one
+  *     build (the pre-round-17 behavior, every time).
+  */
+object HarnessCache {
+
+  /** Code-version token for every cached artifact. BUMP ON ANY CHANGE to
+    * a cached builder's logic (or to the fixtures it consumes). */
+  val Version = "r17a"
+
+  private def base(key: String): java.io.File =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_hcache_$Version/$key")
+
+  /** The stored-model path for `key`, built at most once per (version,
+    * key): when the Parquet `_SUCCESS` marker exists the previous build
+    * is reused, else `build` runs and writes it. Returns the PATH —
+    * callers read it back (the write→load→serve contract stays: what
+    * serves is always the on-disk table). */
+  def onceParquet(s: SparkSession, key: String)(build: => DataFrame): String = {
+    val dir = base(key)
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      build.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  /** Expectation scalars for `key` (conservation counts, batch truth),
+    * computed at most once per (version, key); persisted as one long per
+    * line with a trailing marker line so a torn write never reads as a
+    * valid (shorter) result. */
+  def onceScalars(key: String)(compute: => Seq[Long]): Seq[Long] = {
+    val f = new java.io.File(base(key), "scalars.txt")
+    if (f.exists()) {
+      val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toList
+      if (lines.lastOption.contains("ok"))
+        return lines.dropRight(1).map(_.toLong)
+    }
+    val vals = compute
+    f.getParentFile.mkdirs()
+    val tmp = new java.io.File(f.getParentFile, "scalars.txt.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      (vals.map(_.toString) :+ "ok").mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    vals
+  }
+}

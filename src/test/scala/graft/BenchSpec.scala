@@ -77,24 +77,75 @@ class BenchSpec extends AnyFunSuite {
       "a middle segment 3x hot -> normalizedTotal corrects exactly that " +
       "segment (the start-anchored run-level model corrected nothing)") {
     // 3 segments x 2 queries; the BENCH_r15 shape — the run starts and
-    // ends calm, the middle segment's window runs 3x hot
+    // ends calm, the middle segment's window runs 3x hot (CPU-bound rows:
+    // isReplay = false, history irrelevant to their path)
     val vals = Seq((1.0, 0), (1.0, 0), (3.0, 1), (3.0, 1), (1.0, 2), (1.0, 2))
+      .map { case (v, s) => (v, s, false, None: Option[Double]) }
     val segInfl = Map(0 -> 1.0, 1 -> 3.0, 2 -> 1.0)
+    val noIo = (_: Int) => 1.0
     // OLD model: the up-front controls (segment 0's window) measure calm,
     // run inflation stamps 1.0, value_normalized == value — the blind spot
     assert(Bench.inflation(Seq(1.0, 1.0)) == 1.0)
     // SEGMENT model: the spiked segment's values divide by ITS inflation;
     // 1+1 + 3/3+3/3 + 1+1 = 6.0 (the true calm-window cost), not 10.0
-    assert(Bench.normalizedTotal(vals, segInfl) == 6.0)
+    assert(Bench.normalizedTotal(vals, segInfl, noIo) == 6.0)
     // effective run divisor reported as control_inflation: 10/6
-    assert(math.abs(vals.map(_._1).sum / Bench.normalizedTotal(vals, segInfl)
-      - 10.0 / 6.0) < 1e-12)
+    assert(math.abs(vals.map(_._1).sum /
+      Bench.normalizedTotal(vals, segInfl, noIo) - 10.0 / 6.0) < 1e-12)
   }
 
   test("normalizedTotal: failed queries drop; a faster-than-history " +
       "segment (inflation < 1) never inflates the normalized total") {
-    assert(Bench.normalizedTotal(Seq((2.0, 0), (-1.0, 0)), _ => 0.5) == 2.0)
-    assert(Bench.normalizedTotal(Nil, _ => 2.0) == 0.0)
+    assert(Bench.normalizedTotal(
+      Seq((2.0, 0, false, None), (-1.0, 0, false, None)),
+      _ => 0.5, _ => 1.0) == 2.0)
+    assert(Bench.normalizedTotal(Nil, _ => 2.0, _ => 2.0) == 0.0)
+  }
+
+  test("I/O-window scenario (judge r16 Next #1, the run-5 shape): CPU " +
+      "controls calm, io probe 12x its history -> state-store rows " +
+      "correct to their own quiet history; CPU rows untouched") {
+    // segment 0: cpu inflation 1.0 (controls read calm), io probe 0.6 s
+    // vs quiet baseline 0.05 -> ioInflation 12
+    val ioInfl = Bench.ioInflation(0.6, Some(0.05))
+    assert(math.abs(ioInfl - 12.0) < 1e-9)
+    // the r16 run-5 rows: q195 18.4 s (history 3.2), q135 14.6 (4.9),
+    // q191 7.5 (0.74) — all state-store-bound; a CPU row rides along
+    val rows = Seq(
+      (18.4, 0, true, Some(3.2)),   // -> clamps to history 3.2
+      (14.6, 0, true, Some(4.9)),   // -> 4.9
+      (7.5, 0, true, Some(0.74)),   // 7.5/12 = 0.625 < hist -> floor 0.74
+      (2.0, 0, false, Some(0.5)))   // CPU row: divisor is cpuInfl (1.0)
+    val got = Bench.normalizedTotal(rows, _ => 1.0, _ => ioInfl)
+    val minComposite = 3.2 + 4.9 + 0.74 + 2.0
+    assert(math.abs(got - minComposite) < 1e-9,
+      s"normalized $got should equal the min-composite $minComposite")
+    // the same rows on a QUIET-io run keep their raw values: a real
+    // regression is never hidden when the window is calm
+    assert(Bench.normalizedTotal(rows, _ => 1.0, _ => 1.0) ==
+      rows.map(_._1).sum)
+    // a replay row with NO history divides by the io ratio uncapped
+    assert(Bench.normalizeRow(12.0, isReplay = true, cpuInfl = 1.0,
+      ioInfl = 12.0, hist = None) == 1.0)
+    // the correction never reports ABOVE the raw measurement
+    assert(Bench.normalizeRow(2.0, isReplay = true, cpuInfl = 1.0,
+      ioInfl = 12.0, hist = Some(5.0)) == 2.0)
+    // missing/garbage io history -> inflation 1.0 (never guess)
+    assert(Bench.ioInflation(0.6, None) == 1.0)
+    assert(Bench.ioInflation(-1.0, Some(0.05)) == 1.0)
+    assert(Bench.ioInflation(0.6, Some(0.0)) == 1.0)
+    // a FASTER-than-history probe never deflates
+    assert(Bench.ioInflation(0.02, Some(0.05)) == 1.0)
+  }
+
+  test("I/O-window + CPU-window combine: a state-store row divides by " +
+      "the LARGER inflation (whichever ambient mode is hot dominates)") {
+    // cpu 4x, io 2x: divisor 4; v=8, hist=1.5 -> max(8/4, 1.5) = 2.0
+    assert(Bench.normalizeRow(8.0, isReplay = true, cpuInfl = 4.0,
+      ioInfl = 2.0, hist = Some(1.5)) == 2.0)
+    // CPU rows ignore the io control entirely
+    assert(Bench.normalizeRow(8.0, isReplay = false, cpuInfl = 2.0,
+      ioInfl = 12.0, hist = Some(0.5)) == 4.0)
   }
 
   test("control inflation: geometric mean of the ratios, floored at 1.0, " +
