@@ -412,7 +412,15 @@ object WebQueries {
     // wildcard-match bug reddens the row rather than self-verifying
     // (the IdnExamples discipline).
     "q227_robots_gate" -> ((s, dir) => {
+      // persisted (registry cache contract in SparkEntry): the gate-key
+      // frame feeds the distinct-host rule derivation, the match join
+      // AND the verdict join-back — without it the canonical
+      // path-and-query chain (escape-normalize + interpreted
+      // higher-order query sort) re-evaluates per CONSUMER SUBTREE and,
+      // after projection collapse, per (doc, rule) pair — measured 5×
+      // the row's whole cost in round 17. Narrow (id, host, path) rows.
       val base = robotsDocKeys(t(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hosts = base.select("host").distinct()
       val rules = robotsRulesTable(hosts)
         .select(col("host"), explode(col("rules")).as("r"))

@@ -371,6 +371,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q229 robots meta: the parse runs on the per-host ROLLUP (post-" +
+      "aggregate), never per document — documents scan reads doc_id only") {
+    val df = graft.SparkEntry.queries("q229_robots_meta")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val docScans = "FileScan parquet [^\\n]*documents[^\\n]*".r
+      .findAllMatchIn(p).map(_.matched).toSeq
+    assert(docScans.nonEmpty)
+    docScans.foreach { s =>
+      assert(!s.contains("text"),
+        s"document text leaked onto the robots-meta path: $s")
+    }
+    // robots_meta must evaluate on the per-host rollup, never in a
+    // per-document node: walk the OPTIMIZED plan (toString truncates the
+    // long expression lines) — the parse may appear at/above the host
+    // Aggregate (its result projection evaluates per GROUP), never in
+    // the aggregate's child subtree (that would be per document)
+    val lp = df.queryExecution.optimizedPlan
+    def hasParse(pl: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean =
+      pl.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[graft.text.RobotsMeta])))
+    assert(hasParse(lp), s"robots_meta expression missing:\n${p.take(600)}")
+    val agg = lp.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(agg.nonEmpty, "host aggregate missing from the q229 plan")
+    assert(!hasParse(agg.get.child),
+      "robots_meta evaluated below the per-host aggregate — it would run " +
+        "per document instead of per distinct host")
+  }
+
   test("q82 rebalance: rates broadcast, the corpus side is scan+filter") {
     val df = graft.SparkEntry.queries("q82_mixture_rebalance")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
