@@ -59,7 +59,8 @@ object HarnessCache {
   def onceScalars(key: String)(compute: => Seq[Long]): Seq[Long] = {
     val f = new java.io.File(base(key), "scalars.txt")
     if (f.exists()) {
-      val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toList
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+        .toArray(Array.empty[String]).toList
       if (lines.lastOption.contains("ok"))
         return lines.dropRight(1).map(_.toLong)
     }
