@@ -227,6 +227,12 @@ object Bench {
       // summary — io spikes only ever inflate, so the cheapest recorded
       // probe is the trustworthy quiet cost (the min-merge discipline
       // the query history already uses)
+      // each file contributes its raw probe readings AND the io_hist it
+      // carried (review r17 #2: io_hist is the min-merged baseline of
+      // every artifact the WRITING run could see — without harvesting
+      // it back, rotating old BENCH_r*.json files away would quietly
+      // raise the baseline to the surviving files' min and under-correct
+      // every hot window)
       def parseIo(f: java.io.File): Seq[Double] =
         if (!f.exists()) Nil
         else {
@@ -234,10 +240,16 @@ object Bench {
           val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
             .map(m => new java.io.File(m.group(1)).getName)
           if (sf.exists(_ != sfName)) Nil
-          else "\"segment_io_secs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
-            .map(_.group(1).split(",").toSeq
-              .flatMap(s => scala.util.Try(s.trim.toDouble).toOption))
-            .getOrElse(Nil).filter(_ > 0.0)
+          else {
+            val segs = "\"segment_io_secs\":\\[([^\\]]*)\\]".r
+              .findFirstMatchIn(txt)
+              .map(_.group(1).split(",").toSeq
+                .flatMap(s => scala.util.Try(s.trim.toDouble).toOption))
+              .getOrElse(Nil)
+            val carried = "\"io_hist\":([0-9.]+)".r.findFirstMatchIn(txt)
+              .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+            (segs ++ carried).filter(_ > 0.0)
+          }
         }
       // Merge with the previous run's own BENCH_SUMMARY.json (committed
       // quiet-window runs land here), taking the MIN per query: ambient

@@ -502,9 +502,20 @@ object DedupQueries {
     * so a torn build never serves. */
   private[queries] def buildMaintainedSigIndexOnce(s: SparkSession,
       dir: String, tag: String): (String, Long) = {
-    val maxId = t(s, dir, "documents").agg(max(col("doc_id")))
-      .head().getLong(0)
-    val s2 = 2 * maxId / 3 + 1
+    // s2 cached too (review r17 #4): the warm path must launch ZERO
+    // Spark jobs — the max(doc_id) agg was harness cost on every rep
+    val Seq(s2) = graft.tools.HarnessCache.onceScalars(
+      s"sigidx_${tag}_s2${OpsQueries.suffix(dir)}") {
+      Seq(2 * t(s, dir, "documents").agg(max(col("doc_id")))
+        .head().getLong(0) / 3 + 1)
+    }
+    // the MODEL itself stays at buildMaintainedSigIndex's own path (the
+    // build is multi-stage — v1 → upsert/anti-join v2 → in-place
+    // compact — so HarnessCache.onceParquet's single-write shape can't
+    // host it); the version-suffixed marker gives it the same
+    // bump-to-invalidate discipline, written only AFTER the compact so
+    // a torn build never serves. Stale prior-version files in the dir
+    // are harmless: every rebuild overwrites v1/v2 wholesale.
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_model_sigidx_maint_$tag${OpsQueries.suffix(dir)}")
     val marker = new java.io.File(base,

@@ -461,7 +461,7 @@ object WebQueries {
         .select(col("host"), col("n_docs"),
           graft.text.Robots.parseMeta(robotsTxtCol(col("host"))).as("m"))
         .select(col("host"), col("n_docs"),
-          graft.text.Robots.delayFor(col("m.delays"), "graftbot")
+          graft.text.Robots.delayFor(col("m"), "graftbot")
             .as("crawl_delay_ms"),
           size(col("m.sitemaps")).cast("long").as("n_sitemaps"),
           array_join(col("m.sitemaps"), ",").as("sitemaps"))
@@ -606,7 +606,9 @@ object WebQueries {
   private[queries] def robotsRulesTable(hosts: DataFrame): DataFrame =
     hosts.select(col("host"),
       graft.text.Robots.applicableRules(
-        graft.text.Robots.parseRules(robotsTxtCol(col("host"))), "graftbot")
+        graft.text.Robots.parseRules(robotsTxtCol(col("host"))), "graftbot",
+        graft.text.Robots.parseMeta(robotsTxtCol(col("host")))
+          .getField("uas"))
         .as("rules"))
 
   /** The per-doc (doc_id, host, path) projection q227 gates — `path` is

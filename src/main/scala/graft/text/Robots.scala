@@ -54,10 +54,15 @@ import org.apache.spark.unsafe.types.UTF8String
 object Robots {
 
   /** Parsed robots.txt: allow/disallow rule triples, per-group
-    * crawl-delays (milliseconds), global sitemap URLs. */
+    * crawl-delays (milliseconds), global sitemap URLs, and the distinct
+    * UA tokens that OWN a group (appeared in any User-agent line) — the
+    * exact group-presence signal RFC 9309 §2.2.1 selects on: a crawler
+    * whose own group exists but declares no delay (or no rules) must
+    * NOT fall through to the `*` group's. */
   final case class Parsed(rules: Seq[(String, String, String)],
                           delays: Seq[(String, Long)],
-                          sitemaps: Seq[String])
+                          sitemaps: Seq[String],
+                          uas: Seq[String])
 
   /** One stateful walk producing every field family — ua lowercased (UA
     * tokens match case-insensitively), dir ∈ allow/disallow, pfx verbatim
@@ -69,6 +74,7 @@ object Robots {
     val rules = Seq.newBuilder[(String, String, String)]
     val delays = Seq.newBuilder[(String, Long)]
     val sitemaps = Seq.newBuilder[String]
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     txt.split("\n", -1).foreach { raw =>
       val line = raw.takeWhile(_ != '#').stripSuffix("\r").trim
       val ci = line.indexOf(':')
@@ -78,6 +84,7 @@ object Robots {
         field match {
           case "user-agent" =>
             val ua = value.toLowerCase
+            seen += ua
             uas = if (afterRule) List(ua) else ua :: uas
             afterRule = false
           case "allow" | "disallow" if uas.nonEmpty =>
@@ -99,7 +106,7 @@ object Robots {
         }
       } // non-field line (blank, comment, junk): ignored, state unchanged
     }
-    Parsed(rules.result(), delays.result(), sitemaps.result())
+    Parsed(rules.result(), delays.result(), sitemaps.result(), seen.toSeq)
   }
 
   private def toMs(v: String): Option[Long] =
@@ -156,14 +163,22 @@ object Robots {
     graft.functions.toColumn(RobotsParse(graft.functions.toExpr(txt)))
 
   /** Column form of the metadata product (judge r16 Next #4): STRING →
-    * struct<delays: array<struct<ua,delay_ms>>, sitemaps: array<string>>. */
+    * struct<delays: array<struct<ua,delay_ms>>, sitemaps: array<string>,
+    * uas: array<string>> — `uas` is the group-presence signal (see
+    * [[Parsed]]). */
   def parseMeta(txt: Column): Column =
     graft.functions.toColumn(RobotsMeta(graft.functions.toExpr(txt)))
 
   /** Group selection (RFC 9309 §2.2.1): the rules a crawler named
     * `agent` (lowercase product token) obeys — its own groups when any
     * exist, else the `*` groups. Empty-pattern rules drop here (they
-    * match nothing). */
+    * match nothing). PRESENCE PROXY (documented boundary of this
+    * rules-only overload): "own group exists" is keyed on the agent
+    * having at least one RULE line — a group whose only member line is
+    * a crawl-delay reads as absent and falls through to `*`. The
+    * 3-argument overload below selects on the exact group-presence
+    * signal; prefer it when [[parseMeta]]'s `uas` is at hand (q227/q228
+    * use it via the rule-table build). */
   def applicableRules(rules: Column, agent: String): Column = {
     val mine = filter(rules, r => r.getField("ua") === agent)
     val wild = filter(rules, r => r.getField("ua") === "*")
@@ -171,14 +186,28 @@ object Robots {
       r => r.getField("pfx") =!= "")
   }
 
+  /** Exact group selection (RFC 9309 §2.2.1): `uas` is [[parseMeta]]'s
+    * group-presence array — when the agent OWNS a group, its rules
+    * apply even if that group declares none (a rule-less own group
+    * means allow-everything, NOT fall through to `*`). */
+  def applicableRules(rules: Column, agent: String, uas: Column): Column = {
+    val mine = filter(rules, r => r.getField("ua") === agent)
+    val wild = filter(rules, r => r.getField("ua") === "*")
+    filter(when(array_contains(uas, agent), mine).otherwise(wild),
+      r => r.getField("pfx") =!= "")
+  }
+
   /** The crawl-delay the `agent` crawler obeys, from [[parseMeta]]'s
-    * `delays` array: same group selection as [[applicableRules]] (own
-    * token beats `*`), and when the applicable groups carry several
-    * delay lines the MAXIMUM wins — the politest reading. NULL when no
-    * applicable group declares one. */
-  def delayFor(delays: Column, agent: String): Column = {
+    * struct: EXACT group selection (own group present → only its delay
+    * lines count, even when there are none — RFC 9309 §2.2.1; the `*`
+    * delays apply only to crawlers without a group), and when the
+    * applicable group carries several delay lines the MAXIMUM wins —
+    * the politest reading. NULL when the applicable group declares
+    * none. */
+  def delayFor(meta: Column, agent: String): Column = {
+    val delays = meta.getField("delays")
     val mine = filter(delays, d => d.getField("ua") === agent)
-    val pick = when(size(mine) > 0, mine)
+    val pick = when(array_contains(meta.getField("uas"), agent), mine)
       .otherwise(filter(delays, d => d.getField("ua") === "*"))
     array_max(transform(pick, d => d.getField("delay_ms")))
   }
@@ -223,6 +252,8 @@ case class RobotsMeta(child: Expression) extends UnaryExpression {
       StructField("delay_ms", LongType, nullable = false))),
       containsNull = false), nullable = false),
     StructField("sitemaps", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("uas", ArrayType(StringType, containsNull = false),
       nullable = false)))
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
@@ -247,7 +278,9 @@ object RobotsMeta {
         InternalRow(UTF8String.fromString(ua), ms)
       }.toArray[Any]),
       new GenericArrayData(
-        p.sitemaps.map(UTF8String.fromString).toArray[Any]))
+        p.sitemaps.map(UTF8String.fromString).toArray[Any]),
+      new GenericArrayData(
+        p.uas.map(UTF8String.fromString).toArray[Any]))
   }
 }
 

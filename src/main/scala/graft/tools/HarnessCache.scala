@@ -34,7 +34,7 @@ object HarnessCache {
 
   /** Code-version token for every cached artifact. BUMP ON ANY CHANGE to
     * a cached builder's logic (or to the fixtures it consumes). */
-  val Version = "r17a"
+  val Version = "r17b"
 
   private def base(key: String): java.io.File =
     new java.io.File(System.getProperty("java.io.tmpdir"),

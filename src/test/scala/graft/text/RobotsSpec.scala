@@ -128,18 +128,36 @@ class RobotsSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     val txt = "User-agent: graftbot\nCrawl-delay: 10\nCrawl-delay: 3\n" +
       "User-agent: *\nCrawl-delay: 1\n"
-    def d(agent: String): Option[Long] =
-      Seq(txt).toDF("t")
-        .select(Robots.delayFor(
-          Robots.parseMeta(col("t")).getField("delays"), agent))
+    def d(t: String, agent: String): Option[Long] =
+      Seq(t).toDF("t")
+        .select(Robots.delayFor(Robots.parseMeta(col("t")), agent))
         .as[Option[Long]].collect().head
-    assert(d("graftbot").contains(10000L)) // own group; max of 10 and 3
-    assert(d("otherbot").contains(1000L))  // falls through to *
-    val none = Seq("User-agent: x\nDisallow: /\n").toDF("t")
-      .select(Robots.delayFor(
-        Robots.parseMeta(col("t")).getField("delays"), "graftbot"))
-      .as[Option[Long]].collect().head
-    assert(none.isEmpty)
+    assert(d(txt, "graftbot").contains(10000L)) // own group; max of 10 and 3
+    assert(d(txt, "otherbot").contains(1000L))  // falls through to *
+    assert(d("User-agent: x\nDisallow: /\n", "graftbot").isEmpty)
+    // EXACT group presence (review r17): an own group that declares no
+    // delay means NULL — it must NOT fall through to the * group's
+    assert(d("User-agent: graftbot\nDisallow: /private\n\n" +
+      "User-agent: *\nCrawl-delay: 5\n", "graftbot").isEmpty)
+  }
+
+  test("exact group selection: a rule-less own group (delay-only) means " +
+      "allow-everything, not the * group's rules (review r17)") {
+    import spark.implicits._
+    val txt = "User-agent: graftbot\nCrawl-delay: 2\n" +
+      "User-agent: *\nDisallow: /\n"
+    val meta = Robots.parseMeta(col("t"))
+    val exact = Seq(txt).toDF("t")
+      .select(size(Robots.applicableRules(
+        Robots.parseRules(col("t")), "graftbot", meta.getField("uas"))))
+      .as[Int].collect().head
+    assert(exact == 0, "graftbot OWNS a (rule-less) group: no rules apply")
+    // the rules-only overload keeps its documented presence proxy
+    val proxy = Seq(txt).toDF("t")
+      .select(size(Robots.applicableRules(
+        Robots.parseRules(col("t")), "graftbot")))
+      .as[Int].collect().head
+    assert(proxy == 1, "rules-only overload falls through to * (documented)")
   }
 
   test("gate tie-break: equal-length Allow beats Disallow (RFC 9309)") {
