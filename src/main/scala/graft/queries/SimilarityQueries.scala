@@ -428,12 +428,12 @@ object SimilarityQueries {
       // below, which stays live on every invocation
       val sfx = OpsQueries.suffix(dir)
       val centsV1 = s.read.parquet(
-        graft.tools.HarnessCache.onceParquet(s, s"ivfreb_centsv1$sfx") {
+        graft.tools.HarnessCache.onceParquet(s"ivfreb_centsv1$sfx") {
           Ann.sampleCentroids(emb.where(col("vec_id") < s1),
             "vec_id", "embedding", nCentroids = 16)
         })
       val cellsV2 = s.read.parquet(
-        graft.tools.HarnessCache.onceParquet(s, s"ivfreb_cellsv2$sfx") {
+        graft.tools.HarnessCache.onceParquet(s"ivfreb_cellsv2$sfx") {
           val members = emb.where(col("vec_id") < s2 && col("vec_id") % 7 =!= 3)
           Ann.assignCells(members, "vec_id", "embedding", centsV1)
             .select("vec_id", "embedding", "centroid_id")

@@ -671,11 +671,11 @@ object StreamingQueries {
       // SERVE, which starts at the stored model like a production node
       val sfx = OpsQueries.suffix(dir)
       val cents = s.read.parquet(
-        graft.tools.HarnessCache.onceParquet(s, s"annserve_cents$sfx") {
+        graft.tools.HarnessCache.onceParquet(s"annserve_cents$sfx") {
           Ann.sampleCentroids(emb, "vec_id", "embedding", nCentroids = 16)
         })
       val cellsStored = s.read.parquet(
-        graft.tools.HarnessCache.onceParquet(s, s"annserve_cells$sfx") {
+        graft.tools.HarnessCache.onceParquet(s"annserve_cells$sfx") {
           Ann.assignCells(emb, "vec_id", "embedding", cents)
             .select("vec_id", "embedding", "centroid_id")
         })
@@ -734,8 +734,7 @@ object StreamingQueries {
       // stream is stateless, so a restart loses nothing — or by the
       // q224 stored-swap discipline (write v2, repoint, restart serve).
       val stored = s.read.parquet(
-        graft.tools.HarnessCache.onceParquet(s,
-          s"blocklist${OpsQueries.suffix(dir)}") {
+        graft.tools.HarnessCache.onceParquet(s"blocklist${OpsQueries.suffix(dir)}") {
           WebQueries.blocklistOf(WebQueries.domainRoll(
             WebQueries.domainScored(docs)))
         })
@@ -962,8 +961,7 @@ object StreamingQueries {
       // changes refresh by RESTART (the gate is stateless — nothing is
       // lost) or by the q224 stored-swap discipline.
       val stored = s.read.parquet(
-        graft.tools.HarnessCache.onceParquet(s,
-          s"robots_rules${OpsQueries.suffix(dir)}") {
+        graft.tools.HarnessCache.onceParquet(s"robots_rules${OpsQueries.suffix(dir)}") {
           WebQueries.robotsRulesTable(
             WebQueries.robotsDocKeys(docs).select("host").distinct())
         })

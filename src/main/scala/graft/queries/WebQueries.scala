@@ -597,19 +597,20 @@ object WebQueries {
   private[queries] def robotsRdocsSql: String =
     s"""rdocs AS (
        |  SELECT hh.doc_id, hh.host,
-       |    cp.pth || CASE WHEN cp.cqj = '' THEN '' ELSE '?' || cp.cqj END AS pth
+       |    CASE WHEN cp.pth = '' THEN '/' ELSE cp.pth END ||
+       |      CASE WHEN cp.cqj = '' THEN '' ELSE '?' || cp.cqj END AS pth
        |  FROM hh JOIN cparts cp ON cp.doc_id = hh.doc_id)""".stripMargin
 
   /** q228's served robots model: per canonical host, the APPLICABLE rule
     * array (parser + group selection batch-side — what a crawl serve
     * node holds in memory). */
   private[queries] def robotsRulesTable(hosts: DataFrame): DataFrame =
-    hosts.select(col("host"),
-      graft.text.Robots.applicableRules(
-        graft.text.Robots.parseRules(robotsTxtCol(col("host"))), "graftbot",
-        graft.text.Robots.parseMeta(robotsTxtCol(col("host")))
-          .getField("uas"))
-        .as("rules"))
+    hosts
+      .select(col("host"),
+        graft.text.Robots.parseMeta(robotsTxtCol(col("host"))).as("m"))
+      .select(col("host"),
+        graft.text.Robots.applicableRules(
+          col("m.rules"), "graftbot", col("m.uas")).as("rules"))
 
   /** The per-doc (doc_id, host, path) projection q227 gates — `path` is
     * the canonical PATH-AND-QUERY (robots patterns match the query part
@@ -617,13 +618,25 @@ object WebQueries {
     * escape-normalized string bound ONCE per row. Shared with q228's
     * stream feed so the two rows gate identical keys; SQL twin:
     * [[robotsRdocsSql]]. */
+  /** The robots gate TARGET of a URL: canonical path FLOORED AT "/" +
+    * canonical query, the escape-normalized string bound once. RFC 9309
+    * matches the URI PATH, which is never empty: the canonical
+    * trailing-slash strip turns a root URL's path into "" (correct for
+    * URL identity), so the target floors it back to "/" — without this,
+    * `Disallow: /` misses every root/query-only URL (review r17 #2;
+    * WebRowsSpec pins it on planted root URLs). */
+  private[queries] def robotsTarget(url: Column): Column =
+    element_at(transform(array(Urls.normalizeEscapes(url)), nu => {
+      val stripped = regexp_replace(Urls.path(nu), "/+$", "")
+      concat(when(stripped === "", lit("/")).otherwise(stripped),
+        Urls.canonicalQuery(nu))
+    }), 1)
+
   private[queries] def robotsDocKeys(docs: DataFrame): DataFrame =
     urlFixture(docs)
       .select(col("doc_id"),
         Urls.canonicalHost(col("url")).as("host"),
-        element_at(transform(array(Urls.normalizeEscapes(col("url"))), nu =>
-          concat(regexp_replace(Urls.path(nu), "/+$", ""),
-            Urls.canonicalQuery(nu))), 1).as("path"))
+        robotsTarget(col("url")).as("path"))
 
   /** Canonicalization as CTEs `nurl` → `cp0` → `cparts` → `canon(doc_id,
     * canon_url)` over `u` — the exact escape-normalize/regex/lower/fold/

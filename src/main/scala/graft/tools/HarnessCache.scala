@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 
 /** Write-once cache for VERIFICATION-HARNESS artifacts — stored models
   * and batch-truth expectation scalars that a registry row's harness
@@ -45,7 +45,7 @@ object HarnessCache {
     * is reused, else `build` runs and writes it. Returns the PATH —
     * callers read it back (the write→load→serve contract stays: what
     * serves is always the on-disk table). */
-  def onceParquet(s: SparkSession, key: String)(build: => DataFrame): String = {
+  def onceParquet(key: String)(build: => DataFrame): String = {
     val dir = base(key)
     if (!new java.io.File(dir, "_SUCCESS").exists())
       build.write.mode("overwrite").parquet(dir.getAbsolutePath)
@@ -55,18 +55,32 @@ object HarnessCache {
   /** Expectation scalars for `key` (conservation counts, batch truth),
     * computed at most once per (version, key); persisted as one long per
     * line with a trailing marker line so a torn write never reads as a
-    * valid (shorter) result. */
+    * valid (shorter) result; a file that fails to PARSE (corruption
+    * under a surviving marker) recomputes rather than crashing the
+    * query (review r17 #3). The write goes through a per-call unique
+    * temp name + atomic move. Like every consumer of this store, the
+    * cache assumes the repo's single-writer operating model (one bench/
+    * verify process at a time — the bench-isolation discipline);
+    * concurrent first-builds of the SAME key from separate JVMs are not
+    * coordinated. */
   def onceScalars(key: String)(compute: => Seq[Long]): Seq[Long] = {
     val f = new java.io.File(base(key), "scalars.txt")
     if (f.exists()) {
-      val lines = java.nio.file.Files.readAllLines(f.toPath)
-        .toArray(Array.empty[String]).toList
-      if (lines.lastOption.contains("ok"))
-        return lines.dropRight(1).map(_.toLong)
+      val parsed = scala.util.Try {
+        val lines = java.nio.file.Files.readAllLines(f.toPath)
+          .toArray(Array.empty[String]).toList
+        if (lines.lastOption.contains("ok"))
+          Some(lines.dropRight(1).map(_.toLong))
+        else None
+      }.toOption.flatten
+      parsed match {
+        case Some(v) => return v
+        case None => () // torn or corrupt: fall through and recompute
+      }
     }
     val vals = compute
     f.getParentFile.mkdirs()
-    val tmp = new java.io.File(f.getParentFile, "scalars.txt.tmp")
+    val tmp = java.io.File.createTempFile("scalars", ".tmp", f.getParentFile)
     java.nio.file.Files.write(tmp.toPath,
       (vals.map(_.toString) :+ "ok").mkString("\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath, f.toPath,

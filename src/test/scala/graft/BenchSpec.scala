@@ -138,6 +138,20 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.ioInflation(0.02, Some(0.05)) == 1.0)
   }
 
+  test("ioBaseline: a page-cache-lucky fast outlier cannot own the quiet " +
+      "baseline (review r17 #1 — the fast-side poisoned-history guard)") {
+    // a 6 ms fluke among honest ~50-60 ms readings: dropped (< med/3)
+    assert(Bench.ioBaseline(Seq(0.055, 0.006, 0.049, 0.062, 0.058))
+      .contains(0.049))
+    // a legitimately fast HOST (all readings cluster low) keeps its min
+    assert(Bench.ioBaseline(Seq(0.012, 0.010, 0.011)).contains(0.010))
+    // zero/garbage readings drop at the floor; empty -> None
+    assert(Bench.ioBaseline(Seq(0.001, -1.0, 0.0)).isEmpty)
+    assert(Bench.ioBaseline(Nil).isEmpty)
+    // single reading is its own median and survives
+    assert(Bench.ioBaseline(Seq(0.05)).contains(0.05))
+  }
+
   test("I/O-window + CPU-window combine: a state-store row divides by " +
       "the LARGER inflation (whichever ambient mode is hot dominates)") {
     // cpu 4x, io 2x: divisor 4; v=8, hist=1.5 -> max(8/4, 1.5) = 2.0

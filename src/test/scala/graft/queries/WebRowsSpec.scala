@@ -38,6 +38,27 @@ class WebRowsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(r => r.getLong(2) != r.getLong(0)))
   }
 
+  test("robots gate target: a ROOT (or query-only) URL's target floors " +
+      "to '/' so `Disallow: /` matches it (review r17 #2 — RFC 9309 " +
+      "matches the URI path, which is never empty)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val urls = Seq(
+      "https://shop.example.com.au/",          // root with slash
+      "https://shop.example.com.au",           // bare authority
+      "https://shop.example.com.au/?a=1",      // query-only
+      "https://shop.example.com.au/a/1?a=1")   // normal path (control)
+    val targets = urls.toDF("url")
+      .select(WebQueries.robotsTarget(col("url")))
+      .as[String].collect().toSeq
+    assert(targets == Seq("/", "/", "/?a=1", "/a/1?a=1"))
+    // and the committed shop rule blocks all of them for graftbot
+    targets.foreach { t =>
+      assert(graft.text.Robots.patternMatches(t, "/"),
+        s"Disallow: / must match target '$t'")
+    }
+  }
+
   test("q219: paragraph keeper + reassembly match a naive single-threaded " +
       "reimplementation over the same extracted lines") {
     import org.apache.spark.sql.functions._

@@ -39,15 +39,26 @@ class HarnessCacheSpec extends AnyFunSuite with SparkSpec {
     assert(HarnessCache.onceScalars(key)(fail("must not recompute")) == Seq(9L))
   }
 
+  test("onceScalars: a CORRUPT numeric line under a surviving marker " +
+      "recomputes instead of crashing the query (review r17 #3)") {
+    val key = s"spec_corrupt_$nonce"
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_hcache_${HarnessCache.Version}/$key/scalars.txt")
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, "12garbage\nok".getBytes("UTF-8"))
+    assert(HarnessCache.onceScalars(key) { Seq(3L) } == Seq(3L))
+    assert(HarnessCache.onceScalars(key)(fail("must not recompute")) == Seq(3L))
+  }
+
   test("onceParquet: builds once, returns a readable path; a second call " +
       "with a throwing builder still serves the stored table") {
     import spark.implicits._
     val key = s"spec_parquet_$nonce"
-    val p1 = HarnessCache.onceParquet(spark, key) {
+    val p1 = HarnessCache.onceParquet(key) {
       Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     }
     assert(spark.read.parquet(p1).count() == 2)
-    val p2 = HarnessCache.onceParquet(spark, key) {
+    val p2 = HarnessCache.onceParquet(key) {
       fail("builder must not run when the marker exists"): org.apache.spark.sql.DataFrame
     }
     assert(p2 == p1)
