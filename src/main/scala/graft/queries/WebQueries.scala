@@ -232,6 +232,53 @@ object WebQueries {
         "User-agent: otherbot\nUser-agent: *\nDisallow: /p/9\n" +
           "Disallow: /*4?*\nDisallow: /p/91$\nCrawl-delay: 5\n"))
 
+  /** q230's committed sitemap files, keyed by the URLs the robots
+    * fixtures advertise (`Sitemap:` lines — [[robotsTxtCol]]): media —
+    * a `<urlset>` whose first loc carries XML entities (`&amp;` in the
+    * query — must decode) and shuffled params that canonicalize INTO a
+    * corpus URL (known=true), a www+trailing-slash loc with surrounding
+    * whitespace inside `<loc>` (protocol requires trimming) and no
+    * lastmod, a query-less NOVEL loc the robots rules ALLOW (`/a/15`
+    * falls in the `Allow: /a/1` hole — q231's allowed frontier row),
+    * and a CROSS-host loc (same_host=false — the protocol
+    * rejects locs off the sitemap's own host) with a full W3C offset
+    * lastmod; docs s1 — a `<sitemapindex>` (kind='sitemap': the
+    * recursion feed; s3.xml is discovered but never fetched here — only
+    * robots-advertised files parse, recursion is the scheduler's loop);
+    * docs s2 — an INVALID lastmod (month 13 → NULL, parse never fails)
+    * and a priority-bearing loc whose decoded params canonicalize into
+    * the docs.www.ck corpus surface. Hand-derived expectations live in
+    * the oracle's VALUES — the parser is CHECKED, not replayed. */
+  private[queries] def sitemapXmlCol(url: Column): Column =
+    when(url === "https://media.example.co.uk/sitemap.xml", lit(
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        "<url><loc>https://media.example.co.uk/a/1?c=x%2Fy&amp;b=2&amp;a=1</loc>" +
+        "<lastmod>2024-03-05</lastmod><priority>0.8</priority></url>\n" +
+        "<url><loc>\n  https://www.media.example.co.uk/a/2/\n</loc>" +
+        "<changefreq>daily</changefreq></url>\n" +
+        "<url><loc>https://media.example.co.uk/a/15</loc>" +
+        "<priority>0.9</priority></url>\n" +
+        "<url><loc>https://other.example.org/x</loc>" +
+        "<lastmod>2024-03-05T10:30:00+00:00</lastmod></url>\n" +
+        "</urlset>\n"))
+      .when(url === "https://docs.www.ck/s1.xml", lit(
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+          "<sitemap><loc>https://docs.www.ck/s2.xml</loc>" +
+          "<lastmod>2024-04-01</lastmod></sitemap>\n" +
+          "<sitemap><loc>https://docs.www.ck/s3.xml</loc></sitemap>\n" +
+          "</sitemapindex>\n"))
+      .when(url === "https://docs.www.ck/s2.xml", lit(
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+          "<url><loc>https://docs.www.ck/p/78</loc>" +
+          "<lastmod>2024-13-45</lastmod></url>\n" +
+          "<url><loc>https://docs.www.ck/a/19?b=2&amp;a=1&amp;c=x%2Fy</loc>" +
+          "<priority>0.30</priority></url>\n" +
+          "</urlset>\n"))
+      .otherwise(lit(""))
+
   private[queries] def urlFixture(docs: DataFrame): DataFrame = {
     val grp = expr("doc_id div 3")
     val hostC = hostCol(grp)
@@ -469,6 +516,125 @@ object WebQueries {
         .orderBy("host")
     }),
 
+    // SITEMAP DISCOVERY FEED (round 17): the files q229's `Sitemap:`
+    // pointers advertise, parsed into frontier candidate rows — per
+    // entry: kind ('url' page candidates vs 'sitemap' index recursion),
+    // the entity-decoded whitespace-trimmed loc, its FULL canonical form
+    // (the q205 URL-identity key — discovery and dedup share one key by
+    // construction), the protocol's same-host validity bit, W3C lastmod
+    // as epoch ms (invalid → NULL, parse never fails), priority, and
+    // `known` — whether the candidate is ALREADY in the corpus under
+    // URL identity (the frontier's novelty bit). 100 TB shape: the
+    // sitemap set derives from a per-host distinct (map-side
+    // combinable); files are model-sized and parse per DISTINCT file;
+    // `known` is one corpus scan + a BROADCAST semi-probe of the tiny
+    // candidate set (no corpus shuffle, no collect); the parsed frame
+    // persists (two consumers — the probe and the final join).
+    // Oracle: hand-derived per-entry expectations (committed VALUES from
+    // the same committed XML — parser-independent) with `known` replayed
+    // through the SHARED canon CTE, so the novelty join is checked
+    // against the q205-pinned canonicalization, not against itself.
+    "q230_sitemap_parse" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val smUrls = urlFixture(docs)
+        .select(Urls.canonicalHost(col("url")).as("host")).distinct()
+        .select(explode(graft.text.Robots.parseMeta(robotsTxtCol(col("host")))
+          .getField("sitemaps")).as("sitemap_url"))
+        .distinct()
+      val parsed = smUrls
+        .select(col("sitemap_url"),
+          explode(graft.text.Sitemaps.entries(
+            sitemapXmlCol(col("sitemap_url")))).as("e"))
+        .select(col("sitemap_url"), col("e.kind").as("kind"),
+          col("e.loc").as("loc"),
+          Urls.canonicalize(col("e.loc")).as("url_canon"),
+          (Urls.canonicalHost(col("e.loc")) ===
+            Urls.canonicalHost(col("sitemap_url"))).as("same_host"),
+          col("e.lastmod_ms").as("lastmod_ms"),
+          col("e.priority").as("priority"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpus = urlFixture(docs)
+        .select(Urls.canonicalize(col("url")).as("url_canon"))
+      val hit = corpus
+        .join(broadcast(parsed.select("url_canon").distinct()),
+          Seq("url_canon"), "left_semi")
+        .distinct().withColumn("known", lit(true))
+      parsed.join(broadcast(hit), Seq("url_canon"), "left")
+        .select(col("sitemap_url"), col("kind"), col("loc"),
+          col("url_canon"), col("same_host"), col("lastmod_ms"),
+          col("priority"), coalesce(col("known"), lit(false)).as("known"))
+        .orderBy("sitemap_url", "loc")
+    }),
+
+    // CRAWL FRONTIER (round 17): the scheduler's per-host fetch queue —
+    // q230's candidates (kind='url', same-host per the protocol, NOVEL
+    // under q205 URL identity) gated by the REAL robots rules (q227's
+    // broadcast gate over each loc's own path-and-query target), priced
+    // with q229's crawl-delay, and ranked WITHIN its host queue
+    // (allowed first, then protocol priority — 0.5 default — then
+    // lastmod recency, then URL): the politeness layer's three data
+    // products composed into the row a fetcher pops. 100 TB shape: the
+    // candidate/rule/delay frames are all model-sized and broadcast;
+    // the one corpus-sized op is the novelty probe (scan + broadcast
+    // semi — no corpus shuffle); ranking is per-HOST (the real queue
+    // structure — never a global sort). Oracle: hand-derived per-
+    // candidate gate verdicts (committed VALUES — including the KNOWN
+    // locs, which the replayed novelty filter must DROP) + the shared
+    // canon CTE for novelty + the rank window replayed in SQL.
+    "q231_crawl_frontier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val smUrls = urlFixture(docs)
+        .select(Urls.canonicalHost(col("url")).as("host")).distinct()
+        .select(explode(graft.text.Robots.parseMeta(robotsTxtCol(col("host")))
+          .getField("sitemaps")).as("sitemap_url"))
+        .distinct()
+      val cand = smUrls
+        .select(col("sitemap_url"),
+          explode(graft.text.Sitemaps.entries(
+            sitemapXmlCol(col("sitemap_url")))).as("e"))
+        .where(col("e.kind") === "url" &&
+          Urls.canonicalHost(col("e.loc")) ===
+            Urls.canonicalHost(col("sitemap_url")))
+        .select(Urls.canonicalize(col("e.loc")).as("url_canon"),
+          Urls.canonicalHost(col("e.loc")).as("host"),
+          robotsTarget(col("e.loc")).as("path"),
+          col("e.lastmod_ms").as("lastmod_ms"),
+          coalesce(col("e.priority"), lit(0.5)).as("priority_eff"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpus = urlFixture(docs)
+        .select(Urls.canonicalize(col("url")).as("url_canon"))
+      val hit = corpus
+        .join(broadcast(cand.select("url_canon").distinct()),
+          Seq("url_canon"), "left_semi")
+        .distinct()
+      val fresh = cand.join(broadcast(hit), Seq("url_canon"), "left_anti")
+      val hosts = fresh.select("host").distinct()
+      val rules = robotsRulesTable(hosts)
+        .select(col("host"), explode(col("rules")).as("r"))
+        .select(col("host"), col("r.dir").as("dir"), col("r.pfx").as("pfx"))
+      val matched = fresh.join(broadcast(rules), Seq("host"))
+        .where(graft.text.Robots.matches(col("path"), col("pfx")))
+        .groupBy("url_canon")
+        .agg(max(struct(length(col("pfx")).as("l"),
+          (col("dir") === "allow").as("a"), col("dir").as("dir"),
+          col("pfx").as("pfx"))).as("w"))
+      val delays = hosts.select(col("host"),
+        graft.text.Robots.delayFor(
+          graft.text.Robots.parseMeta(robotsTxtCol(col("host"))),
+          "graftbot").as("crawl_delay_ms"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("host")
+        .orderBy(col("allowed").desc, col("priority_eff").desc,
+          col("lastmod_ms").desc_nulls_last, col("url_canon"))
+      fresh.join(matched, Seq("url_canon"), "left")
+        .join(broadcast(delays), Seq("host"))
+        .select(col("url_canon"), col("host"),
+          coalesce(col("w.a"), lit(true)).as("allowed"),
+          col("w.pfx").as("rule_pfx"),
+          col("crawl_delay_ms"), col("priority_eff"), col("lastmod_ms"))
+        .withColumn("host_rank", row_number().over(w))
+        .orderBy("host", "host_rank")
+    }),
+
     "q210_web_curation_host" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val urls = urlFixture(docs)
@@ -542,12 +708,19 @@ object WebQueries {
       .mkString("[", ", ", "]")
     val exc = graft.text.PublicSuffixes.WildcardException.map(s => s"'$s'")
       .mkString("[", ", ", "]")
+    val wild2 = graft.text.PublicSuffixes.Wildcard2.map(s => s"'$s'")
+      .mkString("[", ", ", "]")
+    val exc2 = graft.text.PublicSuffixes.Wildcard2Exception.map(s => s"'$s'")
+      .mkString("[", ", ", "]")
     s"""CASE WHEN regexp_matches($h, '^www\\.[^.]+\\.')
        |      AND NOT (list_contains($suffixes, $r)
        |        OR list_contains($three, $r)
        |        OR (regexp_matches($r, '^[^.]+\\.[^.]+$$')
        |            AND list_contains($wild, regexp_extract($r, '\\.([^.]+)$$', 1))
-       |            AND NOT list_contains($exc, $r)))
+       |            AND NOT list_contains($exc, $r))
+       |        OR (regexp_matches($r, '^[^.]+\\.[^.]+\\.[^.]+$$')
+       |            AND list_contains($wild2, regexp_extract($r, '\\.([^.]+\\.[^.]+)$$', 1))
+       |            AND NOT list_contains($exc2, $r)))
        |  THEN $r ELSE $h END""".stripMargin
   }
 
@@ -739,6 +912,10 @@ object WebQueries {
       .mkString("[", ", ", "]")
     val exc = graft.text.PublicSuffixes.WildcardException.map(s => s"'$s'")
       .mkString("[", ", ", "]")
+    val wild2 = graft.text.PublicSuffixes.Wildcard2.map(s => s"'$s'")
+      .mkString("[", ", ", "]")
+    val exc2 = graft.text.PublicSuffixes.Wildcard2Exception.map(s => s"'$s'")
+      .mkString("[", ", ", "]")
     s"""hd AS (
        |  SELECT doc_id, host,
        |    CASE WHEN len(ls) <= 1 THEN host
@@ -748,6 +925,12 @@ object WebQueries {
        |                WHEN len(ls) <= 2 THEN host
        |                ELSE ls[-3] || '.' || ls[-2] || '.' || ls[-1] END
        |         WHEN len(ls) <= 2 THEN host
+       |         WHEN list_contains($wild2, ls[-2] || '.' || ls[-1]) THEN
+       |           CASE WHEN list_contains($exc2,
+       |                    ls[-3] || '.' || ls[-2] || '.' || ls[-1])
+       |                  THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+       |                WHEN len(ls) <= 3 THEN host
+       |                ELSE ls[-4] || '.' || ls[-3] || '.' || ls[-2] || '.' || ls[-1] END
        |         WHEN list_contains($three,
        |             ls[-3] || '.' || ls[-2] || '.' || ls[-1]) THEN
        |           CASE WHEN len(ls) <= 3 THEN host
@@ -823,6 +1006,92 @@ object WebQueries {
          |  ON (r.h = hc.host
          |      OR (r.h = 'sitepat' AND hc.host LIKE 'site%.example.com'))
          |ORDER BY hc.host""".stripMargin,
+
+    // hand-derived per-entry expectations from the committed sitemap XML
+    // (sitemapXmlCol — entity decode, trim, W3C lastmod→epoch ms, the
+    // protocol's same-host bit and the FULL canonical loc all derived BY
+    // HAND, parser-independent); `known` alone is replayed through the
+    // shared canon CTE so the novelty join is checked against the
+    // q205-pinned canonicalization
+    "q230_sitemap_parse" ->
+      s"""WITH ${urlFixtureSql("documents")},
+         |$canonSql,
+         |sm AS (
+         |  SELECT * FROM (VALUES
+         |    ('https://docs.www.ck/s1.xml', 'sitemap',
+         |     'https://docs.www.ck/s2.xml', 'https://docs.www.ck/s2.xml',
+         |     TRUE, 1711929600000, NULL),
+         |    ('https://docs.www.ck/s1.xml', 'sitemap',
+         |     'https://docs.www.ck/s3.xml', 'https://docs.www.ck/s3.xml',
+         |     TRUE, NULL, NULL),
+         |    ('https://docs.www.ck/s2.xml', 'url',
+         |     'https://docs.www.ck/a/19?b=2&a=1&c=x%2Fy',
+         |     'https://docs.www.ck/a/19?a=1&b=2&c=x%2Fy',
+         |     TRUE, NULL, 0.3),
+         |    ('https://docs.www.ck/s2.xml', 'url',
+         |     'https://docs.www.ck/p/78', 'https://docs.www.ck/p/78',
+         |     TRUE, NULL, NULL),
+         |    ('https://media.example.co.uk/sitemap.xml', 'url',
+         |     'https://media.example.co.uk/a/1?c=x%2Fy&b=2&a=1',
+         |     'https://media.example.co.uk/a/1?a=1&b=2&c=x%2Fy',
+         |     TRUE, 1709596800000, 0.8),
+         |    ('https://media.example.co.uk/sitemap.xml', 'url',
+         |     'https://media.example.co.uk/a/15',
+         |     'https://media.example.co.uk/a/15', TRUE, NULL, 0.9),
+         |    ('https://media.example.co.uk/sitemap.xml', 'url',
+         |     'https://other.example.org/x', 'https://other.example.org/x',
+         |     FALSE, 1709634600000, NULL),
+         |    ('https://media.example.co.uk/sitemap.xml', 'url',
+         |     'https://www.media.example.co.uk/a/2/',
+         |     'https://media.example.co.uk/a/2', TRUE, NULL, NULL)
+         |  ) t(sitemap_url, kind, loc, url_canon, same_host,
+         |      lastmod_ms, priority))
+         |SELECT s.sitemap_url, s.kind, s.loc, s.url_canon, s.same_host,
+         |  CAST(s.lastmod_ms AS BIGINT) AS lastmod_ms,
+         |  CAST(s.priority AS DOUBLE) AS priority,
+         |  coalesce(k.known, FALSE) AS known
+         |FROM sm s LEFT JOIN
+         |  (SELECT DISTINCT canon_url, TRUE AS known FROM canon) k
+         |  ON s.url_canon = k.canon_url
+         |ORDER BY s.sitemap_url, s.loc""".stripMargin,
+
+    // hand-derived gate verdicts/priorities/delays per CANDIDATE
+    // (committed VALUES from the same sitemap + robots fixtures — the
+    // two KNOWN locs are listed too, with their correctly-derived
+    // verdicts, so the replayed novelty filter must actually drop
+    // them); novelty replays through the shared canon CTE and the
+    // per-host rank window replays in SQL
+    "q231_crawl_frontier" ->
+      s"""WITH ${urlFixtureSql("documents")},
+         |$canonSql,
+         |cands AS (
+         |  SELECT * FROM (VALUES
+         |    ('https://media.example.co.uk/a/1?a=1&b=2&c=x%2Fy',
+         |     'media.example.co.uk', TRUE, '/a/1', 0.8, NULL, 2500),
+         |    ('https://media.example.co.uk/a/15',
+         |     'media.example.co.uk', TRUE, '/a/1', 0.9, NULL, 2500),
+         |    ('https://media.example.co.uk/a/2',
+         |     'media.example.co.uk', FALSE, '/a/', 0.5, NULL, 2500),
+         |    ('https://docs.www.ck/a/19?a=1&b=2&c=x%2Fy',
+         |     'docs.www.ck', TRUE, '/a/*9?*y$$', 0.3, NULL, 1000),
+         |    ('https://docs.www.ck/p/78',
+         |     'docs.www.ck', FALSE, '/p/', 0.5, NULL, 1000)
+         |  ) t(url_canon, host, allowed, rule_pfx, priority_eff,
+         |      lastmod_ms, delay_ms)),
+         |fresh AS (
+         |  SELECT * FROM cands c
+         |  WHERE NOT EXISTS
+         |    (SELECT 1 FROM canon k WHERE k.canon_url = c.url_canon))
+         |SELECT url_canon, host, allowed, rule_pfx,
+         |  CAST(delay_ms AS BIGINT) AS crawl_delay_ms,
+         |  CAST(priority_eff AS DOUBLE) AS priority_eff,
+         |  CAST(lastmod_ms AS BIGINT) AS lastmod_ms,
+         |  CAST(row_number() OVER (PARTITION BY host
+         |    ORDER BY allowed DESC, priority_eff DESC,
+         |             lastmod_ms DESC NULLS LAST, url_canon) AS INT)
+         |    AS host_rank
+         |FROM fresh
+         |ORDER BY host, host_rank""".stripMargin,
 
     // the committed expected hosts (independent of the engine's decoder —
     // see IdnExamples) + the shared PSL registered-domain rule over them

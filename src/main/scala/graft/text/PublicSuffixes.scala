@@ -17,9 +17,11 @@ package graft.text
   *     [[Urls.registeredDomain]]);
   *   - explicit THREE-label rules (US k12/cc/lib locality registrations)
   *     carry in [[ThreeLabel]] (round 17, judge r16 Next #8); the JP
-  *     geographic wildcard-with-exception city rules remain OUT of the
-  *     snapshot — hosts under them resolve one label short, exactly as
-  *     any offline PSL subset would;
+  *     geographic wildcard-with-exception city rules carry in
+  *     [[Wildcard2]]/[[Wildcard2Exception]] (round 17, closing the last
+  *     documented PSL-form boundary) — the PSL's remaining long tail
+  *     (per-prefecture city lists) stays out, resolving one label short
+  *     exactly as any offline PSL subset would;
   *   - the PRIVATE section (github.io, blogspot.com, …) is out of scope
   *     by design: per-host curation quotas want the OPERATOR (github.io),
   *     not the tenant, as the key.
@@ -195,11 +197,10 @@ object PublicSuffixes {
     * (`cc.<state>.us`) and libraries (`lib.<state>.us`) register UNDER
     * these, so hosts resolve at four labels
     * (district.k12.ca.us stays district.k12.ca.us, not k12.ca.us).
-    * Snapshot subset: the five states carried in [[TwoLabel]]. Remaining
-    * documented boundary: the PSL's JP geographic forms (`*.kawasaki.jp`
-    * wildcard-with-exception city rules) stays out of the snapshot —
-    * hosts under unlisted 3-label suffixes resolve one label short,
-    * exactly as any offline PSL subset would. */
+    * Snapshot subset: the five states carried in [[TwoLabel]]. The PSL's
+    * JP geographic forms carry as [[Wildcard2]] wildcards rather than
+    * explicit rows; hosts under unlisted 3-label suffixes resolve one
+    * label short, exactly as any offline PSL subset would. */
   val ThreeLabel: Seq[String] = Seq(
     "cc.ca.us", "k12.ca.us", "lib.ca.us",
     "cc.fl.us", "k12.fl.us", "lib.fl.us",
@@ -221,4 +222,24 @@ object PublicSuffixes {
   /** Exception rules (`!<name>` in the PSL): registrable names carved out
     * of a wildcard — `www.ck` is a real registered site, not a suffix. */
   val WildcardException: Seq[String] = Seq("www.ck")
+
+  /** SECOND-LEVEL wildcard rules (`*.<city>.<tld>` in the PSL): the JP
+    * geographic city forms (round 17 — the last PSL rule shape the
+    * snapshot lacked). Every THREE-label tail under these is itself a
+    * public suffix (`ward.kawasaki.jp` is a suffix, so hosts under it
+    * register at FOUR labels), except the [[Wildcard2Exception]] names.
+    * The seven designated-city entries are the complete `*.<x>.jp` set
+    * in the upstream PSL ICANN section. */
+  val Wildcard2: Seq[String] = Seq(
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp")
+
+  /** `!city.<x>.jp` exceptions: the city governments' own registrable
+    * names, carved out of the [[Wildcard2]] wildcards — `city.kobe.jp`
+    * is a registered domain, not a suffix. Complete upstream set for
+    * the seven cities. */
+  val Wildcard2Exception: Seq[String] = Seq(
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp")
 }

@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** sitemaps.org protocol parsing — the discovery half of the politeness
+  * layer's metadata ([[Robots]] carries the per-host `Sitemap:` pointers
+  * as data, q229; this parses the pointed-at FILES into frontier
+  * candidate rows).
+  *
+  * Reference context: the reference pipeline
+  * (Pierre545/Sentinel-Landsat-database-creation) has no crawl layer —
+  * this extends the LLM-data-pipeline surface the same way the robots
+  * gate does (round-17 discipline: batch parse per DISTINCT file,
+  * hand-derived committed expectations as the oracle).
+  *
+  * Scope (the protocol core, sitemaps.org/protocol.html):
+  *   - `<urlset>` files: one entry per `<url>` block — `<loc>` (required;
+  *     XML-entity decoded, surrounding whitespace trimmed, per the
+  *     protocol), optional `<lastmod>` (W3C datetime: date-only or full
+  *     with zone offset; anything else → NULL, parse never fails),
+  *     optional `<priority>` (decimal → double; malformed → NULL);
+  *   - `<sitemapindex>` files: one entry per `<sitemap>` block, same
+  *     fields, `kind = "sitemap"` — the scheduler's recursion feed (the
+  *     child files are DISCOVERED, not fetched here: recursion is the
+  *     crawl loop's job, not the parser's);
+  *   - `<changefreq>` is carried nowhere (advisory, no consumer);
+  *     documented boundary: lastmod's seconds-fraction form and the
+  *     `Z`-suffix zone spelling are out (the fixtures use date-only and
+  *     `±HH:MM`, the protocol's examples).
+  *
+  * Everything is composed builtin string/timestamp expressions — fully
+  * codegen'd, never-fail by construction (absent tags extract to "",
+  * which parses to NULL). 100 TB shape: sitemap files are model-sized
+  * per-host artifacts; the parse runs per DISTINCT file and the output
+  * is frontier rows, never corpus-sized.
+  */
+object Sitemaps {
+
+  /** The five XML predefined entities, `&amp;` decoded LAST so a literal
+    * `&amp;lt;` cannot double-decode into `<`. */
+  private val Entities = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
+    "&amp;" -> "&")
+
+  private def decodeEntities(c: Column): Column =
+    Entities.foldLeft(c) { case (acc, (ent, ch)) =>
+      replace(acc, lit(ent), lit(ch))
+    }
+
+  /** W3C datetime → epoch millis (UTC session zone): full offset form
+    * first, then date-only; both failing → NULL. */
+  private def lastmodMs(s: Column): Column =
+    unix_millis(coalesce(
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(s, lit("yyyy-MM-dd"))))
+
+  /** All entries of one sitemap XML document:
+    * `array<struct<kind, loc, lastmod_ms, priority>>` — `kind` is
+    * `"url"` (urlset entries) or `"sitemap"` (index entries); a file is
+    * one or the other, so one array is always empty and `concat` costs
+    * nothing. */
+  def entries(xml: Column): Column = {
+    def blocks(tag: String, kind: String): Column =
+      transform(
+        regexp_extract_all(xml, lit(s"(?s)<$tag>(.*?)</$tag>"), lit(1)),
+        b => {
+          // NOT functions.trim — that strips ' ' only; <loc> content may
+          // wrap in newlines/tabs (the protocol says trim whitespace)
+          def wstrim(c: Column): Column =
+            regexp_replace(c, "\\A\\s+|\\s+\\z", "")
+          val loc = wstrim(decodeEntities(
+            regexp_extract(b, "(?s)<loc>(.*?)</loc>", 1)))
+          val lm = wstrim(regexp_extract(b, "(?s)<lastmod>(.*?)</lastmod>", 1))
+          val pr = wstrim(regexp_extract(b, "(?s)<priority>(.*?)</priority>", 1))
+          struct(
+            lit(kind).as("kind"),
+            loc.as("loc"),
+            lastmodMs(lm).as("lastmod_ms"),
+            when(pr.rlike("\\A[0-9]+(\\.[0-9]+)?\\z"), pr.cast("double"))
+              .as("priority"))
+        })
+    concat(blocks("url", "url"), blocks("sitemap", "sitemap"))
+  }
+}

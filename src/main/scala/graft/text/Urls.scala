@@ -142,7 +142,11 @@ object Urls {
         (r.rlike("\\A[^.]+\\.[^.]+\\z") &&
           regexp_extract(r, "\\.([^.]+)\\z", 1)
             .isin(PublicSuffixes.Wildcard: _*) &&
-          !r.isin(PublicSuffixes.WildcardException: _*))
+          !r.isin(PublicSuffixes.WildcardException: _*)) ||
+        (r.rlike("\\A[^.]+\\.[^.]+\\.[^.]+\\z") &&
+          regexp_extract(r, "\\.([^.]+\\.[^.]+)\\z", 1)
+            .isin(PublicSuffixes.Wildcard2: _*) &&
+          !r.isin(PublicSuffixes.Wildcard2Exception: _*))
     when(h.rlike("\\Awww\\.[^.]+\\.") && !remainderIsSuffix, r).otherwise(h)
   }
 
@@ -189,6 +193,13 @@ object Urls {
     *     labels (news.portal.example.mm → portal.example.mm) — unless the
     *     two-label tail is an EXCEPTION (`!www.ck`: it is itself
     *     registrable, so anything under it registers AT it);
+    *   - a SECOND-LEVEL wildcard (`*.kawasaki.jp`-style:
+    *     [[PublicSuffixes.Wildcard2]], the JP geographic city forms —
+    *     round 17, closing the last PSL rule shape) makes every
+    *     three-label tail a public suffix, so hosts register at four
+    *     labels (a.ward.kawasaki.jp stays itself; deeper hosts take the
+    *     last four) — unless the three-label tail is an EXCEPTION
+    *     (`!city.kawasaki.jp`: anything under it registers AT it);
     *   - a host whose last THREE labels form a listed three-label suffix
     *     (US k12/cc/lib locality rules — round 17, judge r16 Next #8)
     *     registers at four labels (district.k12.ca.us stays itself);
@@ -215,6 +226,10 @@ object Urls {
           .when(n <= 2, hostCol)
           .otherwise(suffix3))
       .when(n <= 2, hostCol)
+      .when(suffix2.isin(PublicSuffixes.Wildcard2: _*),
+        when(suffix3.isin(PublicSuffixes.Wildcard2Exception: _*), suffix3)
+          .when(n <= 3, hostCol)
+          .otherwise(suffix4))
       .when(suffix3.isin(PublicSuffixes.ThreeLabel: _*),
         when(n <= 3, hostCol).otherwise(suffix4))
       .when(suffix2.isin(PublicSuffixes.TwoLabel: _*), suffix3)

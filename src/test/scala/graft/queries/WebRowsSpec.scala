@@ -93,4 +93,39 @@ class WebRowsSpec extends AnyFunSuite with SparkSpec {
     val totalPars = got.values.map(_._1).sum
     assert(totalKept < totalPars, "dedup must actually drop something")
   }
+
+  test("Sitemaps.entries: entity decode order, whitespace trim, W3C " +
+      "lastmod forms, malformed date/priority -> NULL, index vs urlset " +
+      "kinds, junk input -> empty") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val xml =
+      "<urlset>" +
+        // '&amp;lt;' must decode to the LITERAL text '&lt;' (one &amp;
+        // pass, decoded last), never double-decode into '<'
+        "<url><loc> https://h.example/a?x=1&amp;y=2&amp;lt; </loc>" +
+        "<lastmod>2024-03-05T23:30:00-05:00</lastmod>" +
+        "<priority>1.0</priority></url>" +
+        "<url><loc>https://h.example/b</loc><lastmod>yesterday</lastmod>" +
+        "<priority>high</priority></url>" +
+        "</urlset>"
+    val idx =
+      "<sitemapindex><sitemap><loc>https://h.example/s.xml</loc>" +
+        "</sitemap></sitemapindex>"
+    val rows = Seq(xml, idx, "not xml at all", "")
+      .toDF("x")
+      .select(explode(graft.text.Sitemaps.entries(col("x"))).as("e"))
+      .select(col("e.kind"), col("e.loc"), col("e.lastmod_ms"),
+        col("e.priority"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+      .toSeq
+    assert(rows == Seq(
+      // 2024-03-06T04:30:00Z = 1709699400000
+      ("url", "https://h.example/a?x=1&y=2&lt;", 1709699400000L, 1.0),
+      ("url", "https://h.example/b", -1L, -1.0),
+      ("sitemap", "https://h.example/s.xml", -1L, -1.0)))
+  }
 }

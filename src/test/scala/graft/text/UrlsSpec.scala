@@ -265,7 +265,17 @@ class UrlsSpec extends AnyFunSuite with SparkSpec {
       "https://www.k12.ca.us/x",          // www-under-3-label-suffix: keeps www
       "https://k12.ca.us/x",              // a bare 3-label suffix
       "https://foo.ca.us/x",              // state 2-label rule
-      "https://lib.wy.us/x"               // state NOT in snapshot: default rule
+      "https://lib.wy.us/x",              // state NOT in snapshot: default rule
+      // JP geographic SECOND-LEVEL wildcards (`*.kawasaki.jp`) with
+      // `!city.<x>.jp` exceptions (round 17 — the last PSL rule shape)
+      "https://a.ward.kawasaki.jp/x",     // under a wildcard2 suffix: FOUR labels
+      "https://deep.a.ward.kawasaki.jp/x",
+      "https://ward.kawasaki.jp/x",       // a bare wildcard2 suffix
+      "https://city.kawasaki.jp/x",       // the exception: registrable itself
+      "https://sub.city.kawasaki.jp/x",   // registers AT the exception
+      "https://www.ku.yokohama.jp/x",     // www-under-wildcard2-suffix: keeps www
+      "https://www.city.kobe.jp/x",       // www under the EXCEPTION: folds
+      "https://kawasaki.jp/x"             // the bare city: default rule, itself
     ) == Seq(
       ("example.com", "example.com"),
       ("a.b.news.example.com", "example.com"),
@@ -285,10 +295,19 @@ class UrlsSpec extends AnyFunSuite with SparkSpec {
       ("foo.ca.us", "foo.ca.us"),
       // wy.us is not in the snapshot: lib.wy.us resolves by the default
       // rule (suffix = us) — the documented offline-subset behavior
-      ("lib.wy.us", "wy.us")))
+      ("lib.wy.us", "wy.us"),
+      ("a.ward.kawasaki.jp", "a.ward.kawasaki.jp"),
+      ("deep.a.ward.kawasaki.jp", "a.ward.kawasaki.jp"),
+      ("ward.kawasaki.jp", "ward.kawasaki.jp"),
+      ("city.kawasaki.jp", "city.kawasaki.jp"),
+      ("sub.city.kawasaki.jp", "city.kawasaki.jp"),
+      ("www.ku.yokohama.jp", "www.ku.yokohama.jp"),
+      ("city.kobe.jp", "city.kobe.jp"),
+      ("kawasaki.jp", "kawasaki.jp")))
   }
 
-  test("canonicalize over the full component lattice (32768 URLs, incl. IDN + www-under-suffix hosts): matches " +
+  test("canonicalize over the full component lattice (40960 URLs, incl. IDN " +
+      "+ www-under-suffix + JP-geo-wildcard hosts): matches " +
       "an independent JVM reference and is idempotent") {
     import spark.implicits._
     // independent reference: plain-JVM string logic, no shared code with
@@ -337,10 +356,12 @@ class UrlsSpec extends AnyFunSuite with SparkSpec {
       // families agree; the divergence beyond IDNA2003 is pinned above)
       val host1 = java.net.IDN.toUnicode(host0)
       // fold guard (judge r15 Next #6): the reference carries its own
-      // tiny suffix surface for the lattice's hosts
+      // tiny suffix surface for the lattice's hosts — co.uk (two-label
+      // rule) and ku.kawasaki.jp (under a second-level wildcard);
+      // city.sendai.jp is an EXCEPTION, so its www DOES fold
       val host =
         if (host1.startsWith("www.") && host1.drop(4).matches("[^.]+\\..*") &&
-            host1.drop(4) != "co.uk")
+            host1.drop(4) != "co.uk" && host1.drop(4) != "ku.kawasaki.jp")
           host1.drop(4)
         else host1
       val afterAuth = rest.drop(auth.length)
@@ -364,14 +385,14 @@ class UrlsSpec extends AnyFunSuite with SparkSpec {
       ui <- Seq("", "Bot:pw1@")
       host <- Seq("Example.COM", "sub.Example.co.uk", "WWW.Example.COM",
         "LOCALHOST", "a.b.C.net", "WWW.co.UK", "xn--Bcher-KVA.de",
-        "WWW.xn--bcher-kva.de")
+        "WWW.xn--bcher-kva.de", "WWW.Ku.Kawasaki.JP", "www.City.Sendai.jp")
       port <- Seq("", ":443", ":80", ":8080")
       path <- Seq("", "/", "/A/b", "/A/b/", "/x//", "/%61b", "/a%2fb", "/a%2Fb")
       q <- Seq("", "?", "?a=1&b=2", "?b=2&a=1", "?b=2&utm_source=x&a=1",
         "?utm_source=x", "?a=1&&b=2", "?c=x%2fy&a=1")
       frag <- Seq("", "#f")
     } yield s"$sch://$ui$host$port$path$q$frag"
-    assert(urls.length == 32768)
+    assert(urls.length == 40960)
     val got = urls.toDF("url")
       .select(col("url"), Urls.canonicalize(col("url")).as("c"))
       .select(col("url"), col("c"), Urls.canonicalize(col("c")).as("cc"))
