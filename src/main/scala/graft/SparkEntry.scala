@@ -22,7 +22,7 @@ object SparkEntry {
     * shared token frame) — q199's fingerprint frame, q204's/q210's/
     * q219's extracted frames, q217's scored frame, q224's three
     * bounded serve frames, q227's gate-key frame, q230's parsed
-    * sitemap-entry frame, q231's candidate frame, and q222's exploded
+    * sitemap-entry frame, q231's candidate + fresh frames, and q222's exploded
     * static-index frame
     * inside Streams.signatureServeStream — the one persist that lives
     * in an OPERATOR rather than a query body, because a stream-static

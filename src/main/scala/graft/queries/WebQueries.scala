@@ -607,7 +607,14 @@ object WebQueries {
         .join(broadcast(cand.select("url_canon").distinct()),
           Seq("url_canon"), "left_semi")
         .distinct()
+      // persisted like cand (registry cache contract): fresh feeds the
+      // host/rule/delay derivations, the match join AND the final
+      // join-back — without it each consumer subtree re-runs the
+      // novelty probe's full corpus canonicalization pass (the q227
+      // projection-collapse lesson; measured ~4 corpus passes = 3-6×
+      // the row's whole cost). Tiny: candidates minus known.
       val fresh = cand.join(broadcast(hit), Seq("url_canon"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hosts = fresh.select("host").distinct()
       val rules = robotsRulesTable(hosts)
         .select(col("host"), explode(col("rules")).as("r"))
