@@ -401,6 +401,25 @@ class PlanSpec extends SparkSpec {
         "per document instead of per distinct host")
   }
 
+  test("q230/q231 sitemap discovery + frontier: candidate/rule frames " +
+      "broadcast, documents scans read doc_id only (no text on the " +
+      "discovery path)") {
+    Seq("q230_sitemap_parse", "q231_crawl_frontier").foreach { q =>
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(400)}")
+      val docScans = "FileScan parquet [^\\n]*documents[^\\n]*".r
+        .findAllMatchIn(p).map(_.matched).toSeq
+      assert(docScans.nonEmpty, s"$q: no documents scan")
+      docScans.foreach { s =>
+        assert(!s.contains("text"),
+          s"$q: document text leaked onto the discovery path: $s")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q82 rebalance: rates broadcast, the corpus side is scan+filter") {
     val df = graft.SparkEntry.queries("q82_mixture_rebalance")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
