@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   *     child files are DISCOVERED, not fetched here: recursion is the
   *     crawl loop's job, not the parser's);
   *   - `<changefreq>` is carried nowhere (advisory, no consumer);
-  *     documented boundary: lastmod's seconds-fraction form and the
-  *     `Z`-suffix zone spelling are out (the fixtures use date-only and
-  *     `±HH:MM`, the protocol's examples).
+  *     lastmod accepts date-only, `±HH:MM` offsets AND the `Z` zero-
+  *     offset spelling (the XXX pattern's no-offset text — spec-pinned);
+  *     documented boundary: the seconds-fraction form is out (→ NULL,
+  *     like any other unparseable value).
   *
   * Everything is composed builtin string/timestamp expressions — fully
   * codegen'd, never-fail by construction (absent tags extract to "",

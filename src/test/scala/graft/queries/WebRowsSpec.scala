@@ -108,6 +108,9 @@ class WebRowsSpec extends AnyFunSuite with SparkSpec {
         "<priority>1.0</priority></url>" +
         "<url><loc>https://h.example/b</loc><lastmod>yesterday</lastmod>" +
         "<priority>high</priority></url>" +
+        // the Z zone spelling is zero offset under the XXX pattern
+        "<url><loc>https://h.example/c</loc>" +
+        "<lastmod>2024-03-05T10:30:00Z</lastmod></url>" +
         "</urlset>"
     val idx =
       "<sitemapindex><sitemap><loc>https://h.example/s.xml</loc>" +
@@ -126,6 +129,8 @@ class WebRowsSpec extends AnyFunSuite with SparkSpec {
       // 2024-03-06T04:30:00Z = 1709699400000
       ("url", "https://h.example/a?x=1&y=2&lt;", 1709699400000L, 1.0),
       ("url", "https://h.example/b", -1L, -1.0),
+      // 2024-03-05T10:30:00Z = 1709634600000
+      ("url", "https://h.example/c", 1709634600000L, -1.0),
       ("sitemap", "https://h.example/s.xml", -1L, -1.0)))
   }
 }
