@@ -242,13 +242,18 @@ object WebQueries {
     * falls in the `Allow: /a/1` hole — q231's allowed frontier row),
     * and a CROSS-host loc (same_host=false — the protocol
     * rejects locs off the sitemap's own host) with a full W3C offset
-    * lastmod; docs s1 — a `<sitemapindex>` (kind='sitemap': the
-    * recursion feed; s3.xml is discovered but never fetched here — only
-    * robots-advertised files parse, recursion is the scheduler's loop);
-    * docs s2 — an INVALID lastmod (month 13 → NULL, parse never fails)
-    * and a priority-bearing loc whose decoded params canonicalize into
-    * the docs.www.ck corpus surface. Hand-derived expectations live in
-    * the oracle's VALUES — the parser is CHECKED, not replayed. */
+    * lastmod and an OUT-OF-RANGE priority (5.0 → NULL: the protocol
+    * bounds it to [0,1]); docs s1 — a `<sitemapindex>` (kind='sitemap':
+    * the recursion feed; s3.xml is discovered but never fetched here —
+    * only robots-advertised files parse, recursion is the scheduler's
+    * loop) with a MINUTES-precision W3C lastmod; docs s2 — an INVALID
+    * lastmod (month 13 → NULL, parse never fails), a priority-bearing
+    * loc whose decoded params canonicalize into the docs.www.ck corpus
+    * surface, a DUPLICATE listing of /p/78 (fresher lastmod, higher
+    * priority — q231 must merge, not double-queue), and a loc-less
+    * block the parser must DROP (loc is the protocol's one required
+    * field). Hand-derived expectations live in the oracle's VALUES —
+    * the parser is CHECKED, not replayed. */
   private[queries] def sitemapXmlCol(url: Column): Column =
     when(url === "https://media.example.co.uk/sitemap.xml", lit(
       "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
@@ -260,14 +265,16 @@ object WebQueries {
         "<url><loc>https://media.example.co.uk/a/15</loc>" +
         "<priority>0.9</priority></url>\n" +
         "<url><loc>https://other.example.org/x</loc>" +
-        "<lastmod>2024-03-05T10:30:00+00:00</lastmod></url>\n" +
+        "<lastmod>2024-03-05T10:30:00+00:00</lastmod>" +
+        "<priority>5.0</priority></url>\n" +
         "</urlset>\n"))
       .when(url === "https://docs.www.ck/s1.xml", lit(
         "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
           "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
           "<sitemap><loc>https://docs.www.ck/s2.xml</loc>" +
           "<lastmod>2024-04-01</lastmod></sitemap>\n" +
-          "<sitemap><loc>https://docs.www.ck/s3.xml</loc></sitemap>\n" +
+          "<sitemap><loc>https://docs.www.ck/s3.xml</loc>" +
+          "<lastmod>2024-04-01T08:05+00:00</lastmod></sitemap>\n" +
           "</sitemapindex>\n"))
       .when(url === "https://docs.www.ck/s2.xml", lit(
         "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
@@ -276,6 +283,9 @@ object WebQueries {
           "<lastmod>2024-13-45</lastmod></url>\n" +
           "<url><loc>https://docs.www.ck/a/19?b=2&amp;a=1&amp;c=x%2Fy</loc>" +
           "<priority>0.30</priority></url>\n" +
+          "<url><loc>https://docs.www.ck/p/78</loc>" +
+          "<lastmod>2024-04-02</lastmod><priority>0.6</priority></url>\n" +
+          "<url><lastmod>2024-01-01</lastmod></url>\n" +
           "</urlset>\n"))
       .otherwise(lit(""))
 
@@ -472,12 +482,8 @@ object WebQueries {
       val rules = robotsRulesTable(hosts)
         .select(col("host"), explode(col("rules")).as("r"))
         .select(col("host"), col("r.dir").as("dir"), col("r.pfx").as("pfx"))
-      val matched = base.join(broadcast(rules), Seq("host"))
-        .where(graft.text.Robots.matches(col("path"), col("pfx")))
-        .groupBy("doc_id")
-        .agg(max(struct(length(col("pfx")).as("l"),
-          (col("dir") === "allow").as("a"), col("dir").as("dir"),
-          col("pfx").as("pfx"))).as("w"))
+      val matched =
+        robotsWinnerByKey(base.join(broadcast(rules), Seq("host")), "doc_id")
       base.join(matched, Seq("doc_id"), "left")
         .select(col("doc_id"), col("host"), col("path"),
           coalesce(col("w.a"), lit(true)).as("allowed"),
@@ -588,6 +594,12 @@ object WebQueries {
         .select(explode(graft.text.Robots.parseMeta(robotsTxtCol(col("host")))
           .getField("sitemaps")).as("sitemap_url"))
         .distinct()
+      // one row per DISTINCT url_canon: a URL listed in two sitemap
+      // files (or twice in one) must merge into ONE queue entry — the
+      // freshest lastmod claim and the strongest in-range priority win,
+      // min(host/path) is the deterministic representative (review r17
+      // #5: without this, duplicate listings double-queue the URL and
+      // shift every later rank in the host queue)
       val cand = smUrls
         .select(col("sitemap_url"),
           explode(graft.text.Sitemaps.entries(
@@ -600,6 +612,10 @@ object WebQueries {
           robotsTarget(col("e.loc")).as("path"),
           col("e.lastmod_ms").as("lastmod_ms"),
           coalesce(col("e.priority"), lit(0.5)).as("priority_eff"))
+        .groupBy("url_canon")
+        .agg(min("host").as("host"), min("path").as("path"),
+          max("lastmod_ms").as("lastmod_ms"),
+          max("priority_eff").as("priority_eff"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val corpus = urlFixture(docs)
         .select(Urls.canonicalize(col("url")).as("url_canon"))
@@ -615,20 +631,25 @@ object WebQueries {
       // the row's whole cost). Tiny: candidates minus known.
       val fresh = cand.join(broadcast(hit), Seq("url_canon"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val hosts = fresh.select("host").distinct()
-      val rules = robotsRulesTable(hosts)
+      // ONE stateful robots walk per host (the parseMeta contract,
+      // review r17 #5): rules AND crawl-delay derive from a single
+      // persisted parse projection instead of two independent walks
+      val hostMeta = fresh.select("host").distinct()
+        .select(col("host"),
+          graft.text.Robots.parseMeta(robotsTxtCol(col("host"))).as("m"))
+        .select(col("host"),
+          graft.text.Robots.applicableRules(
+            col("m.rules"), "graftbot", col("m.uas")).as("rules"),
+          graft.text.Robots.delayFor(col("m"), "graftbot")
+            .as("crawl_delay_ms"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rules = hostMeta
         .select(col("host"), explode(col("rules")).as("r"))
         .select(col("host"), col("r.dir").as("dir"), col("r.pfx").as("pfx"))
-      val matched = fresh.join(broadcast(rules), Seq("host"))
-        .where(graft.text.Robots.matches(col("path"), col("pfx")))
-        .groupBy("url_canon")
-        .agg(max(struct(length(col("pfx")).as("l"),
-          (col("dir") === "allow").as("a"), col("dir").as("dir"),
-          col("pfx").as("pfx"))).as("w"))
-      val delays = hosts.select(col("host"),
-        graft.text.Robots.delayFor(
-          graft.text.Robots.parseMeta(robotsTxtCol(col("host"))),
-          "graftbot").as("crawl_delay_ms"))
+      val matched =
+        robotsWinnerByKey(fresh.join(broadcast(rules), Seq("host")),
+          "url_canon")
+      val delays = hostMeta.select("host", "crawl_delay_ms")
       val w = org.apache.spark.sql.expressions.Window.partitionBy("host")
         .orderBy(col("allowed").desc, col("priority_eff").desc,
           col("lastmod_ms").desc_nulls_last, col("url_canon"))
@@ -780,6 +801,22 @@ object WebQueries {
        |    CASE WHEN cp.pth = '' THEN '/' ELSE cp.pth END ||
        |      CASE WHEN cp.cqj = '' THEN '' ELSE '?' || cp.cqj END AS pth
        |  FROM hh JOIN cparts cp ON cp.doc_id = hh.doc_id)""".stripMargin
+
+  /** The longest-PATTERN/Allow-on-tie winner per `key` over matched
+    * (key, path, dir, pfx) rows — RFC 9309 §2.2.2's precedence as ONE
+    * map-side-combinable max(struct), shared by q227 (key = doc_id) and
+    * q231 (key = url_canon) so the gate's tie-break order lives in one
+    * place (its third formulation is q228's per-row sort_array, checked
+    * against the same hand-derived oracle). Returns (key, w) where
+    * `w.a` is the allow bit and `w.pfx` the winning pattern. */
+  private[queries] def robotsWinnerByKey(matchable: DataFrame,
+      key: String): DataFrame =
+    matchable
+      .where(graft.text.Robots.matches(col("path"), col("pfx")))
+      .groupBy(key)
+      .agg(max(struct(length(col("pfx")).as("l"),
+        (col("dir") === "allow").as("a"), col("dir").as("dir"),
+        col("pfx").as("pfx"))).as("w"))
 
   /** q228's served robots model: per canonical host, the APPLICABLE rule
     * array (parser + group selection batch-side — what a crawl serve
@@ -1030,7 +1067,7 @@ object WebQueries {
          |     TRUE, 1711929600000, NULL),
          |    ('https://docs.www.ck/s1.xml', 'sitemap',
          |     'https://docs.www.ck/s3.xml', 'https://docs.www.ck/s3.xml',
-         |     TRUE, NULL, NULL),
+         |     TRUE, 1711958700000, NULL),
          |    ('https://docs.www.ck/s2.xml', 'url',
          |     'https://docs.www.ck/a/19?b=2&a=1&c=x%2Fy',
          |     'https://docs.www.ck/a/19?a=1&b=2&c=x%2Fy',
@@ -1038,6 +1075,9 @@ object WebQueries {
          |    ('https://docs.www.ck/s2.xml', 'url',
          |     'https://docs.www.ck/p/78', 'https://docs.www.ck/p/78',
          |     TRUE, NULL, NULL),
+         |    ('https://docs.www.ck/s2.xml', 'url',
+         |     'https://docs.www.ck/p/78', 'https://docs.www.ck/p/78',
+         |     TRUE, 1712016000000, 0.6),
          |    ('https://media.example.co.uk/sitemap.xml', 'url',
          |     'https://media.example.co.uk/a/1?c=x%2Fy&b=2&a=1',
          |     'https://media.example.co.uk/a/1?a=1&b=2&c=x%2Fy',
@@ -1062,12 +1102,14 @@ object WebQueries {
          |  ON s.url_canon = k.canon_url
          |ORDER BY s.sitemap_url, s.loc""".stripMargin,
 
-    // hand-derived gate verdicts/priorities/delays per CANDIDATE
+    // hand-derived gate verdicts/priorities/delays per candidate ENTRY
     // (committed VALUES from the same sitemap + robots fixtures — the
     // two KNOWN locs are listed too, with their correctly-derived
     // verdicts, so the replayed novelty filter must actually drop
-    // them); novelty replays through the shared canon CTE and the
-    // per-host rank window replays in SQL
+    // them, and /p/78's DUPLICATE listing is listed twice so the
+    // replayed merge must actually collapse it); the per-url_canon
+    // merge, the novelty filter (shared canon CTE) and the per-host
+    // rank window all replay in SQL
     "q231_crawl_frontier" ->
       s"""WITH ${urlFixtureSql("documents")},
          |$canonSql,
@@ -1082,11 +1124,19 @@ object WebQueries {
          |    ('https://docs.www.ck/a/19?a=1&b=2&c=x%2Fy',
          |     'docs.www.ck', TRUE, '/a/*9?*y$$', 0.3, NULL, 1000),
          |    ('https://docs.www.ck/p/78',
-         |     'docs.www.ck', FALSE, '/p/', 0.5, NULL, 1000)
+         |     'docs.www.ck', FALSE, '/p/', 0.5, NULL, 1000),
+         |    ('https://docs.www.ck/p/78',
+         |     'docs.www.ck', FALSE, '/p/', 0.6, 1712016000000, 1000)
          |  ) t(url_canon, host, allowed, rule_pfx, priority_eff,
          |      lastmod_ms, delay_ms)),
+         |dd AS (
+         |  SELECT url_canon, min(host) AS host, max(allowed) AS allowed,
+         |    min(rule_pfx) AS rule_pfx,
+         |    max(priority_eff) AS priority_eff,
+         |    max(lastmod_ms) AS lastmod_ms, min(delay_ms) AS delay_ms
+         |  FROM cands GROUP BY 1),
          |fresh AS (
-         |  SELECT * FROM cands c
+         |  SELECT * FROM dd c
          |  WHERE NOT EXISTS
          |    (SELECT 1 FROM canon k WHERE k.canon_url = c.url_canon))
          |SELECT url_canon, host, allowed, rule_pfx,

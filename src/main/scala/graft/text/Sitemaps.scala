@@ -39,7 +39,10 @@ import org.apache.spark.sql.functions._
 object Sitemaps {
 
   /** The five XML predefined entities, `&amp;` decoded LAST so a literal
-    * `&amp;lt;` cannot double-decode into `<`. */
+    * `&amp;lt;` cannot double-decode into `<` — the same amp-last order
+    * contract as [[Markup]]'s page-text decode chain (which handles the
+    * numeric `&#39;` its fixtures use where XML prose uses `&apos;`;
+    * the tables differ deliberately, the ORDER discipline must not). */
   private val Entities = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
     "&amp;" -> "&")
@@ -49,11 +52,14 @@ object Sitemaps {
       replace(acc, lit(ent), lit(ch))
     }
 
-  /** W3C datetime → epoch millis (UTC session zone): full offset form
-    * first, then date-only; both failing → NULL. */
+  /** W3C datetime → epoch millis (UTC session zone): the seconds form,
+    * the minutes-precision form (both valid per the W3C profile
+    * sitemaps.org cites; XXX accepts `±HH:MM` and the `Z` zero-offset
+    * spelling), then date-only; all failing → NULL. */
   private def lastmodMs(s: Column): Column =
     unix_millis(coalesce(
       try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mmXXX")),
       try_to_timestamp(s, lit("yyyy-MM-dd"))))
 
   /** All entries of one sitemap XML document:
@@ -78,9 +84,17 @@ object Sitemaps {
             lit(kind).as("kind"),
             loc.as("loc"),
             lastmodMs(lm).as("lastmod_ms"),
-            when(pr.rlike("\\A[0-9]+(\\.[0-9]+)?\\z"), pr.cast("double"))
+            // the protocol bounds priority to [0.0, 1.0]; out-of-range
+            // values are invalid and NULL like any other malformed field
+            // (else a rogue <priority>5.0</priority> would dominate the
+            // q231 queue ranking)
+            when(pr.rlike("\\A[0-9]+(\\.[0-9]+)?\\z") &&
+                pr.cast("double").between(0.0, 1.0), pr.cast("double"))
               .as("priority"))
         })
-    concat(blocks("url", "url"), blocks("sitemap", "sitemap"))
+    // a block with no <loc> is invalid per the protocol (loc is the one
+    // required field) — dropped, not surfaced as an empty-loc entry
+    filter(concat(blocks("url", "url"), blocks("sitemap", "sitemap")),
+      e => e.getField("loc") =!= "")
   }
 }

@@ -95,8 +95,9 @@ class WebRowsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("Sitemaps.entries: entity decode order, whitespace trim, W3C " +
-      "lastmod forms, malformed date/priority -> NULL, index vs urlset " +
-      "kinds, junk input -> empty") {
+      "lastmod forms (seconds/minutes/Z/date-only), malformed date and " +
+      "out-of-range priority -> NULL, loc-less block dropped, index vs " +
+      "urlset kinds, junk input -> empty") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val xml =
@@ -111,6 +112,12 @@ class WebRowsSpec extends AnyFunSuite with SparkSpec {
         // the Z zone spelling is zero offset under the XXX pattern
         "<url><loc>https://h.example/c</loc>" +
         "<lastmod>2024-03-05T10:30:00Z</lastmod></url>" +
+        // minutes-precision W3C form; priority OUT of [0,1] -> NULL
+        "<url><loc>https://h.example/d</loc>" +
+        "<lastmod>2024-03-05T10:30+00:00</lastmod>" +
+        "<priority>5.0</priority></url>" +
+        // no <loc>: invalid block, dropped entirely
+        "<url><lastmod>2024-01-01</lastmod></url>" +
         "</urlset>"
     val idx =
       "<sitemapindex><sitemap><loc>https://h.example/s.xml</loc>" +
@@ -131,6 +138,7 @@ class WebRowsSpec extends AnyFunSuite with SparkSpec {
       ("url", "https://h.example/b", -1L, -1.0),
       // 2024-03-05T10:30:00Z = 1709634600000
       ("url", "https://h.example/c", 1709634600000L, -1.0),
+      ("url", "https://h.example/d", 1709634600000L, -1.0),
       ("sitemap", "https://h.example/s.xml", -1L, -1.0)))
   }
 }
