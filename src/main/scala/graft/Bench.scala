@@ -122,14 +122,27 @@ object Bench {
     * raw value (divisor 1); a real regression inside a hot-io window is
     * clamped down THIS round but its raw per-query value (always
     * reported alongside) exposes it, and the next quiet round's
-    * normalized value re-raises it. */
+    * normalized value re-raises it.
+    *
+    * The history clamp applies to BOTH classes (round 17, run 7's
+    * lesson — the symmetric over-correction blind spot): a control
+    * pair is ~30 s of measurement, so an ambient window that lands ON
+    * THE CONTROLS (run 7: segment controls read 3.49× while the worst
+    * per-query tail was 2.6×) deflates a whole 50-query segment of
+    * CALM rows to a fraction of their true cost. Clamping each row's
+    * corrected value to no less than its own min-merged quiet history
+    * bounds the damage in both directions: hot queries + calm controls
+    * → raw (divisor 1); calm queries + hot controls → history, not
+    * raw/3.5. A genuine improvement below history over-reports for one
+    * round and re-lowers when the next quiet run min-merges history
+    * down. */
   def normalizeRow(v: Double, isReplay: Boolean, cpuInfl: Double,
-      ioInfl: Double, hist: Option[Double]): Double =
-    if (!isReplay) v / math.max(1.0, cpuInfl)
-    else {
-      val n = v / math.max(1.0, math.max(cpuInfl, ioInfl))
-      hist.filter(_ >= 0.05).map(h => math.min(v, math.max(n, h))).getOrElse(n)
-    }
+      ioInfl: Double, hist: Option[Double]): Double = {
+    val n =
+      if (!isReplay) v / math.max(1.0, cpuInfl)
+      else v / math.max(1.0, math.max(cpuInfl, ioInfl))
+    hist.filter(_ >= 0.05).map(h => math.min(v, math.max(n, h))).getOrElse(n)
+  }
 
   /** Segment-normalized total (judge r15 Next #1; class-based controls
     * judge r16 Next #1): each query's value normalizes by ITS segment's

@@ -138,6 +138,28 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.ioInflation(0.02, Some(0.05)) == 1.0)
   }
 
+  test("hot-CONTROL scenario (round 17, the run-7 shape): the ambient " +
+      "window lands on the control pair (3.49x) while the segment's " +
+      "queries ran calm -> CPU rows clamp to their own quiet history " +
+      "instead of deflating to raw/3.5") {
+    // run 7: segment-4 controls read 3.494x while its rows measured at
+    // history; unclamped division would report each at ~29% of true cost
+    val rows = Seq(
+      (1.0, 0, false, Some(1.0)),    // calm row AT history -> stays 1.0
+      (2.4, 0, false, Some(2.3)),    // mild tail -> clamps at history 2.3
+      (0.9, 0, false, None))         // no history -> divides (new row)
+    val got = Bench.normalizedTotal(rows, _ => 3.494, _ => 1.0)
+    val want = 1.0 + 2.3 + 0.9 / 3.494
+    assert(math.abs(got - want) < 1e-9, s"$got != $want")
+    // a REAL regression (raw far above history) inside a hot-control
+    // window still corrects by the control ratio, floored at history
+    assert(math.abs(Bench.normalizeRow(7.0, isReplay = false,
+      cpuInfl = 3.494, ioInfl = 1.0, hist = Some(1.0)) - 7.0 / 3.494) < 1e-9)
+    // and never reports above raw: history stale-high (code got faster)
+    assert(Bench.normalizeRow(0.4, isReplay = false, cpuInfl = 1.0,
+      ioInfl = 1.0, hist = Some(0.8)) == 0.4)
+  }
+
   test("ioBaseline: a page-cache-lucky fast outlier cannot own the quiet " +
       "baseline (review r17 #1 — the fast-side poisoned-history guard)") {
     // a 6 ms fluke among honest ~50-60 ms readings: dropped (< med/3)
