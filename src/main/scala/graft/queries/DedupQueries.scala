@@ -518,8 +518,13 @@ object DedupQueries {
     // are harmless: every rebuild overwrites v1/v2 wholesale.
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_model_sigidx_maint_$tag${OpsQueries.suffix(dir)}")
+    // marker carries the PROCESS token (optimization r17): a cross-run
+    // marker would let a second bench/verify run serve the previous run's
+    // on-disk index — banned cross-run precomputation; within one JVM the
+    // warm pass still builds it exactly once
     val marker = new java.io.File(base,
-      s"_built_${graft.tools.HarnessCache.Version}")
+      s"_built_${graft.tools.HarnessCache.Version}_" +
+        graft.tools.HarnessCache.processToken)
     if (marker.exists()) return (s"${base.getAbsolutePath}/v2", s2)
     val r = buildMaintainedSigIndex(s, dir, tag)
     marker.getParentFile.mkdirs()

@@ -195,6 +195,51 @@ object StreamingQueries {
     }
   }
 
+  /** RAM-backed scratch root for REPLAY-HARNESS checkpoints (optimization
+    * r17, guide §1.2/§6 — measure where the time goes, then stop paying
+    * it): every micro-batch of a replay commits an offset log, a commit
+    * log and per-partition state-store files, each with an fsync, and
+    * Spark's default temp checkpoint lives under java.io.tmpdir — a
+    * DISK-backed path here. The state each replay holds is bounded by
+    * design (the operators' own contracts: 8–16 B per live key over the
+    * capped deterministic sample), so the fsync durability of /tmp buys
+    * the harness nothing — a replay that dies just re-runs. Putting the
+    * checkpoint on the fastest writable scratch (env override
+    * SPARK_GRAFT_CKPT_DIR, else /dev/shm — Linux tmpfs — else
+    * java.io.tmpdir, the pre-r17 behavior) removes the state-store
+    * fsyncs from the measured path AND removes the replay class's
+    * sensitivity to hot-/tmp ambient windows (the BENCH_r16 run-5
+    * artifact mode: calm CPU controls, every state-store row 2–6×).
+    * PRODUCTION streams are the opposite trade — durable checkpoints
+    * (HDFS/S3) + RocksDB local state, configured by the deployment, and
+    * an embedder that passes its own checkpointLocation is untouched:
+    * this root scopes ONLY the MemoryStream replay harness, whose
+    * checkpoint is created fresh per attempt and deleted right after
+    * sq.stop(). Measured (this host, sf0.1, 26-row replay set, 1 rep
+    * each): 95.5 s → see OPTIMIZATION_r17.md for the per-row table. */
+  private lazy val ckptRoot: java.nio.file.Path = {
+    val root = sys.env.get("SPARK_GRAFT_CKPT_DIR")
+      .orElse(Option("/dev/shm").filter { p =>
+        val f = new java.io.File(p); f.isDirectory && f.canWrite
+      })
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Paths.get(root)
+  }
+
+  /** Fresh checkpoint dir per replay ATTEMPT (a retried replay must not
+    * resume the failed attempt's offsets), deleted as soon as the stream
+    * stops — RAM scratch is a bounded resource. */
+  private def withScratchCkpt[A](body: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
+    try body(dir.toString)
+    finally {
+      val s = java.nio.file.Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally s.close()
+    }
+  }
+
   private def replay[T: org.apache.spark.sql.Encoder](
       s: SparkSession, viewName: String, mode: String, batches: Seq[Seq[T]],
       validate: DataFrame => Option[String])(
@@ -204,14 +249,17 @@ object StreamingQueries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       s.catalog.dropTempView(viewName)
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
-      val sq = startPinned(s, "8") {
-        build(mem.toDS())
-          .writeStream.outputMode(mode).format("memory")
-          .queryName(viewName).start()
+      withScratchCkpt { ckpt =>
+        val sq = startPinned(s, "8") {
+          build(mem.toDS())
+            .writeStream.outputMode(mode).format("memory")
+            .option("checkpointLocation", ckpt)
+            .queryName(viewName).start()
+        }
+        try batches.filter(_.nonEmpty).foreach { b =>
+          mem.addData(b: _*); sq.processAllAvailable()
+        } finally sq.stop()
       }
-      try batches.filter(_.nonEmpty).foreach { b =>
-        mem.addData(b: _*); sq.processAllAvailable()
-      } finally sq.stop()
     }
 
   /** Default replay slicing: two micro-batches — cross-batch state is
@@ -271,26 +319,29 @@ object StreamingQueries {
       val mkStream = () => org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, java.sql.Timestamp)]
       val clicks = mkStream(); val purchases = mkStream()
-      val sq = startPinned(s, "2") {
-        build(clicks.toDF().toDF("event_id", "user_id", "ts"),
-            purchases.toDF().toDF("event_id", "user_id", "ts"))
-          .writeStream.outputMode("append").format("memory")
-          .queryName(viewName).start()
+      withScratchCkpt { ckpt =>
+        val sq = startPinned(s, "2") {
+          build(clicks.toDF().toDF("event_id", "user_id", "ts"),
+              purchases.toDF().toDF("event_id", "user_id", "ts"))
+            .writeStream.outputMode("append").format("memory")
+            .option("checkpointLocation", ckpt)
+            .queryName(viewName).start()
+        }
+        try {
+          evs.grouped(evs.length / 2 + 1).foreach { b =>
+            clicks.addData(b.filter(_._4 == "click")
+              .map(e => (e._1, e._2, e._3)).toIndexedSeq: _*)
+            purchases.addData(b.filter(_._4 == "purchase")
+              .map(e => (e._1, e._2, e._3)).toIndexedSeq: _*)
+            sq.processAllAvailable()
+          }
+          sentinel.foreach { pastMs =>
+            val flush = new java.sql.Timestamp(evs.map(_._3.getTime).max + pastMs)
+            clicks.addData((-1L, -1L, flush)); purchases.addData((-1L, -1L, flush))
+            sq.processAllAvailable()
+          }
+        } finally sq.stop()
       }
-      try {
-        evs.grouped(evs.length / 2 + 1).foreach { b =>
-          clicks.addData(b.filter(_._4 == "click")
-            .map(e => (e._1, e._2, e._3)).toIndexedSeq: _*)
-          purchases.addData(b.filter(_._4 == "purchase")
-            .map(e => (e._1, e._2, e._3)).toIndexedSeq: _*)
-          sq.processAllAvailable()
-        }
-        sentinel.foreach { pastMs =>
-          val flush = new java.sql.Timestamp(evs.map(_._3.getTime).max + pastMs)
-          clicks.addData((-1L, -1L, flush)); purchases.addData((-1L, -1L, flush))
-          sq.processAllAvailable()
-        }
-      } finally sq.stop()
     }
   }
 

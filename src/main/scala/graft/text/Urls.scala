@@ -39,10 +39,10 @@ object Urls {
 
   /** The unreserved characters (RFC 3986 §2.3) with their percent escapes
     * — hex already uppercase, the only form left after [[normalizeEscapes]]'
-    * hex pass. ONE definition shared with the oracle SQL generation. */
+    * hex pass. ONE definition ([[graft.functions.UrlEscapes]]) shared with
+    * the oracle SQL generation. */
   private[graft] val UnreservedDecodes: Seq[(String, String)] =
-    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
-      .map(ch => (f"%%${ch.toInt}%02X", ch.toString))
+    graft.functions.UrlEscapes.UnreservedDecodes
 
   /** Percent-escape normalization of a raw string: every `%xx` escape's
     * hex uppercased (so `%2f` ≡ `%2F`), then unreserved escapes decoded.
@@ -50,17 +50,30 @@ object Urls {
     * with the escape's two hex chars iff it was an escape); the decode is
     * a fixed chain of literal `replace`s — decoded characters are
     * alphanumeric/`-._~`, never `%`, so one escape's decode can never
-    * fabricate another. */
-  def normalizeEscapes(s: Column): Column = {
-    val upped = array_join(
-      transform(split(s, "%", -1), (p, i) =>
-        when(i === 0 || !p.rlike("\\A[0-9A-Fa-f]{2}"), p)
-          .otherwise(concat(upper(substring(p, 1, 2)), substr(p, lit(3))))),
-      "%")
-    UnreservedDecodes.foldLeft(upped) { case (acc, (esc, ch)) =>
-      replace(acc, lit(esc), lit(ch))
-    }
-  }
+    * fabricate another `%`. ONE native expression since the r17
+    * optimization round ([[graft.functions.NormalizeUrlEscapes]], chain
+    * semantics preserved bit-for-bit — UrlsSpec pins the old Column form
+    * against it, including the pattern-fabrication corner): the previous
+    * ~70-node split/transform/replace-chain Column tree was embedded at
+    * every canonicalize/canonicalHost call site and made driver-side
+    * ANALYSIS the dominant cost of the whole web family (PlanTime: q231
+    * construction 2.7–3.5 s/invocation before, see OPTIMIZATION_r17.md). */
+  def normalizeEscapes(s: Column): Column =
+    graft.functions.UrlEscapes.normalizeEscapes(s)
+
+  /** Set-membership probe as ONE InSet node (optimization r17): `isin`
+    * builds an `In` with one literal CHILD per table entry — ~160 nodes
+    * per [[PublicSuffixes.TwoLabel]] probe that the analyzer re-walks on
+    * every Dataset transformation until OptimizeIn collapses them.
+    * Constructing [[InSet]] directly keeps plan semantics (OptimizeIn
+    * produces exactly this node for lists past the 10-element threshold)
+    * at O(1) tree size. */
+  private def inSet(c: Column, vals: Seq[String]): Column =
+    graft.functions.toColumn(
+      org.apache.spark.sql.catalyst.expressions.InSet(
+        graft.functions.toExpr(c),
+        vals.map(v => org.apache.spark.unsafe.types.UTF8String.fromString(v))
+          .toSet[Any]))
 
   /** Lowercased scheme ("" when the value is not a scheme://-shaped URL —
     * malformed rows are data, they canonicalize to themselves). */
@@ -137,16 +150,16 @@ object Urls {
   def foldWww(h: Column): Column = {
     val r = regexp_replace(h, "\\Awww\\.", "")
     val remainderIsSuffix =
-      r.isin(PublicSuffixes.TwoLabel: _*) ||
-        r.isin(PublicSuffixes.ThreeLabel: _*) ||
+      inSet(r, PublicSuffixes.TwoLabel) ||
+        inSet(r, PublicSuffixes.ThreeLabel) ||
         (r.rlike("\\A[^.]+\\.[^.]+\\z") &&
-          regexp_extract(r, "\\.([^.]+)\\z", 1)
-            .isin(PublicSuffixes.Wildcard: _*) &&
-          !r.isin(PublicSuffixes.WildcardException: _*)) ||
+          inSet(regexp_extract(r, "\\.([^.]+)\\z", 1),
+            PublicSuffixes.Wildcard) &&
+          !inSet(r, PublicSuffixes.WildcardException)) ||
         (r.rlike("\\A[^.]+\\.[^.]+\\.[^.]+\\z") &&
-          regexp_extract(r, "\\.([^.]+\\.[^.]+)\\z", 1)
-            .isin(PublicSuffixes.Wildcard2: _*) &&
-          !r.isin(PublicSuffixes.Wildcard2Exception: _*))
+          inSet(regexp_extract(r, "\\.([^.]+\\.[^.]+)\\z", 1),
+            PublicSuffixes.Wildcard2) &&
+          !inSet(r, PublicSuffixes.Wildcard2Exception))
     when(h.rlike("\\Awww\\.[^.]+\\.") && !remainderIsSuffix, r).otherwise(h)
   }
 
@@ -221,18 +234,18 @@ object Urls {
     val suffix4 = concat_ws(".", element_at(ls, -4), element_at(ls, -3),
       element_at(ls, -2), element_at(ls, -1))
     when(n <= 1, hostCol)
-      .when(element_at(ls, -1).isin(PublicSuffixes.Wildcard: _*),
-        when(suffix2.isin(PublicSuffixes.WildcardException: _*), suffix2)
+      .when(inSet(element_at(ls, -1), PublicSuffixes.Wildcard),
+        when(inSet(suffix2, PublicSuffixes.WildcardException), suffix2)
           .when(n <= 2, hostCol)
           .otherwise(suffix3))
       .when(n <= 2, hostCol)
-      .when(suffix2.isin(PublicSuffixes.Wildcard2: _*),
-        when(suffix3.isin(PublicSuffixes.Wildcard2Exception: _*), suffix3)
+      .when(inSet(suffix2, PublicSuffixes.Wildcard2),
+        when(inSet(suffix3, PublicSuffixes.Wildcard2Exception), suffix3)
           .when(n <= 3, hostCol)
           .otherwise(suffix4))
-      .when(suffix3.isin(PublicSuffixes.ThreeLabel: _*),
+      .when(inSet(suffix3, PublicSuffixes.ThreeLabel),
         when(n <= 3, hostCol).otherwise(suffix4))
-      .when(suffix2.isin(PublicSuffixes.TwoLabel: _*), suffix3)
+      .when(inSet(suffix2, PublicSuffixes.TwoLabel), suffix3)
       .otherwise(suffix2)
   }
 }

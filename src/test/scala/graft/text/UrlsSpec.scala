@@ -413,4 +413,72 @@ class UrlsSpec extends AnyFunSuite with SparkSpec {
       .as[(String, String, String, String)].collect().head
     assert(r == (("host.example.com", "8080", "", "")))
   }
+
+  test("native normalizeEscapes ≡ the original Column replace-chain " +
+      "(optimization r17): the split/transform hex pass + 66 ordered " +
+      "replaces, bit for bit — including the chain's pattern-fabrication " +
+      "corner (%%37E: decoding %37→7 fabricates %7E, which the LATER ~ " +
+      "replace then decodes; a single left-to-right scan would leave it)") {
+    import spark.implicits._
+    // the original Column formulation, kept verbatim as the reference
+    def chainRef(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val upped = array_join(
+        transform(split(s, "%", -1), (p, i) =>
+          when(i === 0 || !p.rlike("\\A[0-9A-Fa-f]{2}"), p)
+            .otherwise(concat(upper(substring(p, 1, 2)), substr(p, lit(3))))),
+        "%")
+      graft.functions.UrlEscapes.UnreservedDecodes.foldLeft(upped) {
+        case (acc, (esc, ch)) => replace(acc, lit(esc), lit(ch))
+      }
+    }
+    val cases = Seq(
+      "", "%", "%%", "%2f", "%2F", "%2fa", "%61", "%61%62%63", "%7e", "%7E",
+      "plain", "a%zzb", "%1", "%f", "%Ff%fF%FF", "trail%",
+      "https://e.com/%70/%2Fx?a=%31&b=%7e",
+      "%%37E",          // fabricates %7E mid-chain — the ordering pin
+      "%%34%31",        // fabricates %41 AFTER its replace ran: stays
+      "%25%32%46",      // %25 is reserved: stays; %32/%46 decode to 2F
+      "%C3%A9caf%C3%A9" // multi-byte escapes stay (not unreserved)
+    ) ++ (0 to 127).map(i => f"pre%%$i%02xpost") // every low escape, lowercase hex
+    val df = cases.toDF("s")
+      .select(col("s"), chainRef(col("s")).as("ref"),
+        graft.text.Urls.normalizeEscapes(col("s")).as("got"))
+      .as[(String, String, String)].collect()
+    df.foreach { case (s, ref, got) =>
+      assert(got == ref, s"normalizeEscapes diverged on <$s>: $got != $ref")
+    }
+  }
+
+  test("PSL probes as InSet ≡ isin (optimization r17): registeredDomain " +
+      "and foldWww verdicts are unchanged on hosts probing every rule " +
+      "class, incl. nulls") {
+    import spark.implicits._
+    val hosts = Seq(
+      "example.co.uk", "news.example.co.uk", "www.co.uk", "co.uk",
+      "a.b.ck", "www.ck", "x.www.ck", "a.ward.kawasaki.jp",
+      "city.kawasaki.jp", "d.city.kawasaki.jp", "district.k12.ca.us",
+      "x.district.k12.ca.us", "example.com", "localhost", "a.b.c.d.e",
+      null.asInstanceOf[String])
+    val r = hosts.toDF("h")
+      .select(col("h"), Urls.registeredDomain(col("h")).as("rd"),
+        Urls.foldWww(col("h")).as("fw"))
+      .collect()
+    // spot-pin the rule classes (values asserted, not just non-crash)
+    val m = r.filter(_.get(0) != null)
+      .map(row => row.getString(0) -> (row.getString(1), row.getString(2))).toMap
+    assert(m("news.example.co.uk")._1 == "example.co.uk")
+    assert(m("a.b.ck")._1 == "a.b.ck") // wildcard *.ck: 2-label tail is suffix
+    assert(m("x.www.ck")._1 == "www.ck") // exception !www.ck: registers AT www.ck
+    assert(m("d.city.kawasaki.jp")._1 == "city.kawasaki.jp") // !city exception
+    assert(m("x.district.k12.ca.us")._1 == "district.k12.ca.us")
+    assert(m("example.com")._1 == "example.com")
+    assert(m("localhost")._1 == "localhost")
+    assert(m("www.co.uk")._2 == "www.co.uk") // remainder-is-suffix guard holds
+    // null host: foldWww is null-propagating; registeredDomain falls
+    // through every null-conditioned `when` to the concat_ws default,
+    // which is null-TOLERANT and yields "" — the pre-r17 isin behavior,
+    // unchanged by the InSet swap (both probes are null→null)
+    assert(r.filter(_.get(0) == null).forall(row =>
+      row.getString(1) == "" && row.get(2) == null))
+  }
 }
