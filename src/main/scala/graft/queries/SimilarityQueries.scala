@@ -544,10 +544,20 @@ object SimilarityQueries {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val bf = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
         .persist(lvl)
+      // ONE codebook for both tiers (optimization r17): adcTopK and
+      // ivfAdcTopK train over the same corpus at the same (m, kCent,
+      // iters, sample), so their codebooks are bit-identical by the
+      // deterministic-training contract — training twice per invocation
+      // was a duplicated computation (§2.4: don't compute what you throw
+      // away), ~half this row's per-rep Lloyd cost. Results unchanged
+      // (AnnSpec/PqSpec pin tier outputs; oracle row stays green).
+      val cb = graft.similarity.Pq.trainCodebook(emb, "vec_id", "embedding",
+        m = 16, k = 64, iters = 3)
       val pq = graft.similarity.Pq.adcTopK(q, emb, "vec_id", "embedding",
-        k = 10, m = 16, kCent = 64).persist(lvl)
+        k = 10, m = 16, kCent = 64, codebookOpt = Some(cb)).persist(lvl)
       val ivfpq = graft.similarity.Pq.ivfAdcTopK(q, emb, "vec_id", "embedding",
-        k = 10, nCentroids = 16, nProbe = 4, m = 16, kCent = 64).persist(lvl)
+        k = 10, nCentroids = 16, nProbe = 4, m = 16, kCent = 64,
+        codebookOpt = Some(cb)).persist(lvl)
       def tier(df: DataFrame, tag: String): DataFrame = {
         val hits = bf.join(df.select("query_id", "neighbor_id"),
             Seq("query_id", "neighbor_id"), "left_semi")

@@ -246,9 +246,14 @@ object Pq {
   def adcTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               m: Int, kCent: Int, trainIters: Int = 3,
-              trainSampleSize: Int = 65536): DataFrame = {
-    val cb = trainCodebook(corpus, idCol, vecCol, m, kCent, trainIters,
-      trainSampleSize)
+              trainSampleSize: Int = 65536,
+              codebookOpt: Option[PqCodec.Codebook] = None): DataFrame = {
+    // codebookOpt (optimization r17): a caller serving several tiers from
+    // ONE deterministic codebook (q182 trains identical books for its PQ
+    // and IVF-PQ tiers — same corpus, m, kCent, iters) passes it in and
+    // pays the Lloyd passes once; None keeps the train-here behavior.
+    val cb = codebookOpt.getOrElse(trainCodebook(corpus, idCol, vecCol, m,
+      kCent, trainIters, trainSampleSize))
     val coded = corpus.select(col(idCol).as("neighbor_id"),
       encode(col(vecCol), cb).as("codes"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -302,9 +307,12 @@ object Pq {
                  idCol: String, vecCol: String, k: Int,
                  nCentroids: Int, nProbe: Int,
                  m: Int, kCent: Int, trainIters: Int = 3,
-                 trainSampleSize: Int = 65536): DataFrame = {
-    val cb = trainCodebook(corpus, idCol, vecCol, m, kCent, trainIters,
-      trainSampleSize)
+                 trainSampleSize: Int = 65536,
+                 codebookOpt: Option[PqCodec.Codebook] = None): DataFrame = {
+    // see adcTopK.codebookOpt — one shared deterministic codebook across
+    // tiers; None keeps the train-here behavior
+    val cb = codebookOpt.getOrElse(trainCodebook(corpus, idCol, vecCol, m,
+      kCent, trainIters, trainSampleSize))
     val cells = Ann.sampleCentroids(corpus, idCol, vecCol, nCentroids)
     val corpusCells = Ann.assignCells(corpus, idCol, vecCol, cells)
       .select(col(idCol).as("neighbor_id"), col("centroid_id"),
