@@ -15,7 +15,8 @@ object SparkEntry {
     *
     * CACHE CONTRACT (applies to EVERY registry entry, present and future —
     * judge r11 Next #6): a query body may `.persist()` loop-invariant /
-    * multiply-referenced BOUNDED frames (currently q91, q97, q151, q165,
+    * multiply-referenced BOUNDED frames (currently q91, q97, q110's 64-row
+    * joined register frame, q127's day rollup, q151, q165,
     * q169, q176, q182's three tier frames, q188's `members`, q192's truth/
     * tier frames, the span family's grams frames inside Dedup.spanDups/
     * spanIncremental/spanSweep — q193/q194/q196/q197/q207 (q207 also the

@@ -3,7 +3,6 @@ package graft.catalog
 import java.time.LocalDate
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Base26
@@ -33,11 +32,12 @@ object CatalogBuilder {
   /** Labeled bin dimension: (bin, bin_start, cnt, class). */
   def labeledBins(dates: DataFrame, dateCol: String, firstEdge: LocalDate, nBins: Int): DataFrame = {
     val hist = WeekBins.histogram(dates, dateCol, firstEdge, nBins)
-    // Rank of each non-empty bin among non-empty bins, in bin order; the
-    // window runs over the 53-row bin table (not the data) — cheap by design.
-    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    hist
-      .withColumn("nonEmptyRank", sum(when(col("cnt") > 0, 1L).otherwise(0L)).over(w))
+    // Rank of each non-empty bin among non-empty bins, in bin order, via the
+    // bounded no-window rank over the ≤ nBins dimension (never an
+    // unpartitioned WindowExec), broadcast-joined back onto the bin table.
+    val ranked = graft.ops.Ranking.boundedRank(
+      hist.where(col("cnt") > 0).select("bin"), "nonEmptyRank", col("bin"))
+    hist.join(broadcast(ranked), Seq("bin"), "left")
       .withColumn("class",
         when(col("cnt") > 0, Base26.base26(col("nonEmptyRank"))).otherwise(lit("0")))
       .select("bin", "bin_start", "cnt", "class")

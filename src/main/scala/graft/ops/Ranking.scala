@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions.monotonically_increasing_id
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Global row numbering over a total order WITHOUT the single-partition
@@ -36,5 +37,30 @@ object Ranking {
       Row.fromSeq(row.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(ranked, schema)
+  }
+
+  /** Global row numbering for a frame PROVEN bounded by a constant (a
+    * dimension table, a top-K survivor set, a vocabulary) — NOT the corpus.
+    * One task is then the *right* plan, but `row_number() over (order by …)`
+    * still plans a no-partition WindowExec, whose runtime warning is
+    * indistinguishable from the real corpus-scale funnel. This shape keeps
+    * the explicit single-partition exchange (intentional, K rows) and drops
+    * the window operator: after the partition-local sort,
+    * `monotonically_increasing_id()` enumerates the lone partition's rows in
+    * iteration order (pid 0, so ids are exactly 0..n-1). The id project sits
+    * ABOVE the sort and is non-deterministic, so the optimizer may neither
+    * push it below the sort nor duplicate it; on task retry the total order
+    * (caller passes a unique tiebreaker) reproduces the same ids.
+    *
+    * Equals `row_number() over (order by …)` for any total order. For
+    * corpus-cardinality frames use [[globalRank]] instead.
+    */
+  def boundedRank(df: DataFrame, rankName: String, order: Column*): DataFrame = {
+    require(order.nonEmpty, "boundedRank needs at least one order column")
+    require(!df.columns.contains(rankName),
+      s"boundedRank: output column '$rankName' already exists in the input")
+    df.repartition(1)
+      .sortWithinPartitions(order: _*)
+      .withColumn(rankName, monotonically_increasing_id() + 1L)
   }
 }

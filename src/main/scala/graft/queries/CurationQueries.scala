@@ -371,8 +371,10 @@ object CurationQueries {
           coalesce(expr("s div n_bigrams"), lit(0L)).as("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id"))
         .limit(ImportanceTopK)
-      ranked.withColumn("rnk", row_number().over(
-          Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+      // rnk over the ≤ K survivors via the bounded no-window shape (no
+      // WindowExec — single-partition warning-free by construction)
+      graft.ops.Ranking.boundedRank(ranked, "rnk",
+          col("score_micro").desc, col("doc_id"))
         .select("rnk", "doc_id", "source", "n_bigrams", "score_micro")
         .orderBy("rnk")
     }),
@@ -381,22 +383,24 @@ object CurationQueries {
     // (p(a)·p(b)) in micro-units — same ranking as PMI, no ln()): top-100
     // vocabulary by doc frequency, doc-level presence pairs via an
     // equi-join on doc_id (per-doc pair fan-out bounded by the vocab),
-    // support-filtered, global top-50 by (lift DESC, a, b). The final
-    // window ranks ≤ V²/2 = 4950 candidate rows — bounded by the vocab
-    // constant, not the corpus, so the single-task window is safe.
+    // support-filtered, global top-50 by (lift DESC, a, b). Selection is
+    // orderBy+limit (TakeOrderedAndProject — a distributed per-partition
+    // top-K merge, never a single-task rank of all ≤ V²/2 candidates);
+    // rnk is assigned on the ≤ K survivors by the bounded no-window shape.
     "q149_term_lift" -> ((s, dir) => {
       val (_, cpair) = coocGraph(s, dir)
       val nDocs = t(s, dir, "documents").count() // parquet metadata count — no scan
-      val w = Window.orderBy(col("lift_micro").desc, col("a"), col("b"))
       // DECIMAL intermediates on BOTH sides of the division (the q132
       // discipline): n_ab·N·2^20 overflows BIGINT past ~10^10 docs and
       // n_a·n_b past ~3·10^9 each; the quotient is ≤ N·2^20 and casts back
-      cpair.withColumn("lift_micro",
+      val top = cpair.withColumn("lift_micro",
           expr(s"cast((cast(n_ab as decimal(38,0)) * ${nDocs}L * ${Micro}L)" +
             s" div (cast(n_a as decimal(38,0)) * n_b) as bigint)"))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= LiftTopK)
-        .select(col("rnk").cast("long").as("rnk"), col("a"), col("b"),
+        .orderBy(col("lift_micro").desc, col("a"), col("b"))
+        .limit(LiftTopK)
+      graft.ops.Ranking.boundedRank(top, "rnk",
+          col("lift_micro").desc, col("a"), col("b"))
+        .select(col("rnk"), col("a"), col("b"),
           col("n_a"), col("n_b"), col("n_ab"), col("lift_micro"))
         .orderBy("rnk")
     }),
@@ -504,11 +508,14 @@ object CurationQueries {
           .select(col("u"), (lit(PrBase) +
             expr(s"($PrDampNum * coalesce(s, 0L)) div $PrDampDen")).as("pr"))
       }
-      val w = Window.orderBy(col("pr").desc, col("u"))
-      pr.join(deg, Seq("u"), "left")
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= PrTopK)
-        .select(col("rnk").cast("long").as("rnk"), col("u").as("term"),
+      // top-K selection via orderBy+limit (distributed TakeOrderedAndProject
+      // over the vocab-node frame), rnk on the ≤ K survivors via the
+      // bounded no-window shape — no unpartitioned WindowExec anywhere
+      val top = pr.join(deg, Seq("u"), "left")
+        .orderBy(col("pr").desc, col("u"))
+        .limit(PrTopK)
+      graft.ops.Ranking.boundedRank(top, "rnk", col("pr").desc, col("u"))
+        .select(col("rnk"), col("u").as("term"),
           coalesce(col("deg"), lit(0L)).as("deg"), col("pr").as("pr_micro"))
         .orderBy("rnk")
     }),
@@ -692,12 +699,16 @@ object CurationQueries {
       val gated = keep(deduped.join(lm, Seq("doc_id"), "left")
         .where(coalesce(col("lm"), lit(0L)) >= LmGate)
         .select("doc_id", "source"))
-      val wAll = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      val quotas = gated.groupBy("source").agg(count(lit(1)).as("n_gated"))
+      // the weight total attaches via the non-foldable pmod scalar key
+      // (q110/q164's broadcast-hash shape — no unpartitioned window);
+      // `gated` is persisted, so the double reference reads the cache
+      val perQ = gated.groupBy("source").agg(count(lit(1)).as("n_gated"))
         .withColumn("wm",
           floor(sqrt(col("n_gated").cast("double")) * Micro).cast("long"))
-        .withColumn("tw", sum(col("wm")).over(wAll))
+      val tw = perQ.agg(sum(col("wm")).as("tw"))
+        .withColumn("_k", pmod(col("tw"), lit(1)).cast("int"))
+      val quotas = perQ.withColumn("_k", pmod(col("wm"), lit(1)).cast("int"))
+        .join(broadcast(tw), "_k")
         .withColumn("quota",
           expr(s"cast((cast(wm as decimal(38,0)) * ${CurationQuota}L)" +
             " div tw as bigint)"))
@@ -733,17 +744,22 @@ object CurationQueries {
     // Portability of the one non-integer step: sqrt of an exact integer
     // double is correctly rounded IEEE in BOTH engines, ·2^20 only shifts
     // the exponent (exact), floor pins it — so weight_micro replays
-    // bit-for-bit. Totals come from an unbounded window over the SOURCE
-    // DIMENSION (|S| rows — q03's bin shape), never the corpus.
+    // bit-for-bit. Totals attach via the non-foldable pmod scalar key
+    // (q110's shape: pmod(col, 1) ≡ 0 but Catalyst can't fold it, so the
+    // 1-row totals ride a broadcast HASH join — no unpartitioned window,
+    // no nested-loop join); both branches share the source-rollup
+    // exchange, so the corpus still scans once.
     "q164_temperature_mix" -> ((s, dir) => {
-      val wAll = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      t(s, dir, "documents")
+      val perSrc = t(s, dir, "documents")
         .groupBy("source").agg(count(lit(1)).as("n_docs"))
         .withColumn("weight_micro",
           floor(sqrt(col("n_docs").cast("double")) * Micro).cast("long"))
-        .withColumn("total_docs", sum(col("n_docs")).over(wAll))
-        .withColumn("total_weight", sum(col("weight_micro")).over(wAll))
+      val totals = perSrc
+        .agg(sum(col("n_docs")).as("total_docs"),
+          sum(col("weight_micro")).as("total_weight"))
+        .withColumn("_k", pmod(col("total_docs"), lit(1)).cast("int"))
+      perSrc.withColumn("_k", pmod(col("n_docs"), lit(1)).cast("int"))
+        .join(broadcast(totals), "_k")
         .select(col("source"), col("n_docs"),
           expr(s"cast((cast(n_docs as decimal(38,0)) * ${Micro}L)" +
             " div total_docs as bigint)").as("raw_share_micro"),
@@ -761,15 +777,16 @@ object CurationQueries {
     // its corpus proportion instead of whatever q143's global shuffle
     // happens to deal first. Within-source order is the Mix64 coordinate
     // (reproducible, layout-independent); the within-source rank is a
-    // PARTITIONED window (parallel by source), and the only unpartitioned
-    // window ranks the SOURCE DIMENSION (|S| rows — q03's bin shape).
+    // PARTITIONED window (parallel by source), and the SOURCE DIMENSION
+    // (|S| rows — q03's bin shape) is indexed by the bounded no-window
+    // rank, so no unpartitioned WindowExec appears in the plan.
     // Positions where a short source has exhausted stay vacant by design
     // (the plan's consumer compacts or re-deals the tail).
     "q161_interleave_plan" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("source"), col("doc_id"))
-      val srcIdx = docs.select("source").distinct()
-        .withColumn("src_idx",
-          row_number().over(Window.orderBy("source")).cast("long") - 1)
+      val srcIdx = graft.ops.Ranking.boundedRank(
+          docs.select("source").distinct(), "_src_rn", col("source"))
+        .withColumn("src_idx", col("_src_rn") - 1).drop("_src_rn")
       val nSrc = srcIdx.count() // dimension-sized
       val w = Window.partitionBy("source").orderBy("coord", "doc_id")
       docs

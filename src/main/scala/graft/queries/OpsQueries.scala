@@ -437,22 +437,27 @@ object OpsQueries {
         .groupBy("bucket").agg(max("register").as("reg_merged"))
       val direct = ev.agg(Hll.hll(col("user_id")).as("regs"))
         .select(posexplode(col("regs")).as(Seq("bucket", "reg_direct")))
-      // global stats via an unpartitioned window over the 64-row joined
-      // register frame — a groupBy+re-join would re-execute the merged
-      // AND direct sketch pipelines (two corpus scans each, .explain-
-      // verified). The remaining single-row exact frame attaches via a
-      // NON-FOLDABLE constant key (pmod(col, 1) ≡ 0, but Catalyst can't
-      // prove it): a lit(1) key constant-folds out of the join condition
-      // and the plan degenerates to the nested-loop join the
-      // registry-wide PlanSpec sweep rejects.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy()
-      val j = merged.join(broadcast(direct), "bucket")
-        .withColumn("n_zero",
-          sum(when(col("reg_merged") === 0, 1L).otherwise(0L)).over(w))
-        .withColumn("ind",
-          sum(expr(s"shiftleft(cast(1 as bigint), ${Hll.RankCap} - reg_merged)")).over(w))
-        .withColumn("k", pmod(col("bucket"), lit(1)))
+      // global stats via the non-foldable pmod scalar key over the 64-row
+      // joined register frame, which is PERSISTED (64 rows, bounded by the
+      // register dimension — a cache-contract multiply-referenced bounded
+      // frame): a re-aggregation against the uncached frame would
+      // re-execute the merged AND direct sketch pipelines (two corpus
+      // scans each, .explain-verified); the cache pins one evaluation.
+      // Scalar keys stay NON-FOLDABLE (pmod(col, 1) ≡ 0, but Catalyst
+      // can't prove it): a lit(1) key constant-folds out of the join
+      // condition and the plan degenerates to the nested-loop join the
+      // registry-wide PlanSpec sweep rejects — and an unpartitioned
+      // window (the old shape for the two sums) is the WindowExec
+      // single-partition funnel the same sweep now rejects too.
+      val jBase = merged.join(broadcast(direct), "bucket")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val totals = jBase.agg(
+          sum(when(col("reg_merged") === 0, 1L).otherwise(0L)).as("n_zero"),
+          sum(expr(s"shiftleft(cast(1 as bigint), ${Hll.RankCap} - reg_merged)"))
+            .as("ind"))
+        .withColumn("k", pmod(col("ind"), lit(1)).cast("int"))
+      val j = jBase.withColumn("k", pmod(col("bucket"), lit(1)))
+        .join(broadcast(totals), "k")
       val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
         .withColumn("k", pmod(col("exact_users"), lit(1)).cast("int"))
       j.join(broadcast(exact), "k")
@@ -541,13 +546,19 @@ object OpsQueries {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
         tokenCountWs(col("text")).cast("long").as("n_tok"))
       val mass = docs.groupBy("source").agg(sum(col("n_tok")).as("mass"))
-      // min mass via an unpartitioned window over the tiny aggregate, not a
-      // .head() action — one plan, one scan of the corpus (q91's pattern)
-      val minMass = min(col("mass")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy())
-      val rates = mass
-        .withColumn("rate", minMass.cast("double") / col("mass").cast("double"))
+      // min mass via the non-foldable pmod scalar key (q110's shape:
+      // pmod(col, 1) ≡ 0 but Catalyst can't fold it, so the 1-row minimum
+      // rides a broadcast HASH join) — one plan, no .head() action, no
+      // unpartitioned window; both mass references share the source-rollup
+      // exchange, so the corpus still scans once
+      val minRow = mass.agg(min(col("mass")).as("min_mass"))
+        .withColumn("_k", pmod(col("min_mass"), lit(1)).cast("int"))
+      val rates = mass.withColumn("_k", pmod(col("mass"), lit(1)).cast("int"))
+        .join(broadcast(minRow), "_k")
+        .withColumn("rate",
+          col("min_mass").cast("double") / col("mass").cast("double"))
         .withColumn("thr", floor(col("rate") * lit(4294967296.0)).cast("long"))
+        .select("source", "rate", "thr")
       docs.join(broadcast(rates), "source")
         .where(Mix64.sampleCoord(col("doc_id")) < col("thr"))
         .select("doc_id", "source", "n_tok", "rate")
@@ -898,13 +909,18 @@ object OpsQueries {
     }),
 
     "q127_trending" -> ((s, dir) => {
+      // the day rollup is PERSISTED (#types × #days rows — a cache-contract
+      // multiply-referenced bounded frame): the reference day then rides a
+      // 1-row broadcast from the cache (the q132 scalar shape) instead of
+      // an unpartitioned Window over the rollup, and the corpus still
+      // scans once. (Exchange reuse alone does not cover the two branches:
+      // the scalar branch's pruned aggregate is not canonically equal.)
       val daily = events(s, dir)
         .select(col("event_type"),
           expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
-      val maxDay = max(col("day"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy())
-      daily.withColumn("max_day", maxDay)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      daily.crossJoin(broadcast(daily.agg(max(col("day")).as("max_day"))))
         .withColumn("k", expr("(max_day - day) div 7"))
         .withColumn("w", when(col("k") > 20, lit(0L))
           .otherwise(expr("cast(shiftright(1048576, cast(k as int)) as bigint)")))

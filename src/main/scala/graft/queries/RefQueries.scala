@@ -69,12 +69,15 @@ object RefQueries {
         .orderBy("bin")
     }),
 
-    // O17 — letter labels over the bin dimension (counter skips empty bins)
+    // O17 — letter labels over the bin dimension (counter skips empty bins).
+    // The non-empty-bin counter is a rank among non-empty bins in bin order:
+    // the bounded no-window rank over the ≤ NBins dimension (never an
+    // unpartitioned WindowExec), broadcast-joined back onto the bin table.
     "q02_week_labels" -> ((s, dir) => {
       val hist = WeekBins.histogram(events(s, dir).select(col("d")), "d", Edge, NBins)
-      val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-      hist
-        .withColumn("r", sum(when(col("cnt") > 0, 1L).otherwise(0L)).over(w))
+      val ranked = graft.ops.Ranking.boundedRank(
+        hist.where(col("cnt") > 0).select("bin"), "r", col("bin"))
+      hist.join(broadcast(ranked), Seq("bin"), "left")
         .withColumn("class", when(col("cnt") > 0, Base26.base26(col("r"))).otherwise(lit("0")))
         .select("bin", "cnt", "class")
         .orderBy("bin")
@@ -87,10 +90,10 @@ object RefQueries {
         .select(col("event_id"), WeekBins.weekIndex(col("d"), Edge, NBins).as("bin"))
         .where(col("bin").isNotNull)
       val hist = WeekBins.histogram(ev.select(col("d")), "d", Edge, NBins)
-      val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-      val labeled = hist
-        .withColumn("r", sum(when(col("cnt") > 0, 1L).otherwise(0L)).over(w))
-        .where(col("cnt") > 0)
+      // rank among non-empty bins in bin order ≡ the skip-empty counter;
+      // bounded no-window rank over the ≤ NBins dimension
+      val labeled = graft.ops.Ranking.boundedRank(
+          hist.where(col("cnt") > 0).select("bin"), "r", col("bin"))
         .select(col("bin"), Base26.base26(col("r")).as("class"))
       e.join(broadcast(labeled), Seq("bin")).select("event_id", "class").orderBy("event_id")
     }),

@@ -549,9 +549,11 @@ object TextQueries {
     // CONTAMINATION REPORT — q75's join INVERTED to the benchmark's view:
     // for each leaked benchmark 4-gram, how many corpus docs carry it,
     // how many sources, and the worst offender (most docs, ties → lowest
-    // source). The ranked set is bounded by the BENCHMARK's gram count (a
-    // dimension, not the corpus), so the top-50 window is safe; the
-    // corpus-side work is q75's same broadcast semi-join shape.
+    // source). Top-50 selection is orderBy+limit (TakeOrderedAndProject —
+    // a distributed per-partition top-K merge over the benchmark-gram
+    // frame, never a single-task rank of it); rnk is assigned on the ≤ 50
+    // survivors by the bounded no-window shape. The corpus-side work is
+    // q75's same broadcast semi-join shape.
     "q162_contamination_report" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
@@ -562,15 +564,16 @@ object TextQueries {
           explode(wordGrams4(col("ws"))).as("gram")).distinct()
         .join(broadcast(bench), "gram")
         .groupBy("gram", "source").agg(count(lit(1)).as("nd"))
-      val w = Window.orderBy(col("n_docs").desc, col("gram"))
-      gs.groupBy("gram")
+      val top = gs.groupBy("gram")
         .agg(sum(col("nd")).as("n_docs"),
           count(lit(1)).as("n_sources"),
           expr("min_by(struct(source, nd), struct(-nd, source))").as("top"))
         .select(col("gram"), col("n_docs"), col("n_sources"),
           col("top.source").as("top_source"), col("top.nd").as("top_docs"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= 50)
+        .orderBy(col("n_docs").desc, col("gram"))
+        .limit(50)
+      graft.ops.Ranking.boundedRank(top, "rnk",
+          col("n_docs").desc, col("gram"))
         .select("rnk", "gram", "n_docs", "n_sources", "top_source", "top_docs")
         .orderBy("rnk")
     }),
@@ -665,16 +668,20 @@ object TextQueries {
       val deduped = graft.dedup.Dedup.exactDedup(
         scored, col("text"), col("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // min mass folded INTO the plan (unpartitioned window over the
-      // per-source aggregate — a handful of rows on one partition), not a
+      // min mass folded INTO the plan via the non-foldable pmod scalar key
+      // (q110's broadcast-hash shape — no unpartitioned window), not a
       // separate .head() action: a driver action here would execute the
       // whole decontaminate→quality→dedup upstream TWICE, since exchange
-      // reuse never spans separate jobs. One plan → one upstream pass.
+      // reuse never spans separate jobs. `deduped` is persisted, so both
+      // mass references read the cache — one upstream pass.
       val mass = deduped.groupBy("source").agg(sum(col("n_tok")).as("mass"))
-      val minMass = min(col("mass")).over(Window.partitionBy())
-      val rates = mass
-        .withColumn("thr", floor((minMass.cast("double") / col("mass").cast("double"))
+      val minRow = mass.agg(min(col("mass")).as("min_mass"))
+        .withColumn("_k", pmod(col("min_mass"), lit(1)).cast("int"))
+      val rates = mass.withColumn("_k", pmod(col("mass"), lit(1)).cast("int"))
+        .join(broadcast(minRow), "_k")
+        .withColumn("thr", floor((col("min_mass").cast("double") / col("mass").cast("double"))
           * lit(4294967296.0)).cast("long"))
+        .select("source", "thr")
       deduped.join(broadcast(rates), "source")
         .where(Mix64.sampleCoord(col("doc_id")) < col("thr"))
         .select("doc_id", "source", "n_tok", "quality")
@@ -955,9 +962,14 @@ object TextQueries {
         .withColumn("pre_sample", eligible && col("doc_id") === col("keep_id"))
       val mass = led.where(col("pre_sample"))
         .groupBy("source").agg(sum(col("n_tok")).as("mass"))
-      val minMass = min(col("mass")).over(Window.partitionBy())
-      val rates = mass
-        .withColumn("thr", floor((minMass.cast("double") / col("mass").cast("double"))
+      // min mass via the non-foldable pmod scalar key (q110's broadcast-
+      // hash shape — no unpartitioned window); both mass references share
+      // the source-rollup exchange, so the ledger evaluates once
+      val minRow = mass.agg(min(col("mass")).as("min_mass"))
+        .withColumn("_k", pmod(col("min_mass"), lit(1)).cast("int"))
+      val rates = mass.withColumn("_k", pmod(col("mass"), lit(1)).cast("int"))
+        .join(broadcast(minRow), "_k")
+        .withColumn("thr", floor((col("min_mass").cast("double") / col("mass").cast("double"))
           * lit(4294967296.0)).cast("long"))
         .select("source", "thr")
       led.join(broadcast(rates), Seq("source"), "left_outer")

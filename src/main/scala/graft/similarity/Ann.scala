@@ -47,16 +47,17 @@ object Ann {
     * replayable in portable SQL (the same coordinate family Sampling uses),
     * which is what lets the IVF queries carry a full DuckDB oracle. */
   def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                      nCentroids: Int): DataFrame =
-    corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+                      nCentroids: Int): DataFrame = {
+    val top = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
         graft.functions.Mix64.sampleCoord(col(idCol).cast("long")).as("_h"))
       .orderBy("_h", "cid").limit(nCentroids)
-      // centroid ids via row_number over an explicit total order — never
-      // monotonically_increasing_id, whose values depend on the physical
-      // partitioning (nCentroids rows, so the unpartitioned window is fine)
-      .select((row_number().over(Window.orderBy("_h", "cid")) - 1)
-          .cast("long").as("centroid_id"),
-        col("cvec"))
+    // centroid ids over the explicit (_h, cid) total order via the bounded
+    // no-window rank (explicit single-partition sort, so the ids cannot
+    // depend on the physical partitioning) — the nCentroids-row frame never
+    // plans an unpartitioned WindowExec
+    graft.ops.Ranking.boundedRank(top, "_rn", col("_h"), col("cid"))
+      .select((col("_rn") - 1).as("centroid_id"), col("cvec"))
+  }
 
   /** Assign every row to its nearest centroid (max cosine; ties → lowest
     * centroid id). Broadcast join: the corpus never shuffles. */

@@ -38,6 +38,42 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("boundedRank ≡ row_number over the total order, at any input partitioning") {
+    val n = 500
+    val df = (1 to n).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "score")
+    val expected = (1 to n)
+      .sortBy(i => (i % 7, i)).map(_.toLong).zipWithIndex
+      .map { case (id, r) => id -> (r + 1L) }.toMap
+    for (parts <- Seq(1, 3, 16)) {
+      val got = Ranking.boundedRank(df.repartition(parts), "rank",
+          col("score"), col("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expected, s"input partitions = $parts")
+    }
+    // desc order + downstream operators above the rank (filter, arithmetic)
+    val top = Ranking.boundedRank(df, "rank", col("score").desc, col("id").desc)
+      .where(col("rank") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // top score is 6 (ids ≡ 6 mod 7), largest such ids first
+    assert(top == Set((496L, 1L), (489L, 2L), (482L, 3L)))
+  }
+
+  test("boundedRank plans no window operator; empty/collision guards") {
+    val df = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "v")
+    val ranked = Ranking.boundedRank(df, "rank", col("v").desc)
+    assert(!ranked.queryExecution.executedPlan.toString.contains("Window"))
+    assert(ranked.collect().map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      Set((30L, 1L), (20L, 2L), (10L, 3L)))
+    assert(Ranking.boundedRank(Seq.empty[(Long, Long)].toDF("id", "v"),
+      "rank", col("v")).count() == 0)
+    intercept[IllegalArgumentException] {
+      Ranking.boundedRank(df, "rank")
+    }
+    intercept[IllegalArgumentException] {
+      Ranking.boundedRank(df, "v", col("v"))
+    }
+  }
+
   test("q143 epoch shuffle: per-epoch permutations, epochs differ, deterministic") {
     val rows = graft.SparkEntry.queries("q143_epoch_shuffle")(
       spark, "/root/testdata/sf0.001").collect()

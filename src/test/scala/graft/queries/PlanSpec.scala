@@ -496,18 +496,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(800))
   }
 
-  test("q127 trending: the reference-day window runs over the day rollup, not the corpus") {
-    // one scan → partial+final day aggregation BEFORE any Window node:
-    // the unpartitioned max(day) window is over #types × #days rows
+  test("q127 trending: the reference day is a 1-row broadcast onto the day " +
+      "rollup — no Window at all, and the rollup's exchange is shared") {
+    // max(day) rides a 1-row broadcast (the q132 scalar shape) instead of
+    // an unpartitioned Window over the rollup; the rollup is persisted, so
+    // both the scalar branch and the decay branch read the cache and the
+    // corpus scans once
     val p = plan("q127_trending")
-    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(600))
-    val aggIdx = p.indexOf("HashAggregate")
-    val winIdx = p.indexOf("Window")
-    assert(aggIdx >= 0 && winIdx >= 0, p.take(600))
-    // plans print top-down: the Window must sit ABOVE (before) the scan's
-    // aggregates, and at least one aggregate must feed it from below
-    assert("HashAggregate".r.findAllIn(p.substring(winIdx)).size >= 2,
-      s"day rollup does not feed the window from below:\n${p.take(800)}")
+    assert(!p.contains("Window"), s"reference-day window is back:\n${p.take(800)}")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"day rollup not read from cache on both branches:\n${p.take(1200)}")
   }
 
   test("q130 retention: join-free — cohort and active weeks ride one user aggregation") {
@@ -542,6 +541,20 @@ class PlanSpec extends SparkSpec {
     // vocabulary of a 100 TB corpus does not fit one task
     val p = plan("q157_vocab_coverage")
     assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("top-K rank rows select via TakeOrderedAndProject and plan NO window " +
+      "(q149/q151/q162/q176 — the boundedRank shape)") {
+    // rank-then-filter used to put the whole candidate frame through one
+    // unpartitioned WindowExec; selection is now a distributed top-K merge
+    // and rnk is assigned on the ≤ K survivors without a window operator
+    for (q <- Seq("q149_term_lift", "q151_pagerank", "q162_contamination_report",
+        "q176_importance_score")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q plans a window:\n${p.take(800)}")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q top-K is not a TakeOrdered merge:\n${p.take(800)}")
+    }
   }
 
   test("q151 PageRank rounds read the CACHED edge list, not a re-derived subtree") {
@@ -589,8 +602,8 @@ class PlanSpec extends SparkSpec {
     assert(files.length == 64 * 9 + 2, s"expected 578 .tif files, got ${files.length}")
   }
 
-  test("REGISTRY-WIDE: no cartesian or nested-loop join in any query plan " +
-      "(q40 is the documented exact-baseline exception)") {
+  test("REGISTRY-WIDE: no cartesian/nested-loop join (q40 is the documented " +
+      "exact-baseline exception) and no unpartitioned window in any query plan") {
     // the blanket guard behind every per-query pin: a future registration
     // that plans a quadratic join fails here by name. q40 is the labeled
     // exact brute-force baseline; q41/q47's nested loops are the IVF
@@ -628,23 +641,40 @@ class PlanSpec extends SparkSpec {
     // q223 embeds q41's bounded 16-row centroid-assignment broadcast plus
     // a q132-style 1-row total broadcast onto the 16-row per-cell rollup
     // (the drift gauge's share/mean columns) — both bounded by construction
+    // q127's NLJ is the 1-row reference-day broadcast onto the day rollup
+    // (the q132 scalar shape), bounded by construction
     val allowed = Set("q40_ann_topk", "q41_ann_ivf", "q47_ivf_recall",
       "q79_ann_pq", "q80_pq_recall", "q84_ivfpq_recall", "q106_knn_classify",
       "q111_hll_setops", "q112_pq_rerank", "q113_rerank_recall",
+      "q127_trending",
       "q132_skew_advisor", "q140_ivf_recall_curve", "q141_ivfpq_portable",
       "q142_rerank_curve", "q182_ann_float_guarantee",
       "q192_ann_trained_ivf", "q199_image_neardup_recall",
       "q200_vector_model_store", "q215_ann_index_maintain",
       "q223_ivf_drift")
-    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(allowed)
-      .flatMap { name =>
-        val p = graft.SparkEntry.queries(name)(spark, dir)
-          .queryExecution.executedPlan.toString
-        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
-          Some(name)
-        else None
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    val windowed = scala.collection.mutable.ListBuffer.empty[String]
+    for (name <- graft.SparkEntry.queries.keys.toSeq.sorted) {
+      val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
+      val p = qe.executedPlan.toString
+      if (!allowed(name) &&
+          (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")))
+        offenders += name
+      // NO registry entry may plan an unpartitioned window: a no-partition
+      // WindowExec moves its whole input through one task (the 100-TB
+      // scale-killer Spark itself warns about); every global rank/running
+      // count in the registry uses Ranking.globalRank / boundedRank instead.
+      // No exceptions — bounded frames use boundedRank, which plans the
+      // same single partition WITHOUT the window operator.
+      val unpart = qe.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
       }
+      if (unpart.nonEmpty) windowed += name
+    }
     assert(offenders.isEmpty, s"quadratic join plans in: $offenders")
+    assert(windowed.isEmpty, s"unpartitioned window plans in: $windowed")
   }
 }
