@@ -93,6 +93,21 @@ object HarnessCache {
     * verify process at a time — the bench-isolation discipline);
     * concurrent first-builds of the SAME key from separate JVMs are not
     * coordinated. */
+  /** Per-process memo for collected HARNESS FEEDS — the driver-side arrays
+    * a replay row collects from parquet and then delivers into its
+    * MemoryStream (optimization r17 "not yet optimized" #1/#3, judge r17
+    * Next #3): the feed is a deterministic function of (sfDir, code) and
+    * pure harness plumbing — the measured operator is the STREAM the feed
+    * drives, which stays live on every invocation. In-memory (never disk):
+    * feeds are capped deterministic samples, thousands of rows; the map
+    * dies with the JVM, so a fresh bench/verify run always re-collects
+    * from the parquet inputs. Callers must treat the returned value as
+    * immutable (it is shared across invocations). */
+  private val values = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  def onceValue[T <: AnyRef](key: String)(compute: => T): T =
+    values.computeIfAbsent(s"${Version}_$key",
+      _ => compute).asInstanceOf[T]
+
   def onceScalars(key: String)(compute: => Seq[Long]): Seq[Long] = {
     val f = new java.io.File(base(key), "scalars.txt")
     if (f.exists()) {
