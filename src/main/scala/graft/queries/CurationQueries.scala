@@ -560,6 +560,12 @@ object CurationQueries {
     // EQUI-join on the bigram — shuffle keyed by shingle, never a source
     // cross join; the output is #source-pairs rows (dimension-scale).
     "q153_source_overlap" -> ((s, dir) => {
+      // the distinct (source, bigram) frame feeds four consumers (both
+      // sides of the intersection join + both size rollups); the four
+      // canonically-identical distinct pipelines DEDUPE AT RUNTIME via
+      // AQE stage reuse — measured r18: persisting the frame instead is
+      // time-neutral at sf0.1 AND sf1, so the cache (a vocab²-scale
+      // liability at 100 TB) is deliberately not taken
       val bg = bigramsOf(t(s, dir, "documents"), "source").distinct()
       val sz = bg.groupBy("source").agg(count(lit(1)).as("sz"))
       val inter = bg.select(col("source").as("source_a"), col("w1"), col("w2"))

@@ -66,6 +66,13 @@ object Bpe {
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
+        // pair enumeration stays the transform/element_at HOF DELIBERATELY
+        // (optimization r18 A/B): the builtin slice+arrays_zip rewrite
+        // (no interpreted lambda) measured ~10% SLOWER per round at sf0.1
+        // (q211 4.33→4.80 s, q185/q186/q191 +0.1 s each — the two slice
+        // array copies cost more than the lambda) and only ~4% faster at
+        // sf1 (7.3→7.0 s), so the interpreted HOF is the right per-round
+        // kernel at both scales measured
         val best = seqs.where(size(col("syms")) >= 2)
           .select(col("cnt"), explode(expr(
             "transform(sequence(1, size(syms) - 1), " +

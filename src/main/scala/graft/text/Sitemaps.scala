@@ -38,20 +38,6 @@ import org.apache.spark.sql.functions._
   */
 object Sitemaps {
 
-  /** The five XML predefined entities, `&amp;` decoded LAST so a literal
-    * `&amp;lt;` cannot double-decode into `<` — the same amp-last order
-    * contract as [[Markup]]'s page-text decode chain (which handles the
-    * numeric `&#39;` its fixtures use where XML prose uses `&apos;`;
-    * the tables differ deliberately, the ORDER discipline must not). */
-  private val Entities = Seq(
-    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
-    "&amp;" -> "&")
-
-  private def decodeEntities(c: Column): Column =
-    Entities.foldLeft(c) { case (acc, (ent, ch)) =>
-      replace(acc, lit(ent), lit(ch))
-    }
-
   /** W3C datetime → epoch millis (UTC session zone): the seconds form,
     * the minutes-precision form (both valid per the W3C profile
     * sitemaps.org cites; XXX accepts `±HH:MM` and the `Z` zero-offset
@@ -64,37 +50,30 @@ object Sitemaps {
 
   /** All entries of one sitemap XML document:
     * `array<struct<kind, loc, lastmod_ms, priority>>` — `kind` is
-    * `"url"` (urlset entries) or `"sitemap"` (index entries); a file is
-    * one or the other, so one array is always empty and `concat` costs
-    * nothing. */
-  def entries(xml: Column): Column = {
-    def blocks(tag: String, kind: String): Column =
-      transform(
-        regexp_extract_all(xml, lit(s"(?s)<$tag>(.*?)</$tag>"), lit(1)),
-        b => {
-          // NOT functions.trim — that strips ' ' only; <loc> content may
-          // wrap in newlines/tabs (the protocol says trim whitespace)
-          def wstrim(c: Column): Column =
-            regexp_replace(c, "\\A\\s+|\\s+\\z", "")
-          val loc = wstrim(decodeEntities(
-            regexp_extract(b, "(?s)<loc>(.*?)</loc>", 1)))
-          val lm = wstrim(regexp_extract(b, "(?s)<lastmod>(.*?)</lastmod>", 1))
-          val pr = wstrim(regexp_extract(b, "(?s)<priority>(.*?)</priority>", 1))
-          struct(
-            lit(kind).as("kind"),
-            loc.as("loc"),
-            lastmodMs(lm).as("lastmod_ms"),
-            // the protocol bounds priority to [0.0, 1.0]; out-of-range
-            // values are invalid and NULL like any other malformed field
-            // (else a rogue <priority>5.0</priority> would dominate the
-            // q231 queue ranking)
-            when(pr.rlike("\\A[0-9]+(\\.[0-9]+)?\\z") &&
-                pr.cast("double").between(0.0, 1.0), pr.cast("double"))
-              .as("priority"))
-        })
-    // a block with no <loc> is invalid per the protocol (loc is the one
-    // required field) — dropped, not surfaced as an empty-loc entry
-    filter(concat(blocks("url", "url"), blocks("sitemap", "sitemap")),
-      e => e.getField("loc") =!= "")
-  }
+    * `"url"` (urlset entries) or `"sitemap"` (index entries).
+    *
+    * The STRING half (block scan, loc/lastmod/priority extraction,
+    * entity decode with `&amp;` LAST, whitespace trim, loc-required
+    * filter) is the ONE native [[graft.functions.SitemapBlocks]] node —
+    * the old per-tag regexp/replace Column lambdas were built twice and
+    * dominated q230/q231's per-invocation construction cost
+    * (optimization r18; semantics pinned ≡ the old chain in
+    * SitemapsSpec). The timestamp/priority INTERPRETATION deliberately
+    * stays in composed builtins here, so W3C-datetime parsing remains
+    * Spark's own try_to_timestamp, never a lookalike. */
+  def entries(xml: Column): Column =
+    transform(graft.functions.SitemapBlocks.blocks(xml), b => {
+      val pr = b.getField("pr")
+      struct(
+        b.getField("kind").as("kind"),
+        b.getField("loc").as("loc"),
+        lastmodMs(b.getField("lm")).as("lastmod_ms"),
+        // the protocol bounds priority to [0.0, 1.0]; out-of-range
+        // values are invalid and NULL like any other malformed field
+        // (else a rogue <priority>5.0</priority> would dominate the
+        // q231 queue ranking)
+        when(pr.rlike("\\A[0-9]+(\\.[0-9]+)?\\z") &&
+            pr.cast("double").between(0.0, 1.0), pr.cast("double"))
+          .as("priority"))
+    })
 }

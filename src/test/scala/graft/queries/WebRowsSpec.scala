@@ -141,4 +141,52 @@ class WebRowsSpec extends AnyFunSuite with SparkSpec {
       ("url", "https://h.example/d", 1709634600000L, -1.0),
       ("sitemap", "https://h.example/s.xml", -1L, -1.0)))
   }
+
+  test("SitemapBlocks native node ≡ the original regexp/replace Column " +
+      "chain on adversarial inputs (r18 nativization pin)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the pre-r18 Column formulation, kept verbatim as the reference
+    def oldBlocks(xml: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&apos;" -> "'", "&amp;" -> "&")
+      def one(tag: String, kind: String) =
+        transform(
+          regexp_extract_all(xml, lit(s"(?s)<$tag>(.*?)</$tag>"), lit(1)),
+          b => {
+            def wstrim(c: org.apache.spark.sql.Column) =
+              regexp_replace(c, "\\A\\s+|\\s+\\z", "")
+            val loc = wstrim(entities.foldLeft(
+              regexp_extract(b, "(?s)<loc>(.*?)</loc>", 1)) {
+                case (acc, (ent, ch)) => replace(acc, lit(ent), lit(ch)) })
+            struct(lit(kind).as("kind"), loc.as("loc"),
+              wstrim(regexp_extract(b, "(?s)<lastmod>(.*?)</lastmod>", 1)).as("lm"),
+              wstrim(regexp_extract(b, "(?s)<priority>(.*?)</priority>", 1)).as("pr"))
+          })
+      filter(concat(one("url", "url"), one("sitemap", "sitemap")),
+        e => e.getField("loc") =!= "")
+    }
+    val cases = Seq(
+      // nested open tag inside a block; close before next open
+      "<url><loc>a</loc></url><url><loc>b<url>c</loc></url>",
+      // unterminated last block; entity soup incl. double-decode trap
+      "<url><loc>\n\t x&amp;amp;y&quot;&apos;&gt;&lt; </loc><url><loc>z",
+      // loc-less blocks interleaved with valid ones; both kinds present
+      "<url><lastmod>2024-01-01</lastmod></url><url><loc>k</loc>" +
+        "<priority> 0.5 </priority></url><sitemapindex>" +
+        "<sitemap><loc>s1</loc><lastmod> 2024-02-02 </lastmod></sitemap>" +
+        "<sitemap><loc></loc></sitemap></sitemapindex>",
+      // whitespace-only loc trims to "" and must drop
+      "<url><loc> \t\r\n </loc></url><url><loc>ok</loc></url>",
+      "", "no tags at all", "<url></url><sitemap></sitemap>")
+    val df = cases.toDF("x")
+    val got = df.select(graft.functions.SitemapBlocks.blocks(col("x")).cast("string"))
+      .collect().map(_.getString(0)).toSeq
+    val want = df.select(oldBlocks(col("x")).cast("string"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == want, s"native blocks diverge:\n got=$got\nwant=$want")
+    // null input stays null through the native node
+    assert(Seq(null.asInstanceOf[String]).toDF("x")
+      .select(graft.functions.SitemapBlocks.blocks(col("x"))).head().isNullAt(0))
+  }
 }
