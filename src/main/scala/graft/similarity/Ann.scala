@@ -59,18 +59,53 @@ object Ann {
       .select((col("_rn") - 1).as("centroid_id"), col("cvec"))
   }
 
-  /** Assign every row to its nearest centroid (max cosine; ties → lowest
-    * centroid id). Broadcast join: the corpus never shuffles. */
+  /** Assign every row to its `n` nearest centroids (max cosine; ties →
+    * lowest centroid id).
+    *
+    * n = 1 — the corpus-scale case (every stored-index build and every
+    * Lloyd round assigns the FULL corpus its one cell) — collects the
+    * model to the driver (k×dim floats, the same bounded-model pattern as
+    * [[Pq.codebook]] / [[Clustering]]'s centroid arrays) and evaluates the
+    * argmax as a PER-ROW literal-array expression: no centroid expansion,
+    * no exchange, no window — the corpus never shuffles OR expands
+    * (optimization r18; the old broadcast-join + per-id window form
+    * expanded every row k× and re-shuffled the expansion, vectors and
+    * all, on the id hash). Tie-break is the window form's, bit for bit:
+    * csim DESC (NaN largest, exactly like the DESC sort), ties → lowest
+    * centroid_id via max over (csim, −cid); a NULL vector yields NULL
+    * csims on every candidate, and the null-equal struct comparison falls
+    * through to −cid — the window's NULLS LAST + cid ASC pick. AnnSpec
+    * pins ≡ the window formulation on random/tied/zero/NULL vectors.
+    *
+    * n > 1 — the query-side probe fan-out (|Q| interactive-small) — keeps
+    * the broadcast-join + per-id window form: the expansion is the
+    * OUTPUT, not a reduction. */
   def assignCells(df: DataFrame, idCol: String, vecCol: String,
-                  centroids: DataFrame, n: Int = 1): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("centroid_id"))
-    df.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", CosineSim.cosineSim(col(vecCol), col("cvec")))
-      .withColumn("crank", row_number().over(w))
-      .where(col("crank") <= n)
-      .select(col(idCol), col(vecCol), col("centroid_id"), col("crank"))
-  }
+                  centroids: DataFrame, n: Int = 1): DataFrame =
+    if (n == 1) {
+      val cents = centroids.select(col("centroid_id").cast("long"), col("cvec"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        .sortBy(_._1)
+      require(cents.nonEmpty, "assignCells: empty centroid table")
+      val cands = cents.map { case (cid, cv) =>
+        struct(
+          CosineSim.cosineSim(col(vecCol), lit(cv)).as("csim"),
+          lit(-cid).as("ncid"), lit(cid).as("cid"))
+      }
+      df.select(col(idCol), col(vecCol))
+        .withColumn("_best", array_max(array(cands.toIndexedSeq: _*)))
+        .select(col(idCol), col(vecCol),
+          col("_best.cid").as("centroid_id"), lit(1).as("crank"))
+    } else {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("centroid_id"))
+      df.select(col(idCol), col(vecCol))
+        .crossJoin(broadcast(centroids))
+        .withColumn("csim", CosineSim.cosineSim(col(vecCol), col("cvec")))
+        .withColumn("crank", row_number().over(w))
+        .where(col("crank") <= n)
+        .select(col(idCol), col(vecCol), col("centroid_id"), col("crank"))
+    }
 
   /** Spherical-k-means-TRAINED coarse centroids: [[sampleCentroids]] init,
     * then `iters` Lloyd rounds of cosine assignment + element-wise mean

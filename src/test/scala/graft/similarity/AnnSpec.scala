@@ -305,6 +305,50 @@ class AnnSpec extends SparkSpec {
     assert(r.getAs[Boolean]("codes_match"), s"stored-codebook encode drift: $r")
   }
 
+  test("assignCells n=1 literal-argmax ≡ the broadcast-join window form " +
+      "(r18 no-shuffle assignment pin): random, tied, zero and NULL vectors") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // deterministic pseudo-random vectors + adversarial rows: a zero
+    // vector (NaN cosine against every centroid), an exact duplicate of a
+    // centroid (ties across scaled copies), and a NULL vector
+    def vec(seed: Long, dim: Int): Array[Float] =
+      Array.tabulate(dim)(d =>
+        (((graft.functions.Mix64.hash(seed * 131 + d) >>> 11).toDouble /
+          (1L << 53).toDouble) - 0.5).toFloat)
+    val dim = 8
+    val base = (1L to 40L).map(i => (i, vec(i, dim))) ++ Seq(
+      (100L, Array.fill(dim)(0.0f)),                      // NaN csim row
+      (101L, vec(3L, dim)),                               // duplicate of id 3
+      (102L, vec(3L, dim).map(x => x * 2.0f)),            // scaled copy: cosine tie
+      (103L, null.asInstanceOf[Array[Float]]))            // NULL vector
+    val df = base.toDF("vec_id", "embedding")
+    val cents = graft.similarity.Ann.sampleCentroids(
+      df.where(col("vec_id") <= 40 && col("vec_id") =!= 103L),
+      "vec_id", "embedding", nCentroids = 4)
+    // the pre-r18 formulation, kept verbatim as the reference
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val want = df.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim",
+        graft.functions.CosineSim.cosineSim(col("embedding"), col("cvec")))
+      .withColumn("crank", row_number().over(w))
+      .where(col("crank") <= 1)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = graft.similarity.Ann.assignCells(df, "vec_id", "embedding", cents)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"argmax diverges from the window form:\n got=$got\nwant=$want")
+    // the corpus-assignment plan must carry NO exchange and NO window
+    val p = graft.similarity.Ann.assignCells(df, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Window"),
+      s"n=1 assignment shuffles or windows:\n${p.take(600)}")
+  }
+
   test("q139: prod and portable hyperplane pair sets agree at sf0.001") {
     val r = graft.SparkEntry.queries("q139_hyperplane_path_equiv")(spark, sfDir)
       .collect().head
