@@ -705,16 +705,17 @@ object CurationQueries {
       val gated = keep(deduped.join(lm, Seq("doc_id"), "left")
         .where(coalesce(col("lm"), lit(0L)) >= LmGate)
         .select("doc_id", "source"))
-      // the weight total attaches via the non-foldable pmod scalar key
-      // (q110/q164's broadcast-hash shape — no unpartitioned window);
-      // `gated` is persisted, so the double reference reads the cache
-      val perQ = gated.groupBy("source").agg(count(lit(1)).as("n_gated"))
+      // the weight total attaches via ONE whole-frame window over the
+      // |S|-row source rollup, partitioned by the non-foldable constant
+      // key (Ranking.boundedAll — no unpartitioned WindowExec, no second
+      // aggregate branch / broadcast join; the r18 agg+join variant
+      // measured +0.3 s per invocation at sf0.1 over this shape)
+      val quotas = gated.groupBy("source").agg(count(lit(1)).as("n_gated"))
         .withColumn("wm",
           floor(sqrt(col("n_gated").cast("double")) * Micro).cast("long"))
-      val tw = perQ.agg(sum(col("wm")).as("tw"))
-        .withColumn("_k", pmod(col("tw"), lit(1)).cast("int"))
-      val quotas = perQ.withColumn("_k", pmod(col("wm"), lit(1)).cast("int"))
-        .join(broadcast(tw), "_k")
+        .repartition(1) // |S| rows; one task for the window
+        .withColumn("tw",
+          sum(col("wm")).over(graft.ops.Ranking.boundedAll(col("wm"))))
         .withColumn("quota",
           expr(s"cast((cast(wm as decimal(38,0)) * ${CurationQuota}L)" +
             " div tw as bigint)"))
@@ -750,22 +751,22 @@ object CurationQueries {
     // Portability of the one non-integer step: sqrt of an exact integer
     // double is correctly rounded IEEE in BOTH engines, ·2^20 only shifts
     // the exponent (exact), floor pins it — so weight_micro replays
-    // bit-for-bit. Totals attach via the non-foldable pmod scalar key
-    // (q110's shape: pmod(col, 1) ≡ 0 but Catalyst can't fold it, so the
-    // 1-row totals ride a broadcast HASH join — no unpartitioned window,
-    // no nested-loop join); both branches share the source-rollup
-    // exchange, so the corpus still scans once.
+    // bit-for-bit. Totals attach via ONE whole-frame window over the
+    // |S|-row source rollup, partitioned by the non-foldable constant key
+    // (Ranking.boundedAll: pmod(col, 1) ≡ 0 but Catalyst can't fold it, so
+    // the WindowExec carries a non-empty partitionSpec — no unpartitioned
+    // window, no second aggregate branch, ONE evaluation of the rollup;
+    // the r18 agg+broadcast-join variant measured +0.06 s per invocation
+    // at sf0.1 over this single-pass shape).
     "q164_temperature_mix" -> ((s, dir) => {
-      val perSrc = t(s, dir, "documents")
+      val wAll = graft.ops.Ranking.boundedAll(col("n_docs"))
+      t(s, dir, "documents")
         .groupBy("source").agg(count(lit(1)).as("n_docs"))
         .withColumn("weight_micro",
           floor(sqrt(col("n_docs").cast("double")) * Micro).cast("long"))
-      val totals = perSrc
-        .agg(sum(col("n_docs")).as("total_docs"),
-          sum(col("weight_micro")).as("total_weight"))
-        .withColumn("_k", pmod(col("total_docs"), lit(1)).cast("int"))
-      perSrc.withColumn("_k", pmod(col("n_docs"), lit(1)).cast("int"))
-        .join(broadcast(totals), "_k")
+        .repartition(1) // |S| rows; one task for the window
+        .withColumn("total_docs", sum(col("n_docs")).over(wAll))
+        .withColumn("total_weight", sum(col("weight_micro")).over(wAll))
         .select(col("source"), col("n_docs"),
           expr(s"cast((cast(n_docs as decimal(38,0)) * ${Micro}L)" +
             " div total_docs as bigint)").as("raw_share_micro"),

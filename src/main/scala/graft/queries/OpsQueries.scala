@@ -437,27 +437,28 @@ object OpsQueries {
         .groupBy("bucket").agg(max("register").as("reg_merged"))
       val direct = ev.agg(Hll.hll(col("user_id")).as("regs"))
         .select(posexplode(col("regs")).as(Seq("bucket", "reg_direct")))
-      // global stats via the non-foldable pmod scalar key over the 64-row
-      // joined register frame, which is PERSISTED (64 rows, bounded by the
-      // register dimension — a cache-contract multiply-referenced bounded
-      // frame): a re-aggregation against the uncached frame would
-      // re-execute the merged AND direct sketch pipelines (two corpus
-      // scans each, .explain-verified); the cache pins one evaluation.
-      // Scalar keys stay NON-FOLDABLE (pmod(col, 1) ≡ 0, but Catalyst
-      // can't prove it): a lit(1) key constant-folds out of the join
-      // condition and the plan degenerates to the nested-loop join the
-      // registry-wide PlanSpec sweep rejects — and an unpartitioned
-      // window (the old shape for the two sums) is the WindowExec
-      // single-partition funnel the same sweep now rejects too.
-      val jBase = merged.join(broadcast(direct), "bucket")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val totals = jBase.agg(
-          sum(when(col("reg_merged") === 0, 1L).otherwise(0L)).as("n_zero"),
-          sum(expr(s"shiftleft(cast(1 as bigint), ${Hll.RankCap} - reg_merged)"))
-            .as("ind"))
-        .withColumn("k", pmod(col("ind"), lit(1)).cast("int"))
-      val j = jBase.withColumn("k", pmod(col("bucket"), lit(1)))
-        .join(broadcast(totals), "k")
+      // global stats via ONE whole-frame window over the 64-row joined
+      // register frame, partitioned by the non-foldable constant key
+      // (Ranking.boundedAll — pmod(bucket, 1) ≡ 0 but Catalyst can't fold
+      // it, so the WindowExec carries a non-empty partitionSpec: no
+      // unpartitioned-window funnel, and no second aggregate branch /
+      // broadcast join / persist to attach the totals — a re-aggregation
+      // against the uncached frame would re-execute the merged AND direct
+      // sketch pipelines, two corpus scans each, .explain-verified; the
+      // r18 agg+join+persist variant measured +0.1 s per invocation at
+      // sf0.1 over this single-pass shape). The remaining single-row
+      // exact frame attaches via the NON-FOLDABLE pmod join key (a lit(1)
+      // key constant-folds out of the join condition and the plan
+      // degenerates to the nested-loop join the registry-wide PlanSpec
+      // sweep rejects).
+      val w = graft.ops.Ranking.boundedAll(col("bucket"))
+      val j = merged.join(broadcast(direct), "bucket")
+        .repartition(1) // 64 rows; SinglePartition satisfies the window
+        .withColumn("n_zero",
+          sum(when(col("reg_merged") === 0, 1L).otherwise(0L)).over(w))
+        .withColumn("ind",
+          sum(expr(s"shiftleft(cast(1 as bigint), ${Hll.RankCap} - reg_merged)")).over(w))
+        .withColumn("k", pmod(col("bucket"), lit(1)))
       val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
         .withColumn("k", pmod(col("exact_users"), lit(1)).cast("int"))
       j.join(broadcast(exact), "k")
@@ -909,18 +910,22 @@ object OpsQueries {
     }),
 
     "q127_trending" -> ((s, dir) => {
-      // the day rollup is PERSISTED (#types × #days rows — a cache-contract
-      // multiply-referenced bounded frame): the reference day then rides a
-      // 1-row broadcast from the cache (the q132 scalar shape) instead of
-      // an unpartitioned Window over the rollup, and the corpus still
-      // scans once. (Exchange reuse alone does not cover the two branches:
-      // the scalar branch's pruned aggregate is not canonically equal.)
+      // the reference day attaches via ONE whole-frame window over the day
+      // rollup (#types × #days rows — dimension-scale), partitioned by the
+      // non-foldable constant key (Ranking.boundedAll): no unpartitioned
+      // WindowExec, and no persist / 1-row-broadcast second branch — the
+      // rollup evaluates once inside its own plan (the r18 persist+NLJ
+      // variant measured +0.15 s per invocation at sf0.1 over this
+      // single-pass shape; exchange reuse alone can't cover two branches
+      // because the scalar branch's pruned aggregate is not canonically
+      // equal).
       val daily = events(s, dir)
         .select(col("event_type"),
           expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      daily.crossJoin(broadcast(daily.agg(max(col("day")).as("max_day"))))
+        .repartition(1) // #types × #days rows; one task for the window
+      daily.withColumn("max_day",
+          max(col("day")).over(graft.ops.Ranking.boundedAll(col("day"))))
         .withColumn("k", expr("(max_day - day) div 7"))
         .withColumn("w", when(col("k") > 20, lit(0L))
           .otherwise(expr("cast(shiftright(1048576, cast(k as int)) as bigint)")))

@@ -668,17 +668,19 @@ object TextQueries {
       val deduped = graft.dedup.Dedup.exactDedup(
         scored, col("text"), col("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // min mass folded INTO the plan via the non-foldable pmod scalar key
-      // (q110's broadcast-hash shape — no unpartitioned window), not a
+      // min mass folded INTO the plan via ONE whole-frame window over the
+      // |S|-row source rollup, partitioned by the non-foldable constant
+      // key (Ranking.boundedAll — no unpartitioned WindowExec), not a
       // separate .head() action: a driver action here would execute the
       // whole decontaminate→quality→dedup upstream TWICE, since exchange
-      // reuse never spans separate jobs. `deduped` is persisted, so both
-      // mass references read the cache — one upstream pass.
+      // reuse never spans separate jobs. One plan → one upstream pass
+      // (the r18 agg+broadcast-join variant measured +0.08 s per
+      // invocation at sf0.1 over this single-pass shape).
       val mass = deduped.groupBy("source").agg(sum(col("n_tok")).as("mass"))
-      val minRow = mass.agg(min(col("mass")).as("min_mass"))
-        .withColumn("_k", pmod(col("min_mass"), lit(1)).cast("int"))
-      val rates = mass.withColumn("_k", pmod(col("mass"), lit(1)).cast("int"))
-        .join(broadcast(minRow), "_k")
+      val rates = mass
+        .repartition(1) // |S| rows; one task for the window
+        .withColumn("min_mass",
+          min(col("mass")).over(graft.ops.Ranking.boundedAll(col("mass"))))
         .withColumn("thr", floor((col("min_mass").cast("double") / col("mass").cast("double"))
           * lit(4294967296.0)).cast("long"))
         .select("source", "thr")

@@ -74,6 +74,36 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("boundedAll ≡ Window.partitionBy(): global aggregates over every row, " +
+      "NULL keys included, with a non-empty partitionSpec") {
+    val df = Seq((1L, Some(10L)), (2L, Some(30L)), (3L, None), (4L, Some(20L)))
+      .toDF("id", "v")
+    // a NULL key row must land in the SAME global partition (the coalesce
+    // guard) — sum/min/max/count see all 4 rows on every row
+    val got = df
+      .withColumn("s", sum(col("v")).over(Ranking.boundedAll(col("v"))))
+      .withColumn("mx", max(col("v")).over(Ranking.boundedAll(col("v"))))
+      .withColumn("n", count(lit(1)).over(Ranking.boundedAll(col("v"))))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set((1L, 60L, 30L, 4L), (2L, 60L, 30L, 4L),
+      (3L, 60L, 30L, 4L), (4L, 60L, 30L, 4L)))
+    // the WindowExec carries a NON-EMPTY partitionSpec (the pmod key):
+    // Spark's "No Partition Defined" single-partition warning never fires
+    // and the registry-wide unpartitioned-window sweep stays meaningful
+    val qe = df.withColumn("s", sum(col("v")).over(Ranking.boundedAll(col("v"))))
+      .queryExecution
+    val wins = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+    // string keys hash through xxhash64 (ANSI-safe) without changing totals
+    val sGot = Seq(("a", 1L), ("b", 2L)).toDF("k", "x")
+      .withColumn("t", sum(col("x")).over(Ranking.boundedAll(col("k"))))
+      .collect().map(_.getLong(2)).toSet
+    assert(sGot == Set(3L))
+  }
+
   test("q143 epoch shuffle: per-epoch permutations, epochs differ, deterministic") {
     val rows = graft.SparkEntry.queries("q143_epoch_shuffle")(
       spark, "/root/testdata/sf0.001").collect()

@@ -496,17 +496,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(800))
   }
 
-  test("q127 trending: the reference day is a 1-row broadcast onto the day " +
-      "rollup — no Window at all, and the rollup's exchange is shared") {
-    // max(day) rides a 1-row broadcast (the q132 scalar shape) instead of
-    // an unpartitioned Window over the rollup; the rollup is persisted, so
-    // both the scalar branch and the decay branch read the cache and the
-    // corpus scans once
-    val p = plan("q127_trending")
-    assert(!p.contains("Window"), s"reference-day window is back:\n${p.take(800)}")
-    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
-      s"day rollup not read from cache on both branches:\n${p.take(1200)}")
+  test("q127 trending: the reference day is a PARTITIONED whole-frame window " +
+      "over the day rollup — one pass, no join, no persist") {
+    // max(day) rides Ranking.boundedAll — a WindowExec partitioned by the
+    // non-foldable constant key pmod(day, 1), so the rollup evaluates ONCE
+    // inside its own plan (no second aggregate branch, no 1-row broadcast,
+    // no cache) and the partitionSpec is non-empty (the registry sweep's
+    // unpartitioned-window ban sees an intentional bounded partition)
+    val qe = graft.SparkEntry.queries("q127_trending")(spark, dir).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("Window"), s"reference-day window gone:\n${p.take(800)}")
+    assert(!p.contains("Join"), s"scalar-attach join is back:\n${p.take(800)}")
+    assert(!p.contains("InMemoryTableScan"), s"persist is back:\n${p.take(800)}")
+    val unpart = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, "the reference-day window lost its pmod partition key")
   }
 
   test("q130 retention: join-free — cohort and active weeks ride one user aggregation") {
@@ -641,12 +647,9 @@ class PlanSpec extends SparkSpec {
     // q223 embeds q41's bounded 16-row centroid-assignment broadcast plus
     // a q132-style 1-row total broadcast onto the 16-row per-cell rollup
     // (the drift gauge's share/mean columns) — both bounded by construction
-    // q127's NLJ is the 1-row reference-day broadcast onto the day rollup
-    // (the q132 scalar shape), bounded by construction
     val allowed = Set("q40_ann_topk", "q41_ann_ivf", "q47_ivf_recall",
       "q79_ann_pq", "q80_pq_recall", "q84_ivfpq_recall", "q106_knn_classify",
       "q111_hll_setops", "q112_pq_rerank", "q113_rerank_recall",
-      "q127_trending",
       "q132_skew_advisor", "q140_ivf_recall_curve", "q141_ivfpq_portable",
       "q142_rerank_curve", "q182_ann_float_guarantee",
       "q192_ann_trained_ivf", "q199_image_neardup_recall",
